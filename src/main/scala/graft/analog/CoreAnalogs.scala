@@ -1,0 +1,436 @@
+package graft.analog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** The reference's T1–T7 operator surface (SURVEY.md §2.8), exercised as
+  * analog queries over the driver's TPC-H-ish testdata, each paired with
+  * the DuckDB oracle the harness replays. Role mapping per SURVEY.md §7:
+  * orders⟕customer⟕nation plays the double dimension enrichment;
+  * month(o_orderdate)/dayofmonth play month/day; o_orderpriority /
+  * l_returnflag / l_linestatus play business/time_of_day categorical
+  * roles; the events table plays the daily-average task.
+  *
+  * Scale notes (100 TB): every dimension join below is an explicit
+  * `broadcast()`; the only shuffle joins are fact⋈fact (lineitem⋈orders),
+  * which at cluster scale would be bucketed/co-partitioned on the order
+  * key; every aggregate is a partial/final HashAggregate pair; every
+  * top-k is orderBy+limit which Catalyst plans as TakeOrderedAndProject
+  * (per-partition heaps, no global sort).
+  */
+object CoreAnalogs {
+
+  // ---- shared frames -----------------------------------------------------
+
+  /** Analog of the reference's enrichment preamble (`codes/task1.py:40-69`):
+    * fact ⟕ dim ⟕ dim with both dims broadcast. Left joins mirror the
+    * reference's null-keeping semantics.
+    */
+  def enrichedOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"),
+      col("c_name").as("customer_name"),
+      col("c_mktsegment").as("mktsegment"))
+    val n = Tables.nation(s, d).select(
+      col("n_nationkey"), col("n_name").as("nation"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .drop("c_custkey", "c_nationkey", "n_nationkey")
+  }
+
+  /** Shared DuckDB CTE matching [[enrichedOrders]]. */
+  private val enrichedSql =
+    """WITH enriched AS (
+      |  SELECT o.*, c.c_name AS customer_name, c.c_mktsegment AS mktsegment,
+      |         n.n_name AS nation
+      |  FROM orders o
+      |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |)""".stripMargin
+
+  /** Route analog (`codes/task3.py:106-115`, `task7.py:76-94`): each
+    * lineitem labelled "CUST_NATION to SUPP_NATION". lineitem⋈orders is
+    * the one genuine fact⋈fact shuffle join in the library — at scale,
+    * bucket both tables by order key so it becomes a co-partitioned join
+    * with zero shuffle; the four dimension joins broadcast.
+    */
+  def routeLineitems(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val cn = Tables.nation(s, d).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val sn = Tables.nation(s, d).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .withColumn("route",
+        concat_ws(" to ", col("cust_nation"), col("supp_nation")))
+  }
+
+  private val routeSql =
+    """WITH rl AS (
+      |  SELECT cn.n_name || ' to ' || sn.n_name AS route, l.*
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |)""".stripMargin
+
+  /** DuckDB equivalent of Spark's `format_number(x, 2)` ("1,234,567.89").
+    * DuckDB 1.0's `format('{:,.2f}', …)` rejects floats, so we format the
+    * integer and fraction parts separately from the rounded value.
+    */
+  private def duckFmt2(e: String): String = {
+    val r = s"round($e, 2)"
+    s"(CASE WHEN $r < 0 AND trunc($r) = 0 THEN '-' ELSE '' END" +
+      s" || format('{:,}', CAST(trunc($r) AS BIGINT)) || '.'" +
+      s" || lpad(CAST(CAST(round(abs($r - trunc($r)) * 100) AS INT) AS VARCHAR), 2, '0'))"
+  }
+
+  // ---- queries -----------------------------------------------------------
+
+  val queries: Seq[Q] = Seq(
+
+    // T1 — enrichment count (operators S1/S5/J1; `codes/task1.py:40-78`).
+    Q("t1_enrich_count",
+      (s, d) => enrichedOrders(s, d).agg(count(lit(1)).as("cnt")),
+      Some(s"""$enrichedSql SELECT count(*) AS cnt FROM enriched""")),
+
+    // T1 — enriched sample incl. the epoch→"yyyy-MM-dd" conversion analog
+    // (operator F1; `codes/task1.py:69`) and the post-join projection.
+    Q("t1_enrich_sample",
+      (s, d) => enrichedOrders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("customer_name"), col("nation"))
+        .orderBy("o_orderkey").limit(100),
+      Some(s"""$enrichedSql
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       customer_name, nation
+        |FROM enriched ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    // T2a — counts per (category, month) (operators A1/F2; `codes/task2.py:77-80`).
+    Q("t2a_trip_count",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority"),
+          month(col("o_orderdate")).as("month"))
+        .groupBy("priority", "month").count()
+        .withColumnRenamed("count", "trip_count")
+        .orderBy("priority", "month"),
+      Some("""SELECT o_orderpriority AS priority,
+        |       CAST(month(o_orderdate) AS INT) AS month,
+        |       count(*) AS trip_count
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // T2b — formatted sums per (category, month) (operators A2/F5/F6;
+    // `codes/task2.py:86-93`): format_number with thousands separators.
+    Q("t2b_total_profit",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority"),
+          month(col("o_orderdate")).as("month"), col("o_totalprice"))
+        .groupBy("priority", "month")
+        .agg(sum(col("o_totalprice").cast("double")).as("profit"))
+        .select(col("priority"), col("month"),
+          format_number(col("profit"), 2).as("total_profit"))
+        .orderBy("priority", "month"),
+      Some(s"""SELECT o_orderpriority AS priority,
+        |       CAST(month(o_orderdate) AS INT) AS month,
+        |       ${duckFmt2("sum(o_totalprice)")} AS total_profit
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // T2c — same over the bigger fact (`codes/task2.py:96-103` analog).
+    Q("t2c_total_earnings",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          month(col("l_shipdate")).as("month"), col("l_extendedprice"))
+        .groupBy("flag", "month")
+        .agg(sum(col("l_extendedprice").cast("double")).as("earnings"))
+        .select(col("flag"), col("month"),
+          format_number(col("earnings"), 2).as("total_earnings"))
+        .orderBy("flag", "month"),
+      Some(s"""SELECT l_returnflag AS flag,
+        |       CAST(month(l_shipdate) AS INT) AS month,
+        |       ${duckFmt2("sum(l_extendedprice)")} AS total_earnings
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // T3a — top-5 per month by dense_rank, ties kept (operators WF1/W5;
+    // `codes/task3.py:74-89`). Customer-nation counts per order month.
+    Q("t3a_top5_nations_month",
+      (s, d) => {
+        val counts = enrichedOrders(s, d)
+          .withColumn("month", month(col("o_orderdate")))
+          .groupBy("nation", "month").count()
+          .withColumnRenamed("count", "trip_count")
+        val w = Window.partitionBy("month").orderBy(col("trip_count").desc)
+        counts.withColumn("rank", dense_rank().over(w))
+          .filter(col("rank") <= 5).drop("rank")
+          .orderBy(col("month"), col("trip_count").desc, col("nation"))
+      },
+      Some(s"""$enrichedSql, counts AS (
+        |  SELECT nation, CAST(month(o_orderdate) AS INT) AS month,
+        |         count(*) AS trip_count
+        |  FROM enriched GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, dense_rank() OVER
+        |    (PARTITION BY month ORDER BY trip_count DESC) AS rnk
+        |  FROM counts
+        |)
+        |SELECT nation, month, trip_count FROM ranked WHERE rnk <= 5
+        |ORDER BY month, trip_count DESC, nation""".stripMargin)),
+
+    // T3b — dropoff-side variant: supplier nations per ship month
+    // (`codes/task3.py:92-102` analog).
+    Q("t3b_top5_supp_nations_month",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val n = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("nation"))
+        val counts = Tables.lineitem(s, d)
+          .select(col("l_suppkey"), month(col("l_shipdate")).as("month"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left")
+          .groupBy("nation", "month").count()
+          .withColumnRenamed("count", "trip_count")
+        val w = Window.partitionBy("month").orderBy(col("trip_count").desc)
+        counts.withColumn("rank", dense_rank().over(w))
+          .filter(col("rank") <= 5).drop("rank")
+          .orderBy(col("month"), col("trip_count").desc, col("nation"))
+      },
+      Some("""WITH counts AS (
+        |  SELECT n.n_name AS nation,
+        |         CAST(month(l.l_shipdate) AS INT) AS month,
+        |         count(*) AS trip_count
+        |  FROM lineitem l
+        |  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, dense_rank() OVER
+        |    (PARTITION BY month ORDER BY trip_count DESC) AS rnk
+        |  FROM counts
+        |)
+        |SELECT nation, month, trip_count FROM ranked WHERE rnk <= 5
+        |ORDER BY month, trip_count DESC, nation""".stripMargin)),
+
+    // T3c — top-30 routes by summed measure (operators F4/A2/O1;
+    // `codes/task3.py:106-115`). Deterministic tie-break on route.
+    Q("t3c_top30_routes",
+      (s, d) => routeLineitems(s, d)
+        .groupBy("route")
+        .agg(round(sum(col("l_extendedprice")), 2).as("total_profit"))
+        .orderBy(col("total_profit").desc, col("route"))
+        .limit(30),
+      Some(s"""$routeSql
+        |SELECT route, round(sum(l_extendedprice), 2) AS total_profit
+        |FROM rl GROUP BY route
+        |ORDER BY total_profit DESC, route LIMIT 30""".stripMargin)),
+
+    // T4a — avg per category, desc (operator A3; `codes/task4.py:74-76`).
+    Q("t4a_avg_price_by_priority",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(round(avg(col("o_totalprice")), 6).as("average_price"))
+        .orderBy(col("average_price").desc, col("priority")),
+      Some("""SELECT o_orderpriority AS priority,
+        |       round(avg(o_totalprice), 6) AS average_price
+        |FROM orders GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin)),
+
+    // T4b — second avg (`codes/task4.py:80-82`).
+    Q("t4b_avg_qty_by_flag",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(round(avg(col("l_quantity")), 6).as("average_qty"))
+        .orderBy(col("average_qty").desc, col("flag")),
+      Some("""SELECT l_returnflag AS flag,
+        |       round(avg(l_quantity), 6) AS average_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin)),
+
+    // T4c — the two aggregates joined on the shared key + ratio
+    // (operators J2/F8; `codes/task4.py:86-95`). Post-agg sides are tiny
+    // → broadcast inner join, exactly like the reference's.
+    Q("t4c_price_per_qty",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val a = li.groupBy(col("l_returnflag").as("flag"))
+          .agg(avg(col("l_extendedprice")).as("avg_price"))
+        val b = li.groupBy(col("l_returnflag").as("flag"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        a.join(b, Seq("flag"))
+          .select(col("flag"),
+            round(col("avg_price") / col("avg_qty"), 6).as("price_per_unit"))
+          .orderBy("flag")
+      },
+      Some("""WITH a AS (
+        |  SELECT l_returnflag AS flag, avg(l_extendedprice) AS avg_price
+        |  FROM lineitem GROUP BY 1
+        |), b AS (
+        |  SELECT l_returnflag AS flag, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT a.flag AS flag, round(avg_price / avg_qty, 6) AS price_per_unit
+        |FROM a JOIN b ON a.flag = b.flag ORDER BY 1""".stripMargin)),
+
+    // T5a — month slice + per-day averages, asc (operators W4/F3/A3;
+    // `codes/task5.py:71-80`). The month filter sits below the aggregate.
+    Q("t5a_daily_avg_value",
+      (s, d) => Tables.events(s, d)
+        .filter(month(col("ts")) === 1)
+        .select(dayofmonth(col("ts")).as("day"), col("value"))
+        .groupBy("day")
+        .agg(round(avg(col("value")), 6).as("average_value"))
+        .orderBy("day"),
+      Some("""SELECT CAST(dayofmonth(ts) AS INT) AS day,
+        |       round(avg(value), 6) AS average_value
+        |FROM events WHERE month(ts) = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T5b — threshold filter on the aggregate, kept fully in Spark
+    // (the reference crossed to pandas — `codes/task5.py:86-92`).
+    // 54.0 sits in a wide gap of the daily averages (53.73 vs 54.50).
+    Q("t5b_days_over_threshold",
+      (s, d) => Tables.events(s, d)
+        .filter(month(col("ts")) === 1)
+        .select(dayofmonth(col("ts")).as("day"), col("value"))
+        .groupBy("day")
+        .agg(avg(col("value")).as("average_value"))
+        .filter(col("average_value") > 54.0)
+        .select("day")
+        .orderBy("day"),
+      Some("""SELECT CAST(dayofmonth(ts) AS INT) AS day
+        |FROM events WHERE month(ts) = 1
+        |GROUP BY 1 HAVING avg(value) > 54.0 ORDER BY 1""".stripMargin)),
+
+    // T6a — post-aggregation HAVING range + multi-key sort (operators
+    // W3/O2; `codes/task6.py:71-81`).
+    Q("t6a_having_range",
+      (s, d) => enrichedOrders(s, d)
+        .groupBy(col("nation"), col("o_orderpriority").as("priority"))
+        .count().withColumnRenamed("count", "trip_count")
+        .filter(col("trip_count") > 0 && col("trip_count") < 100)
+        .orderBy("nation", "priority"),
+      Some(s"""$enrichedSql
+        |SELECT nation, o_orderpriority AS priority, count(*) AS trip_count
+        |FROM enriched GROUP BY 1, 2
+        |HAVING count(*) > 0 AND count(*) < 100
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // T6b — equality filter + re-attached literal column (operators
+    // W1/F7; `codes/task6.py:84-90`).
+    Q("t6b_urgent_by_nation",
+      (s, d) => enrichedOrders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("nation").count()
+        .withColumnRenamed("count", "trip_count")
+        .withColumn("priority", lit("1-URGENT"))
+        .select("nation", "priority", "trip_count")
+        .orderBy("nation"),
+      Some(s"""$enrichedSql
+        |SELECT nation, '1-URGENT' AS priority, count(*) AS trip_count
+        |FROM enriched WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T6c — conjunctive filter: count (operators W2/S5; `codes/task6.py:96-106`).
+    Q("t6c_filtered_count",
+      (s, d) => enrichedOrders(s, d)
+        .filter(col("nation") === "NATION_3" && col("o_orderstatus") === "F")
+        .agg(count(lit(1)).as("cnt")),
+      Some(s"""$enrichedSql
+        |SELECT count(*) AS cnt FROM enriched
+        |WHERE nation = 'NATION_3' AND o_orderstatus = 'F'""".stripMargin)),
+
+    // T6c — the 10-row sample of the same slice (operators P3/O3;
+    // `codes/task6.py:110-118`), keyed for determinism.
+    Q("t6c_filtered_sample",
+      (s, d) => enrichedOrders(s, d)
+        .filter(col("nation") === "NATION_3" && col("o_orderstatus") === "F")
+        .select("o_orderkey", "nation", "o_orderstatus", "customer_name")
+        .orderBy("o_orderkey").limit(10),
+      Some(s"""$enrichedSql
+        |SELECT o_orderkey, nation, o_orderstatus, customer_name
+        |FROM enriched
+        |WHERE nation = 'NATION_3' AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin)),
+
+    // T7 — pivot with explicit values (skips PySpark's eager distinct
+    // job), fillna(0), derived total, top-10 (operators A4/A5/P1/O1;
+    // `codes/task7.py:79-94`).
+    Q("t7_pivot_routes",
+      (s, d) => routeLineitems(s, d)
+        .groupBy("route")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .count()
+        .na.fill(0)
+        .withColumnRenamed("O", "o_count")
+        .withColumnRenamed("F", "f_count")
+        .withColumn("total_count", col("o_count") + col("f_count"))
+        .orderBy(col("total_count").desc, col("route"))
+        .limit(10),
+      Some(s"""$routeSql
+        |SELECT route,
+        |       count(*) FILTER (WHERE l_linestatus = 'O') AS o_count,
+        |       count(*) FILTER (WHERE l_linestatus = 'F') AS f_count,
+        |       count(*) AS total_count
+        |FROM rl GROUP BY route
+        |ORDER BY total_count DESC, route LIMIT 10""".stripMargin)),
+
+    // Events — hourly tumbling-window aggregate, the batch twin of the
+    // Structured Streaming pipeline in graft.streaming (watermark+window);
+    // date_trunc keeps the output SQL-comparable.
+    Q("events_hourly",
+      (s, d) => Tables.events(s, d)
+        .select(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"), col("value"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("hour", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Events — sessionization: per-user session count with a 30-minute
+    // inactivity gap, via lag + cumulative conditional sum. Exact integer
+    // (microsecond) arithmetic on both engines. The streaming twin uses
+    // mapGroupsWithState (graft.streaming.EventStreams).
+    Q("events_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("new_session")).as("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
