@@ -1,11 +1,285 @@
 package graft.analog
 
-import graft.Q
+import org.apache.spark.sql.functions._
 
-/** LLM-training-data pipeline operators (dedup, similarity search, text
-  * analysis) over the documents/embeddings tables — filled in by
-  * graft.operators.{Dedup, Similarity} and graft.functions.TextFunctions.
+import graft.Q
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators (BASELINE.json north star) over
+  * the `documents` / `embeddings` tables, each paired with an exactly-
+  * equivalent DuckDB oracle. Parity rests on three portable primitives
+  * (see graft.functions.TextFunctions): md5 hex (identical in both
+  * engines), left-to-right folds with explicit zero, and integer hash
+  * arithmetic. FP appears only in cosine/Jaccard ratios, where both
+  * engines run the same operand-ordered double expression, rounded at 6.
   */
 object ExtraAnalogs {
-  val queries: Seq[Q] = Seq()
+
+  // ---- DuckDB SQL fragments mirroring TextFunctions ----------------------
+
+  /** `('0x'||substr(md5(w),1,8))::BIGINT` — TextFunctions.wordHash. */
+  private def dWordHash(w: String) = s"('0x' || substr(md5($w),1,8))::BIGINT"
+
+  private def dMinhash(sh: String, seed: Int) =
+    s"list_min(list_transform($sh, x -> md5('$seed|' || x)))"
+
+  private def dBand(sh: String, b: Int) =
+    s"md5(${dMinhash(sh, 2 * b)} || ${dMinhash(sh, 2 * b + 1)})"
+
+  /** tok CTE: whitespace tokens per doc. */
+  private val tokCte =
+    "tok AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS w FROM documents)"
+
+  /** sh CTE (depends on tok): distinct word-2-gram shingles. */
+  private val shCte =
+    """sh AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh FROM tok)""".stripMargin
+
+  private def dMarkerHits(markers: Seq[String]) =
+    s"len(list_filter(w, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
+
+  /** CASE chain identical to TextFunctions.langPredict's tie-break. */
+  private val dLangCase: String = {
+    val ms = TextFunctions.langMarkers
+    val cases = ms.zipWithIndex.init.map { case ((l, markers), i) =>
+      val cond = ms.drop(i + 1)
+        .map { case (_, m2) => s"${dMarkerHits(markers)} >= ${dMarkerHits(m2)}" }
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${ms.last._1}' END"
+  }
+
+  /** Operand-order-exact double dot product — Similarity.cosine's fold. */
+  private def dDot(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"range(1, len($a)+1), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+
+  private def dCos(a: String, b: String) =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+
+  /** Sign-bit bucket over first 4 dims — Similarity.signBucket. */
+  private def dBucket(e: String) =
+    (0 until 4).map(i =>
+      s"(CASE WHEN $e[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private val stopEn = TextFunctions.langMarkers.head._2
+
+  // ---- queries -----------------------------------------------------------
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup: group on content hash, keep min doc_id.
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("keeper_id"),
+      Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |       md5(text) AS text_hash
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin)),
+
+    // MinHash band keys per doc (k=8 sig, 4 bands × 2 rows) — the
+    // map-side artifact of LSH dedup, verified end-to-end.
+    Q("dedup_minhash_sig",
+      (s, d) => Dedup.minhashSignatures(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(s"""WITH $tokCte, $shCte
+        |SELECT doc_id, ${(0 until 4).map(b => s"${dBand("sh", b)} AS band$b").mkString(", ")}
+        |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    // LSH candidate pairs (any shared band) verified at Jaccard >= 0.5.
+    Q("dedup_minhash_pairs",
+      (s, d) => Dedup.minhashPairs(Tables.documents(s, d)),
+      Some {
+        val bandJoin = (0 until 4).map { b =>
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       a.sh AS sh_a, b.sh AS sh_b
+             |FROM sig a JOIN sig b
+             |  ON ${dBand("a.sh", b)} = ${dBand("b.sh", b)}
+             | AND a.doc_id < b.doc_id""".stripMargin
+        }.mkString("\n  UNION\n")
+        s"""WITH $tokCte, $shCte, sig AS (SELECT doc_id, sh FROM sh),
+        |cand AS (
+        |  $bandJoin
+        |)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |         round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+        |           (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+        |           AS jaccard
+        |  FROM cand
+        |) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // Blocked pairwise word-set Jaccard within (lang, source).
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d)),
+      Some("""WITH ws AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents
+        |)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |           (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)
+        |           AS jaccard
+        |  FROM ws a JOIN ws b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // 16-bit SimHash + 8-bit prefix bucket per doc.
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
+      Some {
+        val bits = (0 until 16).map(b =>
+          s"(CASE WHEN CAST(list_sum(list_transform(hs, " +
+            s"h -> ((h >> $b) & 1)*2 - 1)) AS BIGINT) > 0 " +
+            s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"""WITH hs AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(string_split(text, ' ')), x -> ${dWordHash("x")}) AS hs
+        |  FROM documents
+        |), sv AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hs)
+        |SELECT doc_id, simhash, simhash >> 8 AS bucket
+        |FROM sv ORDER BY doc_id""".stripMargin
+      }),
+
+    // Embedding near-dup pairs: sign-bucket blocking + cosine >= 0.3.
+    Q("dedup_embedding_cosine",
+      (s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.3),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |         CAST(${dBucket("embedding")} AS BIGINT) AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(${dCos("a.emb", "b.emb")}, 6) AS sim
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |) WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Brute-force exact cosine top-10 for the query set vec_id < 5.
+    Q("sim_bruteforce_topk",
+      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(${dCos("q.emb", "c.emb")}, 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // LSH-bucketed approximate top-3 for the query set vec_id < 50.
+    Q("sim_lsh_topk",
+      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d)),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |         CAST(${dBucket("embedding")} AS BIGINT) AS bucket
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(${dCos("q.emb", "c.emb")}, 6) AS sim
+        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // Language-ID confusion matrix: labeled lang × heuristic prediction.
+    Q("text_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.langPredict(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang"),
+      Some(s"""WITH $tokCte
+        |SELECT lang, $dLangCase AS pred_lang, count(*) AS n
+        |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-doc quality metrics + composite score.
+    Q("text_quality",
+      (s, d) => {
+        val w = TextFunctions.tokens(col("text"))
+        val nTok = size(w).cast("long")
+        val nUniq = size(array_distinct(w)).cast("long")
+        val sumLen = aggregate(transform(w, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x)
+        val ttr = nUniq.cast("double") / nTok
+        val stop = TextFunctions.markerHits(col("text"), stopEn)
+          .cast("double") / nTok
+        val lenScore = least(lit(1.0), nTok / lit(50.0))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          nTok.as("n_tokens"),
+          nUniq.as("n_uniq"),
+          round(sumLen.cast("double") / nTok, 6).as("avg_token_len"),
+          round(ttr, 6).as("ttr"),
+          round(stop, 6).as("stop_ratio"),
+          round(lit(0.5) * lenScore + lit(0.3) * ttr + lit(0.2) * stop, 6)
+            .as("quality")).orderBy("doc_id")
+      },
+      Some(s"""WITH $tokCte
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+        |  round(CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE) / CAST(len(w) AS BIGINT), 6) AS avg_token_len,
+        |  round(CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT), 6) AS ttr,
+        |  round(CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT), 6) AS stop_ratio,
+        |  round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)
+        |    + 0.3::DOUBLE * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT))
+        |    + 0.2::DOUBLE * (CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6) AS quality
+        |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-level token frequency top-20 (explode → count → top-k).
+    Q("text_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20),
+      Some("""SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // Order-sensitive rolling-hash fingerprint per doc.
+    Q("text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $tokCte
+        |SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT, list_transform(w, x -> ${dWordHash("x")})),
+        |  (a, b) -> (a*131 + b) % 1000000007) AS fingerprint
+        |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal metadata extraction over a binary payload column
+    // (payload synthesized as utf8 bytes of text; the plumbing — binary
+    // schema, magic sniffing, hash-derived dims — is what's exercised).
+    Q("mm_meta",
+      (s, d) => Multimodal.extractMeta(
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  hex(encode(substr(text, 1, 4))) AS magic,
+        |  ('0x' || substr(md5(text),1,6))::BIGINT % 448 + 64 AS width,
+        |  ('0x' || substr(md5(text),7,6))::BIGINT % 448 + 64 AS height,
+        |  3::BIGINT AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
 }

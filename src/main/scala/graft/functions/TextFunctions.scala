@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks for the LLM-training-data pipeline
+  * operators (dedup / similarity / text analysis — BASELINE.json north
+  * star, beyond the reference's own surface which has no text ops at all;
+  * the reference's closest relative is its string `concat_ws` route label,
+  * `codes/task3.py:109`).
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions` only
+  * — no UDFs — so every expression stays inside whole-stage codegen and
+  * is portable: each has an exact DuckDB-SQL equivalent used by the
+  * verify oracle (graft.analog.ExtraAnalogs). Determinism contract:
+  *   - hashes derive from md5 (identical hex in Spark and DuckDB),
+  *   - folds are left-to-right with an explicit zero (matches DuckDB
+  *     `list_reduce(list_prepend(zero, xs), …)`),
+  *   - integer arithmetic throughout the hash paths (no FP drift).
+  *
+  * Scale notes (100 TB): all of these are per-row scalar expressions —
+  * embarrassingly parallel, no shuffle, no state. The only data movement
+  * any downstream dedup/similarity operator needs is the group-by /
+  * join on the *short* derived keys (16-hex band keys, 16-bit buckets),
+  * never on the raw text.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word set — the 1-gram shingle set. */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Distinct word-2-gram shingles: "w1 w2" for each adjacent pair.
+    * `zip_with` pads the shorter (shifted) side with null and `concat`
+    * propagates it, so the trailing partial pair drops out in the filter
+    * — no `sequence()` edge cases on 1-word docs.
+    */
+  def shingles2(text: Column): Column = {
+    val w = tokens(text)
+    array_distinct(filter(
+      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull))
+  }
+
+  /** Portable 32-bit word hash: first 8 hex digits of md5, parsed to a
+    * long. DuckDB equivalent: `('0x' || substr(md5(w),1,8))::BIGINT`.
+    */
+  def wordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+
+  /** One MinHash component: the minimum md5 over the shingle set, domain-
+    * separated by `seed`. Min over lowercase-hex strings is the same
+    * total order in Spark and DuckDB (binary collation). An empty
+    * shingle set yields null (array_min of empty), which is fine: null
+    * band keys never join.
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, x => md5(concat(lit(s"$seed|"), x))))
+
+  /** LSH band key `j` over a k=8 signature with r=2 rows per band:
+    * md5(sig[2j] || sig[2j+1]). Docs agreeing on all of band j's rows
+    * get equal keys and become candidate pairs via an equi-join.
+    */
+  def bandKey(shingles: Column, band: Int): Column =
+    md5(concat(minhash(shingles, 2 * band), minhash(shingles, 2 * band + 1)))
+
+  /** 16-bit SimHash over the distinct word set: bit b is set iff the
+    * count of words whose hash has bit b outweighs those that don't
+    * (strictly positive sum of ±1). Exact integer arithmetic.
+    */
+  def simhash16(text: Column): Column = {
+    val hashes = transform(wordSet(text), wordHash(_))
+    val bits = (0 until 16).map { b =>
+      val sum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
+      when(sum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Order-sensitive document fingerprint: left fold of
+    * h = (h * 131 + wordHash(w)) mod 1e9+7 over the token sequence.
+    * Word-order changes the value (unlike the set-based signatures),
+    * so it distinguishes permuted near-dups that share a word set.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), wordHash(_)), lit(0L),
+      (acc, h) => pmod(acc * 131 + h, lit(1000000007L)))
+
+  /** Occurrence count of marker words (stopword hits). Counts
+    * occurrences, not distinct hits — ratio-friendly.
+    */
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(m, t))).cast("long")
+  }
+
+  /** Tiny per-language stopword marker lists for the heuristic
+    * language-ID operator. Public common-word lists, nothing learned.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Heuristic language prediction: argmax of marker hits with a fixed
+    * priority order (first listed wins ties — including the all-zero
+    * case, which defaults to "en").
+    */
+  def langPredict(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
+    // lang i wins if its score >= every later lang's score (ties break
+    // toward earlier entries; the CASE chain encodes that order).
+    val cases = scores.zipWithIndex.init.map { case ((l, s), i) =>
+      val beatsRest = scores.drop(i + 1)
+        .map { case (_, s2) => s >= s2 }.reduce(_ && _)
+      (beatsRest, lit(l))
+    }
+    cases.foldRight(lit(langMarkers.last._1): Column) {
+      case ((cond, l), e) => when(cond, l).otherwise(e)
+    }
+  }
+}

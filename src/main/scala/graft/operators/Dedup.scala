@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over a document table (`doc_id, text, lang,
+  * source, …`) — the exact / near-dup family a training-data pipeline
+  * needs (BASELINE.json north star; absent from the reference, whose only
+  * "dedup" is Spark's distinct pivot values, `codes/task7.py:83`).
+  *
+  * Scale design (100 TB of documents):
+  *   - exact dedup groups on a 128-bit content hash, never on the text —
+  *     the shuffle carries 16 bytes + doc_id per row;
+  *   - MinHash-LSH shuffles (band_idx, 128-bit band key) pairs; candidate
+  *     generation is an equi-join on those keys, so skew is bounded by
+  *     bucket size, and the quadratic Jaccard verification runs only
+  *     within buckets (standard MMDS ch.3 banding);
+  *   - blocked pairwise Jaccard keys the self-join on (lang, source)
+  *     blocking attributes — the classic entity-resolution blocking that
+  *     turns O(n²) global into Σ O(block²);
+  *   - SimHash is a per-row scalar; near-dup lookups become equality on
+  *     a 16-bit bucket (Manku et al., WWW'07 shape).
+  */
+object Dedup {
+
+  /** Exact dedup: group on md5(text); keeper = min doc_id per group.
+    * Output one row per distinct content hash.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies", "text_hash")
+
+  /** Per-doc MinHash band keys (k=8 signature, 4 bands × 2 rows) over
+    * word-2-gram shingles. This is the map-side half of LSH dedup; it's
+    * also a useful artifact on its own (signatures can be stored and
+    * diffed incrementally as the corpus grows).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles2(col("text"))
+    docs.select(
+      col("doc_id") +:
+        (0 until 4).map(b => bandKey(sh, b).as(s"band$b")): _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: docs sharing any band key become
+    * candidates (equi-join per band, unioned by position via explode),
+    * then candidates are verified with exact shingle-set Jaccard and
+    * kept at `threshold`. Output (doc_a, doc_b, jaccard) with a < b.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles2(col("text")).as("sh"))
+      .withColumn("bands",
+        array((0 until 4).map(b => bandKey(col("sh"), b)): _*))
+    val exploded = withSh.select(
+      col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("pos", "band")))
+    val a = exploded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("pos"), col("band"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("pos"), col("band"))
+    val candidates = a.join(b, Seq("pos", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = size(col("sh_a")).cast("long") +
+      size(col("sh_b")).cast("long") - inter
+    candidates
+      .withColumn("jaccard", round(inter.cast("double") / union, 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Blocked pairwise n-gram Jaccard: self-join within (lang, source)
+    * blocks, word-set (1-gram) Jaccard at `threshold`. The blocking keys
+    * bound the quadratic cost; at cluster scale each block is one shuffle
+    * partition's worth of work.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
+      wordSet(col("text")).as("ws"))
+    val a = withSet.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("ws").as("ws_a"))
+    val b = withSet.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+    val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("long")
+    val union = size(col("ws_a")).cast("long") +
+      size(col("ws_b")).cast("long") - inter
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(inter.cast("double") / union, 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-doc 16-bit SimHash + its 8-bit prefix bucket (near-dup lookup
+    * key): docs whose simhashes differ in ≤ k low bits land in the same
+    * bucket with high probability.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      simhash16(col("text")).as("simhash"),
+      shiftright(simhash16(col("text")), 8).as("bucket"))
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata beside them (BASELINE.json
+  * extension; the reference is text/CSV-only). The Spark-side shape —
+  * schema, batch iteration, partition-local decode — is real; the codec
+  * itself is a clearly-marked deterministic stub because no image/audio
+  * libraries ship in this container.
+  *
+  * Scale design: payload bytes never shuffle — every transform below is
+  * a narrow map over scan partitions. Metadata (magic, sizes, fake dims)
+  * is extracted to plain columns so downstream filters/joins/aggregations
+  * touch only those and Parquet never has to materialize the blobs
+  * (column pruning drops `payload` unless explicitly selected).
+  */
+object Multimodal {
+
+  /** Decoded-asset metadata produced by the (stubbed) codec. */
+  final case class AssetMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      magic: String,
+      width: Long,
+      height: Long,
+      channels: Long)
+
+  /** Column-only metadata extraction (codegen'd, DuckDB-verifiable):
+    * byte length, leading-bytes "magic" signature, and deterministic
+    * pseudo-dimensions derived from the content hash — the stand-in for
+    * a real header parse.
+    */
+  def extractMeta(withPayload: DataFrame): DataFrame = {
+    val h = md5(col("payload"))
+    withPayload.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      hex(substring(col("payload"), 1, 4)).as("magic"),
+      (conv(substring(h, 1, 6), 16, 10).cast("long") % 448 + 64).as("width"),
+      (conv(substring(h, 7, 6), 16, 10).cast("long") % 448 + 64).as("height"),
+      lit(3L).as("channels"))
+  }
+
+  /** Partition-local batched "decode": the shape a real codec UDF takes
+    * — iterate a partition, decode each payload, emit typed metadata.
+    * The pixel decode is STUBBED (deterministic fake derived from the
+    * payload bytes; a real deployment swaps `fakeDecode` for an actual
+    * image/audio library call). `mapPartitions` keeps per-partition
+    * library initialization (codec contexts, model handles) amortized —
+    * the pattern `mapInPandas` serves in PySpark.
+    */
+  def decodePartitions(spark: SparkSession, withPayload: DataFrame): Dataset[AssetMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real codec init would happen once per partition, here
+        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }
+  }
+
+  /** STUB codec: deterministic metadata from raw bytes (no real pixel
+    * decode — the container has no imaging libraries). Mirrors
+    * [[extractMeta]]'s arithmetic so the two paths cross-check in tests.
+    */
+  private def fakeDecode(id: Long, bytes: Array[Byte]): AssetMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hx = md.digest(bytes).map("%02x".format(_)).mkString
+    val magic = bytes.take(4).map("%02X".format(_)).mkString
+    AssetMeta(
+      doc_id = id,
+      n_bytes = bytes.length.toLong,
+      magic = magic,
+      width = java.lang.Long.parseLong(hx.substring(0, 6), 16) % 448 + 64,
+      height = java.lang.Long.parseLong(hx.substring(6, 12), 16) % 448 + 64,
+      channels = 3L)
+  }
+}
