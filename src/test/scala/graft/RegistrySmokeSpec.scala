@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must plan and execute on the smallest driver
+  * testdata — the same contract Verify runs at sf0.01. Core queries must
+  * be non-empty; pair-mining queries may legitimately thin out at tiny
+  * scale but must still execute.
+  */
+class RegistrySmokeSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val mayBeEmpty = Set(
+    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_embedding_cosine")
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} executes at sf0.001" +
+        (if (q.oracle.isDefined) " (oracle-backed)" else "")) {
+      val n = q.fn(spark, sfDir).count()
+      if (!mayBeEmpty(q.name)) assert(n > 0)
+    }
+  }
+
+  test("every query has an oracle") {
+    assert(Registry.all.forall(_.oracle.isDefined))
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  // d0≡d1 exact dup; d2 permutes d0 (same word set, different 2-grams);
+  // d3 overlaps d0 at word-Jaccard 0.6; d4 disjoint. One block.
+  private lazy val docs = spark.createDataFrame(Seq(
+    (0L, "alpha beta gamma delta", "en", "src0"),
+    (1L, "alpha beta gamma delta", "en", "src0"),
+    (2L, "delta gamma beta alpha", "en", "src0"),
+    (3L, "alpha beta gamma epsilon", "en", "src0"),
+    (4L, "zeta eta theta iota", "en", "src0")))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val got = Dedup.exact(docs).orderBy("keeper_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds the exact dup but not the permuted one") {
+    val got = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // d0/d1 share all shingles (jaccard 1.0); d2's reversed order shares
+    // none of d0's 2-grams, so banding never pairs them
+    assert(got === Seq((0L, 1L, 1.0)))
+  }
+
+  test("blocked word-set Jaccard catches exact AND permuted dups") {
+    val got = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0)))
+  }
+
+  test("simhash is word-set based: equal for exact and permuted dups") {
+    val m = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(0L) === m(1L))
+    assert(m(0L) === m(2L))
+    assert(m(0L)._2 === (m(0L)._1 >> 8)) // bucket is the simhash prefix
+    assert((0 to 4).forall(i => m(i.toLong)._1 < (1L << 16)))
+  }
+
+  test("minhash signatures are stable and identical for identical docs") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(4L))
+    assert(sigs.values.flatten.forall(_.length == 32)) // md5 hex band keys
+  }
+}

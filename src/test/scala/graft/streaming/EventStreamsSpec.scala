@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import EventStreams._
+
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val ss = graft.SharedSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2023-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  // u1: events at 10:00/10:10 then 11:00 (50-min gap → 2 sessions);
+  // u2: one event at 10:05 (1 session)
+  private val fixture = Seq(
+    Event(1, ts(0), 1, "view", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(60), 1, "view", 3.0),
+    Event(4, ts(5), 2, "view", 4.0))
+
+  test("batch hourly aggregate: counts and sums per window × type") {
+    import ss.implicits._
+    val got = hourly(fixture.toDF()).orderBy("hour", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("2023-01-01 10:00:00.0", "click", 1L, 2.0),
+      ("2023-01-01 10:00:00.0", "view", 2L, 5.0),
+      ("2023-01-01 11:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("streaming hourly equals batch hourly on the same data") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[Event]
+    val query = hourly(mem.toDF()).writeStream
+      .format("memory").queryName("hourly_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(fixture: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("hourly_stream")
+        .orderBy("hour", "event_type").collect().map(_.toSeq).toSeq
+      val batch = hourly(fixture.toDF())
+        .orderBy("hour", "event_type").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
+  test("batch session_window: 30-min gap splits u1 into two sessions") {
+    import ss.implicits._
+    val got = sessionWindows(fixture.toDF())
+      .orderBy("user_id", "start_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("batch flatMapGroupsWithState sessionize matches hand-computed sessions") {
+    import ss.implicits._
+    val got = sessionize(spark, fixture.toDS())
+      .orderBy("user_id", "start_ts").collect().toSeq
+    assert(got === Seq(
+      Session(1, ts(0), ts(10), 2),
+      Session(1, ts(60), ts(60), 1),
+      Session(2, ts(5), ts(5), 1)))
+  }
+
+  test("streaming sessionize emits closed sessions as the watermark advances") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[Event]
+    val query = sessionize(spark,
+      mem.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(10), 1, "click", 2.0))
+      query.processAllAvailable()
+      // u1's session is still open: watermark is at 10:10
+      assert(spark.table("session_stream").count() === 0)
+      // a much-later event pushes the watermark past 10:10 + 30 min
+      mem.addData(Event(5, ts(180), 9, "view", 0.0))
+      query.processAllAvailable()
+      mem.addData(Event(6, ts(240), 9, "view", 0.0))
+      query.processAllAvailable()
+      val closed = spark.table("session_stream")
+        .filter("user_id = 1").collect().toSeq
+      assert(closed === Seq(org.apache.spark.sql.Row(1L, ts(0), ts(10), 2L)))
+    } finally query.stop()
+  }
+}
