@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (stdout is forwarded
+  * verbatim — build.sbt sets run/outputStrategy).
+  *
+  * A warmup pass at the smallest scale factor runs first (unless
+  * SPARK_GRAFT_WARMUP=0): it pays JIT/codegen/classloader costs once so
+  * the timed pass measures query execution, not JVM ramp — round 1's
+  * first-timed query carried ~5s of warmup noise.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +17,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val warmupDir = "/root/testdata/sf0.001"
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
+        new java.io.File(warmupDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

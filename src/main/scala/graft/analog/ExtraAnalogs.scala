@@ -22,11 +22,19 @@ object ExtraAnalogs {
   /** `('0x'||substr(md5(w),1,8))::BIGINT` — TextFunctions.wordHash. */
   private def dWordHash(w: String) = s"('0x' || substr(md5($w),1,8))::BIGINT"
 
-  private def dMinhash(sh: String, seed: Int) =
-    s"list_min(list_transform($sh, x -> md5('$seed|' || x)))"
+  /** Permutation i over pre-hashed shingles — TextFunctions.minhashInt. */
+  private def dSig(hs: String, i: Int) = {
+    import TextFunctions.{MinhashA, MinhashB, MinhashP}
+    s"list_min(list_transform($hs, h -> (${MinhashA(i)}*h + ${MinhashB(i)}) % $MinhashP))"
+  }
 
-  private def dBand(sh: String, b: Int) =
-    s"md5(${dMinhash(sh, 2 * b)} || ${dMinhash(sh, 2 * b + 1)})"
+  /** Band key j as one BIGINT — TextFunctions.bandKeyInt. */
+  private def dBand(hs: String, b: Int) =
+    s"(${dSig(hs, 2 * b)} * 1000003 + ${dSig(hs, 2 * b + 1)})"
+
+  /** hs CTE (depends on sh): shingle hashes mod p, computed once. */
+  private val hsCte =
+    s"hsc AS (SELECT doc_id, sh, list_transform(sh, x -> ${dWordHash("x")} % ${TextFunctions.MinhashP}) AS hs FROM sh)"
 
   /** tok CTE: whitespace tokens per doc. */
   private val tokCte =
@@ -84,31 +92,34 @@ object ExtraAnalogs {
     Q("dedup_minhash_sig",
       (s, d) => Dedup.minhashSignatures(Tables.documents(s, d))
         .orderBy("doc_id"),
-      Some(s"""WITH $tokCte, $shCte
-        |SELECT doc_id, ${(0 until 4).map(b => s"${dBand("sh", b)} AS band$b").mkString(", ")}
-        |FROM sh ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $tokCte, $shCte, $hsCte
+        |SELECT doc_id, ${(0 until 4).map(b => s"${dBand("hs", b)} AS band$b").mkString(", ")}
+        |FROM hsc ORDER BY doc_id""".stripMargin)),
 
     // LSH candidate pairs (any shared band) verified at Jaccard >= 0.5.
     Q("dedup_minhash_pairs",
       (s, d) => Dedup.minhashPairs(Tables.documents(s, d)),
       Some {
         val bandJoin = (0 until 4).map { b =>
-          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |       a.sh AS sh_a, b.sh AS sh_b
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              |FROM sig a JOIN sig b
-             |  ON ${dBand("a.sh", b)} = ${dBand("b.sh", b)}
-             | AND a.doc_id < b.doc_id""".stripMargin
+             |  ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
         }.mkString("\n  UNION\n")
-        s"""WITH $tokCte, $shCte, sig AS (SELECT doc_id, sh FROM sh),
+        val bandCols = (0 until 4)
+          .map(b => s"${dBand("hs", b)} AS band$b").mkString(", ")
+        s"""WITH $tokCte, $shCte, $hsCte,
+        |sig AS (SELECT doc_id, $bandCols FROM hsc),
         |cand AS (
         |  $bandJoin
         |)
         |SELECT * FROM (
-        |  SELECT doc_a, doc_b,
-        |         round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-        |           (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
         |           AS jaccard
-        |  FROM cand
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b
         |) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
       }),
 

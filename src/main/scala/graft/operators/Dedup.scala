@@ -39,38 +39,46 @@ object Dedup {
   /** Per-doc MinHash band keys (k=8 signature, 4 bands × 2 rows) over
     * word-2-gram shingles. This is the map-side half of LSH dedup; it's
     * also a useful artifact on its own (signatures can be stored and
-    * diffed incrementally as the corpus grows).
+    * diffed incrementally as the corpus grows). The Generate boundary
+    * in [[minhashPairs]] and the explicit `hs` projection here keep the
+    * per-shingle md5 evaluated once, not once per band.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles2(col("text"))
-    docs.select(
-      col("doc_id") +:
-        (0 until 4).map(b => bandKey(sh, b).as(s"band$b")): _*)
-  }
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
+      .select(
+        col("doc_id") +:
+          (0 until 4).map(b => bandKeyInt(col("hs"), b).as(s"band$b")): _*)
 
   /** MinHash-LSH near-dup pairs: docs sharing any band key become
-    * candidates (equi-join per band, unioned by position via explode),
-    * then candidates are verified with exact shingle-set Jaccard and
-    * kept at `threshold`. Output (doc_a, doc_b, jaccard) with a < b.
+    * candidates, verified with exact shingle-set Jaccard at `threshold`.
+    * Output (doc_a, doc_b, jaccard) with a < b.
+    *
+    * Shuffle discipline (the 100 TB shape): candidate generation
+    * explodes to (doc_id, band_pos, band:long) — 32 bytes/row, no text
+    * — and equi-joins on (pos, band); only the surviving candidate ids
+    * re-join the shingle arrays for verification, so full shingle sets
+    * move for candidates only, never for the whole corpus×4 bands.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles2(col("text")).as("sh"))
-      .withColumn("bands",
-        array((0 until 4).map(b => bandKey(col("sh"), b)): _*))
-    val exploded = withSh.select(
-      col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("pos", "band")))
-    val a = exploded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("pos"), col("band"))
-    val b = exploded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("pos"), col("band"))
-    val candidates = a.join(b, Seq("pos", "band"))
+    val bands = withSh
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), posexplode(
+        array((0 until 4).map(b => bandKeyInt(col("hs"), b)): _*))
+        .as(Seq("pos", "band")))
+    val candidates = bands.select(col("doc_id").as("doc_a"), col("pos"), col("band"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("pos"), col("band")),
+        Seq("pos", "band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     val union = size(col("sh_a")).cast("long") +
       size(col("sh_b")).cast("long") - inter
     candidates
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

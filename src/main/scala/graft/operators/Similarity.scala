@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * embedding table (`vec_id, embedding array<float>, label`) — the
   * BASELINE.json extension family (no analog in the reference).
   *
-  * Cosine is computed with `zip_with` + `aggregate` — a left-to-right
-  * double fold that whole-stage codegen fuses into the row pipeline (no
-  * UDF), and that DuckDB reproduces bit-for-bit via
-  * `list_reduce(list_prepend(0.0, list_transform(…)), +)`.
+  * Dot products are `zip_with` + `aggregate` — a left-to-right double
+  * fold DuckDB reproduces bit-for-bit via
+  * `list_reduce(list_prepend(0.0, list_transform(…)), +)`. Higher-order
+  * array functions are interpreted (no codegen), so each operator
+  * prepares its inputs once per row ([[prepared]]: double-cast array +
+  * norm) and pays exactly ONE fold per candidate pair — not three.
   *
   * Scale design (billions of vectors):
   *   - brute force broadcasts the (small) query set and streams the
@@ -25,11 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-exact double cosine between two float-array columns. */
+  /** Left-fold double dot product of two double-array columns. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+
+  /** Element-exact double cosine between two float-array columns
+    * (self-contained form; the join operators below use [[prepared]]
+    * inputs instead to avoid recomputing norms per pair).
+    */
   def cosine(a: Column, b: Column): Column = {
     def d(x: Column) = transform(x, v => v.cast("double"))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
     val (ad, bd) = (d(a), d(b))
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
@@ -43,18 +50,36 @@ object Similarity {
       when(element_at(emb, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embeddings with the double-cast vector and its norm materialized
+    * once per row — the per-pair cosine is then a single fold plus one
+    * divide.
+    */
+  private def prepared(embs: DataFrame): DataFrame =
+    embs
+      .withColumn("emb", transform(col("embedding"), v => v.cast("double")))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+
+  private def pairSim(a: String, b: String): Column =
+    round(dot(col(s"${a}_emb"), col(s"${b}_emb")) /
+      (col(s"${a}_norm") * col(s"${b}_norm")), 6)
+
+  private def side(embs: DataFrame, tag: String, extra: Column*): DataFrame =
+    prepared(embs).select(
+      col("vec_id").as(s"${tag}_id") +: col("emb").as(s"${tag}_emb") +:
+        col("norm").as(s"${tag}_norm") +: extra: _*)
+
   /** Exact brute-force top-k neighbors for the query set `vec_id <
     * nQueries`: broadcast queries × full corpus scan, cosine, per-query
     * top-k by (sim desc, vec_id) via row_number. Self-pairs excluded.
     */
   def bruteForceTopK(embs: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val q = embs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = embs.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val q = side(embs.filter(col("vec_id") < nQueries), "q")
+    val c = side(embs, "c")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        pairSim("q", "c").as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -67,17 +92,15 @@ object Similarity {
     */
   def lshTopK(embs: DataFrame, nQueries: Int = 50, k: Int = 3,
       bits: Int = 4): DataFrame = {
-    val withB = embs.withColumn("bucket", signBucket(col("embedding"), bits))
-    val q = withB.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket"))
-    val c = withB.select(col("vec_id").as("neighbor_id"), col("embedding"),
-      col("bucket"))
+    val bucketed = embs.withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = side(bucketed.filter(col("vec_id") < nQueries), "q", col("bucket"))
+    val c = side(bucketed, "c", col("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        pairSim("q", "c").as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -90,16 +113,14 @@ object Similarity {
     */
   def nearDupPairs(embs: DataFrame, threshold: Double = 0.35,
       bits: Int = 4): DataFrame = {
-    val withB = embs.withColumn("bucket", signBucket(col("embedding"), bits))
-    val a = withB.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = withB.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
+    val bucketed = embs.withColumn("bucket", signBucket(col("embedding"), bits))
+    val a = side(bucketed, "a", col("bucket"))
+    val b = side(bucketed, "b", col("bucket"))
     a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        pairSim("a", "b").as("sim"))
       .filter(col("sim") >= threshold)
-      .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
 }

@@ -26,8 +26,10 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val got = Dedup.minhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     // d0/d1 share all shingles (jaccard 1.0); d2's reversed order shares
-    // none of d0's 2-grams, so banding never pairs them
-    assert(got === Seq((0L, 1L, 1.0)))
+    // none of d0's 2-grams, so banding never pairs them. d3 sits exactly
+    // at the 0.5 threshold ({a b, b g} of {a b, b g, g d|g e}) and a
+    // band collision surfaces it — verification keeps it (>= 0.5).
+    assert(got === Seq((0L, 1L, 1.0), (0L, 3L, 0.5), (1L, 3L, 0.5)))
   }
 
   test("blocked word-set Jaccard catches exact AND permuted dups") {
@@ -47,9 +49,11 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
   test("minhash signatures are stable and identical for identical docs") {
     val sigs = Dedup.minhashSignatures(docs).collect()
-      .map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
     assert(sigs(0L) === sigs(1L))
     assert(sigs(0L) !== sigs(4L))
-    assert(sigs.values.flatten.forall(_.length == 32)) // md5 hex band keys
+    // band = sig·1000003 + sig with sigs < p
+    assert(sigs.values.flatten.forall(b =>
+      b >= 0 && b < 1000000007L * 1000003L + 1000000007L))
   }
 }
