@@ -1,0 +1,95 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding hot path.
+  *
+  * The built-in route (`transform(cast) → zip_with(*) → aggregate(+)`)
+  * is correct but interpreted: higher-order functions carry no codegen,
+  * so every candidate pair pays lambda dispatch per element plus two
+  * intermediate arrays. This expression generates a tight Java loop
+  * (whole-stage-codegen-able) and allocates nothing.
+  *
+  * Semantics are IDENTICAL to the fold it replaces — left-to-right
+  * double accumulation over `(double) a[i] * (double) b[i]` — so the
+  * DuckDB verify oracle (`list_reduce(list_prepend(0.0, …), +)`)
+  * continues to match bit-for-bit. This is the preference ladder of the
+  * engine design: compose built-ins first, drop to a custom Expression
+  * only where the built-in plan can't express the performance.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "vec_dot"
+
+  private def floatElem(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val leftFloat = floatElem(left)
+  @transient private lazy val rightFloat = floatElem(right)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float>/array<double> args, " +
+        s"got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      val xe = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val ye = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xe * ye
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (leftFloat) "getFloat" else "getDouble"
+    val rGet = if (rightFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.$lGet($i) * (double) $y.$rGet($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column-level dot product backed by the codegen expression. */
+  def vecDot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -27,19 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold double dot product of two double-array columns. */
+  /** Double dot product of two float/double-array columns — the native
+    * codegen expression (graft.expressions.VecDot); same left-to-right
+    * accumulation as the `zip_with`+`aggregate` fold it replaced, so
+    * oracle parity is unchanged.
+    */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    graft.expressions.VectorExpressions.vecDot(x, y)
 
   /** Element-exact double cosine between two float-array columns
     * (self-contained form; the join operators below use [[prepared]]
     * inputs instead to avoid recomputing norms per pair).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def d(x: Column) = transform(x, v => v.cast("double"))
-    val (ad, bd) = (d(a), d(b))
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Sign-bit sketch over the first `bits` dimensions: bit i set iff
     * embedding[i] >= 0. An axis-aligned instance of random-hyperplane
@@ -50,14 +51,14 @@ object Similarity {
       when(element_at(emb, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Embeddings with the double-cast vector and its norm materialized
-    * once per row — the per-pair cosine is then a single fold plus one
-    * divide.
+  /** Embeddings with the norm materialized once per row — the per-pair
+    * cosine is then a single codegen'd loop plus one divide. The float
+    * array itself travels through joins/broadcasts uncast (half the
+    * bytes of a double array); VecDot widens per element.
     */
   private def prepared(embs: DataFrame): DataFrame =
-    embs
-      .withColumn("emb", transform(col("embedding"), v => v.cast("double")))
-      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    embs.withColumn("norm",
+      sqrt(dot(col("embedding"), col("embedding"))))
 
   private def pairSim(a: String, b: String): Column =
     round(dot(col(s"${a}_emb"), col(s"${b}_emb")) /
@@ -65,7 +66,7 @@ object Similarity {
 
   private def side(embs: DataFrame, tag: String, extra: Column*): DataFrame =
     prepared(embs).select(
-      col("vec_id").as(s"${tag}_id") +: col("emb").as(s"${tag}_emb") +:
+      col("vec_id").as(s"${tag}_id") +: col("embedding").as(s"${tag}_emb") +:
         col("norm").as(s"${tag}_norm") +: extra: _*)
 
   /** Exact brute-force top-k neighbors for the query set `vec_id <

@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.VecDot
+
+/** Session-extension entry point: registers the engine's native
+  * expressions with the function registry so they're callable from SQL
+  * (`SELECT vec_dot(a.embedding, b.embedding) …`) as well as from the
+  * Column API. Wire it with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b) takes two array args")
+        VecDot(args.head, args(1))
+      }))
+  }
+}
