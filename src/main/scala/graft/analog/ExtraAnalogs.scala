@@ -277,6 +277,64 @@ object ExtraAnalogs {
         |  (a, b) -> (a*131 + b) % 1000000007) AS fingerprint
         |FROM tok ORDER BY doc_id""".stripMargin)),
 
+    // Token counting two ways: whitespace tokens and BPE-ish regex
+    // pieces (letter runs | digit runs | single other-glyphs).
+    Q("text_token_count",
+      (s, d) => {
+        val nWs = size(TextFunctions.tokens(col("text"))).cast("long")
+        val nBpe = size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+        Tables.documents(s, d).select(
+          col("doc_id"), nWs.as("n_ws"), nBpe.as("n_bpe"),
+          round(length(col("text")).cast("double") / nBpe, 6)
+            .as("chars_per_token"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT), 6)
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling over a binary "video" payload: one row per
+    // fixed-size frame with index, length, and content hash.
+    Q("mm_frames",
+      (s, d) => Multimodal.frameSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH f AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(ceil(length(text)/256.0) AS BIGINT)))
+        |           AS frame_idx
+        |  FROM documents
+        |)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(substr(text, CAST(frame_idx*256+1 AS INT), 256)) AS BIGINT)
+        |    AS frame_len,
+        |  md5(substr(text, CAST(frame_idx*256+1 AS INT), 256)) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Resize metadata: aspect-preserving bounding-box arithmetic over
+    // the (stubbed) decoded dimensions.
+    Q("mm_resize",
+      (s, d) => Multimodal.resizeMeta(
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        .orderBy("doc_id"),
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(text),1,6))::BIGINT % 448 + 64 AS width,
+        |    ('0x' || substr(md5(text),7,6))::BIGINT % 448 + 64 AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * 64 / greatest(width, height)) AS BIGINT) AS out_width,
+        |  CAST(floor(height * 64 / greatest(width, height)) AS BIGINT) AS out_height
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
     // Multimodal metadata extraction over a binary payload column
     // (payload synthesized as utf8 bytes of text; the plumbing — binary
     // schema, magic sniffing, hash-derived dims — is what's exercised).

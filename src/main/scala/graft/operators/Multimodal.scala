@@ -61,6 +61,42 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling for "video" payloads: every payload is cut into
+    * fixed-size frames (one row per frame) — the fan-out shape a real
+    * frame extractor produces, with the decode stubbed to a byte slice.
+    * Column-only (codegen'd, oracle-verifiable): frame index, length,
+    * and content hash per frame. Partition-local and shuffle-free; at
+    * scale the explode multiplies rows, not bytes moved (each frame
+    * slice is bounded by `frameBytes`).
+    */
+  def frameSample(withPayload: DataFrame, frameBytes: Int = 256): DataFrame = {
+    val nFrames = ceil(length(col("payload")) / lit(frameBytes.toDouble))
+      .cast("long")
+    withPayload
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nFrames - 1),
+          i => col("payload").substr(
+            (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_hash"))
+  }
+
+  /** Resize stub: recomputes target metadata for a bounding box while
+    * preserving aspect ratio — the arithmetic a real resizer performs,
+    * over [[extractMeta]]'s (stubbed) source dims. Integer math only.
+    */
+  def resizeMeta(withPayload: DataFrame, maxSide: Long = 64): DataFrame =
+    extractMeta(withPayload)
+      .withColumn("scale_num", lit(maxSide))
+      .withColumn("scale_den", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * col("scale_num") / col("scale_den"))
+          .cast("long").as("out_width"),
+        floor(col("height") * col("scale_num") / col("scale_den"))
+          .cast("long").as("out_height"))
+
   /** STUB codec: deterministic metadata from raw bytes (no real pixel
     * decode — the container has no imaging libraries). Mirrors
     * [[extractMeta]]'s arithmetic so the two paths cross-check in tests.

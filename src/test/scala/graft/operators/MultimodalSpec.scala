@@ -25,6 +25,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(meta === decoded)
   }
 
+  test("frameSample cuts payloads into indexed fixed-size frames") {
+    val frames = Multimodal.frameSample(payloads, frameBytes = 8)
+      .orderBy("doc_id", "frame_idx").collect()
+    // doc 0: 23 bytes → 3 frames of 8/8/7; doc 2: 1 byte → 1 frame
+    val d0 = frames.filter(_.getLong(0) == 0L)
+    assert(d0.map(_.getLong(2)).toSeq === Seq(8L, 8L, 7L))
+    assert(d0.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(frames.count(_.getLong(0) == 2L) === 1)
+    assert(frames.forall(_.getString(3).length == 32)) // md5 per frame
+  }
+
+  test("resizeMeta preserves aspect ratio into the 64-box") {
+    val rows = Multimodal.resizeMeta(payloads).collect()
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.max(ow, oh) === 64L)
+      assert(ow === math.floor(w * 64.0 / math.max(w, h)).toLong)
+      assert(oh === math.floor(h * 64.0 / math.max(w, h)).toLong)
+    }
+  }
+
   test("metadata fields are sane: magic sniff, hash-derived dims in range") {
     val rows = Multimodal.extractMeta(payloads).orderBy("doc_id").collect()
     assert(rows(0).getString(2) === "504E4766") // "PNGf"
