@@ -123,6 +123,51 @@ object ExtraAnalogs {
         |) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // Dedup completion: near-dup pairs → connected components → one
+    // canonical survivor (min doc_id) per cluster, for every doc.
+    Q("dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.clusters(docs, Dedup.minhashPairs(docs))
+      },
+      Some {
+        val bandJoin = (0 until 4).map { b =>
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM sig a JOIN sig b
+             |  ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
+        }.mkString("\n  UNION\n")
+        val bandCols = (0 until 4)
+          .map(b => s"${dBand("hs", b)} AS band$b").mkString(", ")
+        s"""WITH RECURSIVE $tokCte, $shCte, $hsCte,
+        |sig AS (SELECT doc_id, $bandCols FROM hsc),
+        |cand AS (
+        |  $bandJoin
+        |),
+        |verified AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT c.doc_a, c.doc_b,
+        |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+        |             AS jaccard
+        |    FROM cand c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b
+        |  ) WHERE jaccard >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM verified
+        |  UNION ALL SELECT doc_b, doc_a FROM verified
+        |),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e
+        |    ON e.src = reach.doc_id
+        |)
+        |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // Blocked pairwise word-set Jaccard within (lang, source).
     Q("dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d)),

@@ -116,4 +116,39 @@ object Dedup {
     docs.select(col("doc_id"),
       simhash16(col("text")).as("simhash"),
       shiftright(simhash16(col("text")), 8).as("bucket"))
+
+  /** Dedup completion: collapse near-dup PAIRS into clusters and pick
+    * one canonical survivor (min doc_id) per cluster — what a real
+    * pipeline keeps. Iterative min-label propagation over the pair
+    * graph (driver-coordinated loop, each step fully distributed), the
+    * standard large-graph connected-components shape; near-dup
+    * components are tiny so convergence is a handful of rounds.
+    * Deterministic: labels converge to min reachable doc_id, so the
+    * result is iteration-order independent (DuckDB verifies via a
+    * recursive transitive-closure CTE).
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.union(viaNbr)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.orderBy("doc_id")
+  }
 }

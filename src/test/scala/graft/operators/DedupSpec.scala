@@ -47,6 +47,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert((0 to 4).forall(i => m(i.toLong)._1 < (1L << 16)))
   }
 
+  test("clusters collapse pair graph to min-id survivors, singletons keep their id") {
+    val got = Dedup.clusters(docs, Dedup.minhashPairs(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // pairs (0,1),(0,3),(1,3) → component {0,1,3} labeled 0;
+    // d2 (permuted) and d4 (distinct) stay their own clusters
+    assert(got === Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 0L), (4L, 4L)))
+  }
+
   test("minhash signatures are stable and identical for identical docs") {
     val sigs = Dedup.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
