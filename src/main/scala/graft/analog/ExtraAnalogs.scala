@@ -254,6 +254,39 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // IVF-routed approximate top-3 (nprobe=1): deterministic centroids,
+    // nearest-cell assignment, per-cell scoring.
+    Q("sim_ivf_topk",
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)),
+      Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm FROM e0),
+        |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb, norm AS cent_norm
+        |          FROM e WHERE vec_id < 8),
+        |asg0 AS (
+        |  SELECT v.vec_id, v.emb, v.norm, c.cent_id,
+        |         round(${dDot("v.emb", "c.cent_emb")} / (v.norm * c.cent_norm), 6)
+        |           AS cent_sim
+        |  FROM e v CROSS JOIN cents c
+        |),
+        |asg AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM asg0
+        |),
+        |cells AS (SELECT vec_id, emb, norm, cent_id AS cell FROM asg WHERE rk = 1),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+        |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
     // Language-ID confusion matrix: labeled lang × heuristic prediction.
     Q("text_langid",
       (s, d) => Tables.documents(s, d)

@@ -61,9 +61,8 @@ object Dedup {
     * move for candidates only, never for the whole corpus×4 bands.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingles2(col("text")).as("sh"))
-    val bands = withSh
-      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+    val bands = docs
+      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
       .select(col("doc_id"), posexplode(
         array((0 until 4).map(b => bandKeyInt(col("hs"), b)): _*))
         .as(Seq("pos", "band")))
@@ -73,12 +72,20 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    // shingle the candidate docs ONLY (semi-join first): verification
+    // never re-derives features for the whole corpus — at scale the
+    // survivors are a vanishing fraction of the input
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candSh = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), shingles2(col("text")).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     val union = size(col("sh_a")).cast("long") +
       size(col("sh_b")).cast("long") - inter
     candidates
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

@@ -108,6 +108,54 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style cell assignment: every vector goes to its nearest of
+    * `nCells` deterministic centroids (the lowest vec_ids — a stand-in
+    * for trained k-means centers; the routing/join shape is identical).
+    * Ties break toward the lower centroid id. Returns (vec_id,
+    * embedding, norm, cell).
+    */
+  def ivfCells(embs: DataFrame, nCells: Int = 8): DataFrame = {
+    val cents = prepared(embs.filter(col("vec_id") < nCells))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    prepared(embs)
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim",
+        round(dot(col("embedding"), col("cent_emb")) /
+          (col("norm") * col("cent_norm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k with nprobe=1: queries score only their own cell's
+    * inverted list. Same degrade-gracefully join shape as [[lshTopK]],
+    * but with data-adaptive cells instead of axis-aligned buckets.
+    */
+  def ivfTopK(embs: DataFrame, nQueries: Int = 50, k: Int = 3,
+      nCells: Int = 8): DataFrame = {
+    val cells = ivfCells(embs, nCells)
+    val q = cells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"))
+    val c = cells.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"), col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-dup pairs: same sign-bucket, cosine >= threshold,
     * a < b. The bucket equi-join is the blocking step; the quadratic
     * verify runs per bucket only.

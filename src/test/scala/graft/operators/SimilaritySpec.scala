@@ -47,6 +47,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((0L, 1L, 1.0)))
   }
 
+  test("IVF routes to nearest centroid and scores within the cell") {
+    // centroids = v0,v1 (identical): ties break to cell 0, so every
+    // vector lands in cell 0 and IVF top-k degenerates to brute force
+    val cells = Similarity.ivfCells(embs, nCells = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cells.values.toSet === Set(0L))
+    val got = Similarity.ivfTopK(embs, nQueries = 1, k = 2, nCells = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 1.0), (2L, 0.0)))
+  }
+
   test("LSH top-k only scores within the bucket") {
     val got = Similarity.lshTopK(embs, nQueries = 4, k = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
