@@ -77,7 +77,7 @@ object CoreAnalogs {
         concat_ws(" to ", col("cust_nation"), col("supp_nation")))
   }
 
-  private val routeSql =
+  private[analog] val routeSql =
     """WITH rl AS (
       |  SELECT cn.n_name || ' to ' || sn.n_name AS route, l.*
       |  FROM lineitem l

@@ -355,6 +355,48 @@ object ExtraAnalogs {
         |  (a, b) -> (a*131 + b) % 1000000007) AS fingerprint
         |FROM tok ORDER BY doc_id""".stripMargin)),
 
+    // Engine top-k path: bounded-heap top_k aggregate (map-side
+    // combine; shuffle carries ≤k rows/group/partition) — per customer
+    // nation, top-3 supplier nations by summed revenue. Verified
+    // against a row_number window oracle (same total order).
+    Q("t3d_topk_agg",
+      (s, d) => {
+        val rev = CoreAnalogs.routeLineitems(s, d)
+          .groupBy("cust_nation", "supp_nation")
+          .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+        rev.groupBy(col("cust_nation").as("nation"))
+          .agg(graft.expressions.TopKAgg.topK(
+            col("revenue"), col("supp_nation"), 3).as("top"))
+          .select(col("nation"),
+            posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("nation"), col("t.label").as("supp_nation"),
+            col("t.score").as("revenue"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy("nation", "rank")
+      },
+      Some(s"""WITH rl AS (
+        |  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |         l.l_extendedprice
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |),
+        |rev AS (
+        |  SELECT cust_nation, supp_nation,
+        |         round(sum(l_extendedprice), 2) AS revenue
+        |  FROM rl GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY cust_nation ORDER BY revenue DESC, supp_nation) AS rnk
+        |  FROM rev
+        |)
+        |SELECT cust_nation AS nation, supp_nation, revenue,
+        |       CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY nation, rank""".stripMargin)),
+
     // Token counting two ways: whitespace tokens and BPE-ish regex
     // pieces (letter runs | digit runs | single other-glyphs).
     Q("text_token_count",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.VecDot
+import graft.expressions.{TopKAgg, VecDot}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -21,6 +21,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(a, b) takes two array args")
         VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "top_k(score, label, k) takes three args")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k's k must be an integer literal, got $other")
+        }
+        TopKAgg(args.head, args(1), k).toAggregateExpression()
       }))
   }
 }

@@ -124,6 +124,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, with state bounded by the watermark horizon (ids older than
+    * the watermark are evicted — the standard at-least-once → effective
+    * exactly-once repair for replayed sources). Batch mode: plain
+    * distinct-by-id.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming entry: parquet-directory source → hourly aggregate →
     * parquet sink with checkpointing. Returns the running query; callers
     * own its lifecycle (`awaitTermination` in a deployment,

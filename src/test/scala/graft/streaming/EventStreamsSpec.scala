@@ -71,6 +71,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       Session(2, ts(5), ts(5), 1)))
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[Event]
+    val query = dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(5), 1, "click", 2.0))
+      query.processAllAvailable()
+      // replay event 1 (same id) plus one new event
+      mem.addData(Event(1, ts(0), 1, "view", 1.0),
+        Event(3, ts(10), 2, "view", 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L)) // the replayed id survives once
+    } finally query.stop()
+  }
+
   test("streaming sessionize emits closed sessions as the watermark advances") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
