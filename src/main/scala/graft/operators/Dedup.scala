@@ -134,11 +134,48 @@ object Dedup {
     * result is iteration-order independent (DuckDB verifies via a
     * recursive transitive-closure CTE).
     */
-  def clusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+      localThreshold: Int = 100000): DataFrame = {
+    // fast path: an LSH pair graph is normally a vanishing fraction of
+    // the corpus — when it fits the driver comfortably, union-find
+    // locally and broadcast the mapping instead of iterating jobs.
+    // Same labels either way (min doc_id per component).
+    val sample = pairs.select(col("doc_a"), col("doc_b"))
+      .limit(localThreshold + 1).collect()
+    if (sample.length <= localThreshold) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      sample.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) { // attach the larger root under the smaller
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val mapping = parent.keys.map(x => (x, find(x))).toSeq
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val mapDf = broadcast(mapping.toDF("doc_id", "root"))
+      return docs.select(col("doc_id"))
+        .join(mapDf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }
+
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // only docs touched by an edge can ever change labels — iterate on
+    // that (tiny) subgraph; the untouched corpus anti-joins in at the
+    // end as its own singleton clusters. At 100 TB the pair graph is a
+    // vanishing fraction of the corpus, so the loop never touches the
+    // bulk of the data.
+    val edgeIds = edges.select(col("src").as("doc_id")).distinct().cache()
+    var labels = edgeIds.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -155,7 +192,8 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
-    labels.orderBy("doc_id")
+    val untouched = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .join(edgeIds, Seq("doc_id"), "left_anti")
+    untouched.union(labels).orderBy("doc_id")
   }
 }
