@@ -403,6 +403,26 @@ object CoreAnalogs {
         |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Events — semi-structured source: typed JSON extraction from the
+    // props column (from_json with an explicit schema parses once;
+    // pushdown-friendly vs stringly get_json_object chains).
+    Q("events_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"),
+          round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Events — sessionization: per-user session count with a 30-minute
     // inactivity gap, via lag + cumulative conditional sum. Exact integer
     // (microsecond) arithmetic on both engines. The streaming twin uses
