@@ -403,6 +403,58 @@ object CoreAnalogs {
         |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Semi/anti join shapes (free from Spark; beyond the reference's
+    // J1/J2 surface): customers with vs without orders, one row each.
+    Q("t8_semi_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey")
+        val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+        val withOrders = c.join(o, Seq("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+        val withoutOrders = c.join(o, Seq("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+        withOrders.union(withoutOrders).select("kind", "n").orderBy("kind")
+      },
+      Some("""SELECT 'with_orders' AS kind, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders', count(*) FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY kind""".stripMargin)),
+
+    // Multi-level aggregation via ROLLUP (nation → grand total); null
+    // grouping keys labeled so both engines order identically.
+    Q("t9_rollup",
+      (s, d) => enrichedOrders(s, d)
+        .rollup(col("nation"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          grouping_id().as("level"))
+        .select(coalesce(col("nation"), lit("ALL")).as("nation"),
+          coalesce(col("priority"), lit("ALL")).as("priority"),
+          col("level"), col("n"), col("revenue"))
+        .orderBy("nation", "priority", "level"),
+      Some(s"""$enrichedSql
+        |SELECT coalesce(nation, 'ALL') AS nation,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       GROUPING(nation, o_orderpriority) AS level,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM enriched GROUP BY ROLLUP (nation, o_orderpriority)
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Distinct aggregation (absent from the reference): unique ordering
+    // customers and priorities per order month.
+    Q("t10_distinct_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(month(col("o_orderdate")).as("month"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy("month"),
+      Some("""SELECT CAST(month(o_orderdate) AS INT) AS month,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Events — semi-structured source: typed JSON extraction from the
     // props column (from_json with an explicit schema parses once;
     // pushdown-friendly vs stringly get_json_object chains).
