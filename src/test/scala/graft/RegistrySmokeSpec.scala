@@ -25,6 +25,17 @@ class RegistrySmokeSpec extends AnyFunSuite with SparkSpec {
     assert(Registry.all.forall(_.oracle.isDefined))
   }
 
+  test("every query's output schema is hash-compare safe") {
+    // the driver's DuckDB compare sorts columns by name and matches
+    // dtypes — duplicate or case-unstable names break it silently
+    Registry.all.foreach { q =>
+      val names = q.fn(spark, sfDir).schema.fieldNames.toSeq
+      assert(names.distinct.size == names.size, s"${q.name}: dup columns $names")
+      assert(names.forall(n => n == n.toLowerCase),
+        s"${q.name}: non-lowercase columns $names")
+    }
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
