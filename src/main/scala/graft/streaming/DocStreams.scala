@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Streaming document-pipeline pieces: near-dup screening at ingest.
+  *
+  * The batch half (graft.operators.Dedup.minhashSignatures) maintains a
+  * band-key index of the accepted corpus; arriving documents compute
+  * their own band keys and STREAM-STATIC join the index — each
+  * micro-batch only touches the bands it carries, no state beyond the
+  * (periodically refreshed) static index. This is the standard
+  * dedup-at-ingest shape: cheap screen first, exact Jaccard verify on
+  * the (tiny) hit set downstream.
+  */
+object DocStreams {
+
+  /** (doc_id, pos, band) — exploded band keys for either side. */
+  def bandRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
+      .select(col("doc_id"), posexplode(
+        array((0 until 4).map(b => bandKeyInt(col("hs"), b)): _*))
+        .as(Seq("pos", "band")))
+
+  /** Screen a stream of docs against a static signature index built by
+    * [[bandRows]] over the accepted corpus. Emits one row per
+    * (arriving doc, indexed doc, band position) collision; downstream
+    * verifies exact similarity on this small set before rejecting.
+    */
+  def nearDupScreen(streamDocs: DataFrame, bandIndex: DataFrame): DataFrame =
+    bandRows(streamDocs)
+      .join(bandIndex
+        .select(col("doc_id").as("matched_id"), col("pos"), col("band")),
+        Seq("pos", "band"))
+      .select(col("doc_id"), col("matched_id"), col("pos").as("band_pos"))
+}

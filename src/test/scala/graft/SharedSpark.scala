@@ -6,13 +6,8 @@ import org.apache.spark.sql.SparkSession
   * expensive; suites share it and never stop it). */
 object SharedSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    val s = GraftSession.builder("local[4]", 4)
       .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", false)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

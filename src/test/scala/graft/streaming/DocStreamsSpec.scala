@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DocStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val ss = graft.SharedSpark.spark
+
+  private lazy val corpus = spark.createDataFrame(Seq(
+    (100L, "alpha beta gamma delta epsilon zeta"),
+    (101L, "one two three four five six"),
+    (102L, "red green blue yellow purple orange")))
+    .toDF("doc_id", "text")
+
+  test("stream-static band join flags arriving near-dups of the corpus") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val index = DocStreams.bandRows(corpus)
+
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.nearDupScreen(
+      mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("screen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"), // exact dup of 100
+        (2L, "totally novel content goes here now")) // no match
+      query.processAllAvailable()
+      val hits = spark.table("screen").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+      assert(hits === Seq((1L, 100L))) // only the dup, all 4 bands agree
+      assert(spark.table("screen").count() === 4)
+    } finally query.stop()
+  }
+
+  test("batch mode: screen equals the minhash candidate relation") {
+    val hits = DocStreams.nearDupScreen(
+      corpus.withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 1000),
+      DocStreams.bandRows(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+    // each shifted doc matches exactly its original on all bands
+    assert(hits === Seq((1100L, 100L), (1101L, 101L), (1102L, 102L)))
+  }
+}

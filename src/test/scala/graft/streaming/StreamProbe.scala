@@ -11,13 +11,7 @@ import org.apache.spark.sql.SparkSession
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, workDir) = args
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", false)
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // stage the events table as micros timestamps (streaming source
