@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline operators (BASELINE.json north star) over
@@ -454,6 +454,41 @@ object ExtraAnalogs {
         |  CAST(floor(width * 64 / greatest(width, height)) AS BIGINT) AS out_width,
         |  CAST(floor(height * 64 / greatest(width, height)) AS BIGINT) AS out_height
         |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Composed curation pipeline: dedup survivorship + quality gate +
+    // language tag in ONE Catalyst plan (single shuffle).
+    Q("pipeline_curate",
+      (s, d) => Curation.curate(Tables.documents(s, d)).orderBy("doc_id"),
+      Some {
+        val q = "round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)" +
+          " + 0.3::DOUBLE * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT))" +
+          s" + 0.2::DOUBLE * (CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6)"
+        s"""WITH $tokCte, g AS (
+        |  SELECT doc_id, text, w,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |           AS rig,
+        |         $q AS quality, $dLangCase AS pred_lang
+        |  FROM tok
+        |)
+        |SELECT doc_id, quality, pred_lang,
+        |  CASE WHEN rig > 1 THEN 'dup'
+        |       WHEN quality < 0.5 THEN 'low_quality' ELSE 'ok' END
+        |    AS reject_reason,
+        |  (CASE WHEN rig > 1 THEN 'dup'
+        |        WHEN quality < 0.5 THEN 'low_quality' ELSE 'ok' END) = 'ok'
+        |    AS keep
+        |FROM g ORDER BY doc_id""".stripMargin
+      }),
+
+    // Deterministic content-hash dataset splits (stable across reruns).
+    Q("pipeline_split",
+      (s, d) => Curation.split(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  ('0x' || substr(md5(text),1,8))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(text),1,8))::BIGINT % 100 < 90 THEN 'train'
+        |       WHEN ('0x' || substr(md5(text),1,8))::BIGINT % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Multimodal metadata extraction over a binary payload column
     // (payload synthesized as utf8 bytes of text; the plumbing — binary

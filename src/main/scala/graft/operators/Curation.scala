@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus curation: the composed pipeline a training-data run actually
+  * executes — exact-dedup survivorship, quality scoring, language
+  * screening, and deterministic dataset splits — as one declarative
+  * frame. Each piece is the already-verified operator; the composition
+  * stays a single Catalyst plan (one shuffle for the dup-group window,
+  * everything else narrow), so the optimizer prunes/pushes across
+  * stage boundaries — the advantage of composing plans rather than
+  * materializing between steps.
+  */
+object Curation {
+
+  /** Per-doc curation verdict. Keep = exact-dup keeper AND quality at
+    * or above `minQuality`; rejected rows carry the reason
+    * (`dup` beats `low_quality` when both apply — dedup runs first in
+    * a real pipeline, so the reason reflects the first gate hit).
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy("text_hash").orderBy("doc_id")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stop = markerHits(col("text"), langMarkers.head._2).cast("double") / nTok
+    val quality = round(
+      lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
+        lit(0.3) * ttr + lit(0.2) * stop, 6)
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("rank_in_group", row_number().over(w))
+      .withColumn("quality", quality)
+      .withColumn("pred_lang", langPredict(col("text")))
+      .withColumn("reject_reason",
+        when(col("rank_in_group") > 1, "dup")
+          .when(col("quality") < minQuality, "low_quality")
+          .otherwise("ok"))
+      .withColumn("keep", col("reject_reason") === "ok")
+      .select("doc_id", "quality", "pred_lang", "reject_reason", "keep")
+  }
+
+  /** Deterministic train/val/test assignment from a content-stable
+    * hash (docs keep their split across reruns and re-shards; the same
+    * md5 arithmetic is engine-portable for the verify oracle).
+    * Buckets: [0,90) train, [90,95) val, [95,100) test.
+    */
+  def split(docs: DataFrame): DataFrame = {
+    val bucket = wordHash(col("text")) % 100
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+  }
+}
