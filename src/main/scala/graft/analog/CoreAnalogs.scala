@@ -455,6 +455,41 @@ object CoreAnalogs {
         |       count(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Table profiling: one aggregation pass over every column of
+    // orders (counts, distincts, numeric min/max), unpivoted by stack.
+    Q("table_profile",
+      (s, d) => graft.operators.Profile.profile(Tables.orders(s, d)),
+      Some {
+        val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+        val rows = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority").map { c =>
+          val (mn, mx) =
+            if (numeric(c)) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+          s"""SELECT '$c' AS "column", t.n_rows, count($c) AS n_nonnull,
+             |  count(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num
+             |FROM orders, t GROUP BY t.n_rows""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT * FROM (
+        |$rows
+        |) ORDER BY "column"""".stripMargin
+      }),
+
+    // Exact quantiles (sorted interpolation — identical definition in
+    // both engines; no sketches, so values hash-match).
+    Q("stats_quantiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+        .orderBy("flag"),
+      Some("""SELECT l_returnflag AS flag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        |       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Events — semi-structured source: typed JSON extraction from the
     // props column (from_json with an explicit schema parses once;
     // pushdown-friendly vs stringly get_json_object chains).
