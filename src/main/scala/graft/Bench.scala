@@ -34,7 +34,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // reference-surface queries (t1..t10 + events analogs) vs the
+    // extension families — lets the harness compare the reference
+    // surface against BASELINE directly
+    val core = results.filter { case (k, _) =>
+      k.startsWith("t") || k.startsWith("events_") }
+    val coreTotal = if (core.nonEmpty) core.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"extension_total":${total - coreTotal},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
