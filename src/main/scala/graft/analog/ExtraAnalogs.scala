@@ -333,6 +333,27 @@ object ExtraAnalogs {
         |    + 0.2::DOUBLE * (CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6) AS quality
         |FROM tok ORDER BY doc_id""".stripMargin)),
 
+    // Normalization + stopword removal: canonical text, its hash, and
+    // the content-token count after stopword filtering.
+    Q("text_normalize",
+      (s, d) => {
+        val norm = TextFunctions.normalize(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(norm).as("norm_hash"),
+          size(TextFunctions.removeStopwords(col("text"), stopEn))
+            .cast("long").as("n_content_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $tokCte
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  CAST(len(list_filter(w, t -> NOT list_contains(
+        |    [${stopEn.map(m => s"'$m'").mkString(",")}], t))) AS BIGINT)
+        |    AS n_content_tokens
+        |FROM tok ORDER BY doc_id""".stripMargin)),
+
     // Corpus-level token frequency top-20 (explode → count → top-k).
     Q("text_token_stats",
       (s, d) => Tables.documents(s, d)

@@ -105,6 +105,22 @@ object TextFunctions {
     aggregate(transform(tokens(text), wordHash(_)), lit(0L),
       (acc, h) => pmod(acc * 131 + h, lit(1000000007L)))
 
+  /** Normalization: lowercase, strip non-alphanumerics (keeping
+    * spaces), collapse whitespace runs, trim — the canonical form fed
+    * to hashing/dedup so cosmetic variation doesn't defeat matching.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Tokens with stopwords removed (the `langMarkers` "en" list plays
+    * the stopword list; swap in a fuller list at deployment).
+    */
+  def removeStopwords(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    filter(tokens(text), t => !array_contains(sw, t))
+  }
+
   /** Occurrence count of marker words (stopword hits). Counts
     * occurrences, not distinct hits — ratio-friendly.
     */

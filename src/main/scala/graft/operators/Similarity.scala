@@ -69,6 +69,14 @@ object Similarity {
       col("vec_id").as(s"${tag}_id") +: col("embedding").as(s"${tag}_emb") +:
         col("norm").as(s"${tag}_norm") +: extra: _*)
 
+  /** Queryable ANN index frame: (vec_id, embedding, norm, bucket) —
+    * what a deployment persists (bucketed by `bucket`) and what the
+    * streaming screen (graft.streaming.VecStreams) joins against.
+    */
+  def buildIndex(embs: DataFrame, bits: Int = 4): DataFrame =
+    prepared(embs.withColumn("bucket", signBucket(col("embedding"), bits)))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
+
   /** Exact brute-force top-k neighbors for the query set `vec_id <
     * nQueries`: broadcast queries × full corpus scan, cosine, per-query
     * top-k by (sim desc, vec_id) via row_number. Self-pairs excluded.
