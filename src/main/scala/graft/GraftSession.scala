@@ -21,5 +21,9 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter pushdown: shuffle-join probe sides get a
+      // build-side bloom filter injected below their scan — a large
+      // win for the selective fact⋈fact joins at cluster scale
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -87,6 +87,24 @@ object ExtraAnalogs {
         |       md5(text) AS text_hash
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin)),
 
+    // Exact dedup on NORMALIZED text: catches cosmetic duplicates
+    // (case/punctuation/whitespace variants) that byte-exact dedup
+    // misses — the composition of normalize + exact.
+    Q("dedup_exact_normalized",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(TextFunctions.normalize(col("text"))).as("text_hash"))
+        .groupBy("text_hash")
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies", "text_hash")
+        .orderBy("keeper_id"),
+      Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS text_hash
+        |FROM documents
+        |GROUP BY 3 ORDER BY keeper_id""".stripMargin)),
+
     // MinHash band keys per doc (k=8 sig, 4 bands × 2 rows) — the
     // map-side artifact of LSH dedup, verified end-to-end.
     Q("dedup_minhash_sig",
