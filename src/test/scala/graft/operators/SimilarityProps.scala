@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SharedSpark
+
+/** Brute-force ANN must agree with an independent driver-side
+  * computation (same fold order, same rounding) on any vector set —
+  * the ground-truth check the approximate variants are judged against.
+  */
+object SimilarityProps extends Properties("similarity") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SharedSpark.spark
+
+  private val genVec: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-5, 5).map(_.toFloat)).map(_.toSeq)
+      .suchThat(v => v.exists(_ != 0f)) // avoid zero norm
+
+  private def localCos(a: Seq[Float], b: Seq[Float]): Double = {
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+        acc + p.toDouble * q.toDouble }
+    val raw = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  property("bruteForceTopK equals the locally computed exact top-k") =
+    forAll(Gen.listOfN(6, genVec).suchThat(_.size >= 3)) { vecs =>
+      val embs = spark.createDataFrame(
+        vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) })
+        .toDF("vec_id", "embedding", "label")
+      val got = Similarity.bruteForceTopK(embs, nQueries = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val expected = (0 until 2).flatMap { q =>
+        vecs.indices.filter(_ != q)
+          .map(c => (q.toLong, c.toLong, localCos(vecs(q), vecs(c))))
+          .sortBy { case (_, c, s) => (-s, c) }
+          .take(3)
+      }
+      got == expected
+    }
+}
