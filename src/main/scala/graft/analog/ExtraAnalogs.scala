@@ -221,6 +221,27 @@ object ExtraAnalogs {
         |FROM sv ORDER BY doc_id""".stripMargin
       }),
 
+    // SimHash near-dup pairs: prefix-bucket blocking + Hamming verify.
+    Q("dedup_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d)),
+      Some {
+        val bits = (0 until 16).map(b =>
+          s"(CASE WHEN CAST(list_sum(list_transform(hs, " +
+            s"h -> ((h >> $b) & 1)*2 - 1)) AS BIGINT) > 0 " +
+            s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"""WITH hsx AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(string_split(text, ' ')), x -> ${dWordHash("x")}) AS hs
+        |  FROM documents
+        |), sv AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hsx),
+        |sb AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM sv)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |) WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // Embedding near-dup pairs: sign-bucket blocking + cosine >= 0.3.
     Q("dedup_embedding_cosine",
       (s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.3),

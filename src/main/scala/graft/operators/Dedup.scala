@@ -124,6 +124,26 @@ object Dedup {
       simhash16(col("text")).as("simhash"),
       shiftright(simhash16(col("text")), 8).as("bucket"))
 
+  /** SimHash near-dup pairs: docs sharing the 8-bit prefix bucket whose
+    * 16-bit signatures differ in at most `maxHamming` bits (Manku et
+    * al.'s bucket-then-verify shape; the prefix bucket is the blocking
+    * key, the popcount of the XOR is the verify). Integer-exact.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs)
+    val a = sigs.select(col("bucket"), col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"))
+    val b = sigs.select(col("bucket"), col("doc_id").as("doc_b"),
+      col("simhash").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Dedup completion: collapse near-dup PAIRS into clusters and pick
     * one canonical survivor (min doc_id) per cluster — what a real
     * pipeline keeps. Iterative min-label propagation over the pair

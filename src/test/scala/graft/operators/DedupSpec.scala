@@ -47,6 +47,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert((0 to 4).forall(i => m(i.toLong)._1 < (1L << 16)))
   }
 
+  test("simhash pairs: identical/permuted docs collide at hamming 0") {
+    val got = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // d0/d1/d2 share a word set → identical simhash → hamming 0; they
+    // must all pair within the shared bucket
+    assert(got.filter(_._3 == 0L).map(p => (p._1, p._2))
+      .toSet.contains((0L, 1L)))
+    assert(got.contains((0L, 2L, 0L)) && got.contains((1L, 2L, 0L)))
+    assert(got.forall(_._3 <= 3L))
+  }
+
   test("clusters collapse pair graph to min-id survivors, singletons keep their id") {
     val got = Dedup.clusters(docs, Dedup.minhashPairs(docs)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
