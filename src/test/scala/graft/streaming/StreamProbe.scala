@@ -40,6 +40,16 @@ object StreamProbe {
     println(s"STREAM_PROBE flushed=${streamed.count()} batch=${batch.count()} " +
       s"flushed_not_in_batch=$wrong held_back=$missing " +
       s"max_flushed_hour=$maxFlushed max_batch_hour=$maxBatch")
+
+    // exactly-once resume: restarting from the same checkpoint must
+    // reprocess nothing and append nothing
+    val q2 = EventStreams.startHourlyPipeline(
+      spark, src, s"$workDir/sink", s"$workDir/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(s"$workDir/sink").count()
+    println(s"STREAM_PROBE_RESUME before=${streamed.count()} after=$after " +
+      s"duplicates=${after - streamed.count()}")
     spark.stop()
   }
 }
