@@ -490,6 +490,33 @@ object CoreAnalogs {
         |       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Analytic windows beyond ranking (frame spec + lag): 7-day moving
+    // average and day-over-day delta of daily event totals.
+    Q("events_rolling",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(col("value")).as("total"))
+        val w = Window.orderBy("day")
+        daily
+          .withColumn("ma7", round(avg(col("total"))
+            .over(w.rowsBetween(-6, Window.currentRow)), 6))
+          .withColumn("delta",
+            round(col("total") - lag(col("total"), 1).over(w), 6))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            round(col("total"), 6).as("total"), col("ma7"), col("delta"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, sum(value) AS total
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, round(total, 6) AS total,
+        |  round(avg(total) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+        |  round(total - lag(total, 1) OVER (ORDER BY day), 6) AS delta
+        |FROM daily ORDER BY day""".stripMargin)),
+
     // Events — semi-structured source: typed JSON extraction from the
     // props column (from_json with an explicit schema parses once;
     // pushdown-friendly vs stringly get_json_object chains).
