@@ -130,7 +130,9 @@ object Dedup {
     * key, the popcount of the XOR is the verify). Integer-exact.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs)
+    // cache: the 16-bit-fold signature computation is the expensive
+    // part and the self-join would otherwise evaluate it once per side
+    val sigs = simhash(docs).cache()
     val a = sigs.select(col("bucket"), col("doc_id").as("doc_a"),
       col("simhash").as("sig_a"))
     val b = sigs.select(col("bucket"), col("doc_id").as("doc_b"),
