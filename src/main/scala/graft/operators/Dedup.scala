@@ -92,22 +92,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Blocked pairwise n-gram Jaccard: self-join within (lang, source)
-    * blocks, word-set (1-gram) Jaccard at `threshold`. The blocking keys
-    * bound the quadratic cost; at cluster scale each block is one shuffle
-    * partition's worth of work.
+  /** Blocked pairwise n-gram Jaccard: self-join within (lang, source,
+    * log-size bucket) blocks, word-set (1-gram) Jaccard at `threshold`.
+    *
+    * The size bucket is the classic LOSSLESS length filter: J(A,B) ≥ t
+    * forces min(|A|,|B|)/max(|A|,|B|) ≥ t (since |A∩B| ≤ min and
+    * |A∪B| ≥ max), so with buckets of width ln(1/t) on ln|set|, every
+    * qualifying pair sits in the same or an adjacent bucket. One side
+    * probes {k−1, k, k+1} (an explode, still a pure equi-join); pairs
+    * two buckets apart are provably below threshold and never
+    * materialize. Result set is IDENTICAL to the unblocked join.
+    *
+    * Scale effect: the join key is (lang, source, size-bucket), so a
+    * dominant (en, web) corpus splinters across length buckets instead
+    * of one near-cartesian block — the quadratic verify is bounded by
+    * the largest same-length cohort, and key cardinality grows with the
+    * corpus's length diversity, not with |lang × source|. For corpora
+    * where even a single cohort is huge, compose with [[minhashPairs]]
+    * (LSH banding) and keep (lang, source) as a pre-filter.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    val bucketWidth = -math.log(threshold) // ln(1/t)
     val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
       wordSet(col("text")).as("ws"))
+      .withColumn("szb",
+        floor(log(size(col("ws")).cast("double")) / bucketWidth).cast("long"))
     val a = withSet.select(col("lang"), col("source"),
+      explode(array(col("szb") - 1, col("szb"), col("szb") + 1)).as("szb"),
       col("doc_id").as("doc_a"), col("ws").as("ws_a"))
-    val b = withSet.select(col("lang"), col("source"),
+    val b = withSet.select(col("lang"), col("source"), col("szb"),
       col("doc_id").as("doc_b"), col("ws").as("ws_b"))
     val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("long")
     val union = size(col("ws_a")).cast("long") +
       size(col("ws_b")).cast("long") - inter
-    a.join(b, Seq("lang", "source"))
+    a.join(b, Seq("lang", "source", "szb"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
@@ -120,9 +139,14 @@ object Dedup {
     * bucket with high probability.
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      simhash16(col("text")).as("simhash"),
-      shiftright(simhash16(col("text")), 8).as("bucket"))
+    // two-step projection: the 16-bit fold is interpreted (higher-order
+    // aggregate has no codegen, hence no subexpression elimination), and
+    // CollapseProject keeps the steps separate because the non-cheap
+    // `simhash` alias is referenced twice above — so the fold evaluates
+    // ONCE per row, with the bucket derived by a shift.
+    docs.select(col("doc_id"), simhash16(col("text")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        shiftright(col("simhash"), 8).as("bucket"))
 
   /** SimHash near-dup pairs: docs sharing the 8-bit prefix bucket whose
     * 16-bit signatures differ in at most `maxHamming` bits (Manku et
