@@ -68,11 +68,64 @@ object ExtraAnalogs {
   private def dCos(a: String, b: String) =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
-  /** Sign-bit bucket over first 4 dims — Similarity.signBucket. */
-  private def dBucket(e: String) =
-    (0 until 4).map(i =>
-      s"(CASE WHEN $e[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString("(", " + ", ")")
+  /** Hyperplane CTE mirroring Similarity.Hyperplanes — the 6-decimal
+    * components are generated FROM the Scala arrays, so both engines
+    * parse the identical decimal literals to the identical doubles.
+    */
+  private val dHp: String = {
+    val rows = Similarity.Hyperplanes.zipWithIndex.map { case (w, i) =>
+      val comps = w.map(x =>
+        String.format(java.util.Locale.ROOT, "%.6f", Double.box(x)))
+      s"($i, [${comps.mkString(",")}]::DOUBLE[])"
+    }
+    s"hp(i, w) AS (VALUES ${rows.mkString(", ")})"
+  }
+
+  /** CASE chain computing Similarity.chooseBits(count) — pure integer
+    * thresholds, so both engines agree exactly.
+    */
+  private val dBitsCase: String = {
+    val whens = (1 until Similarity.MaxBits)
+      .map(b => s"WHEN cnt <= ${Similarity.TargetBucket << b} THEN $b")
+    s"CASE ${whens.mkString(" ")} ELSE ${Similarity.MaxBits} END"
+  }
+
+  /** Shared sketch/bucket CTE prefix over `embeddings`: e (emb+norm),
+    * prm (corpus-sized bits), sk (16-bit hyperplane sketch — same
+    * left-to-right fold as VecDot, capped at MaxDim), bkt (low-bits
+    * bucket). Probes are appended by each query (range(0,17) ⋈ j≤bits,
+    * because DuckDB table functions can't take subquery bounds).
+    */
+  private val dLshPrefix: String = {
+    val dotW = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"range(1, least(len(e.emb), ${Similarity.MaxDim})+1), " +
+      s"ii -> e.emb[ii]*hp.w[ii])), (x,y) -> x+y)"
+    s"""$dHp,
+       |prm AS (SELECT $dBitsCase AS bits
+       |        FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm FROM e0),
+       |sk AS (
+       |  SELECT e.vec_id, CAST(sum(CASE WHEN $dotW >= 0
+       |    THEN 1::BIGINT << hp.i ELSE 0 END) AS BIGINT) AS sketch
+       |  FROM e CROSS JOIN hp GROUP BY e.vec_id
+       |),
+       |bkt AS (
+       |  SELECT e.vec_id, e.emb, e.norm,
+       |         sk.sketch % (1::BIGINT << (SELECT bits FROM prm)) AS bucket
+       |  FROM e JOIN sk USING (vec_id)
+       |)""".stripMargin
+  }
+
+  /** Multi-probe exploded side over bkt (self + Hamming-1 flips). */
+  private def dProbes(alias: String, where: String = "") =
+    s"""$alias AS (
+       |  SELECT q.vec_id, q.emb, q.norm,
+       |         CASE WHEN t.j = (SELECT bits FROM prm) THEN q.bucket
+       |              ELSE xor(q.bucket, 1::BIGINT << t.j) END AS bucket
+       |  FROM bkt q, range(0, ${Similarity.MaxBits + 1}) t(j)
+       |  WHERE t.j <= (SELECT bits FROM prm)$where
+       |)""".stripMargin
 
   private val stopEn = TextFunctions.langMarkers.head._2
 
@@ -242,18 +295,16 @@ object ExtraAnalogs {
         |) WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
       }),
 
-    // Embedding near-dup pairs: sign-bucket blocking + cosine >= 0.3.
+    // Embedding near-dup pairs: corpus-sized random-hyperplane bucket
+    // + Hamming-1 multi-probe blocking, cosine >= 0.3 verify.
     Q("dedup_embedding_cosine",
       (s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.3),
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |         CAST(${dBucket("embedding")} AS BIGINT) AS bucket
-        |  FROM embeddings
-        |)
+      Some(s"""WITH $dLshPrefix,
+        |${dProbes("ap")}
         |SELECT * FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         round(${dCos("a.emb", "b.emb")}, 6) AS sim
-        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |         round(${dDot("a.emb", "b.emb")} / (a.norm * b.norm), 6) AS sim
+        |  FROM ap a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |) WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin)),
 
     // Brute-force exact cosine top-10 for the query set vec_id < 5.
@@ -273,18 +324,16 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
-    // LSH-bucketed approximate top-3 for the query set vec_id < 50.
+    // LSH approximate top-3 for the query set vec_id < 50: corpus-
+    // sized random-hyperplane buckets, Hamming-1 multi-probe.
     Q("sim_lsh_topk",
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d)),
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |         CAST(${dBucket("embedding")} AS BIGINT) AS bucket
-        |  FROM embeddings
-        |), p AS (
+      Some(s"""WITH $dLshPrefix,
+        |${dProbes("qp", " AND q.vec_id < 50")},
+        |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         round(${dCos("q.emb", "c.emb")}, 6) AS sim
-        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 50
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+        |  FROM qp q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         |), r AS (
         |  SELECT *, row_number() OVER
         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk

@@ -22,8 +22,14 @@ object VecStreams {
     */
   def annScreen(streamEmbs: DataFrame, index: DataFrame, k: Int = 3,
       bits: Int = 4): DataFrame = {
+    // multi-probe on the STREAM side: each arriving vector probes its
+    // bucket plus every Hamming-1 neighbor — a narrow (bits+1)-way
+    // explode per event, no extra state; the static index stays keyed
+    // by its single build-time bucket.
     val q = streamEmbs
       .withColumn("bucket", Similarity.signBucket(col("embedding"), bits))
+      .withColumn("bucket",
+        explode(Similarity.probeBuckets(col("bucket"), bits)))
       .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
       .withWatermark("ts", "1 hour")
     val c = index.select(col("bucket"),

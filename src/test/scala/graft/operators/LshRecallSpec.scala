@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Recall gate for the LSH redesign: on the sf0.1 embeddings the
+  * corpus-sized random-hyperplane multi-probe config must recover at
+  * least as much of the exact top-k as the config it replaced (fixed
+  * 16 axis-aligned sign buckets, no probes) — while scoring a bounded
+  * fraction of the corpus per query.
+  */
+class LshRecallSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.1"
+
+  test("multi-probe random-hyperplane recall >= old axis-aligned 16-bucket recall (sf0.1)") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir).cache()
+    val nQ = 50
+    val k = 10
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = pairs(Similarity.bruteForceTopK(embs, nQ, k))
+    val fresh = pairs(Similarity.lshTopK(embs, nQ, k)) // auto bits + probes
+
+    // The replaced design, replicated verbatim: bucket = sign of the
+    // first 4 coordinates, candidates share the bucket, no probes.
+    val oldBucket = (0 until 4).map { i =>
+      when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = embs.withColumn("bucket", oldBucket)
+      .withColumn("norm", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
+    val q = bucketed.filter(col("vec_id") < nQ)
+      .select(col("bucket"), col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val c = bucketed.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val legacy = pairs(q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id"))
+
+    val recallFresh = (fresh intersect exact).size.toDouble / exact.size
+    val recallLegacy = (legacy intersect exact).size.toDouble / exact.size
+    info(f"recall@$k fresh=$recallFresh%.3f legacy=$recallLegacy%.3f")
+    assert(recallFresh >= recallLegacy)
+
+    // and the candidate work stays bounded: with corpus-sized bits the
+    // probe set covers (bits+1)/2^bits of the buckets, well under half
+    val bits = Similarity.chooseBits(embs.count())
+    assert((bits + 1).toDouble / (1L << bits) < 0.5)
+    embs.unpersist()
+  }
+}

@@ -33,12 +33,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1L, 1.0, 1L), (2L, 0.0, 2L), (3L, -1.0, 3L)))
   }
 
-  test("sign bucket encodes the first-dims sign pattern") {
+  test("sign bucket: in range, collision for identical, flip for opposite") {
     val buckets = embs
       .select(col("vec_id"), Similarity.signBucket(col("embedding")).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(buckets(0L) === 15L) // all four dims >= 0
-    assert(buckets(3L) === 14L) // dim 1 negative drops bit 0
+    assert(buckets.values.forall(b => b >= 0 && b < 16))
+    assert(buckets(0L) === buckets(1L)) // identical vectors collide
+    // -v flips the sign of every nonzero hyperplane dot, so the bucket
+    // is the bitwise complement within the mask
+    assert(buckets(3L) === (~buckets(0L) & 15L))
+  }
+
+  test("chooseBits sizes the bucket count with the corpus") {
+    assert(Similarity.chooseBits(4) === 1)
+    assert(Similarity.chooseBits(128) === 1)
+    assert(Similarity.chooseBits(129) === 2)
+    assert(Similarity.chooseBits(500) === 3)
+    assert(Similarity.chooseBits(5000) === 7)
+    assert(Similarity.chooseBits(100000000L) === 16) // capped
   }
 
   test("near-dup pairs: only the identical pair clears 0.9 cosine") {
@@ -58,11 +70,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1L, 1.0), (2L, 0.0)))
   }
 
-  test("LSH top-k only scores within the bucket") {
-    val got = Similarity.lshTopK(embs, nQueries = 4, k = 4).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    // v3 (bucket 14) is alone: no neighbors; v0/v1/v2 share bucket 15
-    assert(!got.exists(_._1 == 3L))
-    assert(got.filter(_._1 == 0L).map(_._2).toSet === Set(1L, 2L))
+  test("LSH top-k with multi-probe matches brute force on a tiny corpus") {
+    // n=4 → chooseBits gives 1 bit; self + Hamming-1 probe covers both
+    // buckets, so the approximate result must equal the exact one
+    val got = Similarity.lshTopK(embs, nQueries = 2, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = Similarity.bruteForceTopK(embs, nQueries = 2, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === exact)
   }
 }
