@@ -342,38 +342,81 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
-    // IVF-routed approximate top-3 (nprobe=1): deterministic centroids,
-    // nearest-cell assignment, per-cell scoring.
+    // IVF-routed approximate top-3 under TRAINED centroids: 2 Lloyd
+    // iterations over integer-scaled vectors (exact, order-independent
+    // sums; cosine is scale-invariant so no mean division), nprobe=2.
     Q("sim_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)),
-      Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      Some {
+        // double image + norm of an integer centroid table
+        def centw(src: String, out: String) =
+          s"""$out AS (
+             |  SELECT cent_id, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cvd
+             |  FROM $src
+             |), ${out}n AS (
+             |  SELECT cent_id, cvd, sqrt(${dDot("cvd", "cvd")}) AS cnorm FROM $out
+             |)""".stripMargin
+        // ranked assignment of every vector against centroid table ctn
+        def asg(name: String, ct: String) =
+          s"""${name}0 AS (
+             |  SELECT v.vec_id, c.cent_id,
+             |         round(${dDot("v.emb", "c.cvd")} / (v.norm * c.cnorm), 6)
+             |           AS cent_sim
+             |  FROM v CROSS JOIN ${ct}n c
+             |), $name AS (
+             |  SELECT vec_id, cent_id, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
+             |  FROM ${name}0
+             |)""".stripMargin
+        // recompute: per-dim integer sums of rk=1 members; empty cell
+        // keeps its previous centroid (COALESCE), as the trainer does
+        def recent(a: String, prev: String, out: String) =
+          s"""${out}s AS (
+             |  SELECT x.cent_id AS cell, t.j AS dim,
+             |         CAST(sum(v.vi[t.j]) AS BIGINT) AS s
+             |  FROM $a x JOIN v USING (vec_id), range(1, ${Similarity.MaxDim + 1}) t(j)
+             |  WHERE x.rk = 1 GROUP BY 1, 2
+             |), ${out}r AS (
+             |  SELECT cell AS cent_id, list(s ORDER BY dim) AS cv
+             |  FROM ${out}s GROUP BY 1
+             |), $out AS (
+             |  SELECT p.cent_id, COALESCE(r.cv, p.cv) AS cv
+             |  FROM $prev p LEFT JOIN ${out}r r ON r.cent_id = p.cent_id
+             |)""".stripMargin
+        s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm FROM e0),
-        |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb, norm AS cent_norm
-        |          FROM e WHERE vec_id < 8),
-        |asg0 AS (
-        |  SELECT v.vec_id, v.emb, v.norm, c.cent_id,
-        |         round(${dDot("v.emb", "c.cent_emb")} / (v.norm * c.cent_norm), 6)
-        |           AS cent_sim
-        |  FROM e v CROSS JOIN cents c
+        |v AS (SELECT vec_id, emb, norm,
+        |        list_transform(emb, x -> CAST(round(x*1000000.0) AS BIGINT)) AS vi
+        |      FROM e),
+        |c0 AS (SELECT vec_id AS cent_id, vi AS cv FROM v WHERE vec_id < 8),
+        |${centw("c0", "cw0")},
+        |${asg("a1", "cw0")},
+        |${recent("a1", "c0", "c1")},
+        |${centw("c1", "cw1")},
+        |${asg("a2", "cw1")},
+        |${recent("a2", "c1", "c2")},
+        |${centw("c2", "cw2")},
+        |${asg("a3", "cw2")},
+        |cells AS (
+        |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
+        |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk = 1
         |),
-        |asg AS (
-        |  SELECT *, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
-        |  FROM asg0
+        |qcells AS (
+        |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
+        |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk <= 2 AND v.vec_id < 50
         |),
-        |cells AS (SELECT vec_id, emb, norm, cent_id AS cell FROM asg WHERE rk = 1),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
-        |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 50
+        |  FROM qcells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
         |), r AS (
         |  SELECT *, row_number() OVER
         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM p
         |)
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
-        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      }),
 
     // Language-ID confusion matrix: labeled lang × heuristic prediction.
     Q("text_langid",

@@ -63,4 +63,23 @@ class LshRecallSpec extends AnyFunSuite with SparkSpec {
     assert((bits + 1).toDouble / (1L << bits) < 0.5)
     embs.unpersist()
   }
+
+  test("trained-IVF recall is measured vs brute force and grows with nprobe (sf0.1)") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir).cache()
+    val nQ = 50
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, nQ, k))
+    val probe1 = pairs(Similarity.ivfTopK(embs, nQ, k, nprobe = 1))
+    val probe2 = pairs(Similarity.ivfTopK(embs, nQ, k, nprobe = 2))
+    val r1 = (probe1 intersect exact).size.toDouble / exact.size
+    val r2 = (probe2 intersect exact).size.toDouble / exact.size
+    info(f"IVF recall@$k nprobe=1: $r1%.3f  nprobe=2: $r2%.3f")
+    // more probed cells → candidate superset → recall is monotone
+    assert(r2 >= r1)
+    assert(r2 > 0.0)
+    embs.unpersist()
+  }
 }

@@ -59,12 +59,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((0L, 1L, 1.0)))
   }
 
-  test("IVF routes to nearest centroid and scores within the cell") {
-    // centroids = v0,v1 (identical): ties break to cell 0, so every
-    // vector lands in cell 0 and IVF top-k degenerates to brute force
+  test("IVF k-means separates the clusters; nprobe=2 recovers cross-cell neighbors") {
+    // seeds are v0,v1 (identical) — useless as-is; two Lloyd rounds
+    // must pull {v0,v1} and {v2,v3} into distinct cells
     val cells = Similarity.ivfCells(embs, nCells = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
-    assert(cells.values.toSet === Set(0L))
+    assert(cells(0L) === cells(1L)) // identical vectors co-assign
+    assert(cells(2L) === cells(3L))
+    assert(cells(0L) !== cells(2L)) // trained centroids separate them
+    // query v0 probes both cells, so the orthogonal v2 is reachable
+    // even though it lives in the other cell
     val got = Similarity.ivfTopK(embs, nQueries = 1, k = 2, nCells = 2)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(got === Seq((1L, 1.0), (2L, 0.0)))
