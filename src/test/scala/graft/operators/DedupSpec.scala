@@ -66,6 +66,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 0L), (4L, 4L)))
   }
 
+  test("distributed min-label clusters equal the driver union-find labels") {
+    // chain components force multi-hop label propagation — the shape
+    // the iterative path must converge on, not just star graphs
+    val chainDocs = spark.createDataFrame(
+      (0L to 9L).map(i => (i, s"text $i", "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = spark.createDataFrame(Seq(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), // 4-chain → label 0
+      (5L, 6L, 1.0), (6L, 7L, 1.0)))               // 3-chain → label 5
+      .toDF("doc_a", "doc_b", "jaccard")
+    def labels(localThreshold: Int) =
+      Dedup.clusters(chainDocs, pairs, localThreshold = localThreshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val driver = labels(100000)     // union-find fast path
+    val distributed = labels(0)     // forced min-label iteration
+    assert(distributed === driver)
+    assert(driver === Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("minhash signatures are stable and identical for identical docs") {
     val sigs = Dedup.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
