@@ -479,11 +479,14 @@ object CoreAnalogs {
     // Exact quantiles (sorted interpolation — identical definition in
     // both engines; no sketches, so values hash-match).
     Q("stats_quantiles",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag").as("flag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+      // sort-based exact quantiles (Profile.exactQuantiles) — identical
+      // interpolation to builtin `percentile`, but no per-group
+      // distinct-value map in the aggregation buffer (scale-safe)
+      (s, d) => graft.operators.Profile.exactQuantiles(
+        Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+          col("l_extendedprice")),
+        "flag", "l_extendedprice",
+        Seq("median_price" -> 0.5, "p95_price" -> 0.95))
         .orderBy("flag"),
       Some("""SELECT l_returnflag AS flag,
         |       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,

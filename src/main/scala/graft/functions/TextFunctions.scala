@@ -84,17 +84,14 @@ object TextFunctions {
 
   /** 16-bit SimHash over the distinct word set: bit b is set iff the
     * count of words whose hash has bit b outweighs those that don't
-    * (strictly positive sum of ±1). Exact integer arithmetic.
+    * (strictly positive sum of ±1). Exact integer arithmetic; the fold
+    * is the native one-pass codegen expression
+    * (graft.expressions.SimhashFold) — 16 interpreted per-bit
+    * `aggregate` folds collapsed into one array walk.
     */
-  def simhash16(text: Column): Column = {
-    val hashes = transform(wordSet(text), wordHash(_))
-    val bits = (0 until 16).map { b =>
-      val sum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
-      when(sum > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def simhash16(text: Column): Column =
+    graft.expressions.TextExpressions.simhashFold(
+      transform(wordSet(text), wordHash(_)))
 
   /** Order-sensitive document fingerprint: left fold of
     * h = (h * 131 + wordHash(w)) mod 1e9+7 over the token sequence.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{TopKAgg, VecDot}
+import graft.expressions.{SimhashFold, TopKAgg, VecDot}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(a, b) takes two array args")
         VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fold"),
+      new ExpressionInfo(classOf[SimhashFold].getName, "simhash_fold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_fold(hashes) takes one array arg")
+        SimhashFold(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("top_k"),

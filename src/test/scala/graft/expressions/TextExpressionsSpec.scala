@@ -1,0 +1,54 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
+
+  /** Independent reference: per-bit ±1 majority, bit set iff sum > 0. */
+  private def refSimhash(hs: Seq[Long]): Long =
+    (0 until 16).map { b =>
+      val s = hs.map(h => ((h >>> b) & 1L) * 2 - 1).sum
+      if (s > 0) 1L << b else 0L
+    }.sum
+
+  test("simhash_fold matches the per-bit majority reference on random arrays") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(Seq.empty[Long]) ++
+      (1 to 40).map(n => Seq.fill(rnd.nextInt(20) + 1)(rnd.nextLong()))
+    cases.foreach { hs =>
+      val got = spark.range(1)
+        .select(TextExpressions.simhashFold(
+          lit(hs.toArray)).as("s"))
+        .head().getLong(0)
+      assert(got === refSimhash(hs), s"for input $hs")
+    }
+  }
+
+  test("simhash_fold equals the interpreted 16-aggregate composition it replaced") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, "alpha beta gamma delta"), (1L, "the quick brown fox"),
+      (2L, "x"), (3L, "a b c d e f g h i j k l m")))
+      .toDF("doc_id", "text")
+    import graft.functions.TextFunctions._
+    val hashes = transform(wordSet(col("text")), wordHash(_))
+    val legacy = (0 until 16).map { b =>
+      val s = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = docs.select(simhash16(col("text")).as("fast"), legacy.as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("simhash_fold is callable from SQL via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT simhash_fold(array(1L, 1L, 3L)) AS s").head().getLong(0)
+    // bit0: all three set (+3) → set; bit1: one of three (+1-1-1=-1) → clear
+    assert(got === refSimhash(Seq(1L, 1L, 3L)))
+    assert(got === 1L)
+  }
+}
