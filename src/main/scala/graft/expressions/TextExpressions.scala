@@ -88,8 +88,108 @@ case class SimhashFold(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native MinHash banding over a pre-hashed shingle array: all 8
+  * universal-hash permutation minima in ONE array walk, paired into 4
+  * LSH band keys (sig[2b]·1000003 + sig[2b+1]).
+  *
+  * Replaces 8 interpreted `array_min(transform(hs, a·h+b mod p))`
+  * scans (higher-order functions carry no codegen). Integer-exact:
+  * identical values to the composition it replaces and to the DuckDB
+  * oracle's `list_min(list_transform(...))` fragments. Empty input →
+  * NULL result (the composed form yields per-band nulls; both shapes
+  * produce null band keys downstream, which never join).
+  */
+case class MinhashBands(child: Expression) extends UnaryExpression {
+  import graft.functions.TextFunctions.{MinhashA, MinhashB, MinhashP}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < 8) {
+        val v = (MinhashA(k) * h + MinhashB(k)) % MinhashP
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val bands = Array.tabulate(4)(b => mins(2 * b) * 1000003L + mins(2 * b + 1))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val as = MinhashA.map(a => s"${a}L").mkString(", ")
+    val bs = MinhashB.map(b => s"${b}L").mkString(", ")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      val bands = ctx.freshName("bands")
+      val aArr = ctx.freshName("aArr")
+      val bArr = ctx.freshName("bArr")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $aArr = new long[] {$as};
+         |  final long[] $bArr = new long[] {$bs};
+         |  long[] $mins = new long[8];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $x.getLong($i);
+         |    for (int $k = 0; $k < 8; $k++) {
+         |      long $v = ($aArr[$k] * $h + $bArr[$k]) % ${MinhashP}L;
+         |      if ($v < $mins[$k]) $mins[$k] = $v;
+         |    }
+         |  }
+         |  long[] $bands = new long[4];
+         |  for (int $b = 0; $b < 4; $b++) {
+         |    $bands[$b] = $mins[2 * $b] * 1000003L + $mins[2 * $b + 1];
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray($bands);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-level 16-bit simhash fold backed by the codegen expression. */
   def simhashFold(hashes: Column): Column =
     GraftBridge.column(SimhashFold(GraftBridge.expression(hashes)))
+
+  /** Column-level 4-band minhash key array backed by the codegen
+    * expression.
+    */
+  def minhashBands(hashes: Column): Column =
+    GraftBridge.column(MinhashBands(GraftBridge.expression(hashes)))
 }

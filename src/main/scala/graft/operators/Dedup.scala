@@ -39,16 +39,19 @@ object Dedup {
   /** Per-doc MinHash band keys (k=8 signature, 4 bands × 2 rows) over
     * word-2-gram shingles. This is the map-side half of LSH dedup; it's
     * also a useful artifact on its own (signatures can be stored and
-    * diffed incrementally as the corpus grows). The Generate boundary
-    * in [[minhashPairs]] and the explicit `hs` projection here keep the
-    * per-shingle md5 evaluated once, not once per band.
+    * diffed incrementally as the corpus grows). One md5 per shingle
+    * (shingleHashes), then ALL 8 permutation minima in one native
+    * array walk (graft.expressions.MinhashBands) instead of 8
+    * interpreted array_min(transform(...)) scans.
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.minhashBands(
+          shingleHashes(shingles2(col("text")))).as("bands"))
       .select(
         col("doc_id") +:
-          (0 until 4).map(b => bandKeyInt(col("hs"), b).as(s"band$b")): _*)
+          (0 until 4).map(b => element_at(col("bands"), b + 1).as(s"band$b")): _*)
 
   /** MinHash-LSH near-dup pairs: docs sharing any band key become
     * candidates, verified with exact shingle-set Jaccard at `threshold`.
@@ -62,16 +65,29 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val bands = docs
-      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
-      .select(col("doc_id"), posexplode(
-        array((0 until 4).map(b => bandKeyInt(col("hs"), b)): _*))
-        .as(Seq("pos", "band")))
-    val candidates = bands.select(col("doc_id").as("doc_a"), col("pos"), col("band"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("pos"), col("band")),
-        Seq("pos", "band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.minhashBands(
+          shingleHashes(shingles2(col("text")))).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("pos", "band")))
+    // self-join via ALIASES of one canonical projection, not two
+    // differently-renamed copies: both sides then canonicalize to the
+    // same exchange and ReuseExchange computes the band derivation
+    // ONCE per plan — this subtree appears three times below (the join
+    // itself plus twice inside candIds), so without reuse the md5 +
+    // banding work runs ~5×.
+    // persist the candidate edge list: it is referenced three times
+    // below (verify join + both candIds arms) and is the vanishing-
+    // fraction artifact of the operator — a handful of id pairs per
+    // million docs. Without the persist each reference re-runs the
+    // band self-join (~3× the whole candidate stage); with it the
+    // derivation runs once. MEMORY_AND_DISK, bounded by |candidates|.
+    val candidates = bands.alias("ba")
+      .join(bands.alias("bb"),
+        col("ba.pos") === col("bb.pos") && col("ba.band") === col("bb.band"))
+      .filter(col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
+      .cache()
     // shingle the candidate docs ONLY (semi-join first): verification
     // never re-derives features for the whole corpus — at scale the
     // survivors are a vanishing fraction of the input
@@ -83,9 +99,13 @@ object Dedup {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     val union = size(col("sh_a")).cast("long") +
       size(col("sh_b")).cast("long") - inter
-    candidates
-      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // same aliasing trick for the two verify joins: candSh's exchange
+    // is shared between the doc_a and doc_b sides
+    candidates.alias("c")
+      .join(candSh.alias("sa"), col("c.doc_a") === col("sa.doc_id"))
+      .join(candSh.alias("sb"), col("c.doc_b") === col("sb.doc_id"))
+      .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
+        col("sa.sh").as("sh_a"), col("sb.sh").as("sh_b"))
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{SimhashFold, TopKAgg, VecDot}
+import graft.expressions.{MinhashBands, SimhashFold, TopKAgg, VecDot}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash_fold(hashes) takes one array arg")
         SimhashFold(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "minhash_bands(hashes) takes one array arg")
+        MinhashBands(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("top_k"),

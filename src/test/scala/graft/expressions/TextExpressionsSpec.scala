@@ -44,6 +44,45 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("minhash_bands equals the interpreted 8-permutation composition it replaced") {
+    import graft.functions.TextFunctions._
+    val docs = spark.createDataFrame(Seq(
+      (0L, "alpha beta gamma delta"), (1L, "the quick brown fox jumps"),
+      (2L, "solo"), (3L, "a b a b a")))
+      .toDF("doc_id", "text")
+    val hs = shingleHashes(shingles2(col("text")))
+    val rows = docs.select(
+      TextExpressions.minhashBands(hs).as("fast"),
+      array((0 until 4).map(b => bandKeyInt(hs, b)): _*).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) {
+        // empty shingle set: native form is NULL, composed form is an
+        // array of null band keys — both yield null keys downstream
+        assert(r.getSeq[Any](1).forall(_ == null))
+      } else {
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      }
+    }
+    assert(rows.exists(_.isNullAt(0))) // the one-word doc hits the case
+  }
+
+  test("minhash_bands on random hash arrays matches a driver-side reference") {
+    import graft.functions.TextFunctions.{MinhashA, MinhashB, MinhashP}
+    val rnd = new scala.util.Random(13)
+    (1 to 25).foreach { _ =>
+      val hs = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextLong().abs % MinhashP)
+      val expect = (0 until 4).map { b =>
+        def m(i: Int) = hs.map(h => (MinhashA(i) * h + MinhashB(i)) % MinhashP).min
+        m(2 * b) * 1000003L + m(2 * b + 1)
+      }
+      val got = spark.range(1)
+        .select(TextExpressions.minhashBands(lit(hs.toArray)).as("b"))
+        .head().getSeq[Long](0)
+      assert(got === expect)
+    }
+  }
+
   test("simhash_fold is callable from SQL via GraftExtensions") {
     val got = spark.sql(
       "SELECT simhash_fold(array(1L, 1L, 3L)) AS s").head().getLong(0)
