@@ -182,6 +182,78 @@ case class MinhashBands(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of common elements between two SORTED string arrays with
+  * distinct elements — a linear merge walk in codegen, replacing
+  * `size(array_intersect(a, b))` whose per-call hash-set build
+  * dominates pairwise set-similarity verification (each candidate pair
+  * pays O(|a|+|b|) hashing + allocation; the merge pays O(|a|+|b|)
+  * comparisons and allocates nothing).
+  *
+  * Contract: inputs ascending-sorted (`array_sort`) and duplicate-free
+  * (`array_distinct` upstream) — exactly what [[graft.functions
+  * .TextFunctions.wordSet]]/`shingles2` produce. Under that contract
+  * the result equals `size(array_intersect(a, b))` element-for-element,
+  * so DuckDB oracles (`len(list_intersect(...))`) are unaffected.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<string> args, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   /** Column-level 16-bit simhash fold backed by the codegen expression. */
   def simhashFold(hashes: Column): Column =
@@ -192,4 +264,11 @@ object TextExpressions {
     */
   def minhashBands(hashes: Column): Column =
     GraftBridge.column(MinhashBands(GraftBridge.expression(hashes)))
+
+  /** Column-level sorted-set intersection count (see
+    * [[SortedIntersectCount]]'s sortedness/distinctness contract).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -95,8 +95,9 @@ object Dedup {
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
     val candSh = docs.join(candIds, "doc_id")
-      .select(col("doc_id"), shingles2(col("text")).as("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+      .select(col("doc_id"), array_sort(shingles2(col("text"))).as("sh"))
+    val inter = graft.expressions.TextExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
     val union = size(col("sh_a")).cast("long") +
       size(col("sh_b")).cast("long") - inter
     // same aliasing trick for the two verify joins: candSh's exchange
@@ -109,7 +110,12 @@ object Dedup {
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      // total order via a SINGLE-partition sort, not orderBy: a range
+      // exchange first SAMPLES its child — re-executing the expensive
+      // join+verify pipeline twice — and this output is the vanishing-
+      // fraction pair list, for which a one-partition sort is the
+      // right plan at any scale (the reference exports single CSVs)
+      .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** Blocked pairwise n-gram Jaccard: self-join within (lang, source,
@@ -134,8 +140,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
     val bucketWidth = -math.log(threshold) // ln(1/t)
+    // word sets sorted ONCE per doc so the per-pair verify is a native
+    // merge walk (SortedIntersectCount) instead of a hash-set build —
+    // the verify is the quadratic-in-block part, the sort is linear
     val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
-      wordSet(col("text")).as("ws"))
+      array_sort(wordSet(col("text"))).as("ws"))
       .withColumn("szb",
         floor(log(size(col("ws")).cast("double")) / bucketWidth).cast("long"))
     val a = withSet.select(col("lang"), col("source"),
@@ -143,7 +152,8 @@ object Dedup {
       col("doc_id").as("doc_a"), col("ws").as("ws_a"))
     val b = withSet.select(col("lang"), col("source"), col("szb"),
       col("doc_id").as("doc_b"), col("ws").as("ws_b"))
-    val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("long")
+    val inter = graft.expressions.TextExpressions
+      .sortedIntersectCount(col("ws_a"), col("ws_b"))
     val union = size(col("ws_a")).cast("long") +
       size(col("ws_b")).cast("long") - inter
     a.join(b, Seq("lang", "source", "szb"))
@@ -151,7 +161,12 @@ object Dedup {
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      // total order via a SINGLE-partition sort, not orderBy: a range
+      // exchange first SAMPLES its child — re-executing the expensive
+      // join+verify pipeline twice — and this output is the vanishing-
+      // fraction pair list, for which a one-partition sort is the
+      // right plan at any scale (the reference exports single CSVs)
+      .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** Per-doc 16-bit SimHash + its 8-bit prefix bucket (near-dup lookup

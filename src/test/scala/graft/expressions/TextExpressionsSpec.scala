@@ -83,6 +83,25 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (1 to 40).map(i => s"w$i")
+    (1 to 30).foreach { _ =>
+      val a = rnd.shuffle(vocab).take(rnd.nextInt(20)).sorted
+      val b = rnd.shuffle(vocab).take(rnd.nextInt(20)).sorted
+      val row = spark.range(1).select(
+        TextExpressions.sortedIntersectCount(
+          lit(a.toArray), lit(b.toArray)).as("fast"),
+        size(array_intersect(lit(a.toArray), lit(b.toArray)))
+          .cast("long").as("slow")).head()
+      assert(row.getLong(0) === row.getLong(1), s"a=$a b=$b")
+    }
+    // empty-side edges
+    val e = spark.range(1).select(TextExpressions.sortedIntersectCount(
+      lit(Array.empty[String]), lit(Array("x"))).as("c")).head()
+    assert(e.getLong(0) === 0L)
+  }
+
   test("simhash_fold is callable from SQL via GraftExtensions") {
     val got = spark.sql(
       "SELECT simhash_fold(array(1L, 1L, 3L)) AS s").head().getLong(0)
