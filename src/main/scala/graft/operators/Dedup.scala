@@ -69,18 +69,13 @@ object Dedup {
         graft.expressions.TextExpressions.minhashBands(
           shingleHashes(shingles2(col("text")))).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("pos", "band")))
-    // self-join via ALIASES of one canonical projection, not two
-    // differently-renamed copies: both sides then canonicalize to the
-    // same exchange and ReuseExchange computes the band derivation
-    // ONCE per plan — this subtree appears three times below (the join
-    // itself plus twice inside candIds), so without reuse the md5 +
-    // banding work runs ~5×.
-    // persist the candidate edge list: it is referenced three times
+    // Self-join via ALIASES of one canonical projection so both sides
+    // canonicalize to the same exchange (shareable at scale), and
+    // PERSIST the candidate edge list: it is referenced three times
     // below (verify join + both candIds arms) and is the vanishing-
-    // fraction artifact of the operator — a handful of id pairs per
-    // million docs. Without the persist each reference re-runs the
-    // band self-join (~3× the whole candidate stage); with it the
-    // derivation runs once. MEMORY_AND_DISK, bounded by |candidates|.
+    // fraction artifact of the operator — without the persist each
+    // reference re-runs the band self-join. MEMORY_AND_DISK, bounded
+    // by |candidates|.
     val candidates = bands.alias("ba")
       .join(bands.alias("bb"),
         col("ba.pos") === col("bb.pos") && col("ba.band") === col("bb.band"))
