@@ -35,11 +35,12 @@ object Bench {
       }
     }
 
-    // best-of-2 steady-state timing: the warmup pass above paid JIT and
-    // classloading; the min of two measured runs drops residual GC /
-    // scheduler noise from the reported figure
+    // best-of-3 steady-state timing: the warmup pass above paid JIT and
+    // classloading; the min of three measured runs drops residual GC /
+    // scheduler / page-cache noise from the reported figure (a one-off
+    // disturbance was observed spanning two consecutive runs)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
