@@ -51,6 +51,36 @@ object DedupProps extends Properties("dedup") {
         pairs.map(p => (p._1, p._2)).distinct.length == pairs.length
     }
 
+  property("length-bucket blocking is LOSSLESS: blocked == unblocked pairs") =
+    forAll(genCorpus) { texts =>
+      // the claim the operator's scale design rests on: J >= t forces
+      // the size ratio >= t, so same-or-adjacent ln(1/t)-wide buckets
+      // can never drop a qualifying pair. Compare against a blocking-
+      // free reference join on the same corpus.
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions.wordSet
+      val df = docsDf(texts)
+      val got = Dedup.ngramJaccardPairs(df, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val ws = df.select(col("doc_id"), col("lang"), col("source"),
+        wordSet(col("text")).as("ws"))
+      val a = ws.select(col("lang"), col("source"),
+        col("doc_id").as("doc_a"), col("ws").as("ws_a"))
+      val b = ws.select(col("lang"), col("source"),
+        col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+      val inter = size(array_intersect(col("ws_a"), col("ws_b"))).cast("long")
+      val union = size(col("ws_a")).cast("long") +
+        size(col("ws_b")).cast("long") - inter
+      val expected = a.join(b, Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard", round(inter.cast("double") / union, 6))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      got == expected
+    }
+
   property("clusters: labels are component minima and cover every doc") =
     forAll(genCorpus) { texts =>
       val df = docsDf(texts)
