@@ -35,28 +35,59 @@ object Bench {
       }
     }
 
-    // best-of-3 steady-state timing: the warmup pass above paid JIT and
-    // classloading; the min of three measured runs drops residual GC /
-    // scheduler / page-cache noise from the reported figure (a one-off
-    // disturbance was observed spanning two consecutive runs)
+    // best-of-N steady-state timing (N = SPARK_GRAFT_RUNS, default 3):
+    // the warmup pass above paid JIT and classloading; the min of the
+    // measured runs drops residual GC / scheduler / page-cache noise
+    // from the reported figure. ALL per-run times are emitted in the
+    // JSON ("runs") so ambient-load variance between environments is
+    // visible instead of silently folded into the headline number.
+    //
+    // Failures are NOT swallowed: a throwing query would otherwise
+    // bench as ~0 s and read as a speedup. Each query records its
+    // error; the JSON carries "failed"/"errors" and the process exits
+    // nonzero so a bench-only regression (e.g. OOM at the bench SF but
+    // not the correctness SF) is loud.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      var err: Option[String] = None
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { exec(fn(spark, sfDir)) } catch {
+          case t: Throwable =>
+            err = Some((t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("")).take(160))
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val best = results.map { case (name, times, _) => name -> times.min }
+    val qs = best.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val runsJson = results.map { case (name, times, _) =>
+      jsonStr(name) + ":" + times.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failures = results.collect { case (name, _, Some(e)) => name -> e }
+    val failedJson = failures.map(f => jsonStr(f._1)).mkString("[", ",", "]")
+    val errorsJson = failures
+      .map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    val total = if (best.nonEmpty) best.map(_._2).sum else 0.0
     // reference-surface queries (t1..t10 + events analogs) vs the
     // extension families — lets the harness compare the reference
     // surface against BASELINE directly
-    val core = results.filter { case (k, _) =>
+    val core = best.filter { case (k, _) =>
       k.startsWith("t") || k.startsWith("events_") }
-    val coreTotal = if (core.nonEmpty) core.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"extension_total":${total - coreTotal},"queries":$qs,"sf":"$sfDir"}""")
+    val coreTotal = if (core.nonEmpty) core.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"extension_total":${total - coreTotal},"n_runs":$runs,"failed":$failedJson,"errors":$errorsJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -429,27 +429,45 @@ object ExtraAnalogs {
         |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Per-doc quality metrics + composite score.
+    //
+    // Three-step select: the token pipelines are interpreted higher-
+    // order functions with NO common-subexpression elimination, so one
+    // flat projection referencing `tokens(text)` from six metric trees
+    // re-splits and re-walks the array ~10× per row (measured 6.5 s at
+    // sf0.1 vs ~0.5 s scalar siblings). Step 1 materializes the token
+    // array ONCE; step 2 derives the four non-cheap scalars from the
+    // attribute; step 3 is pure cheap arithmetic over those scalars.
+    // CollapseProject keeps the steps apart because each step's
+    // non-cheap aliases are referenced ≥2× downstream. The total order
+    // comes from sorting the CHEAP base before any of this: the range
+    // exchange's sampling pass re-executes only the parquet scan, not
+    // the token pipeline (orderBy-last would run it twice).
     Q("text_quality",
       (s, d) => {
-        val w = TextFunctions.tokens(col("text"))
-        val nTok = size(w).cast("long")
-        val nUniq = size(array_distinct(w)).cast("long")
-        val sumLen = aggregate(transform(w, t => length(t).cast("long")),
-          lit(0L), (a, x) => a + x)
-        val ttr = nUniq.cast("double") / nTok
-        val stop = TextFunctions.markerHits(col("text"), stopEn)
-          .cast("double") / nTok
-        val lenScore = least(lit(1.0), nTok / lit(50.0))
-        Tables.documents(s, d).select(
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).orderBy("doc_id")
+        val withW = base.select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("w"))
+        val scalars = withW.select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
-          nTok.as("n_tokens"),
-          nUniq.as("n_uniq"),
-          round(sumLen.cast("double") / nTok, 6).as("avg_token_len"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+          aggregate(transform(col("w"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("sum_len"),
+          TextFunctions.markerHits(col("text"), stopEn)
+            .cast("double").as("stop_hits"))
+        val ttr = col("n_uniq").cast("double") / col("n_tokens")
+        val stop = col("stop_hits") / col("n_tokens")
+        val lenScore = least(lit(1.0), col("n_tokens") / lit(50.0))
+        scalars.select(
+          col("doc_id"), col("n_chars"), col("n_tokens"), col("n_uniq"),
+          round(col("sum_len").cast("double") / col("n_tokens"), 6)
+            .as("avg_token_len"),
           round(ttr, 6).as("ttr"),
           round(stop, 6).as("stop_ratio"),
           round(lit(0.5) * lenScore + lit(0.3) * ttr + lit(0.2) * stop, 6)
-            .as("quality")).orderBy("doc_id")
+            .as("quality"))
       },
       Some(s"""WITH $tokCte
         |SELECT doc_id,

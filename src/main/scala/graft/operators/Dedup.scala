@@ -107,10 +107,14 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
       // total order via a SINGLE-partition sort, not orderBy: a range
       // exchange first SAMPLES its child — re-executing the expensive
-      // join+verify pipeline twice — and this output is the vanishing-
-      // fraction pair list, for which a one-partition sort is the
-      // right plan at any scale (the reference exports single CSVs)
-      .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
+      // join+verify pipeline twice. repartition(1), NOT coalesce(1):
+      // coalesce is a narrow dependency that would collapse the whole
+      // join+verify stage (the quadratic-in-bucket part) into ONE
+      // task; the round-robin exchange keeps it parallel and shuffles
+      // only the vanishing-fraction pair list into the one-task sort
+      // (the reference exports single CSVs, so one output partition is
+      // the right final shape at any scale)
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** Blocked pairwise n-gram Jaccard: self-join within (lang, source,
@@ -156,12 +160,11 @@ object Dedup {
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      // total order via a SINGLE-partition sort, not orderBy: a range
-      // exchange first SAMPLES its child — re-executing the expensive
-      // join+verify pipeline twice — and this output is the vanishing-
-      // fraction pair list, for which a one-partition sort is the
-      // right plan at any scale (the reference exports single CSVs)
-      .coalesce(1).sortWithinPartitions("doc_a", "doc_b")
+      // repartition(1) + single-partition sort (see minhashPairs): no
+      // range-sampling double-execution, and — unlike coalesce(1) —
+      // the blocked join+verify stays parallel upstream of the
+      // exchange; only the surviving pair list crosses it
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** Per-doc 16-bit SimHash + its 8-bit prefix bucket (near-dup lookup
@@ -197,7 +200,11 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+      // repartition(1) + single-partition sort (see minhashPairs): an
+      // orderBy here would range-sample the bucket self-join + Hamming
+      // verify and execute it twice; the cached signatures shield only
+      // the scalar half
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** Dedup completion: collapse near-dup PAIRS into clusters and pick

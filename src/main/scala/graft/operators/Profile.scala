@@ -51,7 +51,26 @@ object Profile {
     j.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
 
-  def profile(df: DataFrame): DataFrame = {
+  /** Exact per-column profile. The per-column `countDistinct`s make
+    * Catalyst EXPAND the input — one duplicated row per distinct
+    * aggregate, i.e. rows × columns — and hold a per-column distinct
+    * map during aggregation. Correct, and the right oracle, but a
+    * known hazard at 100 TB; [[approxProfile]] is the scale path.
+    */
+  def profile(df: DataFrame): DataFrame =
+    profileWith(df, c => countDistinct(c))
+
+  /** Scale-path profile: identical shape to [[profile]] but distinct
+    * counts come from `approx_count_distinct` (HyperLogLog++, default
+    * rsd 5%). The sketch is a fixed-size buffer per column — no
+    * Expand multiplication, no value→count map — so the whole profile
+    * stays ONE single-pass aggregation at any corpus size.
+    */
+  def approxProfile(df: DataFrame, rsd: Double = 0.05): DataFrame =
+    profileWith(df, c => approx_count_distinct(c, rsd))
+
+  private def profileWith(df: DataFrame,
+      distinctAgg: Column => Column): DataFrame = {
     val cols = df.schema.fields
     val aggs: Seq[Column] = cols.flatMap { f =>
       val c = col(f.name)
@@ -61,7 +80,7 @@ object Profile {
         case _ => (lit(null).cast("double"), lit(null).cast("double"))
       }
       Seq(count(c).as(s"nn_${f.name}"),
-        countDistinct(c).as(s"nd_${f.name}"),
+        distinctAgg(c).as(s"nd_${f.name}"),
         mn.as(s"mn_${f.name}"), mx.as(s"mx_${f.name}"))
     }.toSeq
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)

@@ -47,4 +47,24 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkSpec {
     assert(prof.forall(_.getLong(1) == n))
     curated.unpersist()
   }
+
+  test("approxProfile (HLL scale path) tracks the exact profile") {
+    val exact = Profile.profile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profile.approxProfile(docs).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      // everything except the distinct count is the same aggregation
+      assert(r.getLong(1) === e.getLong(1), "n_rows")
+      assert(r.getLong(2) === e.getLong(2), "n_nonnull")
+      assert(r.get(4) === e.get(4), "min_num")
+      assert(r.get(5) === e.get(5), "max_num")
+      // HLL++ at rsd=5%: allow a generous envelope so the test is
+      // deterministic-but-not-brittle across sketch implementations
+      val (nd, end) = (r.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(nd - end) <= math.max(5.0, 0.25 * end),
+        s"${r.getString(0)}: approx $nd vs exact $end")
+    }
+  }
 }
