@@ -674,6 +674,111 @@ object ExtraAnalogs {
         |  ('0x' || substr(md5(text),1,6))::BIGINT % 448 + 64 AS width,
         |  ('0x' || substr(md5(text),7,6))::BIGINT % 448 + 64 AS height,
         |  3::BIGINT AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Backward as-of join (TemporalJoins.asOfJoin — union + window, one
+    // equi-shuffle, never a nested loop): each purchase matched to the
+    // user's latest click at-or-before it. The oracle is DuckDB's
+    // native ASOF JOIN — an independent implementation of the same
+    // semantics, so the hash match checks the operator, not the query.
+    Q("asof_purchase_click",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value"))
+        graft.operators.TemporalJoins
+          .asOfJoin(p, c, Seq("user_id"), "ts", "click_ts", Seq("click_value"))
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - unix_micros(col("click_ts")))
+          .select("event_id", "user_id", "ts", "click_ts", "gap_us",
+            "click_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+        |            WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts AS click_ts, value AS click_value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_ts,
+        |       epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us,
+        |       c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // Interval join (TemporalJoins.rangeJoin — bucketized equi-join +
+    // residual containment, explode factor ≤ 2): views landing inside
+    // the hour after an error by the same user. Oracle is DuckDB's
+    // inequality join — again an independent execution strategy.
+    Q("range_error_views",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val iv = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("interval_id"), col("user_id"),
+            col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 3600 SECONDS")).as("e"))
+        val pt = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("point_id"), col("user_id"), col("ts"))
+        graft.operators.TemporalJoins
+          .rangeJoin(pt, iv, Seq("user_id"), "ts", "s", "e", 3600L)
+          .withColumn("offset_us",
+            unix_micros(col("ts")) - unix_micros(col("s")))
+          .select("point_id", "interval_id", "user_id", "offset_us")
+          .orderBy("point_id", "interval_id")
+      },
+      Some("""WITH i AS (SELECT event_id AS interval_id, user_id, ts AS s,
+        |                  ts + INTERVAL 3600 SECOND AS e
+        |           FROM events WHERE event_type = 'error'),
+        |     pt AS (SELECT event_id AS point_id, user_id, ts FROM events
+        |            WHERE event_type = 'view')
+        |SELECT pt.point_id, i.interval_id, pt.user_id,
+        |       epoch_us(pt.ts) - epoch_us(i.s) AS offset_us
+        |FROM pt JOIN i ON pt.user_id = i.user_id
+        |              AND pt.ts >= i.s AND pt.ts < i.e
+        |ORDER BY pt.point_id, i.interval_id""".stripMargin)),
+
+    // TF-IDF top-3 terms per document. The idf is the BM25-style
+    // RATIONAL form (n - df + 0.5)/(df + 0.5) — division and multiply
+    // are correctly-rounded IEEE ops on identical operands in both
+    // engines, so the scores are bit-identical with no transcendental
+    // (ln) parity risk. tf/df aggregate on (doc, term)/(term); the
+    // rank-3 filter compiles to WindowGroupLimit so only ≤3 rows per
+    // doc survive the final window at scale.
+    Q("text_tfidf_top_terms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs.select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("nn"))
+        val scored = tf.join(dfc, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("score", col("tf") *
+            (((col("nn") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+            col("df"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""WITH $tokCte,
+        |     tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+        |            FROM (SELECT doc_id, unnest(w) AS t FROM tok)
+        |            GROUP BY 1, 2),
+        |     dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |     n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+        |     scored AS (SELECT doc_id, term, tf, df,
+        |                  tf * (((nn - df) + 0.5) / (df + 0.5)) AS score
+        |                FROM tf JOIN dfc USING (term) CROSS JOIN n),
+        |     ranked AS (SELECT doc_id, term, tf, df, score,
+        |                  row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY score DESC, term) AS rnk
+        |                FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, round(score, 6) AS score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
   )
 }
