@@ -22,6 +22,20 @@ object ExtraAnalogs {
   /** `('0x'||substr(md5(w),1,8))::BIGINT` — TextFunctions.wordHash. */
   private def dWordHash(w: String) = s"('0x' || substr(md5($w),1,8))::BIGINT"
 
+  /** 60-bit word hash — TextFunctions.wordHash60 (15 hex digits keep
+    * the value positive in signed int64).
+    */
+  private def dWordHash60(w: String) = s"('0x' || substr(md5($w),1,15))::BIGINT"
+
+  /** Per-bit majority CASE chain — the SimhashFold semantics at the
+    * 60-bit width (bit b set iff strictly more hashes carry it).
+    */
+  private val dSimhash60: String =
+    (0 until graft.operators.Dedup.SimhashBits).map(b =>
+      s"(CASE WHEN CAST(list_sum(list_transform(hs, " +
+        s"h -> ((h >> $b) & 1)*2 - 1)) AS BIGINT) > 0 " +
+        s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
   /** Permutation i over pre-hashed shingles — TextFunctions.minhashInt. */
   private def dSig(hs: String, i: Int) = {
     import TextFunctions.{MinhashA, MinhashB, MinhashP}
@@ -257,43 +271,33 @@ object ExtraAnalogs {
         |   AND a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // 16-bit SimHash + 8-bit prefix bucket per doc.
+    // 60-bit SimHash + top-15-bit block (Manku block 0) per doc.
     Q("dedup_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
-      Some {
-        val bits = (0 until 16).map(b =>
-          s"(CASE WHEN CAST(list_sum(list_transform(hs, " +
-            s"h -> ((h >> $b) & 1)*2 - 1)) AS BIGINT) > 0 " +
-            s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-        s"""WITH hs AS (
+      Some(s"""WITH hs AS (
         |  SELECT doc_id, list_transform(
-        |    list_distinct(string_split(text, ' ')), x -> ${dWordHash("x")}) AS hs
+        |    list_distinct(string_split(text, ' ')), x -> ${dWordHash60("x")}) AS hs
         |  FROM documents
-        |), sv AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hs)
-        |SELECT doc_id, simhash, simhash >> 8 AS bucket
-        |FROM sv ORDER BY doc_id""".stripMargin
-      }),
+        |), sv AS (SELECT doc_id, CAST($dSimhash60 AS BIGINT) AS simhash FROM hs)
+        |SELECT doc_id, simhash, simhash >> 45 AS bucket
+        |FROM sv ORDER BY doc_id""".stripMargin)),
 
-    // SimHash near-dup pairs: prefix-bucket blocking + Hamming verify.
+    // SimHash near-dup pairs. The Spark side blocks via the Manku
+    // 4×15-bit table (LOSSLESS for Hamming ≤ 3 by pigeonhole), so the
+    // oracle can be an INDEPENDENT brute-force O(n²) Hamming join — a
+    // genuinely different algorithm that must agree pair-for-pair.
     Q("dedup_simhash_pairs",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d)),
-      Some {
-        val bits = (0 until 16).map(b =>
-          s"(CASE WHEN CAST(list_sum(list_transform(hs, " +
-            s"h -> ((h >> $b) & 1)*2 - 1)) AS BIGINT) > 0 " +
-            s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-        s"""WITH hsx AS (
+      Some(s"""WITH hs AS (
         |  SELECT doc_id, list_transform(
-        |    list_distinct(string_split(text, ' ')), x -> ${dWordHash("x")}) AS hs
+        |    list_distinct(string_split(text, ' ')), x -> ${dWordHash60("x")}) AS hs
         |  FROM documents
-        |), sv AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hsx),
-        |sb AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM sv)
+        |), sv AS (SELECT doc_id, CAST($dSimhash60 AS BIGINT) AS simhash FROM hs)
         |SELECT * FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |) WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
-      }),
+        |  FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+        |) WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Embedding near-dup pairs: corpus-sized random-hyperplane bucket
     // + Hamming-1 multi-probe blocking, cosine >= 0.3 verify.
@@ -306,6 +310,25 @@ object ExtraAnalogs {
         |         round(${dDot("a.emb", "b.emb")} / (a.norm * b.norm), 6) AS sim
         |  FROM ap a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |) WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Embedding near-dup SURVIVORS (the composed-pipeline completion:
+    // one corpus count threads through the LSH stage via corpusN, then
+    // the pairwise drop-the-larger-id screen keeps one side of every
+    // match).
+    Q("emb_dedup_survivors",
+      (s, d) => Similarity.nearDupSurvivors(Tables.embeddings(s, d), 0.3),
+      Some(s"""WITH $dLshPrefix,
+        |${dProbes("ap")},
+        |drops AS (
+        |  SELECT DISTINCT vec_b FROM (
+        |    SELECT b.vec_id AS vec_b,
+        |           round(${dDot("a.emb", "b.emb")} / (a.norm * b.norm), 6) AS sim
+        |    FROM ap a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  ) WHERE sim >= 0.3)
+        |SELECT em.vec_id, CAST(em.label AS BIGINT) AS label
+        |FROM embeddings em
+        |WHERE em.vec_id NOT IN (SELECT vec_b FROM drops)
+        |ORDER BY em.vec_id""".stripMargin)),
 
     // Brute-force exact cosine top-10 for the query set vec_id < 5.
     Q("sim_bruteforce_topk",
@@ -686,9 +709,13 @@ object ExtraAnalogs {
         val ev = Tables.events(s, d)
         val p = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
+        // asOfJoin's contract wants (user_id, click_ts) unique on the
+        // right: dedupe ties to a canonical winner (max value) so the
+        // matched payload is well-defined in BOTH engines even if the
+        // generator ever emits two same-microsecond clicks per user
         val c = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts").as("click_ts"),
-            col("value").as("click_value"))
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("value")).as("click_value"))
         graft.operators.TemporalJoins
           .asOfJoin(p, c, Seq("user_id"), "ts", "click_ts", Seq("click_value"))
           .withColumn("gap_us",
@@ -699,8 +726,8 @@ object ExtraAnalogs {
       },
       Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
         |            WHERE event_type = 'purchase'),
-        |     c AS (SELECT user_id, ts AS click_ts, value AS click_value
-        |           FROM events WHERE event_type = 'click')
+        |     c AS (SELECT user_id, ts AS click_ts, max(value) AS click_value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.ts, c.click_ts,
         |       epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us,
         |       c.click_value

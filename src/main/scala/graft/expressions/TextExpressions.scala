@@ -7,22 +7,25 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native 16-bit SimHash fold over a pre-hashed word array.
+/** Native `bits`-wide SimHash fold over a pre-hashed word array.
   *
-  * Replaces the built-in composition of SIXTEEN per-bit
+  * Replaces the built-in composition of `bits` per-bit
   * `aggregate(hashes, 0, acc + ((h >> b) & 1) * 2 - 1)` folds — higher-
   * order functions are interpreted (no codegen, no subexpression
-  * elimination), so that shape re-walks the array 16 times with lambda
-  * dispatch per element. This expression walks it ONCE inside
-  * whole-stage codegen, updating 16 counters.
+  * elimination), so that shape re-walks the array `bits` times with
+  * lambda dispatch per element. This expression walks it ONCE inside
+  * whole-stage codegen, updating `bits` counters.
   *
   * Semantics are bit-identical to the folds it replaces (and to the
   * DuckDB oracle's per-bit `list_sum` CASE): bit b of the result is set
   * iff strictly more element-hashes have bit b set than clear. Input
   * elements are non-null by construction (md5-derived hashes of
-  * non-null tokens).
+  * non-null tokens). Width is capped at 60 so the signature (and the
+  * 60-bit word hashes feeding it) stay positive in any engine's int64.
   */
-case class SimhashFold(child: Expression) extends UnaryExpression {
+case class SimhashFold(child: Expression, bits: Int = 16)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, s"simhash width must be in [1,60], got $bits")
 
   override def dataType: DataType = LongType
 
@@ -39,12 +42,12 @@ case class SimhashFold(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val counts = new Array[Int](16)
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
       val h = arr.getLong(i)
       var b = 0
-      while (b < 16) {
+      while (b < bits) {
         counts(b) += (((h >>> b) & 1L) * 2 - 1).toInt
         b += 1
       }
@@ -52,7 +55,7 @@ case class SimhashFold(child: Expression) extends UnaryExpression {
     }
     var out = 0L
     var b = 0
-    while (b < 16) {
+    while (b < bits) {
       if (counts(b) > 0) out |= 1L << b
       b += 1
     }
@@ -69,15 +72,15 @@ case class SimhashFold(child: Expression) extends UnaryExpression {
       val out = ctx.freshName("out")
       s"""
          |int $n = $x.numElements();
-         |int[] $counts = new int[16];
+         |int[] $counts = new int[$bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $x.getLong($i);
-         |  for (int $b = 0; $b < 16; $b++) {
+         |  for (int $b = 0; $b < $bits; $b++) {
          |    $counts[$b] += (int) ((($h >>> $b) & 1L) * 2 - 1);
          |  }
          |}
          |long $out = 0L;
-         |for (int $b = 0; $b < 16; $b++) {
+         |for (int $b = 0; $b < $bits; $b++) {
          |  if ($counts[$b] > 0) $out |= 1L << $b;
          |}
          |${ev.value} = $out;
@@ -255,9 +258,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object TextExpressions {
-  /** Column-level 16-bit simhash fold backed by the codegen expression. */
-  def simhashFold(hashes: Column): Column =
-    GraftBridge.column(SimhashFold(GraftBridge.expression(hashes)))
+  /** Column-level simhash fold backed by the codegen expression
+    * (default 16-bit; pass `bits` for the wider Manku-style sketch).
+    */
+  def simhashFold(hashes: Column, bits: Int = 16): Column =
+    GraftBridge.column(SimhashFold(GraftBridge.expression(hashes), bits))
 
   /** Column-level 4-band minhash key array backed by the codegen
     * expression.

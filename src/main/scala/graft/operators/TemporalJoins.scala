@@ -31,6 +31,11 @@ object TemporalJoins {
     * struct is null only on left-tagged rows, so the atomic row
     * semantics survive any payload nulls.
     *
+    * Null keys follow SQL equi-join/ASOF semantics: NULL never equals
+    * NULL, so null-keyed right rows are dropped before the union (they
+    * can match nothing), and null-keyed left rows pass through with a
+    * null right side (left-join shape).
+    *
     * Caller contract: `(on, rightTs)` must be unique on the right
     * (dedupe first — e.g. keep the max-payload row — or the winner at
     * an exactly-tied right timestamp is undefined), and
@@ -47,7 +52,11 @@ object TemporalJoins {
     val payload = struct((rightTs +: rightPayload).map(col): _*)
     val leftStructType = org.apache.spark.sql.types.StructType(
       left.schema.fields.filterNot(f => on.contains(f.name)))
-    val r = right.select(
+    // SQL null semantics: a null-keyed right row equals no left key.
+    // (The window would otherwise group it WITH null-keyed left rows —
+    // partitionBy treats nulls as one group — and invent matches.)
+    val rightNonNull = on.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val r = rightNonNull.select(
       on.map(col) ++ Seq(
         col(rightTs).as("__asof_ts"),
         lit(0).as("__asof_side"),

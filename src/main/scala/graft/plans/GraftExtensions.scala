@@ -26,8 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_fold"),
       new ExpressionInfo(classOf[SimhashFold].getName, "simhash_fold"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash_fold(hashes) takes one array arg")
-        SimhashFold(args.head)
+        require(args.length == 1 || args.length == 2,
+          "simhash_fold(hashes[, bits]) takes an array arg and optional width")
+        if (args.length == 1) SimhashFold(args.head)
+        else args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _) =>
+            SimhashFold(args.head, b)
+          case other => throw new IllegalArgumentException(
+            s"simhash_fold's bits must be an integer literal, got $other")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),

@@ -81,6 +81,29 @@ object DedupProps extends Properties("dedup") {
       got == expected
     }
 
+  property("Manku block blocking is LOSSLESS: blocked == brute-force pairs") =
+    forAll(genCorpus) { texts =>
+      // pigeonhole claim behind simhashPairs' scale design: a pair at
+      // Hamming <= 3 of 60 bits agrees exactly on >= 1 of the 4 15-bit
+      // blocks, so the block equi-join finds EVERY qualifying pair.
+      // Reference: blocking-free O(n^2) Hamming join on the same corpus.
+      import org.apache.spark.sql.functions._
+      val df = docsDf(texts)
+      val got = Dedup.simhashPairs(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val sigs = Dedup.simhash(df).select("doc_id", "simhash")
+      val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+      val expected = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      got == expected
+    }
+
   property("clusters: labels are component minima and cover every doc") =
     forAll(genCorpus) { texts =>
       val df = docsDf(texts)

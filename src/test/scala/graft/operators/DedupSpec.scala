@@ -43,8 +43,9 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m(0L) === m(1L))
     assert(m(0L) === m(2L))
-    assert(m(0L)._2 === (m(0L)._1 >> 8)) // bucket is the simhash prefix
-    assert((0 to 4).forall(i => m(i.toLong)._1 < (1L << 16)))
+    assert(m(0L)._2 === (m(0L)._1 >> 45)) // bucket is Manku block 0
+    assert((0 to 4).forall(i => m(i.toLong)._1 < (1L << 60)))
+    assert((0 to 4).forall(i => m(i.toLong)._1 >= 0L))
   }
 
   test("simhash pairs: identical/permuted docs collide at hamming 0") {

@@ -59,6 +59,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((0L, 1L, 1.0)))
   }
 
+  test("caller-supplied corpusN skips the count with IDENTICAL buckets/results") {
+    val n = embs.count()
+    assert(Similarity.nearDupPairs(embs, 0.3, corpusN = n).collect().toSeq ===
+      Similarity.nearDupPairs(embs, 0.3).collect().toSeq)
+    assert(Similarity.lshTopK(embs, nQueries = 2, k = 2, corpusN = n)
+      .collect().toSeq ===
+      Similarity.lshTopK(embs, nQueries = 2, k = 2).collect().toSeq)
+  }
+
+  test("near-dup survivors drop exactly the larger side of each pair") {
+    // pairs at 0.9: only (0,1) → survivor set = all but vec 1
+    val got = Similarity.nearDupSurvivors(embs, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (2L, 1L), (3L, 1L)))
+  }
+
   test("IVF k-means separates the clusters; nprobe=2 recovers cross-cell neighbors") {
     // seeds are v0,v1 (identical) — useless as-is; two Lloyd rounds
     // must pull {v0,v1} and {v2,v3} into distinct cells
