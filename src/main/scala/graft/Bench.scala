@@ -59,7 +59,12 @@ object Bench {
     // JSON carries "failed"/"errors", and the process exits nonzero.
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3))
-    val slowCutoffSec = 1.0
+    // 0.5 (was 1.0): round-5 showed mid-weight queries in the
+    // 0.5–1 s band drifting ±30% between rounds on 3 samples — ambient
+    // noise on a shared box. Doubling their sample count costs ~2 s of
+    // bench wall time and makes the round-over-round comparison
+    // measure the code, not the neighbor.
+    val slowCutoffSec = 0.5
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

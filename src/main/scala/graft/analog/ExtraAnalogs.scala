@@ -110,13 +110,12 @@ object ExtraAnalogs {
     * bucket). Probes are appended by each query (range(0,17) ⋈ j≤bits,
     * because DuckDB table functions can't take subquery bounds).
     */
-  private val dLshPrefix: String = {
+  private def dLshPrefixWith(prm: String): String = {
     val dotW = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
       s"range(1, least(len(e.emb), ${Similarity.MaxDim})+1), " +
       s"ii -> e.emb[ii]*hp.w[ii])), (x,y) -> x+y)"
     s"""$dHp,
-       |prm AS (SELECT $dBitsCase AS bits
-       |        FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |prm AS ($prm),
        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm FROM e0),
        |sk AS (
@@ -130,6 +129,10 @@ object ExtraAnalogs {
        |  FROM e JOIN sk USING (vec_id)
        |)""".stripMargin
   }
+
+  /** [[dLshPrefixWith]] at corpus-sized bits — the batch ANN queries. */
+  private val dLshPrefix: String = dLshPrefixWith(
+    s"SELECT $dBitsCase AS bits FROM (SELECT count(*) AS cnt FROM embeddings)")
 
   /** Multi-probe exploded side over bkt (self + Hamming-1 flips). */
   private def dProbes(alias: String, where: String = "") =
@@ -806,6 +809,105 @@ object ExtraAnalogs {
         |                    ORDER BY score DESC, term) AS rnk
         |                FROM scored)
         |SELECT doc_id, rnk, term, tf, df, round(score, 6) AS score
-        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Batch twin of the STREAMING exact-dedup operator
+    // (graft.streaming.EventStreams.dedupStream): the same code path —
+    // watermark + dropDuplicatesWithinWatermark — run on a finite
+    // frame, against an at-least-once replay (every event delivered
+    // twice). Output determinism: the duplicates are full-row
+    // identical, so whichever copy the dedup keeps, the content is
+    // the same; event_id is unique, so the ORDER BY is total.
+    Q("stream_dedup_replay",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        graft.streaming.EventStreams.dedupStream(ev.union(ev))
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("user_id"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH replay AS (
+        |  SELECT * FROM events UNION ALL SELECT * FROM events)
+        |SELECT DISTINCT event_id,
+        |       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       user_id, event_type, value
+        |FROM replay ORDER BY event_id""".stripMargin)),
+
+    // Batch twin of the STREAMING near-dup ingest screen
+    // (graft.streaming.DocStreams.nearDupScreen): every 10th doc
+    // "arrives" and probes a static MinHash band index of the rest —
+    // the stream-static join runs identically on a finite frame. One
+    // row per (arriving doc, indexed doc, colliding band position).
+    Q("stream_neardup_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val screen = graft.streaming.DocStreams.nearDupScreen(
+          docs.filter(col("doc_id") % 10 === 0),
+          graft.streaming.DocStreams.bandRows(
+            docs.filter(col("doc_id") % 10 =!= 0)))
+        screen.select(col("doc_id"), col("matched_id"),
+            col("band_pos").cast("long").as("band_pos"))
+          .orderBy("doc_id", "matched_id", "band_pos")
+      },
+      Some(s"""WITH $tokCte, $shCte, $hsCte,
+        |bands AS (
+        |${(0 until 4).map(b =>
+          s"  SELECT doc_id, ${b}::BIGINT AS band_pos, ${dBand("hs", b)} AS band FROM hsc")
+          .mkString("\n  UNION ALL\n")}
+        |)
+        |SELECT a.doc_id, c.doc_id AS matched_id, a.band_pos
+        |FROM bands a JOIN bands c
+        |  ON a.band_pos = c.band_pos AND a.band = c.band
+        |WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Batch twin of the STREAMING ANN screen
+    // (graft.streaming.VecStreams.annScreen): every 20th vector
+    // "arrives" (event time = one minute per vec_id), multi-probes a
+    // static LSH index (bits = 4, the build-time width) and keeps its
+    // top-3 matches per 1-hour window via the bounded-heap top_k
+    // aggregate — watermark, stream-static bucket join, and TopKAgg
+    // all on the batch path. Flattened to one row per (vec, rank) so
+    // the oracle is a row_number window over the same candidates.
+    Q("stream_ann_screen",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val arrivals = embs.filter(col("vec_id") % 20 === 0)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+          .select("vec_id", "embedding", "ts")
+        val index = Similarity.buildIndex(
+          embs.filter(col("vec_id") % 20 =!= 0), bits = 4)
+        graft.streaming.VecStreams.annScreen(arrivals, index, k = 3, bits = 4)
+          .select(col("hour"), col("vec_id"),
+            posexplode(col("matches")).as(Seq("pos", "m")))
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("vec_id"), col("m.label").as("cand"),
+            col("m.score").as("sim"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${dLshPrefixWith("SELECT 4 AS bits")},
+        |${dProbes("q", " AND q.vec_id % 20 = 0")},
+        |c AS (SELECT vec_id, emb, norm, bucket FROM bkt WHERE vec_id % 20 <> 0),
+        |hits AS (
+        |  SELECT q.vec_id, CAST(c.vec_id AS VARCHAR) AS cand,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+        |  FROM q JOIN c USING (bucket)
+        |),
+        |ranked AS (
+        |  SELECT vec_id, cand, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, cand) AS rnk
+        |  FROM hits
+        |)
+        |SELECT strftime(date_trunc('hour',
+        |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |       vec_id, cand, sim, rnk AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin))
   )
 }

@@ -25,6 +25,25 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** A result DataFrame plus the internally persisted plans backing it.
+    *
+    * The pair miners cache small derived artifacts (candidate edge
+    * lists, signature frames) that are referenced several times inside
+    * one plan. Bench/Verify clear the whole cache between queries, but
+    * a long-lived pipeline composing miners needs a per-operator
+    * release handle — `close()` unpersists exactly the plans this
+    * result created, nothing else (no `spark.catalog.clearCache()`
+    * hammer). Safe to call after the result has been fully consumed;
+    * Spark recomputes if the df is reused afterwards.
+    */
+  final class Managed(val df: DataFrame, handles: Seq[DataFrame])
+      extends AutoCloseable {
+    def close(): Unit = handles.foreach(_.unpersist(false))
+    /** True iff every internally persisted plan has been released. */
+    def released: Boolean =
+      handles.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   /** Exact dedup: group on md5(text); keeper = min doc_id per group.
     * Output one row per distinct content hash.
     */
@@ -63,12 +82,36 @@ object Dedup {
     * re-join the shingle arrays for verification, so full shingle sets
     * move for candidates only, never for the whole corpus×4 bands.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    minhashPairsManaged(docs, threshold).df
+
+  /** [[minhashPairs]] with its internal persist exposed for release —
+    * see [[Managed]]. `lengthPrefilter = false` disables the size-ratio
+    * candidate screen (exists so DedupProps can prove the screen
+    * lossless by comparing both paths; production always keeps it on).
+    */
+  def minhashPairsManaged(docs: DataFrame, threshold: Double = 0.5,
+      lengthPrefilter: Boolean = true): Managed = {
+    // two-step select: `hs` is non-cheap and referenced twice (bands +
+    // size) — CollapseProject keeps the steps separate, so the shingle
+    // hashing evaluates once per row
     val bands = docs
+      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
       .select(col("doc_id"),
-        graft.expressions.TextExpressions.minhashBands(
-          shingleHashes(shingles2(col("text")))).as("bands"))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("pos", "band")))
+        graft.expressions.TextExpressions.minhashBands(col("hs")).as("bands"),
+        size(col("hs")).cast("long").as("sz"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(col("bands")).as(Seq("pos", "band")))
+    // LOSSLESS length prefilter (same algebra as ngramJaccardPairs'
+    // buckets): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    // J ≥ t forces min/max ≥ t. The verify keeps round(J,6) ≥ t, i.e.
+    // J ≥ t − 5e-7, so screening at t − 1e-6 (margin > round-off plus
+    // any FP ulp in the multiply) provably drops only pairs the verify
+    // would drop anyway — each skipped pair saves a shingle re-join
+    // row and a merge-walk. Sizes ride the band explode for one long.
+    val sizeOk =
+      least(col("ba.sz"), col("bb.sz")).cast("double") >=
+        (lit(threshold) - lit(1e-6)) * greatest(col("ba.sz"), col("bb.sz"))
     // Self-join via ALIASES of one canonical projection so both sides
     // canonicalize to the same exchange (shareable at scale), and
     // PERSIST the candidate edge list: it is referenced three times
@@ -80,6 +123,7 @@ object Dedup {
       .join(bands.alias("bb"),
         col("ba.pos") === col("bb.pos") && col("ba.band") === col("bb.band"))
       .filter(col("ba.doc_id") < col("bb.doc_id"))
+      .filter(if (lengthPrefilter) sizeOk else lit(true))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
       .cache()
@@ -97,7 +141,7 @@ object Dedup {
       size(col("sh_b")).cast("long") - inter
     // same aliasing trick for the two verify joins: candSh's exchange
     // is shared between the doc_a and doc_b sides
-    candidates.alias("c")
+    val out = candidates.alias("c")
       .join(candSh.alias("sa"), col("c.doc_a") === col("sa.doc_id"))
       .join(candSh.alias("sb"), col("c.doc_b") === col("sb.doc_id"))
       .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
@@ -115,6 +159,7 @@ object Dedup {
       // (the reference exports single CSVs, so one output partition is
       // the right final shape at any scale)
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    new Managed(out, Seq(candidates))
   }
 
   /** Blocked pairwise n-gram Jaccard: self-join within (lang, source,
@@ -209,7 +254,13 @@ object Dedup {
     * sane sketch width) are deduped (a pair agreeing on k blocks
     * appears k times) and single-partition sorted for the export tail.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsManaged(docs, maxHamming).df
+
+  /** [[simhashPairs]] with its internal persist exposed for release —
+    * see [[Managed]].
+    */
+  def simhashPairsManaged(docs: DataFrame, maxHamming: Int = 3): Managed = {
     val nBlocks = maxHamming + 1
     require(SimhashBits % nBlocks == 0,
       s"maxHamming must be one of 1..5 (60-bit blocks), got $maxHamming")
@@ -217,7 +268,7 @@ object Dedup {
     val mask = (1L << blockBits) - 1
     // cache: the 60-bit fold is the expensive scalar half and the
     // self-join evaluates its input once per side (Bench/Verify clear
-    // caches between queries; a long-lived pipeline should unpersist)
+    // caches between queries; long-lived pipelines release via Managed)
     val sigs = docs
       .select(col("doc_id"), simhash60(col("text")).as("simhash")).cache()
     val blocks = sigs.select(col("doc_id"), col("simhash"),
@@ -228,7 +279,7 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = blocks.select(col("blk"), col("bval"),
       col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("blk", "bval"))
+    val out = a.join(b, Seq("blk", "bval"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
@@ -240,6 +291,7 @@ object Dedup {
       // range-sampling double-execution, and only the surviving pair
       // list crosses the single-task exchange
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    new Managed(out, Seq(sigs))
   }
 
   /** Dedup completion: collapse near-dup PAIRS into clusters and pick
@@ -253,7 +305,25 @@ object Dedup {
     * recursive transitive-closure CTE).
     */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
-      localThreshold: Int = 100000): DataFrame = {
+      localThreshold: Int = 100000, sorted: Boolean = true): DataFrame =
+    clustersManaged(docs, pairs, maxIters, localThreshold, sorted).df
+
+  /** [[clusters]] with its internal persists exposed for release (see
+    * [[Managed]]) and the export sort made explicit.
+    *
+    * `sorted = true` (the oracle/export convention — the reference
+    * exports single ordered CSVs) ends in a corpus-wide `orderBy
+    * ("doc_id")`: a global range sort of every doc_id purely for
+    * output determinism. A pipeline composing the labels into further
+    * joins/aggregations should pass `sorted = false` — the label
+    * frame's value is its content, the total order is pure export
+    * cost (the same argument as the pair miners' repartition(1)
+    * tails, which only ever sort the vanishing-fraction pair list).
+    */
+  def clustersManaged(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+      localThreshold: Int = 100000, sorted: Boolean = true): Managed = {
+    def exportOrder(df: DataFrame): DataFrame =
+      if (sorted) df.orderBy("doc_id") else df
     // fast path: an LSH pair graph is normally a vanishing fraction of
     // the corpus — when it fits the driver comfortably, union-find
     // locally and broadcast the mapping instead of iterating jobs.
@@ -277,11 +347,10 @@ object Dedup {
       val spark = docs.sparkSession
       import spark.implicits._
       val mapDf = broadcast(mapping.toDF("doc_id", "root"))
-      return docs.select(col("doc_id"))
+      return new Managed(exportOrder(docs.select(col("doc_id"))
         .join(mapDf, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("root"), col("doc_id")).as("cluster_id"))
-        .orderBy("doc_id")
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))), Nil)
     }
 
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -321,6 +390,7 @@ object Dedup {
     }
     val untouched = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .join(edgeIds, Seq("doc_id"), "left_anti")
-    untouched.union(labels).orderBy("doc_id")
+    new Managed(exportOrder(untouched.union(labels)),
+      Seq(edges, edgeIds) ++ Option(cached))
   }
 }

@@ -128,12 +128,17 @@ object EventStreams {
     * seen, with state bounded by the watermark horizon (ids older than
     * the watermark are evicted — the standard at-least-once → effective
     * exactly-once repair for replayed sources). Batch mode: plain
-    * distinct-by-id.
+    * distinct-by-id (`dropDuplicatesWithinWatermark` is streaming-only
+    * in Spark 4, and a finite frame needs no state bound) — same
+    * keep-one-per-id semantics, so the batch run is the oracle twin of
+    * the stream (`stream_dedup_replay`).
     */
   def dedupStream(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Streaming entry: parquet-directory source → hourly aggregate →
     * parquet sink with checkpointing. Returns the running query; callers

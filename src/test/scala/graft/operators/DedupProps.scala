@@ -51,6 +51,49 @@ object DedupProps extends Properties("dedup") {
         pairs.map(p => (p._1, p._2)).distinct.length == pairs.length
     }
 
+  property("minhash length prefilter is LOSSLESS: filtered == unfiltered") =
+    forAll(genCorpus) { texts =>
+      // the claim behind the candidate screen: J >= t forces
+      // min(|A|,|B|)/max(|A|,|B|) >= t, and the verify's round-at-6
+      // keeps J >= t - 5e-7, so screening at t - 1e-6 drops only pairs
+      // the verify drops. Compare both paths on the same corpus.
+      val df = docsDf(texts)
+      def run(pf: Boolean) = {
+        val m = Dedup.minhashPairsManaged(df, 0.5, lengthPrefilter = pf)
+        val rows = m.df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        m.close()
+        rows
+      }
+      run(true) == run(false)
+    }
+
+  property("managed miners release their internal persists on close") =
+    forAll(genCorpus) { texts =>
+      val df = docsDf(texts)
+      val mh = Dedup.minhashPairsManaged(df)
+      val sh = Dedup.simhashPairsManaged(df)
+      // localThreshold = 0 forces the distributed label-propagation
+      // path, whose edge/label persists are the ones worth releasing
+      val cl = Dedup.clustersManaged(df, mh.df, localThreshold = 0)
+      // materialize everything, then release
+      cl.df.collect(); sh.df.collect()
+      val open = !mh.released || !sh.released
+      mh.close(); sh.close(); cl.close()
+      open && mh.released && sh.released && cl.released
+    }
+
+  property("clusters unsorted variant has identical content") =
+    forAll(genCorpus) { texts =>
+      val df = docsDf(texts)
+      val pairs = Dedup.minhashPairs(df)
+      val sortedRows = Dedup.clusters(df, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val unsorted = Dedup.clusters(df, pairs, sorted = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      unsorted.sorted == sortedRows
+    }
+
   property("length-bucket blocking is LOSSLESS: blocked == unblocked pairs") =
     forAll(genCorpus) { texts =>
       // the claim the operator's scale design rests on: J >= t forces
