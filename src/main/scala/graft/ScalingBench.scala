@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scaling-curve harness: measures how the pair-miner / ANN family
+  * grows with corpus size — the empirical backing for every "scale-
+  * safe" claim in PLANS.md (which otherwise rest on plan shape at one
+  * size). Synthesizes k× corpora (k = 1,2,4,8) from the sf0.1
+  * documents/embeddings tables, times each operator at every size, and
+  * prints per-query growth exponents (log-log slope between 1× and the
+  * largest size). A blocked/banded miner should land ~n^1.0–1.3; a
+  * quadratic one shows as ~n^2 immediately at 8×.
+  *
+  * Corpus synthesis (replica r of k):
+  *   - documents: doc_id += r·10⁷; every whitespace token gets a
+  *     replica suffix ("w" → "w~r") for r > 0. Token-level salting
+  *     preserves ALL intra-replica structure exactly — token counts,
+  *     distinctness, shingle sets, length buckets — while md5-derived
+  *     hashes (minhash bands, simhash bits) decorrelate completely
+  *     across replicas, so the duplicate-pair DENSITY of the base
+  *     corpus is preserved under growth (the property real corpus
+  *     growth has: duplicate fraction roughly constant, not rising).
+  *     `source` also gets the replica suffix: block diversity grows
+  *     with the corpus, which is [[graft.operators.Dedup.ngramJaccardPairs]]'s
+  *     documented operating regime; the fixed-source adversarial
+  *     regime is measured separately (`dedup_ngram_fixedsrc`).
+  *   - embeddings: vec_id += r·10⁷; element i is sign-flipped by a
+  *     deterministic per-replica pattern (xxhash64(r, i) parity).
+  *     Same flips within a replica ⇒ intra-replica dot products are
+  *     bit-exact; across replicas the pattern decorrelates cosine to
+  *     ~N(0, 1/√d), so near-dup structure per replica is preserved
+  *     and cross-replica pairs are (as in a real corpus) rare.
+  *
+  * Usage:
+  *   sbt "runMain graft.ScalingBench [baseSfDir] [outRoot]"
+  * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALING_RUNS
+  * (default 2, best-of), SPARK_GRAFT_SCALES (default "1,2,4,8").
+  * Stdout: one JSON line (times, counts, exponents). Stderr: the
+  * ready-to-paste SCALING.md table.
+  */
+object ScalingBench {
+
+  private val IdOffset = 10000000L
+
+  /** Salted k× replication of the documents table (see class doc). */
+  def scaleDocuments(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      if (r == 0) docs
+      else {
+        val salted = array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"~$r"))),
+          " ")
+        docs.select(
+          (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
+          salted.as("text"),
+          col("lang"),
+          concat(col("source"), lit(s"~$r")).as("source"),
+          length(salted).cast("long").as("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+
+  /** Sign-flipped k× replication of the embeddings table (see class
+    * doc). The flip pattern depends only on (replica, element index),
+    * so it is deterministic across runs and identical for every vector
+    * of one replica — intra-replica cosine is bit-exact.
+    */
+  def scaleEmbeddings(embs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      if (r == 0) embs
+      else {
+        val flipped = transform(col("embedding"), (x, i) =>
+          when(pmod(xxhash64(lit(r), i), lit(2)) === 0, x).otherwise(-x))
+        embs.select(
+          (col("vec_id") + lit(r * IdOffset)).as("vec_id"),
+          flipped.as("embedding"),
+          col("label"))
+      }
+    }.reduce(_ unionByName _)
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int): Unit = {
+    scaleDocuments(Tables.documents(spark, baseDir), k)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaleEmbeddings(Tables.embeddings(spark, baseDir), k)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** The operators under test. Registry entries are reused verbatim
+    * (they read documents/embeddings via Tables from the passed dir);
+    * `dedup_ngram_fixedsrc` additionally measures the ngram miner's
+    * ADVERSARIAL regime — source diversity held constant while the
+    * corpus grows, so same-block cohorts grow k× and the blocked
+    * verify is expected ~n^2 (the documented "compose with
+    * minhashPairs" regime, here quantified).
+    */
+  private def subjects: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val names = Seq(
+      "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+      "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
+      "emb_dedup_survivors", "sim_lsh_topk", "sim_ivf_topk")
+    val fromRegistry = names.map { n =>
+      val q = Registry.all.find(_.name == n)
+        .getOrElse(sys.error(s"not registered: $n"))
+      q.name -> q.fn
+    }
+    val fixedSrc: (SparkSession, String) => DataFrame = (s, d) =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).withColumn("source",
+          regexp_replace(col("source"), "~\\d+$", "")))
+    // τ=0.6 twin of dedup_embedding_cosine: at τ=0.3 on d=64 unit
+    // vectors, ~0.75% of ALL pairs qualify (measured on the base
+    // corpus — the random-cosine floor, sd≈1/√d), so the OUTPUT is
+    // Θ(n²) and no miner can beat its own output size. At τ=0.6 the
+    // true-pair density is ~0 and the measurement isolates the
+    // algorithm: bucketing + probe + verify, expected ~linear.
+    val embCos06: (SparkSession, String) => DataFrame = (s, d) =>
+      graft.operators.Similarity.nearDupPairs(Tables.embeddings(s, d), 0.6)
+    fromRegistry ++ Seq(
+      "dedup_ngram_fixedsrc" -> fixedSrc,
+      "dedup_embcos_t06" -> embCos06)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot = args.drop(1).headOption.getOrElse("target/scaling")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_SCALING_RUNS")
+      .flatMap(_.toIntOption).getOrElse(2))
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    // comma-separated subject-name filter for re-measuring one curve
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scales.foreach { k =>
+      val dir = s"$outRoot/x$k"
+      if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
+        System.err.println(s"synthesizing $dir ...")
+        synthesize(spark, baseDir, dir, k)
+      }
+    }
+
+    def exec(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val active = if (only.isEmpty) subjects
+      else subjects.filter { case (n, _) => only(n) }
+
+    // warmup at 1× pays JIT/codegen once, outside every measurement
+    active.foreach { case (_, fn) =>
+      try exec(fn(spark, s"$outRoot/x${scales.head}"))
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+
+    // rows: one untimed count per cell — the pair miners' output
+    // growth (linear, not quadratic) is itself scaling evidence
+    val cells = for ((name, fn) <- active; k <- scales) yield {
+      spark.catalog.clearCache()
+      val dir = s"$outRoot/x$k"
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        exec(fn(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      val rows = fn(spark, dir).count()
+      System.err.println(
+        f"$name%-26s x$k%-3d best=${times.min}%8.3fs rows=$rows%d")
+      (name, k, times.min, rows)
+    }
+
+    val byName = cells.groupBy(_._1)
+    val sorted = scales.sorted
+    val maxK = sorted.last
+    // two slopes per query: endpoint (first→last scale — depressed by
+    // any fixed per-job overhead, so it UNDERSTATES growth) and tail
+    // (last two scales — the best proxy for the asymptotic exponent)
+    val summary = active.map { case (name, _) =>
+      val m = byName(name).map(c => c._2 -> (c._3, c._4)).toMap
+      val exp = math.log(m(maxK)._1 / m(sorted.head)._1) /
+        math.log(maxK.toDouble / sorted.head)
+      val tailExp = if (sorted.size >= 2) {
+        val (a, b) = (sorted(sorted.size - 2), maxK)
+        math.log(m(b)._1 / m(a)._1) / math.log(b.toDouble / a)
+      } else exp
+      (name, m, exp, tailExp)
+    }
+
+    // stderr: the SCALING.md table
+    val hdr = scales.map(k => f"x$k time (s)").mkString(" | ")
+    val rhdr = scales.map(k => f"x$k rows").mkString(" | ")
+    System.err.println(s"\n| query | $hdr | exp | tail exp | $rhdr |")
+    System.err.println(
+      "|---|" + scales.map(_ => "---|").mkString +
+        "---|---|" + scales.map(_ => "---|").mkString)
+    summary.foreach { case (name, m, exp, tailExp) =>
+      val ts = scales.map(k => f"${m(k)._1}%.2f").mkString(" | ")
+      val rs = scales.map(k => m(k)._2.toString).mkString(" | ")
+      System.err.println(f"| `$name` | $ts | $exp%.2f | **$tailExp%.2f** | $rs |")
+    }
+
+    def jstr(s: String) = "\"" + s + "\""
+    val qjson = summary.map { case (name, m, exp, tailExp) =>
+      jstr(name) + ":{" +
+        "\"times\":{" + scales.map(k => jstr(s"x$k") + ":" + m(k)._1)
+          .mkString(",") + "}," +
+        "\"rows\":{" + scales.map(k => jstr(s"x$k") + ":" + m(k)._2)
+          .mkString(",") + "}," +
+        "\"exponent\":" + f"$exp%.3f" + "," +
+        "\"tail_exponent\":" + f"$tailExp%.3f" + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","base":"$baseDir","scales":[${scales.mkString(",")}],"runs":$runs,"queries":$qjson}""")
+    spark.stop()
+  }
+}

@@ -568,6 +568,34 @@ object CoreAnalogs {
         |  FROM events
         |)
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Visualization manifest — the deterministic artifact behind the
+    // reference's T2/T5 notebooks (`codes/task2_vis.ipynb`,
+    // `codes/task5_vis.ipynb`): render all four figures + the data view
+    // in memory (graft.rideshare.VisReport.renderAll) and expose one
+    // (figure, sha256, bytes) row per artifact. No DuckDB oracle (SVG
+    // rendering isn't SQL) → the driver records the rows-only check,
+    // but the verify parquet now carries content hashes that diff
+    // round-over-round — determinism is separately pinned by
+    // VisReportSpec's double-render test. The collect()s inside
+    // renderAll are the notebooks' own pandas step: ≤ dozens of
+    // pre-aggregated rows.
+    Q("vis_report_manifest",
+      (s, d) => {
+        val byName = queries.map(q => q.name -> q.fn).toMap
+        val arts = graft.rideshare.VisReport.renderAll(
+          byName("t2a_trip_count")(s, d), byName("t2b_total_profit")(s, d),
+          byName("t2c_total_earnings")(s, d), byName("t5a_daily_avg_value")(s, d))
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        val rows = arts.map { case (name, content) =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (name, digest.digest(bytes).map("%02x".format(_)).mkString,
+            bytes.length.toLong)
+        }.sortBy(_._1)
+        import s.implicits._
+        rows.toDF("figure", "sha256", "bytes")
+      },
+      None)
   )
 }

@@ -157,14 +157,20 @@ object VisReport {
     sb.toString
   }
 
-  /** Render the four reference figures + table views from the T2/T5
-    * result frames (column contracts: T2 frames are
-    * (business, month, value); T5 is (day, value)). Returns the
-    * written paths.
+  /** Render the four reference figures + the markdown data view from
+    * the T2/T5 result frames (column contracts: T2 frames are
+    * (business, month, value); T5 is (day, value)), as in-memory
+    * (filename, content) pairs in fixed filename order.
+    *
+    * Deterministic by construction: the input frames end in total
+    * ORDER BYs (the registry contract), `barRows` re-sorts, and the
+    * SVG text contains no timestamps or randomness — identical inputs
+    * yield byte-identical artifacts, which is what lets the
+    * `vis_report_manifest` registry query expose content hashes for
+    * round-over-round diffing.
     */
-  def writeReports(t2a: DataFrame, t2b: DataFrame, t2c: DataFrame,
-      t5a: DataFrame, outDir: String): Seq[String] = {
-    Files.createDirectories(Paths.get(outDir))
+  def renderAll(t2a: DataFrame, t2b: DataFrame, t2c: DataFrame,
+      t5a: DataFrame): Seq[(String, String)] = {
     def barRows(df: DataFrame) = df.collect()
       .map(r => (String.valueOf(r.get(1)), String.valueOf(r.get(0)), num(r.get(2))))
       .toSeq.sortBy(x => (x._1.length, x._1)) // months numeric-ish order
@@ -181,15 +187,22 @@ object VisReport {
           .sortBy(_._1.replaceAll("[^0-9]", "").toInt),
           "January daily average waiting time", "seconds"), t5a))
     val md = new StringBuilder("# Rideshare visual report (T2 / T5)\n\n")
-    val paths = figures.map { case (name, titleTxt, _, svg, df) =>
-      val p = Paths.get(outDir, s"$name.svg")
-      Files.write(p, svg.getBytes(StandardCharsets.UTF_8))
+    val svgs = figures.map { case (name, titleTxt, _, svg, df) =>
       md.append(s"## $titleTxt\n\n![$titleTxt]($name.svg)\n\n")
       md.append(markdownTable(df)).append("\n")
+      s"$name.svg" -> svg
+    }
+    svgs :+ ("vis_report.md" -> md.toString)
+  }
+
+  /** [[renderAll]] written to `outDir`; returns the written paths. */
+  def writeReports(t2a: DataFrame, t2b: DataFrame, t2c: DataFrame,
+      t5a: DataFrame, outDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(outDir))
+    renderAll(t2a, t2b, t2c, t5a).map { case (name, content) =>
+      val p = Paths.get(outDir, name)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
       p.toString
     }
-    val mdPath = Paths.get(outDir, "vis_report.md")
-    Files.write(mdPath, md.toString.getBytes(StandardCharsets.UTF_8))
-    paths :+ mdPath.toString
   }
 }

@@ -21,8 +21,13 @@ class RegistrySmokeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("every query has an oracle") {
-    assert(Registry.all.forall(_.oracle.isDefined))
+  test("every query has an oracle (except the known non-SQL artifacts)") {
+    // vis_report_manifest hashes rendered SVG/markdown — not expressible
+    // in DuckDB SQL, so the driver records its rows-only check
+    val oracleless = Set("vis_report_manifest")
+    val missing = Registry.all.filter(q => q.oracle.isEmpty && !oracleless(q.name))
+    assert(missing.isEmpty, s"queries missing oracles: ${missing.map(_.name)}")
+    assert(oracleless.subsetOf(Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet))
   }
 
   test("every query's output schema is hash-compare safe") {

@@ -30,6 +30,14 @@ class VisReportSpec extends AnyFunSuite with SparkSpec {
     assert(md.contains("| Uber | 1 | 100 |"))
   }
 
+  test("renderAll is deterministic: double render is byte-identical") {
+    val a = VisReport.renderAll(t2a, t2b, t2b, t5a)
+    val b = VisReport.renderAll(t2a, t2b, t2b, t5a)
+    assert(a.map(_._1) === Seq("t2a_trip_counts.svg", "t2b_total_profits.svg",
+      "t2c_total_earnings.svg", "t5_daily_avg_wait.svg", "vis_report.md"))
+    assert(a === b) // what makes vis_report_manifest's hashes diffable
+  }
+
   test("grouped bars: fixed series slots, one bar per (category, series), legend") {
     val svg = VisReport.groupedBarSvg(Seq(
       ("1", "Uber", 100.0), ("1", "Lyft", 80.0),
