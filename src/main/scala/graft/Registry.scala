@@ -20,5 +20,6 @@ final case class Q(
 object Registry {
   /** Every registered query, in SURVEY.md §2 inventory order. */
   lazy val all: Seq[Q] =
-    graft.analog.CoreAnalogs.queries ++ graft.analog.ExtraAnalogs.queries
+    graft.analog.CoreAnalogs.queries ++ graft.analog.ExtraAnalogs.queries ++
+      graft.analog.DecontamAnalogs.queries
 }

@@ -1,0 +1,132 @@
+package graft.analog
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.operators.Decontam
+import graft.sources.Tables
+
+/** Registry entries + DuckDB oracles for the decontamination /
+  * corpus-composition operators (graft.operators.Decontam) — the
+  * train-eval hygiene surface of the LLM-data pipeline (no reference
+  * counterpart; the reference's surface is the 7 rideshare tasks).
+  *
+  * The benchmark set for the screen queries is carved from the
+  * documents table itself (`doc_id % 50 = 0` — every 50th doc, ~2%),
+  * so the oracle can reproduce the exact split with integer
+  * arithmetic and the screen exercises the real near-dup structure of
+  * the corpus (replicated docs land on both sides of the split).
+  */
+object DecontamAnalogs {
+
+  /** 60-bit word hash — TextFunctions.wordHash60. */
+  private def dH60(w: String) = s"('0x' || substr(md5($w),1,15))::BIGINT"
+
+  /** Distinct word-3-gram CTE over documents: (doc_id, gs LIST).
+    * range(1, len(w)-1) is empty for docs under 3 words — no edge
+    * cases.
+    */
+  private val g3Cte =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g3 AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, len(w) - 1),
+      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs FROM tok)""".stripMargin
+
+  /** Exploded 60-bit 3-gram hashes for each side of the bench/train
+    * split (train = doc_id % 50 <> 0, bench = the rest).
+    */
+  private val splitCte =
+    s"""tg AS (SELECT doc_id AS train_id, ${dH60("g")} AS h
+       |      FROM (SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 50 <> 0)),
+       |bg AS (SELECT doc_id AS bench_id, ${dH60("g")} AS h
+       |      FROM (SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 50 = 0))""".stripMargin
+
+  private val hitsSql =
+    s"""WITH $g3Cte, $splitCte
+       |SELECT tg.train_id, bg.bench_id,
+       |       count(DISTINCT tg.h) AS n_shared
+       |FROM tg JOIN bg ON tg.h = bg.h
+       |GROUP BY 1, 2
+       |HAVING count(DISTINCT tg.h) >= 2
+       |ORDER BY train_id, bench_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // GPT-3-style n-gram contamination screen: train docs sharing >= 2
+    // distinct word 3-grams with any benchmark doc, with the overlap
+    // count per (train, bench) pair.
+    Q("decontam_hits",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontam.overlapScreen(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      },
+      Some(hitsSql)),
+
+    // The decontaminated keep set: train docs hitting NO benchmark doc.
+    Q("decontam_survivors",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontam.survivors(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      },
+      Some(s"""WITH $g3Cte, $splitCte,
+        |hits AS (SELECT tg.train_id FROM tg JOIN bg ON tg.h = bg.h
+        |         GROUP BY tg.train_id, bg.bench_id
+        |         HAVING count(DISTINCT tg.h) >= 2)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT train_id FROM hits)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Per-doc repetition profile over word 2-grams: the C4/Gopher-style
+    // boilerplate signal (total vs distinct n-grams, modal token share).
+    Q("text_repetition",
+      (s, d) => Decontam.repetitionStats(Tables.documents(s, d)),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs FROM tok),
+        |modal AS (
+        |  SELECT doc_id, max(c) AS best FROM (
+        |    SELECT doc_id, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(w) AS t FROM tok)
+        |    GROUP BY doc_id, t)
+        |  GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(len(gs) AS BIGINT) AS n_distinct,
+        |  round(CASE WHEN len(w) - 1 > 0
+        |    THEN 1.0 - CAST(len(gs) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS repetition_ratio,
+        |  round(CAST(best AS DOUBLE) / CAST(len(w) AS DOUBLE), 6)
+        |    AS top_token_share
+        |FROM tok
+        |JOIN g2 ON tok.doc_id = g2.doc_id
+        |JOIN modal ON tok.doc_id = modal.doc_id
+        |ORDER BY tok.doc_id""".stripMargin)),
+
+    // Domain-mixture bookkeeping: per-source token share + the
+    // uniform-target resampling weight (The Pile / DoReMi shape).
+    Q("domain_mix_weights",
+      (s, d) => Decontam.domainMix(Tables.documents(s, d)),
+      Some("""WITH per_source AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |totals AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |         count(*) AS n_sources
+        |  FROM per_source)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+        |    AS token_share,
+        |  round((1.0 / CAST(n_sources AS DOUBLE)) /
+        |    (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6)
+        |    AS samp_weight
+        |FROM per_source CROSS JOIN totals
+        |ORDER BY source""".stripMargin))
+  )
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Benchmark decontamination and corpus-composition operators — the
+  * train/eval hygiene half of an LLM-data pipeline (BASELINE.json
+  * north star; no counterpart in the reference, whose surface is the
+  * 7 rideshare tasks). The standard practice these implement is the
+  * n-gram overlap screen of GPT-3 appendix C / PaLM §6: a training
+  * document is contaminated if it shares enough distinct word n-grams
+  * with any benchmark document.
+  *
+  * Scale design (100 TB train corpus, benchmark sets of at most a few
+  * hundred thousand docs):
+  *   - the benchmark side's exploded n-gram table is SMALL by
+  *     definition — it broadcasts; the train side streams through one
+  *     equi-join on an 8-byte n-gram hash. No shuffle of train text,
+  *     no train-side self-anything.
+  *   - overlap counting groups on (train doc, bench doc) — bounded by
+  *     hits, which a sane screen keeps to a vanishing fraction.
+  *   - the survivor set is a `left_anti` on the hit list: the corpus
+  *     streams through once more and never materializes pair state.
+  */
+object Decontam {
+
+  /** Distinct word n-gram shingles via iterated zip_with: the shifted
+    * sides pad with null and `concat` propagates it, so trailing
+    * partial n-grams drop in the filter — no `sequence()` edge cases
+    * on docs shorter than n words (same construction as
+    * [[graft.functions.TextFunctions.shingles2]], generalized).
+    */
+  def shinglesN(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = tokens(text)
+    val joined = (2 to n).foldLeft(w) { (acc, i) =>
+      zip_with(acc, slice(w, lit(i), size(w)), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
+  }
+
+  /** One row per (train doc, benchmark doc) sharing ≥ `minShared`
+    * distinct word `n`-grams: (train_id, bench_id, n_shared). The
+    * screen's hit list — audit it, then feed it to [[survivors]].
+    *
+    * Join key is the 60-bit md5-derived shingle hash
+    * ([[graft.functions.TextFunctions.wordHash60]]): 8 bytes instead
+    * of the shingle text crossing the join, with a collision rate
+    * (~2⁻⁶⁰ per distinct-shingle pair) far below any screen's noise
+    * floor, and exactly reproducible in the DuckDB oracle.
+    */
+  def overlapScreen(train: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    def grams(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(shinglesN(col("text"), n)).as("g"))
+      .select(col(idAs), wordHash60(col("g")).as("h"))
+    val t = grams(train, "train_id")
+    val b = broadcast(grams(bench, "bench_id"))
+    t.join(b, "h")
+      // distinct (train, bench, hash) — the same shared n-gram must
+      // count once however many times either side repeats it
+      .select("train_id", "bench_id", "h").distinct()
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("train_id", "bench_id")
+  }
+
+  /** Training docs that hit NO benchmark doc at the screen's
+    * threshold — the decontaminated keep set. One `left_anti` against
+    * the hit list's train ids; the corpus never shuffles.
+    */
+  def survivors(train: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Int = 2): DataFrame =
+    train.select("doc_id")
+      .join(overlapScreen(train, bench, n, minShared)
+        .select(col("train_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+
+  /** Per-document repetition profile over word `n`-grams — the
+    * boilerplate/spam signal every quality-filter stack carries
+    * (C4/Gopher-style repetition rules): total n-grams, distinct
+    * n-grams, repetition ratio (1 − distinct/total; 0 for docs too
+    * short to have one), and the top single-token share. Pure per-row
+    * scalar work — no shuffle except the export sort.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val w = tokens(col("text"))
+    // total n-grams = max(len(w)-(n-1), 0); distinct via shinglesN
+    val total = greatest(size(w) - lit(n - 1), lit(0)).cast("long")
+    val distinctN = size(shinglesN(col("text"), n)).cast("long")
+    // top token share: modal token count / token count. aggregate over
+    // the SORTED token array — equal tokens are adjacent, so the modal
+    // count is one run-length pass (no per-row map state).
+    val sorted = array_sort(w)
+    val runBest = aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(acc.getField("prev").isNotNull &&
+          acc.getField("prev") === t, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(
+      col("doc_id"),
+      total.as("n_ngrams"),
+      distinctN.as("n_distinct"),
+      round(when(total > 0,
+        lit(1.0) - distinctN.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0)), 6).as("repetition_ratio"),
+      round(runBest.cast("double") / size(w).cast("double"), 6)
+        .as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source corpus composition and uniform-target resampling
+    * weights — the domain-mixture bookkeeping of a pretraining data
+    * recipe (The Pile / DoReMi shape: observed token share vs target
+    * share per domain). With k observed sources and a uniform target,
+    * `samp_weight` = (1/k) / token_share: multiply each source's
+    * sampling rate by it and the mixture lands on target.
+    *
+    * Scale: one aggregation over (source); the corpus-wide token total
+    * joins back as a broadcast 1-row frame (the tfidf doc-count
+    * pattern) — never a second scan.
+    */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val perSource = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum("n_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"),
+          6).as("token_share"),
+        round((lit(1.0) / col("n_sources").cast("double")) /
+          (col("n_tokens").cast("double") / col("tot_tokens").cast("double")),
+          6).as("samp_weight"))
+      .orderBy("source")
+  }
+}
