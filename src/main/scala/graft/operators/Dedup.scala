@@ -94,7 +94,11 @@ object Dedup {
       lengthPrefilter: Boolean = true): Managed = {
     // two-step select: `hs` is non-cheap and referenced twice (bands +
     // size) — CollapseProject keeps the steps separate, so the shingle
-    // hashing evaluates once per row
+    // hashing evaluates once per row. CACHED because the self-join
+    // below evaluates its input once per side (the broadcast arm can't
+    // reuse the other side's exchange), and the md5-per-shingle hash
+    // walk is the operator's dominant scalar cost — the cache is
+    // 4 × 24-byte rows per doc, no text.
     val bands = docs
       .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
       .select(col("doc_id"),
@@ -102,6 +106,7 @@ object Dedup {
         size(col("hs")).cast("long").as("sz"))
       .select(col("doc_id"), col("sz"),
         posexplode(col("bands")).as(Seq("pos", "band")))
+      .cache()
     // LOSSLESS length prefilter (same algebra as ngramJaccardPairs'
     // buckets): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
     // J ≥ t forces min/max ≥ t. The verify keeps round(J,6) ≥ t, i.e.
@@ -133,8 +138,12 @@ object Dedup {
     val candIds = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
+    // cached: both verify-join arms below consume it (sa broadcast +
+    // sb), and recomputing means a second scan of docs — bounded by
+    // |candidate docs| rows of sorted shingle arrays
     val candSh = docs.join(candIds, "doc_id")
       .select(col("doc_id"), array_sort(shingles2(col("text"))).as("sh"))
+      .cache()
     val inter = graft.expressions.TextExpressions
       .sortedIntersectCount(col("sh_a"), col("sh_b"))
     val union = size(col("sh_a")).cast("long") +
@@ -159,7 +168,7 @@ object Dedup {
       // (the reference exports single CSVs, so one output partition is
       // the right final shape at any scale)
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
-    new Managed(out, Seq(candidates))
+    new Managed(out, Seq(bands, candidates, candSh))
   }
 
   /** Blocked pairwise n-gram Jaccard: self-join within (lang, source,
@@ -181,16 +190,31 @@ object Dedup {
     * where even a single cohort is huge, compose with [[minhashPairs]]
     * (LSH banding) and keep (lang, source) as a pre-filter.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsManaged(docs, threshold).df
+
+  /** [[ngramJaccardPairs]] with its internal persist exposed for
+    * release — see [[Managed]].
+    */
+  def ngramJaccardPairsManaged(docs: DataFrame,
+      threshold: Double = 0.8): Managed = {
     require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
     val bucketWidth = -math.log(threshold) // ln(1/t)
     // word sets sorted ONCE per doc so the per-pair verify is a native
     // merge walk (SortedIntersectCount) instead of a hash-set build —
-    // the verify is the quadratic-in-block part, the sort is linear
+    // the verify is the quadratic-in-block part, the sort is linear.
+    // CACHED: the self-join consumes it once per side (the broadcast
+    // arm can't reuse the other side's exchange), and recomputing
+    // means re-running tokenize+distinct+sort over the corpus. Unlike
+    // the other miners' narrow caches this one carries the word-set
+    // arrays — the operator's whole working set, which both sides
+    // fully consume either way; MEMORY_AND_DISK trades one disk
+    // materialization for the second scalar pass.
     val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
       array_sort(wordSet(col("text"))).as("ws"))
       .withColumn("szb",
         floor(log(size(col("ws")).cast("double")) / bucketWidth).cast("long"))
+      .cache()
     val a = withSet.select(col("lang"), col("source"),
       explode(array(col("szb") - 1, col("szb"), col("szb") + 1)).as("szb"),
       col("doc_id").as("doc_a"), col("ws").as("ws_a"))
@@ -200,7 +224,7 @@ object Dedup {
       .sortedIntersectCount(col("ws_a"), col("ws_b"))
     val union = size(col("ws_a")).cast("long") +
       size(col("ws_b")).cast("long") - inter
-    a.join(b, Seq("lang", "source", "szb"))
+    val out = a.join(b, Seq("lang", "source", "szb"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
@@ -210,6 +234,7 @@ object Dedup {
       // the blocked join+verify stays parallel upstream of the
       // exchange; only the surviving pair list crosses it
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    new Managed(out, Seq(withSet))
   }
 
   /** SimHash signature width and the derived Manku block geometry.

@@ -3,7 +3,7 @@ package graft.rideshare
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** Engine-side counterpart of the reference's visualization notebooks
   * (`/root/reference/codes/task2_vis.ipynb` cells 0–2 and
@@ -52,13 +52,18 @@ object VisReport {
   /** Markdown table of a small result frame (the data view every chart
     * ships with).
     */
-  def markdownTable(df: DataFrame, maxRows: Int = 200): String = {
-    val cols = df.columns
-    val rows = df.limit(maxRows).collect()
+  def markdownTable(df: DataFrame, maxRows: Int = 200): String =
+    markdownTable(df.columns.toSeq, df.limit(maxRows).collect().toSeq)
+
+  /** [[markdownTable]] over pre-collected rows — lets [[renderAll]]
+    * execute each input frame exactly once for both its figure and its
+    * data view.
+    */
+  def markdownTable(cols: Seq[String], rows: Seq[Row]): String = {
     val sb = new StringBuilder
     sb.append(cols.mkString("| ", " | ", " |\n"))
     sb.append(cols.map(_ => "---").mkString("| ", " | ", " |\n"))
-    rows.foreach { r =>
+    rows.take(200).foreach { r =>
       sb.append(cols.indices.map(i => String.valueOf(r.get(i)))
         .mkString("| ", " | ", " |\n"))
     }
@@ -171,25 +176,38 @@ object VisReport {
     */
   def renderAll(t2a: DataFrame, t2b: DataFrame, t2c: DataFrame,
       t5a: DataFrame): Seq[(String, String)] = {
-    def barRows(df: DataFrame) = df.collect()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // ONE collect per frame, and the four independent Spark jobs run
+    // concurrently (they share the session's scheduler pools): figure
+    // and data view render from the same rows, so no input executes
+    // twice, and wall-clock is the slowest query instead of the sum
+    val frames = Seq(t2a, t2b, t2c, t5a).map(df => df.columns.toSeq -> df)
+    val collected = Await.result(
+      Future.sequence(frames.map { case (cols, df) =>
+        Future(cols -> df.collect().toSeq)
+      }), Duration.Inf)
+    val Seq(r2a, r2b, r2c, r5a) = collected
+    def barRows(rows: Seq[Row]) = rows
       .map(r => (String.valueOf(r.get(1)), String.valueOf(r.get(0)), num(r.get(2))))
-      .toSeq.sortBy(x => (x._1.length, x._1)) // months numeric-ish order
+      .sortBy(x => (x._1.length, x._1)) // months numeric-ish order
     val figures = Seq(
       ("t2a_trip_counts", "Trips per month by business", "trips",
-        groupedBarSvg(barRows(t2a), "Trips per month by business", "trips"), t2a),
+        groupedBarSvg(barRows(r2a._2), "Trips per month by business", "trips"), r2a),
       ("t2b_total_profits", "Platform profits per month by business", "profit",
-        groupedBarSvg(barRows(t2b), "Platform profits per month by business", "profit"), t2b),
+        groupedBarSvg(barRows(r2b._2), "Platform profits per month by business", "profit"), r2b),
       ("t2c_total_earnings", "Driver earnings per month by business", "earnings",
-        groupedBarSvg(barRows(t2c), "Driver earnings per month by business", "earnings"), t2c),
+        groupedBarSvg(barRows(r2c._2), "Driver earnings per month by business", "earnings"), r2c),
       ("t5_daily_avg_wait", "January daily average waiting time", "seconds",
-        lineSvg(t5a.collect().map(r =>
-          (String.valueOf(r.get(0)), num(r.get(1)))).toSeq
+        lineSvg(r5a._2.map(r =>
+          (String.valueOf(r.get(0)), num(r.get(1))))
           .sortBy(_._1.replaceAll("[^0-9]", "").toInt),
-          "January daily average waiting time", "seconds"), t5a))
+          "January daily average waiting time", "seconds"), r5a))
     val md = new StringBuilder("# Rideshare visual report (T2 / T5)\n\n")
-    val svgs = figures.map { case (name, titleTxt, _, svg, df) =>
+    val svgs = figures.map { case (name, titleTxt, _, svg, (cols, rows)) =>
       md.append(s"## $titleTxt\n\n![$titleTxt]($name.svg)\n\n")
-      md.append(markdownTable(df)).append("\n")
+      md.append(markdownTable(cols, rows)).append("\n")
       s"$name.svg" -> svg
     }
     svgs :+ ("vis_report.md" -> md.toString)
