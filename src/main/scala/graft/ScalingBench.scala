@@ -100,7 +100,8 @@ object ScalingBench {
     val names = Seq(
       "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
       "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
-      "emb_dedup_survivors", "sim_lsh_topk", "sim_ivf_topk")
+      "emb_dedup_survivors", "sim_lsh_topk", "sim_ivf_topk",
+      "decontam_hits")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

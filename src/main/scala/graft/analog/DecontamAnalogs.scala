@@ -108,6 +108,30 @@ object DecontamAnalogs {
         |JOIN modal ON tok.doc_id = modal.doc_id
         |ORDER BY tok.doc_id""".stripMargin)),
 
+    // Batch twin of the STREAMING contamination screen
+    // (graft.streaming.DocStreams.contamScreen): every 50th-plus-25
+    // doc "arrives" and stream-static joins the benchmark 3-gram
+    // index; one row per (arriving doc, bench doc, shared gram hash)
+    // collision — the stateless screen half, with the per-pair rollup
+    // left to the downstream verify (same split as nearDupScreen).
+    Q("stream_contam_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.streaming.DocStreams.contamScreen(
+          docs.filter(col("doc_id") % 50 === 25),
+          graft.streaming.DocStreams.benchGramIndex(
+            docs.filter(col("doc_id") % 50 === 0)))
+          .orderBy("doc_id", "bench_id", "h")
+      },
+      Some(s"""WITH $g3Cte,
+        |sg AS (SELECT doc_id, ${dH60("g")} AS h
+        |      FROM (SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 50 = 25)),
+        |bg AS (SELECT doc_id AS bench_id, ${dH60("g")} AS h
+        |      FROM (SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 50 = 0))
+        |SELECT sg.doc_id, bg.bench_id, sg.h
+        |FROM sg JOIN bg ON sg.h = bg.h
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
     // Domain-mixture bookkeeping: per-source token share + the
     // uniform-target resampling weight (The Pile / DoReMi shape).
     Q("domain_mix_weights",

@@ -36,4 +36,31 @@ object DocStreams {
         .select(col("doc_id").as("matched_id"), col("pos"), col("band")),
         Seq("pos", "band"))
       .select(col("doc_id"), col("matched_id"), col("pos").as("band_pos"))
+
+  /** (bench_id, h) — exploded 60-bit word-`n`-gram hashes of a
+    * benchmark set, the static index for [[contamScreen]]. Benchmark
+    * sets are small by definition; the index broadcasts.
+    */
+  def benchGramIndex(bench: DataFrame, n: Int = 3): DataFrame =
+    bench.select(col("doc_id").as("bench_id"),
+      explode(graft.operators.Decontam.shinglesN(col("text"), n)).as("g"))
+      .select(col("bench_id"), wordHash60(col("g")).as("h"))
+
+  /** Contamination screen at ingest: arriving docs stream-static join
+    * the benchmark n-gram index (graft.operators.Decontam's screen,
+    * re-cut for Structured Streaming). Streaming can't re-aggregate
+    * per pair without state, so this emits one row per (arriving doc,
+    * bench doc, shared gram hash) collision — exact, stateless, each
+    * micro-batch touches only its own grams; the per-pair `n_shared`
+    * rollup (and the ≥ minShared verdict) is one tiny aggregation over
+    * the hit stream downstream, exactly [[nearDupScreen]]'s
+    * screen-then-verify split.
+    */
+  def contamScreen(streamDocs: DataFrame, gramIndex: DataFrame,
+      n: Int = 3): DataFrame =
+    streamDocs.select(col("doc_id"),
+      explode(graft.operators.Decontam.shinglesN(col("text"), n)).as("g"))
+      .select(col("doc_id"), wordHash60(col("g")).as("h"))
+      .join(gramIndex, "h")
+      .select(col("doc_id"), col("bench_id"), col("h"))
 }

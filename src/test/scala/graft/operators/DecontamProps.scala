@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SharedSpark
+
+/** The decontamination screen vs an in-memory brute-force oracle on
+  * generated corpora — random duplication patterns and short-doc edge
+  * cases the fixed fixtures don't reach.
+  */
+object DecontamProps extends Properties("decontam") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SharedSpark.spark
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta")
+
+  // 1–10 words: includes docs below the 3-gram threshold
+  private val genDoc: Gen[String] = for {
+    n <- Gen.chooseNum(1, 10)
+    ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield ws.mkString(" ")
+
+  // sample with replacement so exact/near copies land on both sides
+  private val genSplitCorpus: Gen[(List[String], List[String])] = for {
+    base <- Gen.nonEmptyListOf(genDoc)
+    train <- Gen.nonEmptyListOf(Gen.oneOf(base))
+    bench <- Gen.nonEmptyListOf(Gen.oneOf(base))
+  } yield (train, bench)
+
+  private def df(texts: List[String], idBase: Long) =
+    spark.createDataFrame(
+      texts.zipWithIndex.map { case (t, i) => (idBase + i, t, "en", "s0") })
+      .toDF("doc_id", "text", "lang", "source")
+
+  private def grams3(text: String): Set[String] =
+    text.split(" ").sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+
+  property("overlapScreen matches the brute-force n-gram overlap") =
+    forAll(genSplitCorpus) { case (train, bench) =>
+      val got = Decontam
+        .overlapScreen(df(train, 0L), df(bench, 1000L), n = 3, minShared = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (for {
+        (t, i) <- train.zipWithIndex
+        (b, j) <- bench.zipWithIndex
+        shared = (grams3(t) intersect grams3(b)).size
+        if shared >= 2
+      } yield (i.toLong, 1000L + j) -> shared.toLong).toMap
+      got == want
+    }
+
+  property("survivors = train ids minus screened ids, exactly") =
+    forAll(genSplitCorpus) { case (train, bench) =>
+      val trainDf = df(train, 0L)
+      val benchDf = df(bench, 1000L)
+      val hit = Decontam.overlapScreen(trainDf, benchDf, 3, 2)
+        .collect().map(_.getLong(0)).toSet
+      val kept = Decontam.survivors(trainDf, benchDf, 3, 2)
+        .collect().map(_.getLong(0)).toSeq
+      kept == (train.indices.map(_.toLong).filterNot(hit)).sorted &&
+        kept.toSet.intersect(hit).isEmpty
+    }
+
+  property("repetitionStats: distinct <= total, ratios in [0,1]") =
+    forAll(Gen.nonEmptyListOf(genDoc)) { texts =>
+      Decontam.repetitionStats(df(texts, 0L)).collect().forall { r =>
+        val (total, distinct) = (r.getLong(1), r.getLong(2))
+        val (ratio, share) = (r.getDouble(3), r.getDouble(4))
+        distinct <= total && ratio >= 0.0 && ratio <= 1.0 &&
+          share > 0.0 && share <= 1.0
+      }
+    }
+}

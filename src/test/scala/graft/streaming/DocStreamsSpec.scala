@@ -38,6 +38,31 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static contamination screen flags shared 3-grams") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val bench = spark.createDataFrame(Seq(
+      (900L, "the quick brown fox jumps high")))
+      .toDF("doc_id", "text")
+    val index = DocStreams.benchGramIndex(bench)
+
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.contamScreen(
+      mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, "a quick brown fox jumps over"), // shares 2 of bench's 3-grams
+        (2L, "nothing in common with bench")) // none
+      query.processAllAvailable()
+      val hits = spark.table("contam").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(hits === Seq((1L, 900L), (1L, 900L))) // one row per shared gram
+      assert(spark.table("contam").select("h").distinct().count() === 2)
+    } finally query.stop()
+  }
+
   test("batch mode: screen equals the minhash candidate relation") {
     val hits = DocStreams.nearDupScreen(
       corpus.withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 1000),
