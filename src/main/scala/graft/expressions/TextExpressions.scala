@@ -257,6 +257,70 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Longest run of equal adjacent elements in a SORTED string array —
+  * i.e. the modal element's occurrence count. One native array walk
+  * inside whole-stage codegen; replaces the interpreted struct-state
+  * `aggregate` fold the repetition profiler started with (higher-order
+  * functions don't codegen, and a per-element struct copy made it the
+  * operator's dominant cost).
+  *
+  * Contract: input sorted (equal elements adjacent — what
+  * `array_sort` produces). Empty array → 0.
+  */
+case class ModalRunLength(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "modal_run_length"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var best = 0L
+    var run = 0L
+    var i = 0
+    while (i < n) {
+      if (i > 0 && arr.getUTF8String(i).equals(arr.getUTF8String(i - 1)))
+        run += 1
+      else run = 1
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val run = ctx.freshName("run")
+      val best = ctx.freshName("best")
+      s"""
+         |int $n = $x.numElements();
+         |long $best = 0L; long $run = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i > 0 && $x.getUTF8String($i).equals($x.getUTF8String($i - 1))) {
+         |    $run++;
+         |  } else { $run = 1L; }
+         |  if ($run > $best) { $best = $run; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ModalRunLength = copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-level simhash fold backed by the codegen expression
     * (default 16-bit; pass `bits` for the wider Manku-style sketch).
@@ -276,4 +340,10 @@ object TextExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-level modal-run-length over a sorted string array (see
+    * [[ModalRunLength]]'s sortedness contract).
+    */
+  def modalRunLength(sorted: Column): Column =
+    GraftBridge.column(ModalRunLength(GraftBridge.expression(sorted)))
 }

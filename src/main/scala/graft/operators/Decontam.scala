@@ -93,20 +93,13 @@ object Decontam {
     // total n-grams = max(len(w)-(n-1), 0); distinct via shinglesN
     val total = greatest(size(w) - lit(n - 1), lit(0)).cast("long")
     val distinctN = size(shinglesN(col("text"), n)).cast("long")
-    // top token share: modal token count / token count. aggregate over
-    // the SORTED token array — equal tokens are adjacent, so the modal
-    // count is one run-length pass (no per-row map state).
-    val sorted = array_sort(w)
-    val runBest = aggregate(sorted,
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best")),
-      (acc, t) => {
-        val run = when(acc.getField("prev").isNotNull &&
-          acc.getField("prev") === t, acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // top token share: modal token count / token count. One native
+    // codegen run-length walk over the SORTED token array (equal
+    // tokens adjacent) — the interpreted struct-state `aggregate` fold
+    // this replaced copied a 3-field struct per element and dominated
+    // the operator's cost.
+    val runBest = graft.expressions.TextExpressions
+      .modalRunLength(array_sort(w))
     docs.select(
       col("doc_id"),
       total.as("n_ngrams"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinhashBands, SimhashFold, TopKAgg, VecDot}
+import graft.expressions.{MinhashBands, ModalRunLength, SimhashFold, TopKAgg, VecDot}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "minhash_bands(hashes) takes one array arg")
         MinhashBands(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("modal_run_length"),
+      new ExpressionInfo(classOf[ModalRunLength].getName, "modal_run_length"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "modal_run_length(sorted) takes one sorted array<string> arg")
+        ModalRunLength(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("top_k"),

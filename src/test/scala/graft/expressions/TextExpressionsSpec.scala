@@ -102,6 +102,28 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getLong(0) === 0L)
   }
 
+  test("modal_run_length matches groupBy-max reference on random sorted arrays") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "d", "e")
+    val cases = Seq(Seq.empty[String]) ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(25) + 1)(vocab(rnd.nextInt(vocab.size))).sorted)
+    cases.foreach { xs =>
+      val got = spark.range(1)
+        .select(TextExpressions.modalRunLength(lit(xs.toArray)).as("m"))
+        .head().getLong(0)
+      val want = if (xs.isEmpty) 0L
+        else xs.groupBy(identity).values.map(_.size).max.toLong
+      assert(got === want, s"xs=$xs")
+    }
+  }
+
+  test("modal_run_length is callable from SQL via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT modal_run_length(array_sort(array('b','a','b','c','b'))) AS m")
+      .head().getLong(0)
+    assert(got === 3L)
+  }
+
   test("simhash_fold is callable from SQL via GraftExtensions") {
     val got = spark.sql(
       "SELECT simhash_fold(array(1L, 1L, 3L)) AS s").head().getLong(0)
