@@ -73,14 +73,15 @@ object DedupProps extends Properties("dedup") {
       val df = docsDf(texts)
       val mh = Dedup.minhashPairsManaged(df)
       val sh = Dedup.simhashPairsManaged(df)
+      val ng = Dedup.ngramJaccardPairsManaged(df, 0.5)
       // localThreshold = 0 forces the distributed label-propagation
       // path, whose edge/label persists are the ones worth releasing
       val cl = Dedup.clustersManaged(df, mh.df, localThreshold = 0)
       // materialize everything, then release
-      cl.df.collect(); sh.df.collect()
-      val open = !mh.released || !sh.released
-      mh.close(); sh.close(); cl.close()
-      open && mh.released && sh.released && cl.released
+      cl.df.collect(); sh.df.collect(); ng.df.collect()
+      val open = !mh.released || !sh.released || !ng.released
+      mh.close(); sh.close(); ng.close(); cl.close()
+      open && mh.released && sh.released && ng.released && cl.released
     }
 
   property("clusters unsorted variant has identical content") =
