@@ -132,6 +132,32 @@ object DecontamAnalogs {
         |FROM sg JOIN bg ON sg.h = bg.h
         |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // Deterministic stratified downsampling — the apply-side of the
+    // mixture weights: per-source keep rates (quarters, exactly
+    // representable in binary so the threshold arithmetic is
+    // bit-identical across engines), md5-of-doc_id bucket decides.
+    // The distinct-source collect is bounded by stratum count (model
+    // params, the k-means-centroid shape).
+    Q("domain_mix_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sources = docs.select("source").distinct()
+          .collect().map(_.getString(0))
+        val rates = sources.map(src =>
+          src -> ((src.replaceAll("\\D", "").toLong % 4 + 1) * 0.25)).toMap
+        graft.operators.Curation.sampleStratified(docs, rates)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |    % 1000000 AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |    % 1000000
+        |  < CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+        |      % 4 + 1) * 0.25 * 1000000 AS BIGINT)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Domain-mixture bookkeeping: per-source token share + the
     // uniform-target resampling weight (The Pile / DoReMi shape).
     Q("domain_mix_weights",

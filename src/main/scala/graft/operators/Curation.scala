@@ -55,4 +55,35 @@ object Curation {
       when(bucket < 90, "train").when(bucket < 95, "val")
         .otherwise("test").as("split"))
   }
+
+  /** Deterministic stratified downsampling — the mechanism that
+    * APPLIES per-domain resampling weights (graft.operators.Decontam
+    * .domainMix's `samp_weight`, capped at 1): keep a doc iff its
+    * id-derived md5 bucket (of 1 000 000) falls under its stratum's
+    * rate. Hash-of-id (not text) so exact duplicates across strata
+    * sample independently, and the choice is stable across reruns,
+    * re-shards, and engines (same md5 arithmetic as the oracle).
+    *
+    * Scale shape: the rate map is a handful of (stratum, rate) rows —
+    * a broadcast join, then one scalar comparison per row; no shuffle,
+    * no sort beyond the caller's export tail. Rates outside [0,1]
+    * are rejected rather than clamped: a weight > 1 means UPsampling,
+    * which needs replication, not a filter — compose with explode on
+    * ceil(weight) if that's intended.
+    */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+      stratumCol: String = "source"): DataFrame = {
+    require(rates.nonEmpty, "rates must be non-empty")
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1] (upsampling needs replication): $rates")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = broadcast(rates.toSeq.toDF(stratumCol, "samp_rate"))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+    docs.join(rateDf, stratumCol)
+      .filter(bucket < (col("samp_rate") * 1000000L).cast("long"))
+      .select(col("doc_id"), col(stratumCol), bucket.as("bucket"))
+  }
 }

@@ -24,6 +24,40 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) === (("ok", true)))
   }
 
+  test("sampleStratified: rate 1 keeps all, 0 keeps none, id-determined") {
+    val s = spark; import s.implicits._
+    val twoSrc = Seq(
+      (0L, "x", "a"), (1L, "y", "a"), (2L, "z", "a"),
+      (3L, "x", "b"), (4L, "y", "b"))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.sampleStratified(twoSrc, Map("a" -> 1.0, "b" -> 0.0))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(0L, 1L, 2L)) // all of a, none of b
+    // deterministic across row orders (id-hash, not position)
+    val shuffled = Curation.sampleStratified(
+      twoSrc.orderBy(org.apache.spark.sql.functions.rand(3)),
+      Map("a" -> 0.5, "b" -> 0.5)).collect().map(_.getLong(0)).toSet
+    val plain = Curation.sampleStratified(twoSrc, Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(shuffled === plain)
+    // upsampling rates are rejected, not clamped
+    intercept[IllegalArgumentException] {
+      Curation.sampleStratified(twoSrc, Map("a" -> 1.5))
+    }
+  }
+
+  test("sampleStratified hits each stratum's rate on a large corpus") {
+    val s = spark; import s.implicits._
+    val big = (0L until 4000L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "ev" else "od")).toDF("doc_id", "text", "source")
+    val kept = Curation.sampleStratified(big, Map("ev" -> 0.25, "od" -> 0.75))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are uniform: expect 500±noise of 2000 and 1500±noise
+    assert(math.abs(kept("ev") - 500L) < 100, s"ev=${kept("ev")}")
+    assert(math.abs(kept("od") - 1500L) < 100, s"od=${kept("od")}")
+  }
+
   test("split: stable content-hash buckets in range, text-determined") {
     val s1 = Curation.split(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
