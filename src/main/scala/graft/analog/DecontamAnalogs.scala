@@ -158,6 +158,36 @@ object DecontamAnalogs {
         |      % 4 + 1) * 0.25 * 1000000 AS BIGINT)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Full mixture apply with upsampling: weights in halves
+    // (0.5/1.0/1.5/2.0 by source index — exactly representable), docs
+    // replicated floor(w) times plus a fractional md5-decided extra.
+    Q("domain_mix_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sources = docs.select("source").distinct()
+          .collect().map(_.getString(0))
+        val weights = sources.map(src =>
+          src -> ((src.replaceAll("\\D", "").toLong % 4 + 1) * 0.5)).toMap
+        graft.operators.Curation.resampleStratified(docs, weights)
+          .orderBy("doc_id", "copy")
+      },
+      Some("""WITH r AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |      % 1000000 AS bucket,
+        |    (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+        |      % 4 + 1) * 0.5 AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(w) AS BIGINT) +
+        |    (CASE WHEN bucket < CAST((w - floor(w)) * 1000000 AS BIGINT)
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM r)
+        |SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy
+        |FROM c WHERE copies >= 1
+        |ORDER BY doc_id, copy""".stripMargin)),
+
     // Domain-mixture bookkeeping: per-source token share + the
     // uniform-target resampling weight (The Pile / DoReMi shape).
     Q("domain_mix_weights",

@@ -75,7 +75,7 @@ object Curation {
       stratumCol: String = "source"): DataFrame = {
     require(rates.nonEmpty, "rates must be non-empty")
     require(rates.values.forall(r => r >= 0 && r <= 1),
-      s"rates must be in [0,1] (upsampling needs replication): $rates")
+      s"rates must be in [0,1] (use resampleStratified to upsample): $rates")
     val spark = docs.sparkSession
     import spark.implicits._
     val rateDf = broadcast(rates.toSeq.toDF(stratumCol, "samp_rate"))
@@ -85,5 +85,41 @@ object Curation {
     docs.join(rateDf, stratumCol)
       .filter(bucket < (col("samp_rate") * 1000000L).cast("long"))
       .select(col("doc_id"), col(stratumCol), bucket.as("bucket"))
+  }
+
+  /** Full mixture apply — [[sampleStratified]] generalized to weights
+    * above 1 (upsampling by replication, the epoch-multiplier shape of
+    * a pretraining mixture): every doc gets `floor(w)` copies plus one
+    * more iff its md5 bucket falls under the fractional remainder, so
+    * the expected stratum mass is exactly `w` and the choice is
+    * deterministic per doc. Output one row per kept copy
+    * (`copy` = 1..n — downstream shuffles spread copies by any key
+    * that includes it). `w ≤ 1` degenerates to the sampler (copies
+    * ∈ {0, 1}).
+    *
+    * Scale shape: broadcast rate map, one scalar copy-count per row,
+    * one `explode(sequence(...))` — output size is exactly the target
+    * mixture's, no shuffle.
+    */
+  def resampleStratified(docs: DataFrame, weights: Map[String, Double],
+      stratumCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0), s"weights must be >= 0: $weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = broadcast(weights.toSeq.toDF(stratumCol, "w"))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+    val whole = floor(col("w")).cast("long")
+    val fracExtra = (bucket <
+      ((col("w") - floor(col("w"))) * 1000000L).cast("long")).cast("long")
+    docs.join(rateDf, stratumCol)
+      .withColumn("copies", whole + fracExtra)
+      // guard BEFORE sequence: Spark's sequence(1, 0) is a DESCENDING
+      // [1, 0], not empty — the filter keeps the explode honest
+      .filter(col("copies") >= 1)
+      .select(col("doc_id"), col(stratumCol),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
   }
 }

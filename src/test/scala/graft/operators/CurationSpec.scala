@@ -58,6 +58,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(kept("od") - 1500L) < 100, s"od=${kept("od")}")
   }
 
+  test("resampleStratified: whole weights replicate, fractional extends sampler") {
+    val s = spark; import s.implicits._
+    val twoSrc = Seq(
+      (0L, "x", "a"), (1L, "y", "a"),
+      (2L, "x", "b"), (3L, "y", "b"))
+      .toDF("doc_id", "text", "source")
+    // integer weights: exact replication, copy numbering 1..n
+    val doubled = Curation.resampleStratified(twoSrc, Map("a" -> 2.0, "b" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(doubled === Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)))
+    // w <= 1 degenerates to sampleStratified's keep set (copies in {0,1})
+    val w = Map("a" -> 0.5, "b" -> 0.25)
+    val sampled = Curation.sampleStratified(twoSrc, w)
+      .collect().map(_.getLong(0)).toSet
+    val resampled = Curation.resampleStratified(twoSrc, w)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(resampled.map(_._1).toSet === sampled)
+    assert(resampled.forall(_._2 === 1L))
+  }
+
+  test("resampleStratified lands each stratum on its expected mass") {
+    val s = spark; import s.implicits._
+    val big = (0L until 4000L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "ev" else "od")).toDF("doc_id", "text", "source")
+    val counts = Curation.resampleStratified(big, Map("ev" -> 1.5, "od" -> 0.75))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("ev") - 3000L) < 150, s"ev=${counts("ev")}")
+    assert(math.abs(counts("od") - 1500L) < 150, s"od=${counts("od")}")
+  }
+
   test("split: stable content-hash buckets in range, text-determined") {
     val s1 = Curation.split(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
