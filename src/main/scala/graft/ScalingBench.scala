@@ -141,9 +141,18 @@ object ScalingBench {
 
     scales.foreach { k =>
       val dir = s"$outRoot/x$k"
-      if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
+      // marker written LAST, recording the base corpus: a dir from a
+      // different base (or a run killed mid-synthesis, which never
+      // wrote the marker) is re-synthesized instead of silently timed
+      val marker = new java.io.File(s"$dir/_BASE")
+      val markerOk = marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == baseDir
+      if (!markerOk) {
         System.err.println(s"synthesizing $dir ...")
         synthesize(spark, baseDir, dir, k)
+        java.nio.file.Files.write(marker.toPath,
+          baseDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }
 
@@ -183,14 +192,18 @@ object ScalingBench {
     // two slopes per query: endpoint (first→last scale — depressed by
     // any fixed per-job overhead, so it UNDERSTATES growth) and tail
     // (last two scales — the best proxy for the asymptotic exponent)
+    // exponents are undefined for a single (or duplicate) scale —
+    // carry them as Option so the JSON gets null, not NaN
     val summary = active.map { case (name, _) =>
       val m = byName(name).map(c => c._2 -> (c._3, c._4)).toMap
-      val exp = math.log(m(maxK)._1 / m(sorted.head)._1) /
-        math.log(maxK.toDouble / sorted.head)
-      val tailExp = if (sorted.size >= 2) {
-        val (a, b) = (sorted(sorted.size - 2), maxK)
-        math.log(m(b)._1 / m(a)._1) / math.log(b.toDouble / a)
-      } else exp
+      val exp = if (maxK == sorted.head) None
+        else Some(math.log(m(maxK)._1 / m(sorted.head)._1) /
+          math.log(maxK.toDouble / sorted.head))
+      val tailExp = sorted.takeRight(2) match {
+        case Seq(a, b) if a != b =>
+          Some(math.log(m(b)._1 / m(a)._1) / math.log(b.toDouble / a))
+        case _ => exp
+      }
       (name, m, exp, tailExp)
     }
 
@@ -201,21 +214,24 @@ object ScalingBench {
     System.err.println(
       "|---|" + scales.map(_ => "---|").mkString +
         "---|---|" + scales.map(_ => "---|").mkString)
+    def fmtExp(e: Option[Double]) = e.map(x => f"$x%.2f").getOrElse("—")
     summary.foreach { case (name, m, exp, tailExp) =>
       val ts = scales.map(k => f"${m(k)._1}%.2f").mkString(" | ")
       val rs = scales.map(k => m(k)._2.toString).mkString(" | ")
-      System.err.println(f"| `$name` | $ts | $exp%.2f | **$tailExp%.2f** | $rs |")
+      System.err.println(
+        s"| `$name` | $ts | ${fmtExp(exp)} | **${fmtExp(tailExp)}** | $rs |")
     }
 
     def jstr(s: String) = "\"" + s + "\""
+    def jexp(e: Option[Double]) = e.map(x => f"$x%.3f").getOrElse("null")
     val qjson = summary.map { case (name, m, exp, tailExp) =>
       jstr(name) + ":{" +
         "\"times\":{" + scales.map(k => jstr(s"x$k") + ":" + m(k)._1)
           .mkString(",") + "}," +
         "\"rows\":{" + scales.map(k => jstr(s"x$k") + ":" + m(k)._2)
           .mkString(",") + "}," +
-        "\"exponent\":" + f"$exp%.3f" + "," +
-        "\"tail_exponent\":" + f"$tailExp%.3f" + "}"
+        "\"exponent\":" + jexp(exp) + "," +
+        "\"tail_exponent\":" + jexp(tailExp) + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scaling","base":"$baseDir","scales":[${scales.mkString(",")}],"runs":$runs,"queries":$qjson}""")
     spark.stop()

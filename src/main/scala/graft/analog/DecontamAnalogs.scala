@@ -22,6 +22,19 @@ object DecontamAnalogs {
   /** 60-bit word hash — TextFunctions.wordHash60. */
   private def dH60(w: String) = s"('0x' || substr(md5($w),1,15))::BIGINT"
 
+  /** FIRST digit group of a source name — must match the oracle's
+    * `regexp_extract(source, '([0-9]+)', 1)` exactly (replaceAll of
+    * non-digits would concatenate MULTIPLE groups and diverge);
+    * digit-free sources get 0 on both sides (the oracle SQL guards
+    * with the same coalesce).
+    */
+  private def firstDigits(src: String): Long =
+    "([0-9]+)".r.findFirstIn(src).map(_.toLong).getOrElse(0L)
+
+  /** Oracle-side twin of [[firstDigits]]. */
+  private val dFirstDigits =
+    "CAST(coalesce(nullif(regexp_extract(source, '([0-9]+)', 1), ''), '0') AS BIGINT)"
+
   /** Distinct word-3-gram CTE over documents: (doc_id, gs LIST).
     * range(1, len(w)-1) is empty for docs under 3 words — no edge
     * cases.
@@ -144,17 +157,17 @@ object DecontamAnalogs {
         val sources = docs.select("source").distinct()
           .collect().map(_.getString(0))
         val rates = sources.map(src =>
-          src -> ((src.replaceAll("\\D", "").toLong % 4 + 1) * 0.25)).toMap
+          src -> ((firstDigits(src) % 4 + 1) * 0.25)).toMap
         graft.operators.Curation.sampleStratified(docs, rates)
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, source,
+      Some(s"""SELECT doc_id, source,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
         |    % 1000000 AS bucket
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
         |    % 1000000
-        |  < CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+        |  < CAST(($dFirstDigits
         |      % 4 + 1) * 0.25 * 1000000 AS BIGINT)
         |ORDER BY doc_id""".stripMargin)),
 
@@ -167,15 +180,15 @@ object DecontamAnalogs {
         val sources = docs.select("source").distinct()
           .collect().map(_.getString(0))
         val weights = sources.map(src =>
-          src -> ((src.replaceAll("\\D", "").toLong % 4 + 1) * 0.5)).toMap
+          src -> ((firstDigits(src) % 4 + 1) * 0.5)).toMap
         graft.operators.Curation.resampleStratified(docs, weights)
           .orderBy("doc_id", "copy")
       },
-      Some("""WITH r AS (
+      Some(s"""WITH r AS (
         |  SELECT doc_id, source,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
         |      % 1000000 AS bucket,
-        |    (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+        |    ($dFirstDigits
         |      % 4 + 1) * 0.5 AS w
         |  FROM documents),
         |c AS (

@@ -289,9 +289,16 @@ case class ModalRunLength(child: Expression) extends UnaryExpression {
     var run = 0L
     var i = 0
     while (i < n) {
-      if (i > 0 && arr.getUTF8String(i).equals(arr.getUTF8String(i - 1)))
-        run += 1
-      else run = 1
+      // null-safe adjacency: the type accepts containsNull arrays (the
+      // SQL registration makes arbitrary input reachable), and a sort
+      // groups nulls together — treat them as one value, never deref
+      val same = i > 0 && {
+        val curNull = arr.isNullAt(i)
+        val prevNull = arr.isNullAt(i - 1)
+        if (curNull || prevNull) curNull && prevNull
+        else arr.getUTF8String(i).equals(arr.getUTF8String(i - 1))
+      }
+      run = if (same) run + 1 else 1
       if (run > best) best = run
       i += 1
     }
@@ -304,13 +311,22 @@ case class ModalRunLength(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val run = ctx.freshName("run")
       val best = ctx.freshName("best")
+      val same = ctx.freshName("same")
+      val cn = ctx.freshName("curNull")
+      val pn = ctx.freshName("prevNull")
       s"""
          |int $n = $x.numElements();
          |long $best = 0L; long $run = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($i > 0 && $x.getUTF8String($i).equals($x.getUTF8String($i - 1))) {
-         |    $run++;
-         |  } else { $run = 1L; }
+         |  boolean $same = false;
+         |  if ($i > 0) {
+         |    boolean $cn = $x.isNullAt($i);
+         |    boolean $pn = $x.isNullAt($i - 1);
+         |    $same = ($cn || $pn)
+         |      ? ($cn && $pn)
+         |      : $x.getUTF8String($i).equals($x.getUTF8String($i - 1));
+         |  }
+         |  $run = $same ? $run + 1L : 1L;
          |  if ($run > $best) { $best = $run; }
          |}
          |${ev.value} = $best;

@@ -32,17 +32,22 @@ object TextFunctions {
   /** Distinct word set — the 1-gram shingle set. */
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Distinct word-2-gram shingles: "w1 w2" for each adjacent pair.
-    * `zip_with` pads the shorter (shifted) side with null and `concat`
-    * propagates it, so the trailing partial pair drops out in the filter
-    * — no `sequence()` edge cases on 1-word docs.
+  /** Distinct word `n`-gram shingles via iterated `zip_with`: each
+    * shifted side pads with null and `concat` propagates it, so
+    * trailing partial n-grams drop out in the filter — no
+    * `sequence()` edge cases on docs shorter than n words.
     */
-  def shingles2(text: Column): Column = {
+  def shinglesN(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val w = tokens(text)
-    array_distinct(filter(
-      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull))
+    val joined = (2 to n).foldLeft(w) { (acc, i) =>
+      zip_with(acc, slice(w, lit(i), size(w)), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
   }
+
+  /** Distinct word-2-gram shingles: "w1 w2" for each adjacent pair. */
+  def shingles2(text: Column): Column = shinglesN(text, 2)
 
   /** Portable 32-bit word hash: first 8 hex digits of md5, parsed to a
     * long. DuckDB equivalent: `('0x' || substr(md5(w),1,8))::BIGINT`.

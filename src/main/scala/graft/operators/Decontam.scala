@@ -26,20 +26,13 @@ import graft.functions.TextFunctions._
   */
 object Decontam {
 
-  /** Distinct word n-gram shingles via iterated zip_with: the shifted
-    * sides pad with null and `concat` propagates it, so trailing
-    * partial n-grams drop in the filter — no `sequence()` edge cases
-    * on docs shorter than n words (same construction as
-    * [[graft.functions.TextFunctions.shingles2]], generalized).
+  /** Distinct word n-gram shingles — forwarder kept for API locality;
+    * the one implementation lives at
+    * [[graft.functions.TextFunctions.shinglesN]] (shingles2 delegates
+    * to it too, so the algorithms can't diverge).
     */
-  def shinglesN(text: Column, n: Int): Column = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val w = tokens(text)
-    val joined = (2 to n).foldLeft(w) { (acc, i) =>
-      zip_with(acc, slice(w, lit(i), size(w)), (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(filter(joined, x => x.isNotNull))
-  }
+  def shinglesN(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.shinglesN(text, n)
 
   /** One row per (train doc, benchmark doc) sharing ≥ `minShared`
     * distinct word `n`-grams: (train_id, bench_id, n_shared). The
@@ -50,15 +43,23 @@ object Decontam {
     * of the shingle text crossing the join, with a collision rate
     * (~2⁻⁶⁰ per distinct-shingle pair) far below any screen's noise
     * floor, and exactly reproducible in the DuckDB oracle.
+    *
+    * `broadcastBench` (default true) force-broadcasts the EXPLODED
+    * bench n-gram table — one row per (bench doc, distinct n-gram),
+    * i.e. the bound is grams, not docs: right for eval suites up to
+    * ~10⁷ grams (low GBs on the driver). For benchmark sets beyond
+    * that, pass false — the join degrades to a shuffle on the same
+    * 8-byte key with identical semantics.
     */
   def overlapScreen(train: DataFrame, bench: DataFrame, n: Int = 3,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2, broadcastBench: Boolean = true): DataFrame = {
     def grams(df: DataFrame, idAs: String) = df.select(
       col("doc_id").as(idAs),
       explode(shinglesN(col("text"), n)).as("g"))
       .select(col(idAs), wordHash60(col("g")).as("h"))
     val t = grams(train, "train_id")
-    val b = broadcast(grams(bench, "bench_id"))
+    val bg = grams(bench, "bench_id")
+    val b = if (broadcastBench) broadcast(bg) else bg
     t.join(b, "h")
       // distinct (train, bench, hash) — the same shared n-gram must
       // count once however many times either side repeats it

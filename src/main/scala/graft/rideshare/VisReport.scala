@@ -53,17 +53,18 @@ object VisReport {
     * ships with).
     */
   def markdownTable(df: DataFrame, maxRows: Int = 200): String =
-    markdownTable(df.columns.toSeq, df.limit(maxRows).collect().toSeq)
+    markdownTable(df.columns.toSeq, df.limit(maxRows).collect().toSeq, maxRows)
 
   /** [[markdownTable]] over pre-collected rows — lets [[renderAll]]
     * execute each input frame exactly once for both its figure and its
     * data view.
     */
-  def markdownTable(cols: Seq[String], rows: Seq[Row]): String = {
+  def markdownTable(cols: Seq[String], rows: Seq[Row],
+      maxRows: Int): String = {
     val sb = new StringBuilder
     sb.append(cols.mkString("| ", " | ", " |\n"))
     sb.append(cols.map(_ => "---").mkString("| ", " | ", " |\n"))
-    rows.take(200).foreach { r =>
+    rows.take(maxRows).foreach { r =>
       sb.append(cols.indices.map(i => String.valueOf(r.get(i)))
         .mkString("| ", " | ", " |\n"))
     }
@@ -207,7 +208,7 @@ object VisReport {
     val md = new StringBuilder("# Rideshare visual report (T2 / T5)\n\n")
     val svgs = figures.map { case (name, titleTxt, _, svg, (cols, rows)) =>
       md.append(s"## $titleTxt\n\n![$titleTxt]($name.svg)\n\n")
-      md.append(markdownTable(cols, rows)).append("\n")
+      md.append(markdownTable(cols, rows, 200)).append("\n")
       s"$name.svg" -> svg
     }
     svgs :+ ("vis_report.md" -> md.toString)

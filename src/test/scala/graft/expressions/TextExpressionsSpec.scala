@@ -124,6 +124,18 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(got === 3L)
   }
 
+  test("modal_run_length is null-safe: null elements count as one value") {
+    // SQL registration makes arbitrary containsNull arrays reachable
+    val got = spark.sql(
+      "SELECT modal_run_length(array_sort(array('a', CAST(NULL AS STRING), " +
+        "CAST(NULL AS STRING), 'a'))) AS m").head().getLong(0)
+    assert(got === 2L) // run of two 'a's == run of two nulls
+    val allNull = spark.sql(
+      "SELECT modal_run_length(array(CAST(NULL AS STRING), CAST(NULL AS STRING))) AS m")
+      .head().getLong(0)
+    assert(allNull === 2L)
+  }
+
   test("simhash_fold is callable from SQL via GraftExtensions") {
     val got = spark.sql(
       "SELECT simhash_fold(array(1L, 1L, 3L)) AS s").head().getLong(0)
