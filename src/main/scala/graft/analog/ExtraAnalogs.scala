@@ -676,6 +676,65 @@ object ExtraAnalogs {
         |FROM g ORDER BY doc_id""".stripMargin
       }),
 
+    // The FULL curation pipeline composed into one verdict frame:
+    // exact dedup + 3-gram benchmark decontamination (bench = every
+    // 50th doc, train = the rest, as in decontam_hits) + quality +
+    // 2-gram repetition screening. maxRepetition = 0.06 sits at ~p90
+    // of the corpus's repetition distribution, so the gate has signal.
+    Q("pipeline_curate_full",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.curateFull(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          maxRepetition = 0.06)
+          .orderBy("doc_id")
+      },
+      Some {
+        val q = "round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)" +
+          " + 0.3::DOUBLE * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT))" +
+          s" + 0.2::DOUBLE * (CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6)"
+        val rep = "round(CASE WHEN len(w) - 1 > 0 THEN 1.0 - " +
+          "CAST(len(list_distinct(list_transform(range(1, len(w)), " +
+          "i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) " +
+          "ELSE 0.0 END, 6)"
+        val h60 = "('0x' || substr(md5(g),1,15))::BIGINT"
+        s"""WITH $tokCte,
+        |g3 AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(w) - 1),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs FROM tok),
+        |tg AS (SELECT doc_id AS train_id, $h60 AS h
+        |      FROM (SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 50 <> 0)),
+        |bg AS (SELECT doc_id AS bench_id, $h60 AS h
+        |      FROM (SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 50 = 0)),
+        |hits AS (SELECT DISTINCT train_id FROM (
+        |  SELECT tg.train_id FROM tg JOIN bg ON tg.h = bg.h
+        |  GROUP BY tg.train_id, bg.bench_id
+        |  HAVING count(DISTINCT tg.h) >= 2)),
+        |t AS (SELECT doc_id, text, w FROM tok WHERE doc_id % 50 <> 0),
+        |g AS (
+        |  SELECT doc_id, w,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |           AS rig,
+        |         $q AS quality, $rep AS repetition_ratio,
+        |         $dLangCase AS pred_lang,
+        |         doc_id IN (SELECT train_id FROM hits) AS contaminated
+        |  FROM t
+        |)
+        |SELECT doc_id, quality, repetition_ratio, pred_lang,
+        |  CASE WHEN rig > 1 THEN 'dup'
+        |       WHEN contaminated THEN 'contaminated'
+        |       WHEN quality < 0.5 THEN 'low_quality'
+        |       WHEN repetition_ratio > 0.06 THEN 'repetitive' ELSE 'ok' END
+        |    AS reject_reason,
+        |  (CASE WHEN rig > 1 THEN 'dup'
+        |        WHEN contaminated THEN 'contaminated'
+        |        WHEN quality < 0.5 THEN 'low_quality'
+        |        WHEN repetition_ratio > 0.06 THEN 'repetitive' ELSE 'ok' END)
+        |    = 'ok' AS keep
+        |FROM g ORDER BY doc_id""".stripMargin
+      }),
+
     // Deterministic content-hash dataset splits (stable across reruns).
     Q("pipeline_split",
       (s, d) => Curation.split(Tables.documents(s, d)).orderBy("doc_id"),

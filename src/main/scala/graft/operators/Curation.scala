@@ -44,6 +44,57 @@ object Curation {
       .select("doc_id", "quality", "pred_lang", "reject_reason", "keep")
   }
 
+  /** The FULL curation pipeline a pretraining run executes — exact
+    * dedup, benchmark decontamination, quality scoring, and repetition
+    * screening composed into one verdict frame, one Catalyst plan.
+    * Gate order (first hit names the reason, mirroring the order a
+    * real pipeline applies them): `dup` → `contaminated` →
+    * `low_quality` → `repetitive` → `ok`.
+    *
+    * Scale shape: [[curate]]'s single dup-group window plus ONE
+    * broadcast join against the (vanishing) contaminated-id set from
+    * [[graft.operators.Decontam.overlapScreen]]; quality and
+    * repetition are per-row scalars (the repetition walk is the
+    * native `ModalRunLength`-family arithmetic, no extra shuffle).
+    */
+  def curateFull(docs: DataFrame, bench: DataFrame,
+      minQuality: Double = 0.5, maxRepetition: Double = 0.5,
+      n: Int = 3, minShared: Int = 2): DataFrame = {
+    val w = Window.partitionBy("text_hash").orderBy("doc_id")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stop = markerHits(col("text"), langMarkers.head._2).cast("double") / nTok
+    val quality = round(
+      lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
+        lit(0.3) * ttr + lit(0.2) * stop, 6)
+    val tot2 = greatest(size(toks) - 1, lit(0)).cast("long")
+    val dis2 = size(shinglesN(col("text"), 2)).cast("long")
+    val repetition = round(when(tot2 > 0,
+      lit(1.0) - dis2.cast("double") / tot2.cast("double"))
+      .otherwise(lit(0.0)), 6)
+    val contaminatedIds = broadcast(
+      graft.operators.Decontam.overlapScreen(docs, bench, n, minShared)
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("contaminated", lit(true)))
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("rank_in_group", row_number().over(w))
+      .withColumn("quality", quality)
+      .withColumn("repetition_ratio", repetition)
+      .withColumn("pred_lang", langPredict(col("text")))
+      .join(contaminatedIds, Seq("doc_id"), "left")
+      .withColumn("reject_reason",
+        when(col("rank_in_group") > 1, "dup")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("repetition_ratio") > maxRepetition, "repetitive")
+          .otherwise("ok"))
+      .withColumn("keep", col("reject_reason") === "ok")
+      .select("doc_id", "quality", "repetition_ratio", "pred_lang",
+        "reject_reason", "keep")
+  }
+
   /** Deterministic train/val/test assignment from a content-stable
     * hash (docs keep their split across reruns and re-shards; the same
     * md5 arithmetic is engine-portable for the verify oracle).

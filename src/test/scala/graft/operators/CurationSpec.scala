@@ -24,6 +24,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) === (("ok", true)))
   }
 
+  test("curateFull: gates fire in dup > contaminated > low_quality > repetitive order") {
+    val s = spark; import s.implicits._
+    val longOk = (1 to 60).map(i => s"w$i").mkString(" ") // quality-passing base
+    val train = Seq(
+      (0L, longOk, "en", "web"),                  // ok
+      (1L, longOk, "en", "web"),                  // exact dup of 0
+      (2L, "tiny doc", "en", "web"),              // low_quality (short)
+      // shares >= 2 word-3-grams with the bench doc AND is short:
+      // contamination must outrank low_quality
+      (3L, "the quick brown fox jumps", "en", "web"),
+      // quality-passing but one bigram repeated throughout -> repetitive
+      (4L, (1 to 30).flatMap(_ => Seq("ab", "cd")).mkString(" ") + " tail",
+        "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((900L, "the quick brown fox jumps far", "en", "eval"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Curation.curateFull(train, bench, maxRepetition = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(4), r.getBoolean(5))).toMap
+    assert(got(0L) === (("ok", true)))
+    assert(got(1L) === (("dup", false)))
+    assert(got(2L) === (("low_quality", false)))
+    assert(got(3L) === (("contaminated", false)))
+    assert(got(4L) === (("repetitive", false)))
+  }
+
   test("sampleStratified: rate 1 keeps all, 0 keeps none, id-determined") {
     val s = spark; import s.implicits._
     val twoSrc = Seq(
