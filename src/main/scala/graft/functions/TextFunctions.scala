@@ -37,9 +37,16 @@ object TextFunctions {
     * trailing partial n-grams drop out in the filter — no
     * `sequence()` edge cases on docs shorter than n words.
     */
-  def shinglesN(text: Column, n: Int): Column = {
+  def shinglesN(text: Column, n: Int): Column =
+    shinglesNTokens(tokens(text), n)
+
+  /** [[shinglesN]] over a pre-tokenized array — lets a caller that
+    * already carries a token column skip re-splitting the text
+    * (tokenization is a regex split per evaluation; Catalyst has no
+    * CSE for it).
+    */
+  def shinglesNTokens(w: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val w = tokens(text)
     val joined = (2 to n).foldLeft(w) { (acc, i) =>
       zip_with(acc, slice(w, lit(i), size(w)), (a, b) => concat(a, lit(" "), b))
     }
@@ -145,9 +152,15 @@ object TextFunctions {
   /** Occurrence count of marker words (stopword hits). Counts
     * occurrences, not distinct hits — ratio-friendly.
     */
-  def markerHits(text: Column, markers: Seq[String]): Column = {
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    markerHitsTokens(tokens(text), markers)
+
+  /** [[markerHits]] over a pre-tokenized array (see
+    * [[shinglesNTokens]] for why).
+    */
+  def markerHitsTokens(w: Column, markers: Seq[String]): Column = {
     val m = array(markers.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(m, t))).cast("long")
+    size(filter(w, t => array_contains(m, t))).cast("long")
   }
 
   /** Tiny per-language stopword marker lists for the heuristic
@@ -164,8 +177,14 @@ object TextFunctions {
     * priority order (first listed wins ties — including the all-zero
     * case, which defaults to "en").
     */
-  def langPredict(text: Column): Column = {
-    val scores = langMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
+  def langPredict(text: Column): Column = langPredictTokens(tokens(text))
+
+  /** [[langPredict]] over a pre-tokenized array (see
+    * [[shinglesNTokens]] for why — this one otherwise re-splits the
+    * text once per language).
+    */
+  def langPredictTokens(w: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerHitsTokens(w, ms) }
     // lang i wins if its score >= every later lang's score (ties break
     // toward earlier entries; the CASE chain encodes that order).
     val cases = scores.zipWithIndex.init.map { case ((l, s), i) =>

@@ -24,18 +24,22 @@ object Curation {
     */
   def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
     val w = Window.partitionBy("text_hash").orderBy("doc_id")
-    val toks = tokens(col("text"))
+    // tokenize ONCE into a column: the quality terms and language-ID
+    // otherwise each re-run the regex split per evaluation (Catalyst
+    // has no CSE for non-cheap exprs across a single projection)
+    val toks = col("_w")
     val nTok = size(toks).cast("long")
     val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val stop = markerHits(col("text"), langMarkers.head._2).cast("double") / nTok
+    val stop = markerHitsTokens(toks, langMarkers.head._2).cast("double") / nTok
     val quality = round(
       lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
         lit(0.3) * ttr + lit(0.2) * stop, 6)
     docs
+      .withColumn("_w", tokens(col("text")))
       .withColumn("text_hash", md5(col("text")))
       .withColumn("rank_in_group", row_number().over(w))
       .withColumn("quality", quality)
-      .withColumn("pred_lang", langPredict(col("text")))
+      .withColumn("pred_lang", langPredictTokens(toks))
       .withColumn("reject_reason",
         when(col("rank_in_group") > 1, "dup")
           .when(col("quality") < minQuality, "low_quality")
@@ -61,15 +65,17 @@ object Curation {
       minQuality: Double = 0.5, maxRepetition: Double = 0.5,
       n: Int = 3, minShared: Int = 2): DataFrame = {
     val w = Window.partitionBy("text_hash").orderBy("doc_id")
-    val toks = tokens(col("text"))
+    // tokenize ONCE (see curate) — the five gates otherwise re-split
+    // the text per scalar term
+    val toks = col("_w")
     val nTok = size(toks).cast("long")
     val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val stop = markerHits(col("text"), langMarkers.head._2).cast("double") / nTok
+    val stop = markerHitsTokens(toks, langMarkers.head._2).cast("double") / nTok
     val quality = round(
       lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
         lit(0.3) * ttr + lit(0.2) * stop, 6)
     val tot2 = greatest(size(toks) - 1, lit(0)).cast("long")
-    val dis2 = size(shinglesN(col("text"), 2)).cast("long")
+    val dis2 = size(shinglesNTokens(toks, 2)).cast("long")
     val repetition = round(when(tot2 > 0,
       lit(1.0) - dis2.cast("double") / tot2.cast("double"))
       .otherwise(lit(0.0)), 6)
@@ -78,11 +84,12 @@ object Curation {
         .select(col("train_id").as("doc_id")).distinct()
         .withColumn("contaminated", lit(true)))
     docs
+      .withColumn("_w", tokens(col("text")))
       .withColumn("text_hash", md5(col("text")))
       .withColumn("rank_in_group", row_number().over(w))
       .withColumn("quality", quality)
       .withColumn("repetition_ratio", repetition)
-      .withColumn("pred_lang", langPredict(col("text")))
+      .withColumn("pred_lang", langPredictTokens(toks))
       .join(contaminatedIds, Seq("doc_id"), "left")
       .withColumn("reject_reason",
         when(col("rank_in_group") > 1, "dup")
