@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PLANS.md's load-bearing claims as assertions, so a regression in
+  * plan shape fails CI instead of waiting for the next manual audit.
+  * Plans are built against the sf0.001 testdata (plan SHAPE is what's
+  * asserted; AQE may re-plan joins at runtime, which is fine — these
+  * are the initial static plans).
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    Registry.all.map { q =>
+      q.name -> q.fn(spark, sfDir).queryExecution.executedPlan.toString
+    }.toMap
+
+  test("no query plans a cartesian product") {
+    // the deliberate small-side cross joins (IVF centroids, corpus
+    // totals) must all broadcast — BroadcastNestedLoop, never
+    // CartesianProduct (which would be quadratic-shuffle at scale)
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("no query falls back to an interpreted Python/UDF operator") {
+    val bad = Seq("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+    val offenders = plans.filter { case (_, p) => bad.exists(p.contains) }.keys
+    assert(offenders.isEmpty, s"python-eval operators in: $offenders")
+  }
+
+  test("rideshare enrichment joins broadcast (fact side never shuffles)") {
+    Seq("t1_enrich_count", "t6b_urgent_by_nation", "t9_rollup").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q: expected broadcast dim joins\n${plans(q).take(800)}")
+      assert(!plans(q).contains("SortMergeJoin"),
+        s"$q: dim join degraded to a shuffle join")
+    }
+  }
+
+  test("orderBy+limit compiles to distributed top-k, not a global sort") {
+    Seq("t3c_top30_routes", "t7_pivot_routes").foreach { q =>
+      assert(plans(q).contains("TakeOrderedAndProject"),
+        s"$q: expected TakeOrderedAndProject\n${plans(q).take(800)}")
+    }
+  }
+
+  test("window top-k caps groups before ranking (WindowGroupLimit)") {
+    Seq("t3a_top5_nations_month", "sim_lsh_topk").foreach { q =>
+      assert(plans(q).contains("WindowGroupLimit"),
+        s"$q: expected WindowGroupLimit\n${plans(q).take(800)}")
+    }
+  }
+
+  test("decontamination screen broadcasts the bench n-gram index") {
+    assert(plans("decontam_hits").contains("BroadcastHashJoin"),
+      plans("decontam_hits").take(800))
+  }
+
+  test("column pruning reaches the scan on a projection-only query") {
+    // t1_enrich_count aggregates a count over an enrichment join —
+    // the orders scan must not read the full table width
+    val plan = plans("t1_enrich_count")
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no ReadSchema in plan:\n${plan.take(800)}")
+    assert(schemas.exists(_.split(",").length <= 2),
+      s"expected a pruned scan (<=2 columns), got: $schemas")
+  }
+}
