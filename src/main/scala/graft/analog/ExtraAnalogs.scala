@@ -59,6 +59,20 @@ object ExtraAnalogs {
     """sh AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh FROM tok)""".stripMargin
 
+  /** Winnowing CTE (depends on tok): positional 3-gram hashes →
+    * window-of-4 minima → distinct, sorted — mirrors
+    * TextFunctions.winnowFingerprints(k = 3, win = 4) including the
+    * short-doc conventions.
+    */
+  private val winnowCte =
+    s"""gseq AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+       |  i -> ${dWordHash60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS hs FROM tok),
+       |fp AS (SELECT doc_id, list_sort(list_distinct(
+       |  CASE WHEN len(hs) >= 4
+       |    THEN list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+       |  WHEN len(hs) > 0 THEN [list_min(hs)]
+       |  ELSE []::BIGINT[] END)) AS fps FROM gseq)""".stripMargin
+
   private def dMarkerHits(markers: Seq[String]) =
     s"len(list_filter(w, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
 
@@ -273,6 +287,30 @@ object ExtraAnalogs {
         |    ON a.lang = b.lang AND a.source = b.source
         |   AND a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer SIGMOD'03 / MOSS): positional
+    // 3-gram hashes, window-of-4 minima, deduped + sorted.
+    Q("text_winnow",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp"),
+      Some(s"""WITH $tokCte, $winnowCte
+        |SELECT doc_id, unnest(fps) AS fp FROM fp ORDER BY 1, 2""".stripMargin)),
+
+    // Winnow-fingerprint near-dup pairs: shared CONTIGUOUS k+win-1
+    // word runs (local similarity, the partial-plagiarism notion the
+    // set/sketch miners are blind to).
+    Q("dedup_winnow_pairs",
+      (s, d) => Dedup.winnowPairs(Tables.documents(s, d)),
+      Some(s"""WITH $tokCte, $winnowCte,
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // 60-bit SimHash + top-15-bit block (Manku block 0) per doc.
     Q("dedup_simhash",

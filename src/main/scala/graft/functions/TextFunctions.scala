@@ -56,6 +56,44 @@ object TextFunctions {
   /** Distinct word-2-gram shingles: "w1 w2" for each adjacent pair. */
   def shingles2(text: Column): Column = shinglesN(text, 2)
 
+  /** POSITIONAL word n-gram sequence — duplicates and order kept
+    * (what winnowing needs; [[shinglesNTokens]] is the distinct-set
+    * variant).
+    */
+  def shingleSeqTokens(w: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val joined = (2 to n).foldLeft(w) { (acc, i) =>
+      zip_with(acc, slice(w, lit(i), size(w)), (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, x => x.isNotNull)
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    * the MOSS algorithm): hash every positional word `k`-gram, slide
+    * a window of `win` consecutive hashes, keep each window's
+    * minimum, dedup. Guarantees any shared substring of at least
+    * k + win − 1 words produces a shared fingerprint, while storing
+    * ~2/(win+1) of the k-gram hashes — the standard local-similarity
+    * sketch between exact hashing (too strict) and set-based minhash
+    * (order-blind).
+    *
+    * Short-doc convention: fewer than `win` k-grams → one fingerprint
+    * (the global min); no k-grams (doc under k words) → empty.
+    * Sorted for deterministic export.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, win: Int = 4): Column = {
+    require(k >= 1 && win >= 1, s"k and win must be >= 1, got k=$k win=$win")
+    val hs = transform(shingleSeqTokens(tokens(text), k), wordHash60(_))
+    val nh = size(hs)
+    // guard BEFORE sequence: sequence(1, 0) is a DESCENDING [1, 0]
+    val mins = transform(sequence(lit(1), nh - lit(win - 1)),
+      i => array_min(slice(hs, i, lit(win))))
+    array_sort(array_distinct(
+      when(nh >= win, mins)
+        .when(nh > 0, array(array_min(hs)))
+        .otherwise(lit(Array.empty[Long]))))
+  }
+
   /** Portable 32-bit word hash: first 8 hex digits of md5, parsed to a
     * long. DuckDB equivalent: `('0x' || substr(md5(w),1,8))::BIGINT`.
     */

@@ -319,6 +319,45 @@ object Dedup {
     new Managed(out, Seq(sigs))
   }
 
+  /** Winnowing near-dup pairs (MOSS shape): docs sharing ≥ `minShared`
+    * winnowing fingerprints
+    * ([[graft.functions.TextFunctions.winnowFingerprints]]). Where
+    * minhash measures SET overlap and simhash sketch distance, shared
+    * winnow fingerprints witness shared CONTIGUOUS runs of at least
+    * k + win − 1 words — the local-similarity (partial-plagiarism)
+    * notion the other miners are blind to.
+    *
+    * Scale shape: explode to (doc_id, 8-byte fingerprint) — measured
+    * bucket occupancy is small and hash-bounded (winnow mins are
+    * biased low but tie-broken by the full 60-bit value) — equi-join,
+    * count per pair, filter. Same cached-input / export-tail
+    * conventions as the other miners.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, win: Int = 4,
+      minShared: Int = 3): DataFrame =
+    winnowPairsManaged(docs, k, win, minShared).df
+
+  /** [[winnowPairs]] with its internal persist exposed for release —
+    * see [[Managed]].
+    */
+  def winnowPairsManaged(docs: DataFrame, k: Int = 3, win: Int = 4,
+      minShared: Int = 3): Managed = {
+    // cached: the self-join consumes the fingerprint table once per
+    // side; 16 bytes per (doc, fingerprint) row, no text
+    val fps = docs.select(col("doc_id"),
+      explode(winnowFingerprints(col("text"), k, win)).as("fp"))
+      .cache()
+    val out = fps.alias("a")
+      .join(fps.alias("b"), col("a.fp") === col("b.fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      // repartition(1) + single-partition sort (see minhashPairs)
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    new Managed(out, Seq(fps))
+  }
+
   /** Dedup completion: collapse near-dup PAIRS into clusters and pick
     * one canonical survivor (min doc_id) per cluster — what a real
     * pipeline keeps. Iterative min-label propagation over the pair

@@ -100,4 +100,38 @@ class DecontamSpec extends AnyFunSuite with SparkSpec {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("winnowFingerprints: short-doc conventions and window minima") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a b"),                    // under k=3 words -> no fingerprints
+      (2L, "a b c d"),                // 2 k-grams < win=4 -> one global min
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "))) // full windows
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.winnowFingerprints(col("text")).as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(1L).isEmpty)
+    assert(m(2L).size === 1)
+    // 18 k-grams, 15 windows, expected ~2/(win+1) retention after dedup
+    assert(m(3L).nonEmpty && m(3L).size <= 15)
+    assert(m(3L) === m(3L).sorted)
+  }
+
+  test("winnowPairs: shared contiguous run of k+win-1 words guarantees a pair") {
+    val s = spark; import s.implicits._
+    // 6 shared consecutive words (= k + win - 1 with k=3, win=4)
+    // embedded in otherwise-disjoint docs -> the winnowing guarantee
+    // says they MUST share >= 1 fingerprint
+    val shared = "p q r s t u"
+    val docs = Seq(
+      (1L, s"a b c d $shared e f g h"),
+      (2L, s"m n o $shared x y z"),
+      (3L, "completely different words entirely here now today friend"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
