@@ -101,7 +101,8 @@ object ScalingBench {
       "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
       "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
       "emb_dedup_survivors", "sim_lsh_topk", "sim_ivf_topk",
-      "decontam_hits", "pipeline_curate_full", "dedup_winnow_pairs")
+      "decontam_hits", "pipeline_curate_full", "dedup_winnow_pairs",
+      "text_winnow")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

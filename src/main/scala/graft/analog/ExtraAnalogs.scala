@@ -294,7 +294,11 @@ object ExtraAnalogs {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextFunctions.winnowFingerprints(col("text"))).as("fp"))
-        .orderBy("doc_id", "fp"),
+        // repartition(1) + single-partition sort, not orderBy: the
+        // range partitioner's sampling job would run the fingerprint
+        // pipeline twice; the exploded (id, fp) pairs are 16 bytes a
+        // row, so one sort task is the cheaper total order
+        .repartition(1).sortWithinPartitions("doc_id", "fp"),
       Some(s"""WITH $tokCte, $winnowCte
         |SELECT doc_id, unnest(fps) AS fp FROM fp ORDER BY 1, 2""".stripMargin)),
 

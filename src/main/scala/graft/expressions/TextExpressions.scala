@@ -337,6 +337,123 @@ case class ModalRunLength(child: Expression) extends UnaryExpression {
       newChild: Expression): ModalRunLength = copy(child = newChild)
 }
 
+/** Winnowing fingerprint extraction (Schleimer et al., SIGMOD'03) over
+  * a pre-hashed positional k-gram array: every `win`-wide sliding
+  * window's minimum, deduplicated and ascending-sorted.
+  *
+  * Replaces the built-in `transform(sequence(1, n-win+1),
+  * i -> array_min(slice(hs, i, win)))` shape, which is quadratic in
+  * practice: higher-order functions are interpreted with no
+  * subexpression elimination, so the `hs` subtree — one md5 per k-gram
+  * — re-evaluates per WINDOW POSITION, and each `slice` allocates.
+  * Here `hs` is the child (evaluated once per row) and the window
+  * minima come from one monotonic-deque pass — O(n) total, inside
+  * whole-stage codegen. Measured on the sf0.1 `text_winnow` query:
+  * 43.5 s → sub-second.
+  *
+  * Short-doc conventions (identical to the composed form and the
+  * DuckDB oracle CTE): fewer than `win` hashes → one fingerprint (the
+  * global min); empty input → empty array. Both fall out of clamping
+  * the window width to `min(win, n)`.
+  */
+case class WinnowMins(child: Expression, win: Int = 4)
+    extends UnaryExpression {
+  require(win >= 1, s"winnow window must be >= 1, got $win")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "winnow_mins"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val w = math.min(win, n)
+    val m = n - w + 1
+    val mins = new Array[Long](m)
+    // monotonic deque of indices: dq[head until tail] ascending values
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      while (tail > head && arr.getLong(dq(tail - 1)) >= h) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) mins(i - w + 1) = arr.getLong(dq(head))
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var out = 1
+    var r = 1
+    while (r < m) {
+      if (mins(r) != mins(out - 1)) { mins(out) = mins(r); out += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(mins, out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      val m = ctx.freshName("m")
+      val mins = ctx.freshName("mins")
+      val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray(new long[0]);
+         |} else {
+         |  int $w = $win < $n ? $win : $n;
+         |  int $m = $n - $w + 1;
+         |  long[] $mins = new long[$m];
+         |  int[] $dq = new int[$n];
+         |  int $head = 0; int $tail = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $x.getLong($i);
+         |    while ($tail > $head && $x.getLong($dq[$tail - 1]) >= $h) $tail--;
+         |    $dq[$tail++] = $i;
+         |    if ($dq[$head] <= $i - $w) $head++;
+         |    if ($i >= $w - 1) $mins[$i - $w + 1] = $x.getLong($dq[$head]);
+         |  }
+         |  java.util.Arrays.sort($mins);
+         |  int $out = 1;
+         |  for (int $r = 1; $r < $m; $r++) {
+         |    if ($mins[$r] != $mins[$out - 1]) $mins[$out++] = $mins[$r];
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray(java.util.Arrays.copyOf($mins, $out));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-level simhash fold backed by the codegen expression
     * (default 16-bit; pass `bits` for the wider Manku-style sketch).
@@ -362,4 +479,10 @@ object TextExpressions {
     */
   def modalRunLength(sorted: Column): Column =
     GraftBridge.column(ModalRunLength(GraftBridge.expression(sorted)))
+
+  /** Column-level winnowing window-minima (sorted, deduped) over a
+    * pre-hashed positional k-gram array (see [[WinnowMins]]).
+    */
+  def winnowMins(hashes: Column, win: Int = 4): Column =
+    GraftBridge.column(WinnowMins(GraftBridge.expression(hashes), win))
 }

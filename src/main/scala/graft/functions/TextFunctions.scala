@@ -83,15 +83,13 @@ object TextFunctions {
     */
   def winnowFingerprints(text: Column, k: Int = 3, win: Int = 4): Column = {
     require(k >= 1 && win >= 1, s"k and win must be >= 1, got k=$k win=$win")
-    val hs = transform(shingleSeqTokens(tokens(text), k), wordHash60(_))
-    val nh = size(hs)
-    // guard BEFORE sequence: sequence(1, 0) is a DESCENDING [1, 0]
-    val mins = transform(sequence(lit(1), nh - lit(win - 1)),
-      i => array_min(slice(hs, i, lit(win))))
-    array_sort(array_distinct(
-      when(nh >= win, mins)
-        .when(nh > 0, array(array_min(hs)))
-        .otherwise(lit(Array.empty[Long]))))
+    // the hash array is the CHILD of one native expression, so the
+    // per-k-gram md5 chain evaluates once per row; the composed
+    // transform(sequence, i -> array_min(slice(hs, i, win))) shape
+    // re-evaluated that chain per window position (interpreted
+    // higher-order funcs have no CSE) — quadratic in doc length
+    graft.expressions.TextExpressions.winnowMins(
+      transform(shingleSeqTokens(tokens(text), k), wordHash60(_)), win)
   }
 
   /** Portable 32-bit word hash: first 8 hex digits of md5, parsed to a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinhashBands, ModalRunLength, SimhashFold, TopKAgg, VecDot}
+import graft.expressions.{MinhashBands, ModalRunLength, SimhashFold, TopKAgg, VecDot, WinnowMins}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -50,6 +50,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1,
           "modal_run_length(sorted) takes one sorted array<string> arg")
         ModalRunLength(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "winnow_mins(hashes[, win]) takes an array arg and optional window")
+        if (args.length == 1) WinnowMins(args.head)
+        else args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _) =>
+            WinnowMins(args.head, w)
+          case other => throw new IllegalArgumentException(
+            s"winnow_mins's win must be an integer literal, got $other")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("top_k"),

@@ -77,4 +77,37 @@ object DecontamProps extends Properties("decontam") {
           share > 0.0 && share <= 1.0
       }
     }
+
+  // independent of the engine path: its own md5, its own window scan
+  private def bruteWinnow(text: String, k: Int, win: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15),
+      16)
+    val hs = text.split(" ").sliding(k).filter(_.length == k)
+      .map(g => h60(g.mkString(" "))).toVector
+    val mins =
+      if (hs.isEmpty) Vector.empty[Long]
+      else if (hs.length < win) Vector(hs.min)
+      else hs.sliding(win).map(_.min).toVector
+    mins.distinct.sorted
+  }
+
+  // longer docs than genDoc so full windows + deque evictions happen
+  private val genLongDoc: Gen[String] = for {
+    n <- Gen.chooseNum(1, 40)
+    ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield ws.mkString(" ")
+
+  property("winnowFingerprints matches a brute-force sliding-window min") =
+    forAll(Gen.nonEmptyListOf(genLongDoc)) { texts =>
+      import org.apache.spark.sql.functions.col
+      val got = df(texts, 0L)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.winnowFingerprints(col("text")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        got(i.toLong) == bruteWinnow(t, 3, 4)
+      }
+    }
 }
