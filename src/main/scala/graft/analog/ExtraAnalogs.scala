@@ -192,8 +192,11 @@ object ExtraAnalogs {
     // MinHash band keys per doc (k=8 sig, 4 bands × 2 rows) — the
     // map-side artifact of LSH dedup, verified end-to-end.
     Q("dedup_minhash_sig",
-      (s, d) => Dedup.minhashSignatures(Tables.documents(s, d))
-        .orderBy("doc_id"),
+      // sort-first: the signature projection is narrow (order
+      // survives), so the range exchange's sampling pass re-reads the
+      // scan instead of re-hashing every shingle (orderBy-last would)
+      (s, d) => Dedup.minhashSignatures(
+        Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id")),
       Some(s"""WITH $tokCte, $shCte, $hsCte
         |SELECT doc_id, ${(0 until 4).map(b => s"${dBand("hs", b)} AS band$b").mkString(", ")}
         |FROM hsc ORDER BY doc_id""".stripMargin)),
@@ -318,7 +321,9 @@ object ExtraAnalogs {
 
     // 60-bit SimHash + top-15-bit block (Manku block 0) per doc.
     Q("dedup_simhash",
-      (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
+      // sort-first (see dedup_minhash_sig)
+      (s, d) => Dedup.simhash(
+        Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id")),
       Some(s"""WITH hs AS (
         |  SELECT doc_id, list_transform(
         |    list_distinct(string_split(text, ' ')), x -> ${dWordHash60("x")}) AS hs
@@ -554,13 +559,15 @@ object ExtraAnalogs {
     // the content-token count after stopword filtering.
     Q("text_normalize",
       (s, d) => {
+        // sort-first (see dedup_minhash_sig)
         val norm = TextFunctions.normalize(col("text"))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          md5(norm).as("norm_hash"),
-          size(TextFunctions.removeStopwords(col("text"), stopEn))
-            .cast("long").as("n_content_tokens"))
-          .orderBy("doc_id")
+        Tables.documents(s, d)
+          .select("doc_id", "text").orderBy("doc_id")
+          .select(
+            col("doc_id"),
+            md5(norm).as("norm_hash"),
+            size(TextFunctions.removeStopwords(col("text"), stopEn))
+              .cast("long").as("n_content_tokens"))
       },
       Some(s"""WITH $tokCte
         |SELECT doc_id,
@@ -583,10 +590,11 @@ object ExtraAnalogs {
 
     // Order-sensitive rolling-hash fingerprint per doc.
     Q("text_fingerprint",
+      // sort-first (see dedup_minhash_sig)
       (s, d) => Tables.documents(s, d)
+        .select("doc_id", "text").orderBy("doc_id")
         .select(col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint")),
       Some(s"""WITH $tokCte
         |SELECT doc_id, list_reduce(
         |  list_prepend(0::BIGINT, list_transform(w, x -> ${dWordHash("x")})),
@@ -639,14 +647,22 @@ object ExtraAnalogs {
     // pieces (letter runs | digit runs | single other-glyphs).
     Q("text_token_count",
       (s, d) => {
-        val nWs = size(TextFunctions.tokens(col("text"))).cast("long")
-        val nBpe = size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
-        Tables.documents(s, d).select(
-          col("doc_id"), nWs.as("n_ws"), nBpe.as("n_bpe"),
-          round(length(col("text")).cast("double") / nBpe, 6)
+        // sort-first + two-step select: n_bpe fed chars_per_token's
+        // divisor from the same regexp tree, which evaluated the
+        // extraction twice per row in the flat projection
+        val base = Tables.documents(s, d)
+          .select("doc_id", "text").orderBy("doc_id")
+        val scalars = base.select(
+          col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+            .as("n_bpe"),
+          length(col("text")).cast("long").as("n_chars"))
+        scalars.select(
+          col("doc_id"), col("n_ws"), col("n_bpe"),
+          round(col("n_chars").cast("double") / col("n_bpe"), 6)
             .as("chars_per_token"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
@@ -696,7 +712,10 @@ object ExtraAnalogs {
     // Composed curation pipeline: dedup survivorship + quality gate +
     // language tag in ONE Catalyst plan (single shuffle).
     Q("pipeline_curate",
-      (s, d) => Curation.curate(Tables.documents(s, d)).orderBy("doc_id"),
+      // single-task export sort (see the pair-miner tails): an orderBy
+      // sampling pass would re-run every post-window scalar gate
+      (s, d) => Curation.curate(Tables.documents(s, d))
+        .repartition(1).sortWithinPartitions("doc_id"),
       Some {
         val q = "round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)" +
           " + 0.3::DOUBLE * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT))" +
@@ -730,7 +749,7 @@ object ExtraAnalogs {
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0),
           maxRepetition = 0.06)
-          .orderBy("doc_id")
+          .repartition(1).sortWithinPartitions("doc_id")
       },
       Some {
         val q = "round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)" +

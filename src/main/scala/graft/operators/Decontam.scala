@@ -52,7 +52,22 @@ object Decontam {
     * 8-byte key with identical semantics.
     */
   def overlapScreen(train: DataFrame, bench: DataFrame, n: Int = 3,
-      minShared: Int = 2, broadcastBench: Boolean = true): DataFrame = {
+      minShared: Int = 2, broadcastBench: Boolean = true): DataFrame =
+    // repartition(1) + single-partition sort, not orderBy: the range
+    // partitioner's sampling job re-executes the broadcast-join side
+    // of the screen (no exchange above the scan to reuse), and the hit
+    // list is a vanishing fraction of the corpus — the pair-miner tail
+    // argument verbatim
+    overlapCore(train, bench, n, minShared, broadcastBench)
+      .repartition(1).sortWithinPartitions("train_id", "bench_id")
+
+  /** The screen without the export tail — what composing operators
+    * ([[survivors]], [[graft.operators.Curation.curateFull]]) consume:
+    * a sorted single-partition hit list inside a larger plan would
+    * serialize the downstream join onto one task.
+    */
+  private[operators] def overlapCore(train: DataFrame, bench: DataFrame,
+      n: Int, minShared: Int, broadcastBench: Boolean = true): DataFrame = {
     def grams(df: DataFrame, idAs: String) = df.select(
       col("doc_id").as(idAs),
       explode(shinglesN(col("text"), n)).as("g"))
@@ -67,7 +82,6 @@ object Decontam {
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .orderBy("train_id", "bench_id")
   }
 
   /** Training docs that hit NO benchmark doc at the screen's
@@ -76,11 +90,15 @@ object Decontam {
     */
   def survivors(train: DataFrame, bench: DataFrame, n: Int = 3,
       minShared: Int = 2): DataFrame =
-    train.select("doc_id")
-      .join(overlapScreen(train, bench, n, minShared)
-        .select(col("train_id").as("doc_id")),
+    // sort-first (the text_quality pattern): the range exchange sorts
+    // the CHEAP id scan, so its sampling pass re-reads one parquet
+    // column instead of re-running the screen (orderBy-last would).
+    // The broadcast anti-join streams the sorted side and preserves
+    // its order — the export total order survives, fully distributed
+    train.select("doc_id").orderBy("doc_id")
+      .join(broadcast(overlapCore(train, bench, n, minShared)
+        .select(col("train_id").as("doc_id"))),
         Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
 
   /** Per-document repetition profile over word `n`-grams — the
     * boilerplate/spam signal every quality-filter stack carries
@@ -90,27 +108,40 @@ object Decontam {
     * scalar work — no shuffle except the export sort.
     */
   def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
-    val w = tokens(col("text"))
-    // total n-grams = max(len(w)-(n-1), 0); distinct via shinglesN
-    val total = greatest(size(w) - lit(n - 1), lit(0)).cast("long")
-    val distinctN = size(shinglesN(col("text"), n)).cast("long")
-    // top token share: modal token count / token count. One native
-    // codegen run-length walk over the SORTED token array (equal
-    // tokens adjacent) — the interpreted struct-state `aggregate` fold
-    // this replaced copied a 3-field struct per element and dominated
-    // the operator's cost.
-    val runBest = graft.expressions.TextExpressions
-      .modalRunLength(array_sort(w))
-    docs.select(
+    // sort-first (the text_quality pattern): order the cheap base and
+    // derive the scalars ON TOP of the sorted rows — narrow
+    // projections preserve the range exchange's total order, and the
+    // sampling pass re-executes only the scan, not the token walks
+    val base = docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+    // three-step select (the text_quality shape): materialize the
+    // token array once, then every non-cheap scalar once, then pure
+    // arithmetic — a flat projection would re-tokenize and re-walk
+    // the shingle tree per referencing metric (no CSE for interpreted
+    // higher-order functions)
+    val withW = base.select(col("doc_id"), tokens(col("text")).as("w"))
+    val w = col("w")
+    val scalars = withW.select(
       col("doc_id"),
-      total.as("n_ngrams"),
-      distinctN.as("n_distinct"),
-      round(when(total > 0,
-        lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      // total n-grams = max(len(w)-(n-1), 0)
+      greatest(size(w) - lit(n - 1), lit(0)).cast("long").as("n_ngrams"),
+      size(shinglesNTokens(w, n)).cast("long").as("n_distinct"),
+      // top token count: one native codegen run-length walk over the
+      // SORTED token array (equal tokens adjacent) — the interpreted
+      // struct-state `aggregate` fold this replaced copied a 3-field
+      // struct per element and dominated the operator's cost
+      graft.expressions.TextExpressions.modalRunLength(array_sort(w))
+        .as("run_best"),
+      size(w).cast("long").as("n_tok"))
+    scalars.select(
+      col("doc_id"),
+      col("n_ngrams"),
+      col("n_distinct"),
+      round(when(col("n_ngrams") > 0,
+        lit(1.0) - col("n_distinct").cast("double")
+          / col("n_ngrams").cast("double"))
         .otherwise(lit(0.0)), 6).as("repetition_ratio"),
-      round(runBest.cast("double") / size(w).cast("double"), 6)
+      round(col("run_best").cast("double") / col("n_tok").cast("double"), 6)
         .as("top_token_share"))
-      .orderBy("doc_id")
   }
 
   /** Per-source corpus composition and uniform-target resampling
