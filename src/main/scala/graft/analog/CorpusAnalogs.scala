@@ -1,0 +1,141 @@
+package graft.analog
+
+import graft.Q
+import graft.operators.{Chunking, Decontam}
+import graft.sources.Tables
+
+/** Registry entries + DuckDB oracles for the sequence-prep operators
+  * (graft.operators.Chunking) and the corpus-frequency quality signal
+  * (Decontam.rareBigramRate) — the chunk/pack half of the LLM-data
+  * pipeline (no reference counterpart; the reference's surface is the
+  * 7 rideshare tasks).
+  *
+  * The chunking convention both engines implement: token windows start
+  * at 0, stride, 2·stride, … while the start lands strictly inside the
+  * token sequence; the last window may be short. DuckDB's inclusive
+  * list slice `w[a:b]` self-truncates at the list end, mirroring
+  * Spark's `slice(w, start, length)`.
+  */
+object CorpusAnalogs {
+
+  /** 60-bit word hash — TextFunctions.wordHash60. */
+  private def dH60(w: String) = s"('0x' || substr(md5($w),1,15))::BIGINT"
+
+  private val tokCte =
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+
+  /** Exploded chunk CTE: one row per (doc, window) at the given
+    * chunk/stride, with the window's token slice as `cw`. Select-list
+    * `unnest(range(...))`, not the table function — DuckDB's lateral
+    * `range` can't take column bounds.
+    */
+  private def chunkCte(chunk: Int, stride: Int) =
+    s"""cid AS (
+       |  SELECT doc_id, w,
+       |         unnest(range(0, ((len(w)-1)//$stride) + 1)) AS chunk_id
+       |  FROM tok
+       |), c AS (
+       |  SELECT doc_id, chunk_id,
+       |         w[(chunk_id*$stride+1):least(chunk_id*$stride+$chunk, len(w))]
+       |           AS cw
+       |  FROM cid
+       |)""".stripMargin
+
+  /** Non-overlapping chunk hashes + corpus distinct-doc counts — the
+    * shared base of the two CCNet-screen queries (chunk = stride = 16).
+    */
+  private val dupBaseCte =
+    s"""$tokCte,
+       |${chunkCte(16, 16)},
+       |ch AS (
+       |  SELECT doc_id, chunk_id, array_to_string(cw, ' ') AS chunk,
+       |         ${dH60("array_to_string(cw, ' ')")} AS h
+       |  FROM c
+       |),
+       |cnt AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Overlapping fixed-token-window chunking (32-token windows every
+    // 24 tokens): the context-window shaping step of sequence prep.
+    Q("pipeline_chunks",
+      (s, d) => Chunking.chunks(Tables.documents(s, d)),
+      Some(s"""WITH $tokCte, ${chunkCte(32, 24)}
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(cw) AS BIGINT) AS n_tok,
+        |       array_to_string(cw, ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // CCNet cross-doc duplicated-chunk profile: per doc, how many of
+    // its non-overlapping 16-token chunks appear in >= 2 distinct docs.
+    Q("dedup_chunk_stats",
+      (s, d) => Chunking.dupStats(Tables.documents(s, d)),
+      Some(s"""WITH $dupBaseCte
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup,
+        |       round(CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END)
+        |           AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM ch JOIN cnt USING (h)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin)),
+
+    // The cleaned corpus: every doc rebuilt from only its chunks no
+    // other doc carries (all copies of a cross-doc duplicate drop).
+    Q("dedup_chunk_clean",
+      (s, d) => Chunking.clean(Tables.documents(s, d)),
+      Some(s"""WITH $dupBaseCte,
+        |kept AS (
+        |  SELECT ch.doc_id, count(*) AS n_kept,
+        |         string_agg(ch.chunk, ' ' ORDER BY ch.chunk_id) AS clean_text
+        |  FROM ch JOIN cnt USING (h)
+        |  WHERE cnt.n_docs = 1
+        |  GROUP BY ch.doc_id
+        |)
+        |SELECT d.doc_id, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Greedy token-budget packing into 256-token training bins, one
+    // independent packing per source partition.
+    Q("pipeline_pack",
+      (s, d) => Chunking.pack(Tables.documents(s, d)),
+      Some("""WITH base AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM base)
+        |SELECT doc_id, source, n_tok, CAST((c - n_tok) // 256 AS BIGINT) AS bin
+        |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-frequency quality signal: per-doc share of bigrams the
+    // corpus has seen at most twice (integer-exact LM-screen stand-in).
+    Q("text_rare_bigram_rate",
+      (s, d) => Decontam.rareBigramRate(Tables.documents(s, d)),
+      Some(s"""WITH $tokCte,
+        |bg0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM tok
+        |),
+        |bg AS (SELECT doc_id, ${dH60("g")} AS h FROM bg0),
+        |cnt AS (SELECT h, count(*) AS c FROM bg GROUP BY h),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_rare
+        |  FROM bg JOIN cnt USING (h) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(p.n_rare, 0) AS BIGINT) AS n_rare,
+        |       round(CASE WHEN coalesce(p.n_bigrams, 0) > 0
+        |         THEN CAST(p.n_rare AS DOUBLE) / p.n_bigrams
+        |         ELSE 0.0 END, 6) AS rare_rate
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin))
+  )
+}

@@ -158,6 +158,74 @@ object ExtraAnalogs {
        |  WHERE t.j <= (SELECT bits FROM prm)$where
        |)""".stripMargin
 
+  /** Double image + norm of an integer centroid table (k-means). */
+  private def dKmCentw(src: String, out: String) =
+    s"""$out AS (
+       |  SELECT cent_id, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cvd
+       |  FROM $src
+       |), ${out}n AS (
+       |  SELECT cent_id, cvd, sqrt(${dDot("cvd", "cvd")}) AS cnorm FROM $out
+       |)""".stripMargin
+
+  /** Ranked assignment of every vector against centroid table `ct`n. */
+  private def dKmAsg(name: String, ct: String) =
+    s"""${name}0 AS (
+       |  SELECT v.vec_id, c.cent_id,
+       |         round(${dDot("v.emb", "c.cvd")} / (v.norm * c.cnorm), 6)
+       |           AS cent_sim
+       |  FROM v CROSS JOIN ${ct}n c
+       |), $name AS (
+       |  SELECT vec_id, cent_id, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
+       |  FROM ${name}0
+       |)""".stripMargin
+
+  /** Centroid recompute: per-dim integer sums of rk=1 members; an
+    * empty cell keeps its previous centroid (COALESCE), as the Scala
+    * trainer does.
+    */
+  private def dKmRecent(a: String, prev: String, out: String) =
+    s"""${out}s AS (
+       |  SELECT x.cent_id AS cell, t.j AS dim,
+       |         CAST(sum(v.vi[t.j]) AS BIGINT) AS s
+       |  FROM $a x JOIN v USING (vec_id), range(1, ${Similarity.MaxDim + 1}) t(j)
+       |  WHERE x.rk = 1 GROUP BY 1, 2
+       |), ${out}r AS (
+       |  SELECT cell AS cent_id, list(s ORDER BY dim) AS cv
+       |  FROM ${out}s GROUP BY 1
+       |), $out AS (
+       |  SELECT p.cent_id, COALESCE(r.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN ${out}r r ON r.cent_id = p.cent_id
+       |)""".stripMargin
+
+  /** WITH-body prefix replicating Similarity.trainIvfCentroids +
+    * ivfCells exactly (2 Lloyd rounds, 8 centroids seeded at vec_id
+    * < 8, integer-scaled sums): ends in
+    * `cells(vec_id, emb, norm, label, cell)` with the final ranked
+    * assignment available as `a3`. Shared by sim_ivf_topk and
+    * dedup_semantic so the two oracles cannot drift apart.
+    */
+  private lazy val dKmCellsCte: String =
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+       |e AS (SELECT vec_id, emb, label, sqrt(${dDot("emb", "emb")}) AS norm
+       |      FROM e0),
+       |v AS (SELECT vec_id, emb, norm, label,
+       |        list_transform(emb, x -> CAST(round(x*1000000.0) AS BIGINT)) AS vi
+       |      FROM e),
+       |c0 AS (SELECT vec_id AS cent_id, vi AS cv FROM v WHERE vec_id < 8),
+       |${dKmCentw("c0", "cw0")},
+       |${dKmAsg("a1", "cw0")},
+       |${dKmRecent("a1", "c0", "c1")},
+       |${dKmCentw("c1", "cw1")},
+       |${dKmAsg("a2", "cw1")},
+       |${dKmRecent("a2", "c1", "c2")},
+       |${dKmCentw("c2", "cw2")},
+       |${dKmAsg("a3", "cw2")},
+       |cells AS (
+       |  SELECT v.vec_id, v.emb, v.norm, v.label, a.cent_id AS cell
+       |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk = 1
+       |)""".stripMargin
+
   private val stopEn = TextFunctions.langMarkers.head._2
 
   // ---- queries -----------------------------------------------------------
@@ -420,60 +488,7 @@ object ExtraAnalogs {
     // sums; cosine is scale-invariant so no mean division), nprobe=2.
     Q("sim_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)),
-      Some {
-        // double image + norm of an integer centroid table
-        def centw(src: String, out: String) =
-          s"""$out AS (
-             |  SELECT cent_id, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cvd
-             |  FROM $src
-             |), ${out}n AS (
-             |  SELECT cent_id, cvd, sqrt(${dDot("cvd", "cvd")}) AS cnorm FROM $out
-             |)""".stripMargin
-        // ranked assignment of every vector against centroid table ctn
-        def asg(name: String, ct: String) =
-          s"""${name}0 AS (
-             |  SELECT v.vec_id, c.cent_id,
-             |         round(${dDot("v.emb", "c.cvd")} / (v.norm * c.cnorm), 6)
-             |           AS cent_sim
-             |  FROM v CROSS JOIN ${ct}n c
-             |), $name AS (
-             |  SELECT vec_id, cent_id, row_number() OVER
-             |    (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
-             |  FROM ${name}0
-             |)""".stripMargin
-        // recompute: per-dim integer sums of rk=1 members; empty cell
-        // keeps its previous centroid (COALESCE), as the trainer does
-        def recent(a: String, prev: String, out: String) =
-          s"""${out}s AS (
-             |  SELECT x.cent_id AS cell, t.j AS dim,
-             |         CAST(sum(v.vi[t.j]) AS BIGINT) AS s
-             |  FROM $a x JOIN v USING (vec_id), range(1, ${Similarity.MaxDim + 1}) t(j)
-             |  WHERE x.rk = 1 GROUP BY 1, 2
-             |), ${out}r AS (
-             |  SELECT cell AS cent_id, list(s ORDER BY dim) AS cv
-             |  FROM ${out}s GROUP BY 1
-             |), $out AS (
-             |  SELECT p.cent_id, COALESCE(r.cv, p.cv) AS cv
-             |  FROM $prev p LEFT JOIN ${out}r r ON r.cent_id = p.cent_id
-             |)""".stripMargin
-        s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm FROM e0),
-        |v AS (SELECT vec_id, emb, norm,
-        |        list_transform(emb, x -> CAST(round(x*1000000.0) AS BIGINT)) AS vi
-        |      FROM e),
-        |c0 AS (SELECT vec_id AS cent_id, vi AS cv FROM v WHERE vec_id < 8),
-        |${centw("c0", "cw0")},
-        |${asg("a1", "cw0")},
-        |${recent("a1", "c0", "c1")},
-        |${centw("c1", "cw1")},
-        |${asg("a2", "cw1")},
-        |${recent("a2", "c1", "c2")},
-        |${centw("c2", "cw2")},
-        |${asg("a3", "cw2")},
-        |cells AS (
-        |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
-        |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk = 1
-        |),
+      Some(s"""WITH $dKmCellsCte,
         |qcells AS (
         |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
         |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk <= 2 AND v.vec_id < 50
@@ -488,8 +503,25 @@ object ExtraAnalogs {
         |  FROM p
         |)
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
-        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
-      }),
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // SemDeDup: k-means the embedding space (the same deterministic
+    // 2-round integer-scaled Lloyd as sim_ivf_topk), verify cosine
+    // within cells only, drop the larger id of every semantic twin.
+    Q("dedup_semantic",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d)),
+      Some(s"""WITH $dKmCellsCte,
+        |pr AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         round(${dDot("a.emb", "b.emb")} / (a.norm * b.norm), 6) AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |),
+        |drops AS (SELECT DISTINCT b_id FROM pr WHERE sim >= 0.35)
+        |SELECT c.vec_id, c.cell, CAST(c.label AS BIGINT) AS label
+        |FROM cells c
+        |WHERE c.vec_id NOT IN (SELECT b_id FROM drops)
+        |ORDER BY c.vec_id""".stripMargin)),
 
     // Language-ID confusion matrix: labeled lang × heuristic prediction.
     Q("text_langid",

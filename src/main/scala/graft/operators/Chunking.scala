@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document chunking and chunk-level operators — the sequence-prep half
+  * of an LLM-training-data pipeline (no counterpart in the reference,
+  * whose surface is the 7 rideshare tasks): fixed-token-window chunking
+  * with overlap (the context-window shaping every pretraining run
+  * performs), CCNet-style corpus-wide duplicated-chunk screening
+  * (Wenzek et al., LREC'20 dedup paragraphs across shards — here the
+  * "paragraph" is a fixed token window, since the corpus convention is
+  * single-space text with no line structure), and token-budget packing
+  * (greedy sequence packing into training bins).
+  *
+  * Scale design (100 TB corpus):
+  *   - [[chunks]] is a pure per-row explode — no shuffle; output size
+  *     is corpus size × (1 + overlap share).
+  *   - [[dupStats]] / [[clean]] shuffle only (doc_id, 8-byte chunk
+  *     hash) pairs: one hash-aggregation on the hash and one equi-join
+  *     back — never the chunk text. AQE's skew handling covers the
+  *     boilerplate-chunk hot keys.
+  *   - [[pack]] is one window aggregation partitioned by source — each
+  *     partition packs independently (the property that lets 1000
+  *     executors pack 1000 shards without coordination).
+  */
+object Chunking {
+
+  /** Token windows of `chunk` tokens every `stride` tokens (overlap =
+    * chunk − stride), as arrays: one row per (doc, window). Window
+    * starts walk 0, stride, 2·stride, … while they land strictly
+    * inside the token sequence, so every token is covered and the last
+    * window may be short — the standard sliding convention.
+    */
+  private def chunkArrays(w: Column, chunk: Int, stride: Int): Column = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"need 1 <= stride <= chunk, got chunk=$chunk stride=$stride")
+    val nChunks = floor((size(w) - 1) / stride).cast("long") + 1
+    transform(sequence(lit(0L), nChunks - 1),
+      i => slice(w, (i * stride + 1).cast("int"), lit(chunk)))
+  }
+
+  /** Explode documents into overlapping fixed-token chunks:
+    * (doc_id, chunk_id, n_tok, chunk). `chunk` tokens per window,
+    * stepping `stride` (default 32/24 = 8-token overlap).
+    */
+  def chunks(docs: DataFrame, chunk: Int = 32, stride: Int = 24): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(chunkArrays(col("w"), chunk, stride))
+          .as(Seq("chunk_id", "cw")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("cw")).cast("long").as("n_tok"),
+        array_join(col("cw"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Non-overlapping chunk rows with the 60-bit content hash — the
+    * shared base of [[dupStats]] and [[clean]]: (doc_id, chunk_id,
+    * chunk, h). Only the hash ever crosses a shuffle.
+    */
+  private def hashedChunks(docs: DataFrame, chunk: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(chunkArrays(col("w"), chunk, chunk))
+          .as(Seq("chunk_id", "cw")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("cw"), " ").as("chunk"))
+      .withColumn("h", wordHash60(col("chunk")))
+
+  /** Corpus-wide duplicated-chunk table: every chunk hash and the
+    * number of DISTINCT docs carrying it. The join-back side of the
+    * CCNet screen; distinct-doc (not occurrence) counting so a chunk
+    * repeated inside one doc is not "duplicated across the corpus".
+    */
+  private def chunkDocCounts(ch: DataFrame): DataFrame =
+    ch.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Per-doc duplicated-chunk profile over non-overlapping `chunk`-token
+    * windows: (doc_id, n_chunks, n_dup, dup_ratio). A chunk is `dup`
+    * iff its hash occurs in ≥ 2 distinct docs — the CCNet cross-shard
+    * paragraph-dedup signal, counted per occurrence on the doc side.
+    */
+  def dupStats(docs: DataFrame, chunk: Int = 16): DataFrame = {
+    val ch = hashedChunks(docs, chunk).select("doc_id", "h")
+    ch.join(chunkDocCounts(ch), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_chunks").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style cleaned corpus: each doc rebuilt from only its chunks
+    * that NO other doc carries (all copies of a cross-doc duplicated
+    * chunk drop — the LREC'20 convention), order preserved:
+    * (doc_id, n_kept, clean_text). Docs losing every chunk stay, with
+    * an empty text — survivorship is a downstream filter's call.
+    */
+  def clean(docs: DataFrame, chunk: Int = 16): DataFrame = {
+    val ch = hashedChunks(docs, chunk)
+    val kept = ch.join(chunkDocCounts(ch), "h")
+      .filter(col("n_docs") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        // order rebuilt by chunk_id: struct sort keys on the first field
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+          t => t.getField("chunk")), " ").as("clean_text"))
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Greedy token-budget packing: docs walk their source's doc_id order
+    * and bin b holds the docs whose running token count starts inside
+    * [b·budget, (b+1)·budget) — the deterministic streaming packer
+    * (docs may straddle a boundary; they belong to the bin they start
+    * in). One window aggregation per source partition; integer-exact.
+    */
+  def pack(docs: DataFrame, budget: Int = 256): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / budget).cast("long").as("bin"))
+      .orderBy("doc_id")
+  }
+}

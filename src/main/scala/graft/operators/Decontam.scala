@@ -144,6 +144,39 @@ object Decontam {
         .as("top_token_share"))
   }
 
+  /** Per-doc rare-bigram rate — a corpus-statistics quality signal
+    * (the integer-exact stand-in for an n-gram LM perplexity screen:
+    * documents dominated by bigrams the corpus has never or barely
+    * seen are noise/garble candidates). A bigram occurrence is `rare`
+    * iff its corpus-wide occurrence count is ≤ `maxCount`. Output:
+    * (doc_id, n_bigrams, n_rare, rare_rate) for EVERY doc (no-bigram
+    * docs rate 0).
+    *
+    * Scale shape: the corpus bigram-frequency table aggregates on the
+    * 8-byte bigram hash and joins back on the same key — two shuffles
+    * of (id, hash) pairs, never text; the hot boilerplate bigrams are
+    * exactly the non-rare ones, and AQE's skew split covers them. All
+    * counting is integer-exact; the single division rounds at 6 dp.
+    */
+  def rareBigramRate(docs: DataFrame, maxCount: Long = 2): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(shingleSeqTokens(tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"), wordHash60(col("g")).as("h"))
+    val counts = bg.groupBy("h").agg(count(lit(1)).as("c"))
+    val per = bg.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") <= maxCount, 1L).otherwise(0L)).as("n_rare"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        round(when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)), 6).as("rare_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus composition and uniform-target resampling
     * weights — the domain-mixture bookkeeping of a pretraining data
     * recipe (The Pile / DoReMi shape: observed token share vs target

@@ -90,6 +90,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1L, 1.0), (2L, 0.0)))
   }
 
+  test("semanticDedup keeps one of each within-cell twin pair") {
+    // v0 ≡ v1 land in one cell (see the IVF test): the larger id v1
+    // drops; v2 and v3 share the other cell at cosine -1 — no twin,
+    // both survive
+    val got = Similarity.semanticDedup(embs, nCells = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(got === Seq(0L, 2L, 3L))
+    // threshold below -1 makes every within-cell pair a twin: only the
+    // smallest id of each cell survives
+    val all = Similarity.semanticDedup(embs, nCells = 2, threshold = -1.0)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(all === Seq(0L, 2L))
+  }
+
   test("LSH top-k with multi-probe matches brute force on a tiny corpus") {
     // n=4 → chooseBits gives 1 bit; self + Hamming-1 probe covers both
     // buckets, so the approximate result must equal the exact one
