@@ -1,7 +1,7 @@
 package graft.analog
 
 import graft.Q
-import graft.operators.{Chunking, Decontam}
+import graft.operators.{Chunking, Curation, Decontam}
 import graft.sources.Tables
 
 /** Registry entries + DuckDB oracles for the sequence-prep operators
@@ -111,6 +111,20 @@ object CorpusAnalogs {
         |  FROM base)
         |SELECT doc_id, source, n_tok, CAST((c - n_tok) // 256 AS BIGINT) AS bin
         |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic training-order shuffle: (shard, pos) coordinates
+    // from an id-hash — hash partition + per-shard local sort, never a
+    // corpus-wide range sort (the export ORDER BY doc_id is the
+    // harness's determinism convention, not part of the operator).
+    Q("pipeline_shard",
+      (s, d) => Curation.shardOrder(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH h AS (
+        |  SELECT doc_id, ${dH60("CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 16 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 16
+        |         ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin)),
 
     // Corpus-frequency quality signal: per-doc share of bigrams the
     // corpus has seen at most twice (integer-exact LM-screen stand-in).

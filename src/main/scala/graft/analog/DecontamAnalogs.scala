@@ -54,6 +54,19 @@ object DecontamAnalogs {
        |bg AS (SELECT doc_id AS bench_id, ${dH60("g")} AS h
        |      FROM (SELECT doc_id, unnest(gs) AS g FROM g3 WHERE doc_id % 50 = 0))""".stripMargin
 
+  /** Keep-set oracle shared by decontam_survivors and its
+    * bloom-prescreened twin (which must be value-identical).
+    */
+  private val survivorsSql =
+    s"""WITH $g3Cte, $splitCte,
+       |hits AS (SELECT tg.train_id FROM tg JOIN bg ON tg.h = bg.h
+       |         GROUP BY tg.train_id, bg.bench_id
+       |         HAVING count(DISTINCT tg.h) >= 2)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 50 <> 0
+       |  AND doc_id NOT IN (SELECT train_id FROM hits)
+       |ORDER BY doc_id""".stripMargin
+
   private val hitsSql =
     s"""WITH $g3Cte, $splitCte
        |SELECT tg.train_id, bg.bench_id,
@@ -85,14 +98,20 @@ object DecontamAnalogs {
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0))
       },
-      Some(s"""WITH $g3Cte, $splitCte,
-        |hits AS (SELECT tg.train_id FROM tg JOIN bg ON tg.h = bg.h
-        |         GROUP BY tg.train_id, bg.bench_id
-        |         HAVING count(DISTINCT tg.h) >= 2)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id % 50 <> 0
-        |  AND doc_id NOT IN (SELECT train_id FROM hits)
-        |ORDER BY doc_id""".stripMargin)),
+      Some(survivorsSql)),
+
+    // The same keep set computed through the Bloom-prescreen path —
+    // the scale shape for benchmark sets past broadcast-join size. The
+    // oracle is IDENTICAL to decontam_survivors: bloom false positives
+    // are screened out by the exact verify, so any drift is a bug.
+    Q("decontam_bloom_survivors",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontam.bloomSurvivors(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      },
+      Some(survivorsSql)),
 
     // Per-doc repetition profile over word 2-grams: the C4/Gopher-style
     // boilerplate signal (total vs distinct n-grams, modal token share).

@@ -523,6 +523,29 @@ object ExtraAnalogs {
         |WHERE c.vec_id NOT IN (SELECT b_id FROM drops)
         |ORDER BY c.vec_id""".stripMargin)),
 
+    // Symmetric int8 quantization of the embedding column — integer
+    // arithmetic end-to-end (round-half-away via (|v|*254+s)//(2s) on
+    // the 10^6-scaled image), with the reconstruction-error
+    // certificate max|127*v_i - q_i*s| per vector.
+    Q("emb_quantize",
+      (s, d) => Similarity.quantize(Tables.embeddings(s, d)),
+      Some("""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS vi
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, vi,
+        |        coalesce(list_max(list_transform(vi, x -> abs(x))), 0) AS sc
+        |      FROM v),
+        |q AS (SELECT vec_id, vi, sc,
+        |        list_transform(vi, x -> CASE WHEN sc = 0 THEN 0
+        |          ELSE (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+        |               * ((abs(x)*254 + sc) // (2*sc)) END) AS qv
+        |      FROM s)
+        |SELECT vec_id, sc AS scale, array_to_string(qv, ' ') AS q,
+        |       coalesce(list_max(list_transform(range(1, len(vi)+1),
+        |         i -> abs(127*vi[i] - qv[i]*sc))), 0) AS max_err127
+        |FROM q ORDER BY vec_id""".stripMargin)),
+
     // Language-ID confusion matrix: labeled lang × heuristic prediction.
     Q("text_langid",
       (s, d) => Tables.documents(s, d)

@@ -114,6 +114,31 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic training-order shuffle + shard assignment — the
+    * last step before a training run reads the corpus: every doc gets
+    * a pseudo-random but reproducible (shard, pos) coordinate, so 1000
+    * data-loader workers each read one shard sequentially and the
+    * global read order is a fixed permutation of the corpus.
+    *
+    * The scale point is what this does NOT do: no global sort. A naive
+    * `ORDER BY hash` is a corpus-wide range sort; here shard =
+    * id-hash mod nShards is a plain hash partition, and `pos` is a
+    * row_number per shard — Spark plans one hash exchange plus a
+    * local sort per shard, each shard independent (and in a real run
+    * each shard writes its own file, so the sort IS the write order).
+    * Hash-of-id, so the permutation is stable across reruns, engines,
+    * and upstream re-shards.
+    */
+  def shardOrder(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = wordHash60(col("doc_id").cast("string"))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % nShards) // h is 60-bit, >= 0
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
   /** Deterministic stratified downsampling — the mechanism that
     * APPLIES per-domain resampling weights (graft.operators.Decontam
     * .domainMix's `samp_weight`, capped at 1): keep a doc iff its

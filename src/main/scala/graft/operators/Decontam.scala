@@ -100,6 +100,57 @@ object Decontam {
         .select(col("train_id").as("doc_id"))),
         Seq("doc_id"), "left_anti")
 
+  /** [[survivors]] behind a Bloom-filter prescreen — the shape the
+    * screen takes when the benchmark n-gram set outgrows a broadcast
+    * hash join. Result is EXACTLY `survivors(train, bench, n,
+    * minShared)`:
+    *
+    *   1. the benchmark's distinct n-gram hashes fold into a Bloom
+    *      filter on the driver (`fpp` false-positive rate; ~10 bits
+    *      per gram at 1% — an order of magnitude under the ≥64-bit
+    *      hash-set a broadcast join ships),
+    *   2. the corpus streams through one codegen probe
+    *      ([[graft.expressions.BloomMightContain]]); a doc sharing
+    *      ≥ `minShared` grams with ANY single bench doc necessarily
+    *      has ≥ `minShared` probe hits against the union filter, so
+    *      the suspect set is a superset of the contaminated set
+    *      (bloom errors are one-sided: false POSITIVES only),
+    *   3. the exact pair screen ([[overlapCore]]) re-runs on the
+    *      suspects alone — a vanishing fraction of the corpus — and
+    *      its confirmed train ids anti-join the full corpus.
+    *
+    * The bench side is scanned twice on the driver path (distinct-gram
+    * count to size the filter, then the fold) — by the screen's
+    * contract that side is small; the 100 TB train side is scanned
+    * once for the probe and once for the export, same as [[survivors]].
+    */
+  def bloomSurvivors(train: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Int = 2, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    def grams(df: DataFrame) = df.select(
+      col("doc_id"), explode(shinglesN(col("text"), n)).as("g"))
+      .select(col("doc_id"), wordHash60(col("g")).as("h"))
+    val benchHashes = grams(bench).select("h").distinct()
+    val bf = benchHashes.stat.bloomFilter(
+      "h", math.max(benchHashes.count(), 1L), fpp)
+    // shinglesN is distinct per doc, so counting probe hits counts
+    // distinct grams — the same unit minShared thresholds in the pair
+    // screen
+    val suspects = grams(train)
+      .filter(graft.expressions.BloomExpressions.bloomMightContain(col("h"), bf))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minShared)
+      .select("doc_id")
+    val confirmed = overlapCore(
+      train.join(broadcast(suspects), Seq("doc_id"), "left_semi"),
+      bench, n, minShared)
+      .select(col("train_id").as("doc_id")).distinct()
+    // sort-first export, the survivors() pattern: the range exchange
+    // sorts the cheap id scan; the broadcast anti-join preserves order
+    train.select("doc_id").orderBy("doc_id")
+      .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
+  }
+
   /** Per-document repetition profile over word `n`-grams — the
     * boilerplate/spam signal every quality-filter stack carries
     * (C4/Gopher-style repetition rules): total n-grams, distinct

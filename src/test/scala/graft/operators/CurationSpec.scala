@@ -114,6 +114,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(counts("od") - 1500L) < 150, s"od=${counts("od")}")
   }
 
+  test("shardOrder: dense per-shard positions, stable permutation") {
+    val s = spark; import s.implicits._
+    val big = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rows = Curation.shardOrder(big, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 500)
+    assert(rows.forall { case (_, sh, _) => sh >= 0 && sh < 8 })
+    // pos is dense 1..n_shard within every shard (a total read order)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted === (1L to g.length).toSeq)
+    }
+    // id-hash determinism: input order never changes the coordinates
+    val again = Curation.shardOrder(
+      big.orderBy(org.apache.spark.sql.functions.rand(3)), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet === again.toSet)
+    // and the permutation actually scrambles: some doc beats a lower id
+    val posOf = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    assert((1L until 500L).exists(i =>
+      posOf(i)._1 == posOf(i - 1)._1 && posOf(i)._2 < posOf(i - 1)._2))
+  }
+
   test("split: stable content-hash buckets in range, text-determined") {
     val s1 = Curation.split(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq

@@ -134,4 +134,18 @@ class DecontamSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("bloomSurvivors equals survivors exactly (verify screens bloom FPs)") {
+    val exact = Decontam.survivors(train, bench).collect().map(_.getLong(0)).toSeq
+    // default fpp, and a pathological fpp=0.5 that floods the
+    // prescreen with false positives — the exact verify must absorb
+    // them all; the one-sidedness of bloom errors is what makes the
+    // composition lossless
+    for (fpp <- Seq(0.01, 0.5)) {
+      val viaBloom = Decontam.bloomSurvivors(train, bench, fpp = fpp)
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaBloom === exact, s"fpp=$fpp")
+    }
+    assert(exact === Seq(2L, 3L))
+  }
 }

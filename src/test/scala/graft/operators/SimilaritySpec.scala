@@ -104,6 +104,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(all === Seq(0L, 2L))
   }
 
+  test("quantize: int8 range, exact extremes, error certificate bound") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (0L, Seq(0.5f, -0.25f, 0.125f), 0),
+      (1L, Seq(1f, 0f, 0f), 0),      // axis vector: q = (127, 0, 0)
+      (2L, Seq(0f, 0f, 0f), 1))      // all-zero: sc = 0, q all 0
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.quantize(vecs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    // max component quantizes to exactly +-127; halves of it to +-64/32
+    assert(rows(0L)._2 === "127 -64 32")
+    assert(rows(1L)._2 === "127 0 0")
+    assert(rows(2L) === ((0L, "0 0 0", 0L)))
+    // rounding bound: |127 v - q s| <= s (half-away rounding)
+    rows.foreach { case (_, (sc, _, err)) => assert(err <= math.max(sc, 1L)) }
+    // scale is the max |component| in 1e-6 units
+    assert(rows(0L)._1 === 500000L && rows(1L)._1 === 1000000L)
+  }
+
   test("LSH top-k with multi-probe matches brute force on a tiny corpus") {
     // n=4 → chooseBits gives 1 bit; self + Hamming-1 probe covers both
     // buckets, so the approximate result must equal the exact one
