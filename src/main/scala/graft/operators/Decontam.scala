@@ -67,15 +67,27 @@ object Decontam {
     * serialize the downstream join onto one task.
     */
   private[operators] def overlapCore(train: DataFrame, bench: DataFrame,
-      n: Int, minShared: Int, broadcastBench: Boolean = true): DataFrame = {
-    def grams(df: DataFrame, idAs: String) = df.select(
+      n: Int, minShared: Int, broadcastBench: Boolean = true): DataFrame =
+    overlapOnGrams(gramHashes(train, "train_id", n),
+      gramHashes(bench, "bench_id", n), minShared, broadcastBench)
+
+  /** Exploded distinct-n-gram 60-bit hashes: (idAs, h) — the unit both
+    * sides of every screen join on.
+    */
+  private def gramHashes(df: DataFrame, idAs: String, n: Int): DataFrame =
+    df.select(
       col("doc_id").as(idAs),
       explode(shinglesN(col("text"), n)).as("g"))
       .select(col(idAs), wordHash60(col("g")).as("h"))
-    val t = grams(train, "train_id")
-    val bg = grams(bench, "bench_id")
+
+  /** The pair verify over pre-computed gram tables — shared by the
+    * broadcast-join path ([[overlapCore]]) and the Bloom-prescreened
+    * path ([[bloomSurvivorsManaged]]), so the two can't diverge.
+    */
+  private def overlapOnGrams(tg: DataFrame, bg: DataFrame,
+      minShared: Int, broadcastBench: Boolean): DataFrame = {
     val b = if (broadcastBench) broadcast(bg) else bg
-    t.join(b, "h")
+    tg.join(b, "h")
       // distinct (train, bench, hash) — the same shared n-gram must
       // count once however many times either side repeats it
       .select("train_id", "bench_id", "h").distinct()
@@ -110,45 +122,51 @@ object Decontam {
     *      per gram at 1% — an order of magnitude under the ≥64-bit
     *      hash-set a broadcast join ships),
     *   2. the corpus streams through one codegen probe
-    *      ([[graft.expressions.BloomMightContain]]); a doc sharing
-    *      ≥ `minShared` grams with ANY single bench doc necessarily
-    *      has ≥ `minShared` probe hits against the union filter, so
-    *      the suspect set is a superset of the contaminated set
-    *      (bloom errors are one-sided: false POSITIVES only),
-    *   3. the exact pair screen ([[overlapCore]]) re-runs on the
-    *      suspects alone — a vanishing fraction of the corpus — and
-    *      its confirmed train ids anti-join the full corpus.
+    *      ([[graft.expressions.BloomMightContain]]) and the SURVIVING
+    *      GRAMS feed the exact pair verify directly: bloom errors are
+    *      one-sided (false POSITIVES only), so a dropped gram is
+    *      certainly absent from the bench side and could never have
+    *      matched the verify's equi-join — while a false-positive gram
+    *      simply finds no join partner. No second corpus pass, no
+    *      per-doc suspect staging: the verify's join input is already
+    *      cut to ~(true hits + fpp · corpus grams),
+    *   3. the confirmed train ids anti-join the full corpus for the
+    *      keep set.
     *
-    * The bench side is scanned twice on the driver path (distinct-gram
-    * count to size the filter, then the fold) — by the screen's
-    * contract that side is small; the 100 TB train side is scanned
-    * once for the probe and once for the export, same as [[survivors]].
+    * The 100 TB train side is scanned once for the probe+verify and
+    * once for the id export — the same two passes as [[survivors]],
+    * with the bench gram table replaced by ~10 bits/gram on the probe
+    * path. `broadcastBench = false` degrades the verify join to a
+    * shuffle of the probe survivors (the regime the bloom path exists
+    * for); the probe itself never shuffles either way.
     */
   def bloomSurvivors(train: DataFrame, bench: DataFrame, n: Int = 3,
-      minShared: Int = 2, fpp: Double = 0.01): DataFrame = {
+      minShared: Int = 2, fpp: Double = 0.01,
+      broadcastBench: Boolean = true): DataFrame =
+    bloomSurvivorsManaged(train, bench, n, minShared, fpp, broadcastBench).df
+
+  /** [[bloomSurvivors]] with its internal persist exposed for release
+    * — see [[Dedup.Managed]]. The bench gram table is evaluated three
+    * times (filter sizing, filter fold, verify join); by the screen's
+    * contract it is small, so it persists for the plan's lifetime.
+    */
+  def bloomSurvivorsManaged(train: DataFrame, bench: DataFrame,
+      n: Int = 3, minShared: Int = 2, fpp: Double = 0.01,
+      broadcastBench: Boolean = true): Dedup.Managed = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    def grams(df: DataFrame) = df.select(
-      col("doc_id"), explode(shinglesN(col("text"), n)).as("g"))
-      .select(col("doc_id"), wordHash60(col("g")).as("h"))
-    val benchHashes = grams(bench).select("h").distinct()
+    val bg = gramHashes(bench, "bench_id", n).persist()
+    val benchHashes = bg.select("h").distinct()
     val bf = benchHashes.stat.bloomFilter(
       "h", math.max(benchHashes.count(), 1L), fpp)
-    // shinglesN is distinct per doc, so counting probe hits counts
-    // distinct grams — the same unit minShared thresholds in the pair
-    // screen
-    val suspects = grams(train)
+    val probed = gramHashes(train, "train_id", n)
       .filter(graft.expressions.BloomExpressions.bloomMightContain(col("h"), bf))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      .filter(col("n_hits") >= minShared)
-      .select("doc_id")
-    val confirmed = overlapCore(
-      train.join(broadcast(suspects), Seq("doc_id"), "left_semi"),
-      bench, n, minShared)
+    val confirmed = overlapOnGrams(probed, bg, minShared, broadcastBench)
       .select(col("train_id").as("doc_id")).distinct()
     // sort-first export, the survivors() pattern: the range exchange
     // sorts the cheap id scan; the broadcast anti-join preserves order
-    train.select("doc_id").orderBy("doc_id")
+    val out = train.select("doc_id").orderBy("doc_id")
       .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
+    new Dedup.Managed(out, Seq(bg))
   }
 
   /** Per-document repetition profile over word `n`-grams — the
@@ -209,23 +227,44 @@ object Decontam {
     * exactly the non-rare ones, and AQE's skew split covers them. All
     * counting is integer-exact; the single division rounds at 6 dp.
     */
-  def rareBigramRate(docs: DataFrame, maxCount: Long = 2): DataFrame = {
+  def rareBigramRate(docs: DataFrame, maxCount: Long = 2): DataFrame =
+    rareBigramRateManaged(docs, maxCount).df
+
+  /** [[rareBigramRate]] with its internal persist exposed for release
+    * — see [[Dedup.Managed]]. The exploded (doc, bigram-hash) table
+    * feeds both the corpus frequency aggregation and the rare-hash
+    * join-back; without the persist the tokenize+explode+md5 walk runs
+    * twice (the two consumers prune different columns, so the
+    * exchanges don't unify for reuse).
+    */
+  def rareBigramRateManaged(docs: DataFrame,
+      maxCount: Long = 2): Dedup.Managed = {
     val bg = docs.select(col("doc_id"),
       explode(shingleSeqTokens(tokens(col("text")), 2)).as("g"))
       .select(col("doc_id"), wordHash60(col("g")).as("h"))
-    val counts = bg.groupBy("h").agg(count(lit(1)).as("c"))
-    val per = bg.join(counts, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("c") <= maxCount, 1L).otherwise(0L)).as("n_rare"))
-    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .persist()
+    // join back only the RARE hashes: every surviving row is a rare
+    // occurrence, so n_rare is a plain count — the non-rare (hot,
+    // skew-prone) bigrams never cross the join at all. n_bigrams is a
+    // per-row scalar (positional bigram count = max(len(w)-1, 0)), not
+    // a join product.
+    val rare = bg.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxCount).select("h")
+    val nRare = bg.join(rare, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val out = docs.select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - 1, lit(0)).cast("long")
+          .as("n_bigrams"))
+      .join(nRare, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("n_bigrams"),
         coalesce(col("n_rare"), lit(0L)).as("n_rare"),
-        round(when(coalesce(col("n_bigrams"), lit(0L)) > 0,
-          col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+        round(when(col("n_bigrams") > 0,
+          coalesce(col("n_rare"), lit(0L)).cast("double")
+            / col("n_bigrams").cast("double"))
           .otherwise(lit(0.0)), 6).as("rare_rate"))
       .orderBy("doc_id")
+    new Dedup.Managed(out, Seq(bg))
   }
 
   /** Per-source corpus composition and uniform-target resampling
