@@ -1,7 +1,9 @@
 package graft.analog
 
+import org.apache.spark.sql.functions._
+
 import graft.Q
-import graft.operators.{Chunking, Curation, Decontam}
+import graft.operators.{Chunking, Curation, Decontam, Scrub}
 import graft.sources.Tables
 
 /** Registry entries + DuckDB oracles for the sequence-prep operators
@@ -150,6 +152,56 @@ object CorpusAnalogs {
         |         THEN CAST(p.n_rare AS DOUBLE) / p.n_bigrams
         |         ELSE 0.0 END, 6) AS rare_rate
         |FROM documents d LEFT JOIN per p USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // PII scrubbing: per-doc email/phone/IP match counts + the
+    // redacted text. The synthetic corpus carries no natural PII, so
+    // the query plants deterministic doc_id-derived PII (with CASE
+    // gaps so counts vary 0/1) identically in both engines — the
+    // operator itself is injection-agnostic per-row regex work.
+    Q("pii_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val injected = docs.select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.com"))).otherwise(lit("")),
+          when(col("doc_id") % 4 =!= 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 250).cast("string")).as("text"))
+        Scrub.scrubPii(injected)
+          .select("doc_id", "n_emails", "n_phones", "n_ips", "clean")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 <> 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+        |      ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 <> 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END) ||
+        |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '${Scrub.EmailRe}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '${Scrub.PhoneRe}')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '${Scrub.Ipv4Re}')) AS BIGINT)
+        |    AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '${Scrub.EmailRe}', '<EMAIL>', 'g'),
+        |    '${Scrub.PhoneRe}', '<PHONE>', 'g'),
+        |    '${Scrub.Ipv4Re}', '<IP>', 'g') AS clean
+        |FROM inj ORDER BY doc_id""".stripMargin))
   )
 }

@@ -296,6 +296,41 @@ object ExtraAnalogs {
         |) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // Incremental (cross-batch) LSH screen: every 10th-plus-3 doc
+    // "arrives" as a new batch and probes the remaining corpus's
+    // stored band table — near-dup pairs BETWEEN the sides only.
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.minhashPairsIncremental(
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 =!= 3))
+      },
+      Some {
+        val bandJoin = (0 until 4).map { b =>
+          s"""SELECT a.doc_id AS new_id, b.doc_id AS old_id
+             |FROM sig a JOIN sig b
+             |  ON a.band$b = b.band$b
+             | AND a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3""".stripMargin
+        }.mkString("\n  UNION\n")
+        val bandCols = (0 until 4)
+          .map(b => s"${dBand("hs", b)} AS band$b").mkString(", ")
+        s"""WITH $tokCte, $shCte, $hsCte,
+        |sig AS (SELECT doc_id, $bandCols FROM hsc),
+        |cand AS (
+        |  $bandJoin
+        |)
+        |SELECT * FROM (
+        |  SELECT c.new_id, c.old_id,
+        |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+        |           AS jaccard
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.new_id
+        |  JOIN sh sb ON sb.doc_id = c.old_id
+        |) WHERE jaccard >= 0.5 ORDER BY new_id, old_id""".stripMargin
+      }),
+
     // Dedup completion: near-dup pairs → connected components → one
     // canonical survivor (min doc_id) per cluster, for every doc.
     Q("dedup_clusters",

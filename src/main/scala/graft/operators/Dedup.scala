@@ -171,6 +171,81 @@ object Dedup {
     new Managed(out, Seq(bands, candidates, candSh))
   }
 
+  /** Cross-batch (incremental) MinHash-LSH screen: near-dup pairs
+    * BETWEEN a new batch and an existing corpus, never within either
+    * side — the daily-increment shape of LSH dedup. Output
+    * (new_id, old_id, jaccard) at `threshold`, one row per cross pair
+    * whose exact shingle Jaccard qualifies; ids must be disjoint
+    * across the two inputs (they are distinct snapshots by contract).
+    *
+    * Why this exists beside [[minhashPairs]]: re-running the self-join
+    * miner over corpus+batch re-shingles the whole corpus per
+    * increment. Here the corpus side's band table is exactly the
+    * artifact [[minhashSignatures]] describes storing — so at scale
+    * only the (small) new batch computes signatures, and the join
+    * PROBES the stored bands: cost per increment is O(batch) map work
+    * plus an equi-join whose corpus side is a pre-bucketed 32-byte-row
+    * table, not the corpus text.
+    */
+  def minhashPairsIncremental(newDocs: DataFrame, oldDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    minhashPairsIncrementalManaged(newDocs, oldDocs, threshold).df
+
+  /** [[minhashPairsIncremental]] with its internal persist exposed for
+    * release — see [[Managed]].
+    */
+  def minhashPairsIncrementalManaged(newDocs: DataFrame,
+      oldDocs: DataFrame, threshold: Double = 0.5): Managed = {
+    // same band derivation as minhashPairs (two-step select so the
+    // shingle hashing evaluates once per row); each side is consumed
+    // once by the probe join, so neither bands frame persists
+    def bandsOf(df: DataFrame) = df
+      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.minhashBands(col("hs")).as("bands"),
+        size(col("hs")).cast("long").as("sz"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(col("bands")).as(Seq("pos", "band")))
+    // the minhashPairs lossless size-ratio prefilter, verbatim (the
+    // proof at minhashPairsManaged:110 does not care which side a doc
+    // came from)
+    val sizeOk =
+      least(col("ba.sz"), col("bb.sz")).cast("double") >=
+        (lit(threshold) - lit(1e-6)) * greatest(col("ba.sz"), col("bb.sz"))
+    // persisted: referenced three times (verify join + both shingle
+    // semi-join arms), and it is the vanishing-fraction artifact
+    val candidates = bandsOf(newDocs).alias("ba")
+      .join(bandsOf(oldDocs).alias("bb"),
+        col("ba.pos") === col("bb.pos") && col("ba.band") === col("bb.band"))
+      .filter(sizeOk)
+      .select(col("ba.doc_id").as("new_id"), col("bb.doc_id").as("old_id"))
+      .distinct()
+      .cache()
+    // shingle the candidate docs ONLY, per side (each side's shingle
+    // frame feeds exactly one verify arm — no cross-arm reuse to cache)
+    def candSh(df: DataFrame, idCol: String) = df
+      .join(candidates.select(col(idCol).as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id"), array_sort(shingles2(col("text"))).as("sh"))
+    val inter = graft.expressions.TextExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val union = size(col("sh_a")).cast("long") +
+      size(col("sh_b")).cast("long") - inter
+    val out = candidates.alias("c")
+      .join(candSh(newDocs, "new_id").alias("sa"),
+        col("c.new_id") === col("sa.doc_id"))
+      .join(candSh(oldDocs, "old_id").alias("sb"),
+        col("c.old_id") === col("sb.doc_id"))
+      .select(col("c.new_id").as("new_id"), col("c.old_id").as("old_id"),
+        col("sa.sh").as("sh_a"), col("sb.sh").as("sh_b"))
+      .withColumn("jaccard", round(inter.cast("double") / union, 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+      // single-partition export sort of the vanishing pair list — the
+      // minhashPairs tail argument verbatim (minhashPairsManaged:161)
+      .repartition(1).sortWithinPartitions("new_id", "old_id")
+    new Managed(out, Seq(candidates))
+  }
+
   /** Blocked pairwise n-gram Jaccard: self-join within (lang, source,
     * log-size bucket) blocks, word-set (1-gram) Jaccard at `threshold`.
     *

@@ -32,6 +32,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((0L, 1L, 1.0), (0L, 3L, 0.5), (1L, 3L, 0.5)))
   }
 
+  test("incremental LSH screen finds cross-batch pairs only") {
+    import org.apache.spark.sql.functions.col
+    // batch = {1, 3}, corpus = {0, 2, 4}: the self-join miner's pairs
+    // (0,1),(0,3),(1,3) restricted to cross-side become (1,0),(3,0);
+    // (1,3) is batch-internal and must NOT appear
+    val got = Dedup.minhashPairsIncremental(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 0L, 1.0), (3L, 0L, 0.5)))
+  }
+
+  test("incremental screen releases its internal persist") {
+    import org.apache.spark.sql.functions.col
+    val m = Dedup.minhashPairsIncrementalManaged(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+    m.df.collect()
+    assert(!m.released)
+    m.close()
+    assert(m.released)
+  }
+
   test("blocked word-set Jaccard catches exact AND permuted dups") {
     val got = Dedup.ngramJaccardPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
