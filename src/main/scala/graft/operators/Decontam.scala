@@ -156,8 +156,16 @@ object Decontam {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val bg = gramHashes(bench, "bench_id", n).persist()
     val benchHashes = bg.select("h").distinct()
-    val bf = benchHashes.stat.bloomFilter(
-      "h", math.max(benchHashes.count(), 1L), fpp)
+    val nGrams = benchHashes.count()
+    // empty bench side (no docs, or none long enough to carry an
+    // n-gram): nothing can be contaminated — and stat.bloomFilter over
+    // zero rows yields a null-buffer filter whose probe NPEs, so the
+    // guard is correctness, not just a fast path
+    if (nGrams == 0L) {
+      val out = train.select("doc_id").orderBy("doc_id")
+      return new Dedup.Managed(out, Seq(bg))
+    }
+    val bf = benchHashes.stat.bloomFilter("h", nGrams, fpp)
     val probed = gramHashes(train, "train_id", n)
       .filter(graft.expressions.BloomExpressions.bloomMightContain(col("h"), bf))
     val confirmed = overlapOnGrams(probed, bg, minShared, broadcastBench)

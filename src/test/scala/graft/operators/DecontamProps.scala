@@ -78,6 +78,34 @@ object DecontamProps extends Properties("decontam") {
       }
     }
 
+  property("bloomSurvivors equals survivors on random corpora (any fpp)") =
+    forAll(genSplitCorpus, Gen.oneOf(0.01, 0.3, 0.9)) {
+      case ((train, bench), fpp) =>
+        val trainDf = df(train, 0L)
+        val benchDf = df(bench, 1000L)
+        val plain = Decontam.survivors(trainDf, benchDf, 3, 2)
+          .collect().map(_.getLong(0)).toSeq
+        val m = Decontam.bloomSurvivorsManaged(trainDf, benchDf, 3, 2, fpp)
+        val viaBloom = m.df.collect().map(_.getLong(0)).toSeq
+        m.close()
+        viaBloom == plain && m.released
+    }
+
+  property("rareBigramRate matches a brute-force corpus frequency count") =
+    forAll(Gen.nonEmptyListOf(genDoc)) { texts =>
+      val got = Decontam.rareBigramRate(df(texts, 0L), maxCount = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val bigrams = texts.map(_.split(" ").sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")).toVector)
+      val corpus = bigrams.flatten.groupBy(identity).view.mapValues(_.size)
+      texts.indices.forall { i =>
+        val (nb, nr) = got(i.toLong)
+        nb == bigrams(i).size &&
+          nr == bigrams(i).count(g => corpus(g) <= 2)
+      }
+    }
+
   // independent of the engine path: its own md5, its own window scan
   private def bruteWinnow(text: String, k: Int, win: Int): Seq[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")

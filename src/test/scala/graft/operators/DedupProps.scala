@@ -84,6 +84,28 @@ object DedupProps extends Properties("dedup") {
       open && mh.released && sh.released && ng.released && cl.released
     }
 
+  property("incremental screen == self-join miner restricted to cross pairs") =
+    forAll(genCorpus) { texts =>
+      import org.apache.spark.sql.functions.col
+      // split by id parity; the self-join miner over the union, with
+      // its (a < b) pairs re-oriented to (new, old), must equal the
+      // two-sided screen exactly — the banding, prefilter, and verify
+      // are side-blind
+      val df = docsDf(texts)
+      val newDf = df.filter(col("doc_id") % 2 === 1)
+      val oldDf = df.filter(col("doc_id") % 2 === 0)
+      val got = Dedup.minhashPairsIncremental(newDf, oldDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val want = Dedup.minhashPairs(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .collect {
+          case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (a, b, j)
+          case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (b, a, j)
+        }
+        .sortBy(p => (p._1, p._2)).toSeq
+      got == want
+    }
+
   property("clusters unsorted variant has identical content") =
     forAll(genCorpus) { texts =>
       val df = docsDf(texts)
