@@ -34,10 +34,17 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // dev-only subset knob (the ScalingBench convention): the driver
+    // never sets it, so its runs time the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
     val warmupDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
         new java.io.File(warmupDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try exec(fn(spark, warmupDir)) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
@@ -72,7 +79,7 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       // cached artifacts (pair-miner candidate/signature caches) must
       // not leak across queries: accumulated blocks both distort later
       // timings via memory pressure and spam CacheManager warnings

@@ -26,4 +26,24 @@ object GraftSession {
       // win for the selective fact⋈fact joins at cluster scale
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on tmpfs when available: the harness box
+      // intermittently throttles block-device writes to ~15 MB/s,
+      // which turns every exchange into an IO stall and benches the
+      // hypervisor instead of the plan. RAM-backed scratch is the
+      // local[N] analog of a cluster's local NVMe — correctness is
+      // unaffected (scratch is ephemeral by contract), and local-mode
+      // shuffle volumes here are MBs against a 128 GiB box.
+      .config("spark.local.dir", localScratchDir)
+
+  /** Prefer /dev/shm (tmpfs) for Spark scratch; fall back to the JVM
+    * default temp dir where it doesn't exist or isn't writable.
+    */
+  private lazy val localScratchDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-spark-local")
+      d.mkdirs()
+      d.getAbsolutePath
+    } else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+  }
 }
