@@ -102,7 +102,8 @@ object ScalingBench {
       "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
       "emb_dedup_survivors", "sim_lsh_topk", "sim_ivf_topk",
       "decontam_hits", "pipeline_curate_full", "dedup_winnow_pairs",
-      "text_winnow")
+      "text_winnow", "decontam_bloom_survivors", "text_rare_bigram_rate",
+      "dedup_incremental", "pii_scrub")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
