@@ -581,6 +581,26 @@ object ExtraAnalogs {
         |         i -> abs(127*vi[i] - qv[i]*sc))), 0) AS max_err127
         |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // JL random projection 64 -> 16: md5-derived Rademacher signs,
+    // integer-exact sums — the sketch step before storing/indexing.
+    Q("emb_project",
+      (s, d) => Similarity.randomProject(Tables.embeddings(s, d)),
+      Some("""WITH sgn AS (
+        |  SELECT j, list_transform(range(0, 64),
+        |    i -> CASE WHEN ('0x' || substr(md5(CAST(j AS VARCHAR)
+        |           || ' ' || CAST(i AS VARCHAR)),1,15))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END) AS s
+        |  FROM (SELECT unnest(range(0, 16)) AS j)),
+        |v AS (SELECT vec_id, list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS vi
+        |      FROM embeddings),
+        |p AS (SELECT v.vec_id, sgn.j,
+        |        CAST(list_sum(list_transform(range(1, 65),
+        |          i -> vi[i]*s[i])) AS BIGINT) AS y
+        |      FROM v CROSS JOIN sgn)
+        |SELECT vec_id, string_agg(CAST(y AS VARCHAR), ' ' ORDER BY j) AS proj
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     // Language-ID confusion matrix: labeled lang × heuristic prediction.
     Q("text_langid",
       (s, d) => Tables.documents(s, d)
