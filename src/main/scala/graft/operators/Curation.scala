@@ -36,10 +36,13 @@ object Curation {
         lit(0.3) * ttr + lit(0.2) * stop, 6)
     docs
       .withColumn("_w", tokens(col("text")))
-      .withColumn("text_hash", md5(col("text")))
+      // every scalar BEFORE the dup-group window: the window's hash
+      // exchange then ships five compact scalars per row instead of
+      // the text and its token array (which scalars computed after
+      // the window would force across the wire)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"),
+        quality.as("quality"), langPredictTokens(toks).as("pred_lang"))
       .withColumn("rank_in_group", row_number().over(w))
-      .withColumn("quality", quality)
-      .withColumn("pred_lang", langPredictTokens(toks))
       .withColumn("reject_reason",
         when(col("rank_in_group") > 1, "dup")
           .when(col("quality") < minQuality, "low_quality")
@@ -85,11 +88,12 @@ object Curation {
         .withColumn("contaminated", lit(true)))
     docs
       .withColumn("_w", tokens(col("text")))
-      .withColumn("text_hash", md5(col("text")))
+      // scalars BEFORE the dup-group window (the curate() shuffle
+      // argument): the exchange carries five scalars, not text + _w
+      .select(col("doc_id"), md5(col("text")).as("text_hash"),
+        quality.as("quality"), repetition.as("repetition_ratio"),
+        langPredictTokens(toks).as("pred_lang"))
       .withColumn("rank_in_group", row_number().over(w))
-      .withColumn("quality", quality)
-      .withColumn("repetition_ratio", repetition)
-      .withColumn("pred_lang", langPredictTokens(toks))
       .join(contaminatedIds, Seq("doc_id"), "left")
       .withColumn("reject_reason",
         when(col("rank_in_group") > 1, "dup")
