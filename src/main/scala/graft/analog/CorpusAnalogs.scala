@@ -154,6 +154,32 @@ object CorpusAnalogs {
         |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Data selection under a global token budget: the corpus ranked by
+    // the curation quality score, keeping the maximal (quality DESC,
+    // doc_id) prefix whose token total fits 10k tokens. The oracle is
+    // the naive global window; the operator computes the same prefix
+    // sum without one (per-score aggregate cumsum + score-partitioned
+    // window — see Curation.selectBudget's scaladoc).
+    Q("pipeline_select_budget",
+      (s, d) => Curation.selectBudget(Tables.documents(s, d), 10000L)
+        .orderBy(col("quality").desc, col("doc_id")),
+      Some(s"""WITH $tokCte,
+        |q AS (
+        |  SELECT doc_id,
+        |    round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)
+        |      + 0.3::DOUBLE * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT))
+        |      + 0.2::DOUBLE * (CAST(${ExtraAnalogs.dMarkerHits(ExtraAnalogs.stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6) AS quality,
+        |    CAST(len(w) AS BIGINT) AS n_tok
+        |  FROM tok),
+        |cum AS (
+        |  SELECT doc_id, quality, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM q)
+        |SELECT doc_id, quality, n_tok, cum_tok FROM cum
+        |WHERE cum_tok <= 10000 ORDER BY quality DESC, doc_id""".stripMargin)),
+
     // PII scrubbing: per-doc email/phone/IP match counts + the
     // redacted text. The synthetic corpus carries no natural PII, so
     // the query plants deterministic doc_id-derived PII (with CASE

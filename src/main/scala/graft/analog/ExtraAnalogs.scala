@@ -73,7 +73,7 @@ object ExtraAnalogs {
        |  WHEN len(hs) > 0 THEN [list_min(hs)]
        |  ELSE []::BIGINT[] END)) AS fps FROM gseq)""".stripMargin
 
-  private def dMarkerHits(markers: Seq[String]) =
+  private[analog] def dMarkerHits(markers: Seq[String]) =
     s"len(list_filter(w, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
 
   /** CASE chain identical to TextFunctions.langPredict's tie-break. */
@@ -226,7 +226,7 @@ object ExtraAnalogs {
        |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk = 1
        |)""".stripMargin
 
-  private val stopEn = TextFunctions.langMarkers.head._2
+  private[analog] val stopEn = TextFunctions.langMarkers.head._2
 
   // ---- queries -----------------------------------------------------------
 

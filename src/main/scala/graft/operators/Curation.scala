@@ -106,6 +106,49 @@ object Curation {
         "reject_reason", "keep")
   }
 
+  /** Quality-ordered selection under a global token budget — the data-
+    * selection step of a pretraining run: rank the corpus by the
+    * [[curate]] quality score (ties broken by doc_id) and keep the
+    * maximal prefix whose running token total stays within
+    * `budgetTokens`. Exact and deterministic: the kept set is the
+    * unique greedy prefix of the (quality DESC, doc_id ASC) order.
+    *
+    * Scale shape — the naive formulation is a corpus-wide cumulative
+    * sum, i.e. a single-partition global window; this one never builds
+    * it. The global prefix sum splits into (a) `cum_before`: the token
+    * mass of all strictly-higher quality values, computed by a window
+    * over the *aggregated* per-quality frame (≤ 10⁶ rows for a 6-digit
+    * score, regardless of corpus size — model-parameter scale), and
+    * (b) a within-quality prefix via a window PARTITIONED by quality
+    * (parallel; doc_id-ordered). One groupBy exchange + one partitioned
+    * window exchange + one equi-join on the score — nothing touches a
+    * global sort off the export tail.
+    */
+  def selectBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val toks = col("_w")
+    val nTok = size(toks).cast("long")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stop = markerHitsTokens(toks, langMarkers.head._2).cast("double") / nTok
+    val quality = round(
+      lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
+        lit(0.3) * ttr + lit(0.2) * stop, 6)
+    val scored = docs.withColumn("_w", tokens(col("text")))
+      .select(col("doc_id"), quality.as("quality"), nTok.as("n_tok"))
+    // (a) per-quality totals; cumsum over the SMALL distinct-score frame
+    val perQ = scored.groupBy("quality").agg(sum("n_tok").as("q_tok"))
+    val wq = Window.orderBy(col("quality").desc)
+    val before = perQ
+      .withColumn("cum_before", sum("q_tok").over(wq) - col("q_tok"))
+      .select("quality", "cum_before")
+    // (b) within-quality prefix, parallel across score values
+    val win = Window.partitionBy("quality").orderBy("doc_id")
+    scored.join(before, Seq("quality"))
+      .withColumn("cum_tok", col("cum_before") + sum("n_tok").over(win))
+      .filter(col("cum_tok") <= budgetTokens)
+      .select("doc_id", "quality", "n_tok", "cum_tok")
+  }
+
   /** Deterministic train/val/test assignment from a content-stable
     * hash (docs keep their split across reruns and re-shards; the same
     * md5 arithmetic is engine-portable for the verify oracle).

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -134,6 +135,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val posOf = rows.map(t => t._1 -> (t._2, t._3)).toMap
     assert((1L until 500L).exists(i =>
       posOf(i)._1 == posOf(i - 1)._1 && posOf(i)._2 < posOf(i - 1)._2))
+  }
+
+  test("selectBudget: exact maximal prefix of the (quality desc, id) order") {
+    val corpus = spark.createDataFrame((0L until 200L).map { i =>
+      // varied lengths/vocab so quality values collide AND differ
+      val words = (0 until (5 + (i % 17)).toInt)
+        .map(j => s"w${(i * 7 + j) % 13}")
+      (i, words.mkString(" "))
+    }).toDF("doc_id", "text")
+    // naive oracle: global cumsum over the fully sorted corpus
+    val scored = Curation.selectBudget(corpus, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val sorted = scored.sortBy { case (id, q, _) => (-q, id) }
+    val budget = 300L
+    val expect = sorted.scanLeft((-1L, 0.0, 0L, 0L)) {
+      case ((_, _, _, cum), (id, q, n)) => (id, q, n, cum + n)
+    }.tail.takeWhile(_._4 <= budget)
+    val got = Curation.selectBudget(corpus, budget)
+      .orderBy(col("quality").desc, col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect.toSeq)
+    assert(expect.nonEmpty && expect.last._4 <= budget)
+    // quality ties exist in this corpus, so the tie-break path is live
+    assert(sorted.map(_._2).distinct.length < sorted.length)
+    // edges: zero budget selects nothing; full budget selects everything
+    assert(Curation.selectBudget(corpus, 0L).count() === 0L)
+    assert(Curation.selectBudget(corpus, Long.MaxValue).count() === 200L)
   }
 
   test("split: stable content-hash buckets in range, text-determined") {
