@@ -5,12 +5,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line on stdout
   * (stdout is forwarded verbatim — build.sbt sets run/outputStrategy).
   *
-  * Transport contract (round-4 lesson): the driver tail-captures
-  * stdout and parses the LAST line as JSON — a bulky line gets its
-  * HEAD clipped and the round loses its bench grade. So stdout gets
-  * only the compact summary (metric/value/totals/failed/errors/
-  * queries); the per-run times map — diagnostic, unbounded — goes to
-  * stderr, printed BEFORE the stdout line.
+  * Transport contract (round-4 lesson, re-broken by registry growth in
+  * round 6): the driver tail-captures the LAST ~2000 bytes of stdout
+  * and parses the last line as JSON — a bulky line gets its HEAD
+  * (including `"metric"`) clipped and the round loses its bench grade.
+  * At 82 queries the embedded per-query map alone was ~2.8 KB, so
+  * stdout now carries ONLY the registry-size-INDEPENDENT summary
+  * (metric/value/totals/n_runs/failed-count/sf — [[stdoutLine]],
+  * asserted under the clip budget by BenchLineSpec); the per-query
+  * best times and the per-run times maps — both O(registry) — go to
+  * stderr, printed BEFORE the stdout line. Errors are capped at
+  * [[MaxErrorsInline]] entries (the rest are counted, and all of them
+  * land on stderr) so even a mass failure cannot re-clip the line.
   *
   * A warmup pass at the smallest scale factor runs first (unless
   * SPARK_GRAFT_WARMUP=0): it pays JIT/codegen/classloader costs once so
@@ -18,6 +24,37 @@ import org.apache.spark.sql.SparkSession
   * first-timed query carried ~5s of warmup noise.
   */
 object Bench {
+
+  /** Error entries inlined into the stdout summary; the full map is on
+    * stderr. Messages are truncated to [[InlineErrorChars]] chars
+    * before escaping, so even pathological all-escaping messages keep
+    * the line hundreds of bytes under the driver's tail window.
+    */
+  val MaxErrorsInline = 3
+  val InlineErrorChars = 60
+
+  private[graft] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+
+  /** The driver-parsed stdout line. Every field is either scalar or
+    * bounded ([[MaxErrorsInline]]) — its length must NOT grow with the
+    * registry (BenchLineSpec pins this with a worst-case failure set).
+    */
+  private[graft] def stdoutLine(total: Double, coreTotal: Double,
+      nRuns: Int, failures: Seq[(String, String)], sfDir: String): String = {
+    val failedJson = failures.map(f => jsonStr(f._1))
+      .take(MaxErrorsInline).mkString("[", ",", "]")
+    val errorsJson = failures.take(MaxErrorsInline)
+      .map { case (n, e) => jsonStr(n) + ":" + jsonStr(e.take(InlineErrorChars)) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"extension_total":${total - coreTotal},"n_runs":$nRuns,"n_failed":${failures.size},"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,19 +103,13 @@ object Bench {
     // JSON carries "failed"/"errors", and the process exits nonzero.
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3))
-    // 0.5 (was 1.0): round-5 showed mid-weight queries in the
-    // 0.5–1 s band drifting ±30% between rounds on 3 samples — ambient
-    // noise on a shared box. Doubling their sample count costs ~2 s of
-    // bench wall time and makes the round-over-round comparison
-    // measure the code, not the neighbor.
-    val slowCutoffSec = 0.5
-    def jsonStr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
+    // 0.25 (was 0.5, before that 1.0): round 6 saw two sub-cutoff
+    // queries (mm_frames 0.19→0.46 s, t2c_total_earnings 0.29→0.59 s)
+    // double round-over-round with no code change — ambient noise the
+    // 3-sample floor can't see. Each lowering costs ~2 s of bench wall
+    // time and makes the round-over-round comparison measure the code,
+    // not the neighbor.
+    val slowCutoffSec = 0.25
     val results = queries.map { case (name, fn) =>
       // cached artifacts (pair-miner candidate/signature caches) must
       // not leak across queries: accumulated blocks both distort later
@@ -107,11 +138,7 @@ object Bench {
     val runsJson = results.map { case (name, times, _) =>
       jsonStr(name) + ":" + times.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failures = results.collect { case (name, _, Some(e)) => name -> e }
-    val failedJson = failures.map(f => jsonStr(f._1)).mkString("[", ",", "]")
-    val errorsJson = failures
-      .map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
-      .mkString("{", ",", "}")
+    val failures = results.collect { case (name, _, Some(e)) => name -> e }.toSeq
     val total = if (best.nonEmpty) best.map(_._2).sum else 0.0
     // reference-surface queries (t1..t10 + events analogs) vs the
     // extension families — lets the harness compare the reference
@@ -119,10 +146,16 @@ object Bench {
     val core = best.filter { case (k, _) =>
       k.startsWith("t") || k.startsWith("events_") }
     val coreTotal = if (core.nonEmpty) core.map(_._2).sum else 0.0
-    // diagnostic per-run times: stderr, BEFORE the stdout line, so the
-    // driver's stdout tail-capture sees only the compact summary
+    // diagnostic O(registry) maps — per-query best times, per-run
+    // times, the FULL error map: stderr, BEFORE the stdout line, so
+    // the driver's stdout tail-capture sees only the bounded summary
+    val allErrorsJson = failures
+      .map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    System.err.println(s"""{"bench_queries":$qs}""")
     System.err.println(s"""{"bench_runs":$runsJson}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core_total":$coreTotal,"extension_total":${total - coreTotal},"n_runs":$runs,"failed":$failedJson,"errors":$errorsJson,"queries":$qs,"sf":"$sfDir"}""")
+    System.err.println(s"""{"bench_errors":$allErrorsJson}""")
+    println(stdoutLine(total, coreTotal, runs, failures, sfDir))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
