@@ -103,7 +103,8 @@ object ScalingBench {
       "emb_dedup_survivors", "sim_lsh_topk", "sim_ivf_topk",
       "decontam_hits", "pipeline_curate_full", "dedup_winnow_pairs",
       "text_winnow", "decontam_bloom_survivors", "text_rare_bigram_rate",
-      "dedup_incremental", "pii_scrub", "pipeline_select_budget")
+      "dedup_incremental", "pii_scrub", "pipeline_select_budget",
+      "dedup_semantic", "pipeline_pack")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -199,20 +199,21 @@ object ExtraAnalogs {
        |)""".stripMargin
 
   /** WITH-body prefix replicating Similarity.trainIvfCentroids +
-    * ivfCells exactly (2 Lloyd rounds, 8 centroids seeded at vec_id
-    * < 8, integer-scaled sums): ends in
+    * ivfCells exactly (2 Lloyd rounds, `seed` centroids seeded at
+    * vec_id < seed, integer-scaled sums): ends in
     * `cells(vec_id, emb, norm, label, cell)` with the final ranked
-    * assignment available as `a3`. Shared by sim_ivf_topk and
-    * dedup_semantic so the two oracles cannot drift apart.
+    * assignment available as `a3`. Shared by sim_ivf_topk (fixed
+    * index-time k = 8) and dedup_semantic (corpus-sized k — a SQL
+    * subselect) so the two oracles cannot drift apart.
     */
-  private lazy val dKmCellsCte: String =
+  private def dKmCellsCte(seed: String): String =
     s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
        |e AS (SELECT vec_id, emb, label, sqrt(${dDot("emb", "emb")}) AS norm
        |      FROM e0),
        |v AS (SELECT vec_id, emb, norm, label,
        |        list_transform(emb, x -> CAST(round(x*1000000.0) AS BIGINT)) AS vi
        |      FROM e),
-       |c0 AS (SELECT vec_id AS cent_id, vi AS cv FROM v WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id AS cent_id, vi AS cv FROM v WHERE vec_id < $seed),
        |${dKmCentw("c0", "cw0")},
        |${dKmAsg("a1", "cw0")},
        |${dKmRecent("a1", "c0", "c1")},
@@ -523,7 +524,7 @@ object ExtraAnalogs {
     // sums; cosine is scale-invariant so no mean division), nprobe=2.
     Q("sim_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)),
-      Some(s"""WITH $dKmCellsCte,
+      Some(s"""WITH ${dKmCellsCte("8")},
         |qcells AS (
         |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
         |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk <= 2 AND v.vec_id < 50
@@ -541,11 +542,17 @@ object ExtraAnalogs {
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
     // SemDeDup: k-means the embedding space (the same deterministic
-    // 2-round integer-scaled Lloyd as sim_ivf_topk), verify cosine
-    // within cells only, drop the larger id of every semantic twin.
+    // 2-round integer-scaled Lloyd as sim_ivf_topk but with k sized
+    // from the corpus — ceil(n/64), Similarity.chooseCells, so cells
+    // stay ~64 vectors at any scale), verify cosine within cells only,
+    // drop the larger id of every semantic twin.
     Q("dedup_semantic",
       (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d)),
-      Some(s"""WITH $dKmCellsCte,
+      Some(s"""WITH kk AS (
+        |  SELECT greatest(1, (count(*) + ${Similarity.TargetCell - 1})
+        |    // ${Similarity.TargetCell}) AS k
+        |  FROM embeddings),
+        |${dKmCellsCte("(SELECT k FROM kk)")},
         |pr AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |         round(${dDot("a.emb", "b.emb")} / (a.norm * b.norm), 6) AS sim

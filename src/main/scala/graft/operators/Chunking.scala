@@ -23,9 +23,11 @@ import graft.functions.TextFunctions._
   *     hash) pairs: one hash-aggregation on the hash and one equi-join
   *     back — never the chunk text. AQE's skew handling covers the
   *     boilerplate-chunk hot keys.
-  *   - [[pack]] is one window aggregation partitioned by source — each
-  *     partition packs independently (the property that lets 1000
-  *     executors pack 1000 shards without coordination).
+  *   - [[pack]] is a two-level prefix sum — per-(source, block)
+  *     aggregates cumsum'd on a small frame, then parallel within-block
+  *     windows — so no single task ever serializes a whole source's
+  *     doc stream (the property that lets 1000 executors pack a
+  *     dozen-source corpus without stragglers).
   */
 object Chunking {
 
@@ -122,15 +124,39 @@ object Chunking {
     * and bin b holds the docs whose running token count starts inside
     * [b·budget, (b+1)·budget) — the deterministic streaming packer
     * (docs may straddle a boundary; they belong to the bin they start
-    * in). One window aggregation per source partition; integer-exact.
+    * in). Integer-exact.
+    *
+    * Scale shape — the naive formulation is one running-sum window
+    * `partitionBy("source")`: sources number in the dozens, so each
+    * source's whole doc stream serializes through ONE window task — a
+    * straggler by construction at 100 TB. This is the
+    * [[Curation.selectBudget]] two-level prefix sum instead, with
+    * (source, doc_id-range block) inner keys: (a) per-block token sums,
+    * cumsum'd by a window over the AGGREGATED per-block frame (corpus
+    * size / blockSize rows — thousands, not billions); (b) the
+    * within-block prefix via a window PARTITIONED by (source, block) —
+    * parallel across blocks, ≤ blockSize rows per task. Identical
+    * output to the single-window form (floor-division blocks of the
+    * ordering key preserve doc_id order across block boundaries).
     */
-  def pack(docs: DataFrame, budget: Int = 256): DataFrame = {
+  def pack(docs: DataFrame, budget: Int = 256,
+      blockSize: Long = 4096L): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("source"),
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val sized = docs.select(col("doc_id"), col("source"),
       size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("block", floor(col("doc_id") / blockSize).cast("long"))
+    // (a) per-(source, block) totals; cumsum over the SMALL aggregate
+    val perBlock = sized.groupBy("source", "block")
+      .agg(sum("n_tok").as("b_tok"))
+    val wb = Window.partitionBy("source").orderBy("block")
+    val before = perBlock
+      .withColumn("cum_before", sum("b_tok").over(wb) - col("b_tok"))
+      .select("source", "block", "cum_before")
+    // (b) within-block prefix, parallel across (source, block)
+    val win = Window.partitionBy("source", "block").orderBy("doc_id")
+    sized.join(before, Seq("source", "block"))
+      .withColumn("cum", col("cum_before") + sum("n_tok").over(win))
       .select(col("doc_id"), col("source"), col("n_tok"),
         floor((col("cum") - col("n_tok")) / budget).cast("long").as("bin"))
       .orderBy("doc_id")

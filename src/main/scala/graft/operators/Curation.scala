@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,22 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
+  /** THE curation quality score, over an already-tokenized column:
+    * 0.5·min(1, nTok/50) + 0.3·type-token-ratio + 0.2·stopword-ratio,
+    * rounded to 6 dp. One definition shared by [[curate]],
+    * [[curateFull]], and [[selectBudget]] (whose documented contract is
+    * "ranked by the curate quality score") — so an edit here can never
+    * desynchronize the selector's ranking from the curation verdicts.
+    */
+  private def qualityExpr(toks: Column): Column = {
+    val nTok = size(toks).cast("long")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stop = markerHitsTokens(toks, langMarkers.head._2).cast("double") / nTok
+    round(
+      lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
+        lit(0.3) * ttr + lit(0.2) * stop, 6)
+  }
+
   /** Per-doc curation verdict. Keep = exact-dup keeper AND quality at
     * or above `minQuality`; rejected rows carry the reason
     * (`dup` beats `low_quality` when both apply — dedup runs first in
@@ -28,12 +44,7 @@ object Curation {
     // otherwise each re-run the regex split per evaluation (Catalyst
     // has no CSE for non-cheap exprs across a single projection)
     val toks = col("_w")
-    val nTok = size(toks).cast("long")
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val stop = markerHitsTokens(toks, langMarkers.head._2).cast("double") / nTok
-    val quality = round(
-      lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
-        lit(0.3) * ttr + lit(0.2) * stop, 6)
+    val quality = qualityExpr(toks)
     docs
       .withColumn("_w", tokens(col("text")))
       // every scalar BEFORE the dup-group window: the window's hash
@@ -71,12 +82,7 @@ object Curation {
     // tokenize ONCE (see curate) — the five gates otherwise re-split
     // the text per scalar term
     val toks = col("_w")
-    val nTok = size(toks).cast("long")
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val stop = markerHitsTokens(toks, langMarkers.head._2).cast("double") / nTok
-    val quality = round(
-      lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
-        lit(0.3) * ttr + lit(0.2) * stop, 6)
+    val quality = qualityExpr(toks)
     val tot2 = greatest(size(toks) - 1, lit(0)).cast("long")
     val dis2 = size(shinglesNTokens(toks, 2)).cast("long")
     val repetition = round(when(tot2 > 0,
@@ -123,18 +129,21 @@ object Curation {
     * (parallel; doc_id-ordered). One groupBy exchange + one partitioned
     * window exchange + one equi-join on the score — nothing touches a
     * global sort off the export tail.
+    *
+    * Caveat: (b)'s parallelism assumes a near-continuous score
+    * distribution. A degenerate corpus that collapses many docs onto
+    * one quality value (e.g. millions of identical docs) concentrates
+    * those rows into one window partition — if such corpora are in
+    * scope, salt the within-quality window with a doc_id-range
+    * sub-key (the [[graft.operators.Chunking.pack]] block shape) and
+    * merge with a second small aggregate pass.
     */
   def selectBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     val toks = col("_w")
-    val nTok = size(toks).cast("long")
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val stop = markerHitsTokens(toks, langMarkers.head._2).cast("double") / nTok
-    val quality = round(
-      lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
-        lit(0.3) * ttr + lit(0.2) * stop, 6)
     val scored = docs.withColumn("_w", tokens(col("text")))
-      .select(col("doc_id"), quality.as("quality"), nTok.as("n_tok"))
+      .select(col("doc_id"), qualityExpr(toks).as("quality"),
+        size(toks).cast("long").as("n_tok"))
     // (a) per-quality totals; cumsum over the SMALL distinct-score frame
     val perQ = scored.groupBy("quality").agg(sum("n_tok").as("q_tok"))
     val wq = Window.orderBy(col("quality").desc)

@@ -165,7 +165,15 @@ object Decontam {
       val out = train.select("doc_id").orderBy("doc_id")
       return new Dedup.Managed(out, Seq(bg))
     }
-    val bf = benchHashes.stat.bloomFilter("h", nGrams, fpp)
+    // numBits spelled out (Spark's own -n·ln(p)/ln²2 optimum) and
+    // clamped to ≥ 8: the fpp overload TRUNCATES the optimum to long,
+    // so a tiny bench at a loose fpp (1 gram at 0.9) lands on numBits
+    // = 0, which bloom_filter_agg rejects at analysis. Any clamp is
+    // output-safe — bloom errors are one-sided and feed the exact
+    // verify — it only shifts which false positives occur.
+    val nBits = math.max(8L, math.ceil(
+      -nGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bf = benchHashes.stat.bloomFilter("h", nGrams, nBits)
     val probed = gramHashes(train, "train_id", n)
       .filter(graft.expressions.BloomExpressions.bloomMightContain(col("h"), bf))
     val confirmed = overlapOnGrams(probed, bg, minShared, broadcastBench)
