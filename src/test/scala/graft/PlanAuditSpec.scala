@@ -59,6 +59,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       plans("decontam_hits").take(800))
   }
 
+  test("pack's row-level running sum never serializes a whole source") {
+    // the two-level prefix sum: any window ORDERED BY doc_id (i.e.
+    // running over the full row stream) must partition by source AND
+    // block — a source-only spec would funnel each source's whole doc
+    // stream through one task (the round-6 'weak' shape)
+    val p = plans("pipeline_pack")
+    val rowWins = """Window \[[^\n]*?\], \[([^\]]*?)\], \[doc_id"""
+      .r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(rowWins.nonEmpty, s"no doc_id-ordered window:\n${p.take(800)}")
+    rowWins.foreach { spec =>
+      assert(spec.contains("source") && spec.contains("block"),
+        s"doc_id-ordered window not blocked: [$spec]")
+    }
+  }
+
+  test("semanticDedup persists the cells frame (consumed three times)") {
+    assert(plans("dedup_semantic").contains("InMemoryTableScan"),
+      plans("dedup_semantic").take(800))
+  }
+
   test("column pruning reaches the scan on a projection-only query") {
     // t1_enrich_count aggregates a count over an enrichment join —
     // the orders scan must not read the full table width

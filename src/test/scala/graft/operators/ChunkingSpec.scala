@@ -73,6 +73,25 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
     assert(out(10L) === 0L)
   }
 
+  test("pack: two-level prefix sum is blockSize-invariant") {
+    // blockSize larger than any doc_id puts every doc in block 0, which
+    // degenerates to the naive one-window-per-source running sum; equal
+    // output at blockSize 1 / 2 / huge proves the decomposition exact,
+    // including across block boundaries and with sparse non-contiguous
+    // ids (7L, 100L)
+    val d = docs(
+      (1L, "a b c", "w"), (2L, "d e f g h", "w"), (3L, "i", "w"),
+      (7L, "j k l m", "w"), (100L, "n o", "w"),
+      (4L, "z z z z z z", "v"), (5L, "y y y", "v"))
+    def run(bs: Long) = Chunking.pack(d, budget = 5, blockSize = bs)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val big = run(1000000L)
+    assert(run(1L) === big)
+    assert(run(2L) === big)
+    assert(run(4096L) === big)
+  }
+
   test("rareBigramRate: corpus-frequency threshold, no-bigram docs rate 0") {
     // "a b" occurs 3x corpus-wide (not rare at maxCount=2); every other
     // bigram once (rare). Doc 3 has a single token -> 0 bigrams.

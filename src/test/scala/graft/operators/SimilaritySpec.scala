@@ -104,6 +104,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(all === Seq(0L, 2L))
   }
 
+  test("chooseCells: ceil(n/target), floor 1, pure integer") {
+    assert(Similarity.chooseCells(0L) === 1)
+    assert(Similarity.chooseCells(1L) === 1)
+    assert(Similarity.chooseCells(64L) === 1)
+    assert(Similarity.chooseCells(65L) === 2)
+    assert(Similarity.chooseCells(500L) === 8) // sf0.01 embeddings
+    assert(Similarity.chooseCells(5000L) === 79)
+    assert(Similarity.chooseCells(100L, target = 10L) === 10)
+  }
+
+  test("semanticDedup auto-sizes cells and released handle is clean") {
+    val m = Similarity.semanticDedupManaged(embs, threshold = 0.9,
+      corpusN = 4L)
+    val got = m.df.collect().map(r => r.getLong(0)).toSeq
+    // at k = chooseCells(4) = 1 every vector shares one cell; v1 is
+    // still v0's only >= 0.9 twin, so the survivor set is unchanged
+    assert(got === Seq(0L, 2L, 3L))
+    m.close()
+    assert(m.released)
+  }
+
   test("quantize: int8 range, exact extremes, error certificate bound") {
     val s = spark; import s.implicits._
     val vecs = Seq(
