@@ -28,6 +28,29 @@ object SimilarityProps extends Properties("similarity") {
     BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  property("semanticDedup auto-k = explicit chooseCells(n); invariants") =
+    forAll(Gen.listOfN(7, genVec).suchThat(_.size >= 3),
+        Gen.chooseNum(1L, 4L)) { (vecs, target) =>
+      val embs = spark.createDataFrame(
+        vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) })
+        .toDF("vec_id", "embedding", "label")
+      val n = vecs.size.toLong
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // the auto path (corpusN threaded) differs from the explicit
+      // path ONLY in how k is derived — outputs must be identical
+      val auto = ids(Similarity.semanticDedup(embs, corpusN = n))
+      val explicitK = ids(Similarity.semanticDedup(embs,
+        nCells = Similarity.chooseCells(n)))
+      // invariants at ANY cell sizing: vec 0 survives (a drop needs a
+      // smaller-id twin and none precedes 0), survivors are unique
+      val sized = ids(Similarity.semanticDedup(embs,
+        nCells = Similarity.chooseCells(n, target)))
+      auto == explicitK &&
+        sized.map(_._1).contains(0L) &&
+        sized.map(_._1).distinct.size == sized.size
+    }
+
   property("bruteForceTopK equals the locally computed exact top-k") =
     forAll(Gen.listOfN(6, genVec).suchThat(_.size >= 3)) { vecs =>
       val embs = spark.createDataFrame(
