@@ -454,6 +454,135 @@ case class WinnowMins(child: Expression, win: Int = 4)
     copy(child = newChild)
 }
 
+/** Runtime for [[GramHashes]] — a plain object so generated code can
+  * call the static forwarder. One thread-local MessageDigest (md5
+  * instantiation per gram was a measurable slice of the composed
+  * form's cost); all arithmetic on digest BYTES (no hex round-trip).
+  */
+object GramHash {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `hexDigits` hex digits of md5(bytes) as an unsigned long —
+    * bit-identical to `conv(substring(md5(x), 1, hexDigits), 16, 10)`:
+    * the big-endian value of the first 8 digest bytes, logically
+    * shifted down to keep the leading 4·hexDigits bits.
+    */
+  def hash(digest: java.security.MessageDigest, bytes: Array[Byte],
+      hexDigits: Int): Long = {
+    digest.reset()
+    val d = digest.digest(bytes)
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> (64 - 4 * hexDigits)
+  }
+
+  def hashes(tokens: ArrayData, n: Int, distinct: Boolean,
+      hexDigits: Int, mod: Long): ArrayData = {
+    val cnt = tokens.numElements()
+    val m = cnt - n + 1
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](m)
+    var outN = 0
+    // dedup on the gram STRING (not its hash): byte-for-byte the
+    // composed form's array_distinct semantics, no collision caveat
+    val seen =
+      if (distinct)
+        new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else null
+    val digest = md.get()
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < m) {
+      // a null token inside the window drops the whole gram — the
+      // composed form's concat-null-propagation + filter(isNotNull)
+      var ok = true
+      var j = 0
+      while (ok && j < n) {
+        if (tokens.isNullAt(i + j)) ok = false
+        else parts(j) = tokens.getUTF8String(i + j)
+        j += 1
+      }
+      if (ok) {
+        val gram = org.apache.spark.unsafe.types.UTF8String
+          .concatWs(Space, parts: _*)
+        if (seen == null || seen.add(gram)) {
+          val h = hash(digest, gram.getBytes, hexDigits)
+          out(outN) = if (mod > 0L) h % mod else h
+          outN += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, outN))
+  }
+}
+
+/** Fused word-n-gram hasher: the distinct (or positional) word
+  * `n`-grams of a token array, each hashed to the engine-portable
+  * md5-prefix value — ONE native walk per row.
+  *
+  * Replaces the composed `transform(shinglesNTokens(w, n),
+  * conv(substring(md5(g), 1, hexDigits), 16, 10))` tree, which pays:
+  * interpreted `zip_with` chains (no codegen, per-element lambda
+  * dispatch), an `array_distinct` over gram STRINGS, a materialized
+  * gram-string array crossing `explode`, a fresh MessageDigest per
+  * md5 call, and a hex-encode → substring → base-16 re-parse per
+  * gram. Here the token walk, windowed gram assembly, string-level
+  * dedup, md5, and 60-/32-bit extraction happen in one pass with a
+  * reused digest, emitting longs only.
+  *
+  * Value semantics are EXACTLY the composed form's (dedup is on the
+  * gram string; the hash is the big-endian value of the digest's
+  * first `hexDigits` nibbles; optional `mod` mirrors `pmod(h, p)` for
+  * the minhash universal-hash family). Property-tested equal in
+  * TextExpressionsSpec; every DuckDB oracle is unaffected because the
+  * VALUES are unchanged.
+  *
+  * `distinct = false` preserves gram multiplicity and positional
+  * order (the rare-bigram counter and the winnowing k-gram sequence
+  * need occurrences, not the set).
+  */
+case class GramHashes(child: Expression, n: Int, distinct: Boolean,
+    hexDigits: Int = 15, mod: Long = 0L) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  require(hexDigits >= 1 && hexDigits <= 15,
+    s"hexDigits must be in [1,15] (signed-int64 portability), got $hexDigits")
+  require(mod >= 0L, s"mod must be >= 0 (0 = none), got $mod")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash.hashes(input.asInstanceOf[ArrayData], n, distinct, hexDigits, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => s"""
+       |${ev.value} = graft.expressions.GramHash.hashes(
+       |  $x, $n, $distinct, $hexDigits, ${mod}L);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-level simhash fold backed by the codegen expression
     * (default 16-bit; pass `bits` for the wider Manku-style sketch).
@@ -485,4 +614,20 @@ object TextExpressions {
     */
   def winnowMins(hashes: Column, win: Int = 4): Column =
     GraftBridge.column(WinnowMins(GraftBridge.expression(hashes), win))
+
+  /** Column-level fused n-gram hashing over a token array (see
+    * [[GramHashes]]): 60-bit md5-prefix values, distinct grams or the
+    * positional sequence.
+    */
+  def gramHashes60(tokens: Column, n: Int, distinct: Boolean = true): Column =
+    GraftBridge.column(GramHashes(GraftBridge.expression(tokens), n, distinct))
+
+  /** [[GramHashes]] in the minhash universal-hash configuration: the
+    * 32-bit md5 prefix reduced mod p over DISTINCT grams — the fused
+    * `shingleHashes(shinglesN(...))` (TextFunctions) composition.
+    */
+  def gramHashesMod(tokens: Column, n: Int): Column =
+    GraftBridge.column(GramHashes(GraftBridge.expression(tokens), n,
+      distinct = true, hexDigits = 8,
+      mod = graft.functions.TextFunctions.MinhashP))
 }

@@ -87,9 +87,13 @@ object TextFunctions {
     // per-k-gram md5 chain evaluates once per row; the composed
     // transform(sequence, i -> array_min(slice(hs, i, win))) shape
     // re-evaluated that chain per window position (interpreted
-    // higher-order funcs have no CSE) — quadratic in doc length
+    // higher-order funcs have no CSE) — quadratic in doc length.
+    // The child itself is the fused positional GramHashes walk (same
+    // values as transform(shingleSeqTokens, wordHash60) — the
+    // interpreted zip_with + hex-roundtrip md5 chain it replaced).
     graft.expressions.TextExpressions.winnowMins(
-      transform(shingleSeqTokens(tokens(text), k), wordHash60(_)), win)
+      graft.expressions.TextExpressions.gramHashes60(
+        tokens(text), k, distinct = false), win)
   }
 
   /** Portable 32-bit word hash: first 8 hex digits of md5, parsed to a
@@ -116,6 +120,14 @@ object TextFunctions {
     */
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => pmod(wordHash(s), lit(MinhashP)))
+
+  /** Fused [[shingleHashes]] ∘ [[shinglesN]] over raw text: one native
+    * walk (graft.expressions.GramHashes at 8 hex digits mod p) —
+    * identical values; the minhash queries' dominant scalar cost was
+    * this composition's interpreted zip_with + per-gram hex-md5 chain.
+    */
+  def shingleHashesN(text: Column, n: Int = 2): Column =
+    graft.expressions.TextExpressions.gramHashesMod(tokens(text), n)
 
   /** MinHash component i over pre-hashed shingles. Empty set → null. */
   def minhashInt(hs: Column, i: Int): Column =

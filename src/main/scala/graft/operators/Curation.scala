@@ -84,7 +84,10 @@ object Curation {
     val toks = col("_w")
     val quality = qualityExpr(toks)
     val tot2 = greatest(size(toks) - 1, lit(0)).cast("long")
-    val dis2 = size(shinglesNTokens(toks, 2)).cast("long")
+    // fused native distinct-bigram count (string-level dedup — count
+    // identical to size(shinglesNTokens))
+    val dis2 = size(graft.expressions.TextExpressions.gramHashes60(toks, 2))
+      .cast("long")
     val repetition = round(when(tot2 > 0,
       lit(1.0) - dis2.cast("double") / tot2.cast("double"))
       .otherwise(lit(0.0)), 6)

@@ -72,13 +72,17 @@ object Decontam {
       gramHashes(bench, "bench_id", n), minShared, broadcastBench)
 
   /** Exploded distinct-n-gram 60-bit hashes: (idAs, h) — the unit both
-    * sides of every screen join on.
+    * sides of every screen join on. The shingle walk, string-level
+    * dedup, and md5 are the fused native
+    * [[graft.expressions.GramHashes]] (identical values to the
+    * composed explode+wordHash60 it replaced), so only longs cross
+    * the explode.
     */
   private def gramHashes(df: DataFrame, idAs: String, n: Int): DataFrame =
     df.select(
       col("doc_id").as(idAs),
-      explode(shinglesN(col("text"), n)).as("g"))
-      .select(col(idAs), wordHash60(col("g")).as("h"))
+      explode(graft.expressions.TextExpressions.gramHashes60(
+        tokens(col("text")), n)).as("h"))
 
   /** The pair verify over pre-computed gram tables — shared by the
     * broadcast-join path ([[overlapCore]]) and the Bloom-prescreened
@@ -209,7 +213,10 @@ object Decontam {
       col("doc_id"),
       // total n-grams = max(len(w)-(n-1), 0)
       greatest(size(w) - lit(n - 1), lit(0)).cast("long").as("n_ngrams"),
-      size(shinglesNTokens(w, n)).cast("long").as("n_distinct"),
+      // distinct count via the fused native gram walk (string-level
+      // dedup — count identical to size(shinglesNTokens))
+      size(graft.expressions.TextExpressions.gramHashes60(w, n))
+        .cast("long").as("n_distinct"),
       // top token count: one native codegen run-length walk over the
       // SORTED token array (equal tokens adjacent) — the interpreted
       // struct-state `aggregate` fold this replaced copied a 3-field
@@ -255,9 +262,11 @@ object Decontam {
     */
   def rareBigramRateManaged(docs: DataFrame,
       maxCount: Long = 2): Dedup.Managed = {
+    // positional (distinct = false): a bigram occurring k times in a
+    // doc is k rare OCCURRENCES — multiplicity is the statistic
     val bg = docs.select(col("doc_id"),
-      explode(shingleSeqTokens(tokens(col("text")), 2)).as("g"))
-      .select(col("doc_id"), wordHash60(col("g")).as("h"))
+      explode(graft.expressions.TextExpressions.gramHashes60(
+        tokens(col("text")), 2, distinct = false)).as("h"))
       .persist()
     // join back only the RARE hashes: every surviving row is a rare
     // occurrence, so n_rare is a plain count — the non-rare (hot,

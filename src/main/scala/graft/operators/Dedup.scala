@@ -67,7 +67,7 @@ object Dedup {
     docs
       .select(col("doc_id"),
         graft.expressions.TextExpressions.minhashBands(
-          shingleHashes(shingles2(col("text")))).as("bands"))
+          shingleHashesN(col("text"))).as("bands"))
       .select(
         col("doc_id") +:
           (0 until 4).map(b => element_at(col("bands"), b + 1).as(s"band$b")): _*)
@@ -100,7 +100,7 @@ object Dedup {
     // walk is the operator's dominant scalar cost — the cache is
     // 4 × 24-byte rows per doc, no text.
     val bands = docs
-      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
+      .select(col("doc_id"), shingleHashesN(col("text")).as("hs"))
       .select(col("doc_id"),
         graft.expressions.TextExpressions.minhashBands(col("hs")).as("bands"),
         size(col("hs")).cast("long").as("sz"))
@@ -199,7 +199,7 @@ object Dedup {
     // same band derivation as minhashPairs (two-step select so the
     // shingle hashing evaluates once per row)
     def bandsOf(df: DataFrame) = df
-      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
+      .select(col("doc_id"), shingleHashesN(col("text")).as("hs"))
       .select(col("doc_id"),
         graft.expressions.TextExpressions.minhashBands(col("hs")).as("bands"),
         size(col("hs")).cast("long").as("sz"))

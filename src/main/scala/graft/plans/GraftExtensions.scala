@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinhashBands, ModalRunLength, SimhashFold, TopKAgg, VecDot, WinnowMins}
+import graft.expressions.{GramHashes, MinhashBands, ModalRunLength, SimhashFold, TopKAgg, VecDot, WinnowMins}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -64,6 +64,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"winnow_mins's win must be an integer literal, got $other")
         }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_hashes60"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "gram_hashes60(tokens, n[, distinct]) takes a token array, an " +
+            "integer n, and an optional distinct flag")
+        val lit = org.apache.spark.sql.catalyst.expressions.Literal
+        val n = args(1) match {
+          case lit(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_hashes60's n must be an integer literal, got $other")
+        }
+        val distinct = if (args.length < 3) true else args(2) match {
+          case lit(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_hashes60's distinct must be a boolean literal, got $other")
+        }
+        GramHashes(args.head, n, distinct)
       }))
     ext.injectFunction((
       new FunctionIdentifier("top_k"),

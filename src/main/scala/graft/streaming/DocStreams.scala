@@ -20,7 +20,7 @@ object DocStreams {
   /** (doc_id, pos, band) — exploded band keys for either side. */
   def bandRows(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), shingleHashes(shingles2(col("text"))).as("hs"))
+      .select(col("doc_id"), shingleHashesN(col("text")).as("hs"))
       .select(col("doc_id"), posexplode(
         array((0 until 4).map(b => bandKeyInt(col("hs"), b)): _*))
         .as(Seq("pos", "band")))
@@ -43,8 +43,8 @@ object DocStreams {
     */
   def benchGramIndex(bench: DataFrame, n: Int = 3): DataFrame =
     bench.select(col("doc_id").as("bench_id"),
-      explode(graft.operators.Decontam.shinglesN(col("text"), n)).as("g"))
-      .select(col("bench_id"), wordHash60(col("g")).as("h"))
+      explode(graft.expressions.TextExpressions.gramHashes60(
+        tokens(col("text")), n)).as("h"))
 
   /** Contamination screen at ingest: arriving docs stream-static join
     * the benchmark n-gram index (graft.operators.Decontam's screen,
@@ -59,8 +59,8 @@ object DocStreams {
   def contamScreen(streamDocs: DataFrame, gramIndex: DataFrame,
       n: Int = 3): DataFrame =
     streamDocs.select(col("doc_id"),
-      explode(graft.operators.Decontam.shinglesN(col("text"), n)).as("g"))
-      .select(col("doc_id"), wordHash60(col("g")).as("h"))
+      explode(graft.expressions.TextExpressions.gramHashes60(
+        tokens(col("text")), n)).as("h"))
       .join(gramIndex, "h")
       .select(col("doc_id"), col("bench_id"), col("h"))
 }

@@ -143,4 +143,64 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(got === refSimhash(Seq(1L, 1L, 3L)))
     assert(got === 1L)
   }
+
+  // edge-heavy fixture for the gram-hash equivalences: repeats (dedup),
+  // doc shorter than n, single token, empty string (split("") = [""]),
+  // multi-space (empty tokens), unicode
+  private lazy val gramDocs = spark.createDataFrame(Seq(
+    (0L, "a b a b c a b"), (1L, "x"), (2L, ""), (3L, "a  b"),
+    (4L, "один два три один два"), (5L, "the the the the"),
+    (6L, "p q r s t u v w x y z")))
+    .toDF("doc_id", "text")
+
+  test("gram_hashes equals the composed distinct shingle+wordHash60 chain") {
+    import graft.functions.TextFunctions._
+    for (n <- 1 to 4) {
+      val rows = gramDocs.select(
+        TextExpressions.gramHashes60(tokens(col("text")), n).as("fused"),
+        transform(shinglesNTokens(tokens(col("text")), n), wordHash60(_))
+          .as("legacy"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
+  test("gram_hashes positional equals the composed seq chain (order+mult)") {
+    import graft.functions.TextFunctions._
+    for (n <- 1 to 3) {
+      val rows = gramDocs.select(
+        TextExpressions.gramHashes60(tokens(col("text")), n,
+          distinct = false).as("fused"),
+        transform(shingleSeqTokens(tokens(col("text")), n), wordHash60(_))
+          .as("legacy"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
+  test("gram_hashes mod-p equals the composed shingleHashes chain") {
+    import graft.functions.TextFunctions._
+    val rows = gramDocs.select(
+      TextExpressions.gramHashesMod(tokens(col("text")), 2).as("fused"),
+      shingleHashes(shingles2(col("text"))).as("legacy"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("gram_hashes null text propagates null; is callable from SQL") {
+    val nulls = spark.sql(
+      "SELECT gram_hashes60(CAST(NULL AS ARRAY<STRING>), 2) AS g")
+    assert(nulls.head().isNullAt(0))
+    val got = spark.sql(
+      "SELECT gram_hashes60(array('a','b','a','b'), 2, false) AS g")
+      .head().getSeq[Long](0)
+    assert(got.length === 3) // positional keeps the repeated "a b"
+    assert(got(0) === got(2))
+  }
 }
