@@ -165,12 +165,21 @@ object ScalingBench {
     val active = if (only.isEmpty) subjects
       else subjects.filter { case (n, _) => only(n) }
 
-    // warmup at 1× pays JIT/codegen once, outside every measurement
-    active.foreach { case (_, fn) =>
-      try exec(fn(spark, s"$outRoot/x${scales.head}"))
-      catch { case _: Throwable => () }
+    // warmup at 1× pays JIT/codegen outside every measurement. TWO
+    // passes by default (SPARK_GRAFT_SCALING_WARMUPS): one execution
+    // per subject is not enough to tier-up the generated code — the
+    // first measured cells (subject-major order, x1 first) were
+    // repeatedly observed 2–4× slow on single-warmup sessions, which
+    // corrupts the curve's low endpoint and hence the exponent.
+    val warmups = math.max(1, sys.env.get("SPARK_GRAFT_SCALING_WARMUPS")
+      .flatMap(_.toIntOption).getOrElse(2))
+    (1 to warmups).foreach { _ =>
+      active.foreach { case (_, fn) =>
+        try exec(fn(spark, s"$outRoot/x${scales.head}"))
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
 
     // rows: one untimed count per cell — the pair miners' output
     // growth (linear, not quadratic) is itself scaling evidence
