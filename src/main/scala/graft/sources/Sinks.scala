@@ -30,4 +30,17 @@ object Sinks {
 
   /** Reference operator S4: console sink (`show`). */
   def show(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** JSONL sink (one JSON object per line — the interchange format
+    * training corpora ship in). Spark's json writer IS line-delimited,
+    * so output stays splittable: a downstream 1000-executor read
+    * parallelizes by newline with no coordination. Optional
+    * partitioning as in [[writeParquet]].
+    */
+  def writeJsonl(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .json(path)
+  }
 }

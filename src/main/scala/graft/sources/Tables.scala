@@ -31,4 +31,39 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Canonical schemas for the two corpus tables, for schema-enforced
+    * reads of external (non-parquet) copies of them.
+    */
+  val documentsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+  val embeddingsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+
+  /** JSONL reader (one JSON object per line) with an EXPLICIT schema —
+    * the ingest format training corpora actually arrive in. Two
+    * deliberate choices for the 100 TB read:
+    *   - explicit schema, never inference: inference is a full extra
+    *     pass over the corpus, and an inferred type can drift per batch
+    *     (a shard whose ids all fit int32 silently forks the types);
+    *   - `multiLine` stays false (the default): line-delimited JSON
+    *     splits on newlines, so the scan parallelizes across executors
+    *     at any file size; a multiLine JSON file is unsplittable.
+    * Malformed lines surface as nulls (PERMISSIVE) — pass
+    * `mode=FAILFAST` via options for strict ingest.
+    */
+  def jsonl(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    s.read.options(options).schema(schema).json(path)
+
+  /** Schema-enforced JSONL copy of the documents table. */
+  def documentsJsonl(s: SparkSession, path: String): DataFrame =
+    jsonl(s, path, documentsSchema)
+
+  /** Schema-enforced JSONL copy of the embeddings table. */
+  def embeddingsJsonl(s: SparkSession, path: String): DataFrame =
+    jsonl(s, path, embeddingsSchema)
 }

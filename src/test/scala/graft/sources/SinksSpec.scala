@@ -23,6 +23,43 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(back === Seq(Seq("Lyft", "1", "-3.00"), Seq("Uber", "1", "11.00")))
   }
 
+  test("JSONL round-trip: documents survive write+schema-enforced read") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "hello world", "en", "web", 11L),
+      (2L, "ein \"zitat\" mit unicode: один", "de", "books", 29L),
+      (3L, "", "en", "web", 0L)) // empty text must survive, not null out
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    Sinks.writeJsonl(docs, dir)
+    // the written files ARE line-delimited JSON (one object per line)
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+    assert(lines.length === 3)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    val back = Tables.documentsJsonl(spark, dir)
+    assert(back.schema === Tables.documentsSchema)
+    assert(back.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("JSONL round-trip: embeddings float arrays are value-exact") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (1L, Seq(0.25f, -1.5f, 3.125f), 0),
+      (2L, Seq.empty[Float], 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("graft_jsonl_e").toString
+    Sinks.writeJsonl(embs, dir)
+    val back = Tables.embeddingsJsonl(spark, dir)
+    assert(back.schema === Tables.embeddingsSchema)
+    // exactly-representable floats chosen so JSON decimal round-trip
+    // cannot drift them
+    assert(back.orderBy("vec_id").collect().map(_.toSeq).toSeq ===
+      embs.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("partitioned parquet sink prunes by partition column") {
     val dir = Files.createTempDirectory("graft_pq").toString
     Sinks.writeParquet(df, dir, partitionBy = Seq("business"))
