@@ -104,7 +104,8 @@ object ScalingBench {
       "decontam_hits", "pipeline_curate_full", "dedup_winnow_pairs",
       "text_winnow", "decontam_bloom_survivors", "text_rare_bigram_rate",
       "dedup_incremental", "pii_scrub", "pipeline_select_budget",
-      "dedup_semantic", "pipeline_pack")
+      "dedup_semantic", "pipeline_pack", "pipeline_chunks",
+      "dedup_chunk_stats", "dedup_chunk_clean", "emb_quantize")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
