@@ -674,6 +674,34 @@ object ExtraAnalogs {
 
     // Normalization + stopword removal: canonical text, its hash, and
     // the content-token count after stopword filtering.
+    // Unicode NFC canonicalization — the pre-hash normalization step
+    // for corpora with decomposed forms. The corpus itself is ASCII
+    // (NFC identity), so every row prepends a DECOMPOSED literal
+    // (e+U+0301, a+U+0300): both engines must compose it to the
+    // precomposed bytes or the md5s diverge — the oracle exercises
+    // real NFC composition on every row, not the identity.
+    Q("text_normalize_nfc",
+      (s, d) => {
+        val deco = "Cafe\u0301 vis-a\u0300-vis "
+        Tables.documents(s, d)
+          .select("doc_id", "text").orderBy("doc_id")
+          // two-step select: the normalize evaluates once per row,
+          // its two consumers read the materialized column
+          .select(col("doc_id"), TextFunctions.normalizeNfc(
+            concat(lit(deco), col("text"))).as("_n"))
+          .select(col("doc_id"),
+            octet_length(col("_n")).cast("long").as("norm_bytes"),
+            md5(col("_n")).as("norm_hash"))
+      },
+      Some {
+        val deco = "Cafe\u0301 vis-a\u0300-vis "
+        s"""SELECT doc_id,
+        |  CAST(strlen(nfc_normalize('$deco' || text)) AS BIGINT)
+        |    AS norm_bytes,
+        |  md5(nfc_normalize('$deco' || text)) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     Q("text_normalize",
       (s, d) => {
         // sort-first (see dedup_minhash_sig)

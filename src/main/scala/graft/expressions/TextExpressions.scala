@@ -583,6 +583,62 @@ case class GramHashes(child: Expression, n: Int, distinct: Boolean,
     copy(child = newChild)
 }
 
+/** Runtime for [[NfcNormalize]] — plain object for codegen's static
+  * forwarder call.
+  */
+object UnicodeNorm {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    // ASCII fast path: NFC is the identity on ASCII, and bytes ==
+    // codepoints iff every byte is ASCII — skips the String
+    // round-trip for the overwhelmingly common case
+    if (s.numBytes() == s.numChars()) return s
+    val j = s.toString
+    if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization (UAX #15 canonical composition) — the
+  * text-canonicalization step an exact-dedup pipeline needs before
+  * hashing: "é" as U+00E9 and as "e" + U+0301 are byte-different,
+  * hash-different, and visually identical, so un-normalized corpora
+  * leak duplicates past every byte-level screen.
+  *
+  * Implementation is the JDK's `java.text.Normalizer` (ICU-equivalent
+  * NFC per the standard); the DuckDB oracle's `nfc_normalize` is the
+  * same UAX #15 transform, verified byte-identical in
+  * TextExpressionsSpec and through the `text_normalize_nfc` oracle
+  * query. ASCII input short-circuits (identity) without leaving
+  * UTF8String.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNorm.nfc(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.UnicodeNorm.nfc($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-level simhash fold backed by the codegen expression
     * (default 16-bit; pass `bits` for the wider Manku-style sketch).
@@ -630,4 +686,8 @@ object TextExpressions {
     GraftBridge.column(GramHashes(GraftBridge.expression(tokens), n,
       distinct = true, hexDigits = 8,
       mod = graft.functions.TextFunctions.MinhashP))
+
+  /** Column-level Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfcNormalize(text: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
 }

@@ -96,6 +96,15 @@ object TextFunctions {
         tokens(text), k, distinct = false), win)
   }
 
+  /** Unicode NFC canonical composition (native
+    * [[graft.expressions.NfcNormalize]]) — run BEFORE md5/exact-dedup
+    * on corpora that may carry decomposed forms: "é" as one codepoint
+    * and as e + combining acute are byte-different but canonically
+    * equal. DuckDB equivalent: `nfc_normalize(text)`.
+    */
+  def normalizeNfc(text: Column): Column =
+    graft.expressions.TextExpressions.nfcNormalize(text)
+
   /** Portable 32-bit word hash: first 8 hex digits of md5, parsed to a
     * long. DuckDB equivalent: `('0x' || substr(md5(w),1,8))::BIGINT`.
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{GramHashes, MinhashBands, ModalRunLength, SimhashFold, TopKAgg, VecDot, WinnowMins}
+import graft.expressions.{GramHashes, MinhashBands, ModalRunLength, NfcNormalize, SimhashFold, TopKAgg, VecDot, WinnowMins}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -84,6 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"gram_hashes60's distinct must be a boolean literal, got $other")
         }
         GramHashes(args.head, n, distinct)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"), // same name as DuckDB's
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(text) takes one string arg")
+        NfcNormalize(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("top_k"),

@@ -193,6 +193,41 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nfc_normalize matches java.text.Normalizer; identity on ASCII/NFC") {
+    val cases = Seq(
+      "Cafe\u0301",      // decomposed -> composes to U+00E9
+      "Caf\u00e9",       // already NFC -> identity
+      "vis-a\u0300-vis", // combining grave
+      "A\u030a",         // A + ring -> U+00C5
+      "\ufb01le",        // ligature fi: NFC keeps it (NFKC would split)
+      "ascii only", "", "\u043e\u0434\u0438\u043d",
+      "e\u0301\u0302")  // stacked combining marks
+    val s = spark; import s.implicits._
+    val rows = cases.toDF("t")
+      .select(TextExpressions.nfcNormalize(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    rows.zip(cases).foreach { case (got, in) =>
+      assert(got === java.text.Normalizer.normalize(
+        in, java.text.Normalizer.Form.NFC),
+        s"for ${in.codePoints().toArray.toSeq}")
+    }
+    // canonical-dup screen: decomposed and precomposed hash-equal AFTER
+    val pair = Seq("Cafe\u0301", "Caf\u00e9").toDF("t")
+      .select(md5(TextExpressions.nfcNormalize(col("t"))).as("h"))
+      .collect().map(_.getString(0))
+    assert(pair(0) === pair(1))
+  }
+
+  test("nfc_normalize: null propagates; callable from SQL") {
+    val n = spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS x")
+    assert(n.head().isNullAt(0))
+    // decomposed SQL literal composes to the 2-char NFC form
+    val got = spark.sql("SELECT nfc_normalize('Cafe\u0301') AS x")
+      .head().getString(0)
+    assert(got === "Caf\u00e9")
+    assert(got.length === 4)
+  }
+
   test("gram_hashes null text propagates null; is callable from SQL") {
     val nulls = spark.sql(
       "SELECT gram_hashes60(CAST(NULL AS ARRAY<STRING>), 2) AS g")
