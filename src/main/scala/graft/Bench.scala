@@ -142,9 +142,12 @@ object Bench {
     val total = if (best.nonEmpty) best.map(_._2).sum else 0.0
     // reference-surface queries (t1..t10 + events analogs) vs the
     // extension families — lets the harness compare the reference
-    // surface against BASELINE directly
+    // surface against BASELINE directly. Match t<digit>, not a bare
+    // "t" prefix: text_* and table_profile are EXTENSION queries and a
+    // prefix test silently counted them as core (inflating core_total
+    // by the whole text-analysis family).
     val core = best.filter { case (k, _) =>
-      k.startsWith("t") || k.startsWith("events_") }
+      k.matches("t\\d.*") || k.startsWith("events_") }
     val coreTotal = if (core.nonEmpty) core.map(_._2).sum else 0.0
     // diagnostic O(registry) maps — per-query best times, per-run
     // times, the FULL error map: stderr, BEFORE the stdout line, so
