@@ -18,16 +18,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default. Read it as a raw long (legacy conf) and convert
-    * nanos → micros with exact integer division (`div`, not `/` — long
-    * nanos exceed 2^53 so double division would lose precision), matching
-    * DuckDB's truncate-to-micros read of the same file.
+  /** events.parquet has shipped `ts` in several physical layouts across
+    * testdata generations: parquet TIMESTAMP(NANOS) (which Spark only reads
+    * as a raw long via the legacy conf) and TIMESTAMP(MICROS) — the latter
+    * with `isAdjustedToUTC` either set (→ TimestampType) or unset, as
+    * pyarrow writes it (→ TimestampNTZType). Dispatch on the OBSERVED
+    * schema rather than assuming a layout, and normalize every arm to
+    * session-TZ TimestampType so downstream `unix_micros`/window logic
+    * sees ONE type:
+    *   - LongType → nanos-as-long: convert nanos → micros with exact
+    *     integer division (`div`, not `/` — long nanos exceed 2^53 so
+    *     double division would lose precision), matching DuckDB's
+    *     truncate-to-micros read of the same file;
+    *   - TimestampNTZType → cast to TimestampType. The session TZ is
+    *     pinned to UTC (GraftSession), so the cast preserves both the
+    *     wall-clock fields and the epoch micros — bit-identical to what
+    *     DuckDB computes from its naive read of the same file;
+    *   - TimestampType → pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
