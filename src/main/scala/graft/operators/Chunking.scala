@@ -145,7 +145,9 @@ object Chunking {
     require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
     val sized = docs.select(col("doc_id"), col("source"),
       size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("block", floor(col("doc_id") / blockSize).cast("long"))
+      // `div` (integral), not floor(double /): long ids above 2^53 would
+      // lose precision in the double round-trip and split/merge blocks
+      .withColumn("block", expr(s"doc_id div ${blockSize}L"))
     // (a) per-(source, block) totals; cumsum over the SMALL aggregate
     val perBlock = sized.groupBy("source", "block")
       .agg(sum("n_tok").as("b_tok"))
