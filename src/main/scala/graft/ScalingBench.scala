@@ -105,7 +105,8 @@ object ScalingBench {
       "text_winnow", "decontam_bloom_survivors", "text_rare_bigram_rate",
       "dedup_incremental", "pii_scrub", "pipeline_select_budget",
       "dedup_semantic", "pipeline_pack", "pipeline_chunks",
-      "dedup_chunk_stats", "dedup_chunk_clean", "emb_quantize")
+      "dedup_chunk_stats", "dedup_chunk_clean", "emb_quantize",
+      "dedup_substring", "text_bpe_count")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

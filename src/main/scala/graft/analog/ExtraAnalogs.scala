@@ -423,6 +423,40 @@ object ExtraAnalogs {
         |HAVING count(*) >= 3
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Exact-substring duplicate pairs (Lee et al. 2021): maximal shared
+    // EXACT token runs >= 12 words, found via positional 8-gram anchor
+    // hashes + gaps-and-islands run extension along the match diagonal.
+    // The oracle mirrors the full semantics including the df<=128
+    // hot-gram cap; positions are 1-based here vs posexplode's 0-based,
+    // which cancels — diag and island keys only ever difference them.
+    Q("dedup_substring",
+      (s, d) => Dedup.substringPairs(Tables.documents(s, d)),
+      Some(s"""WITH $tokCte,
+        |g AS (SELECT doc_id, list_transform(range(1, len(w) - 6),
+        |  i -> ${dWordHash60((0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || "))}) AS hs
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(range(1, len(hs) + 1)) AS pos,
+        |             unnest(hs) AS h FROM g),
+        |rare AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 128),
+        |hits AS (SELECT e.doc_id, e.pos, e.h FROM e JOIN rare USING (h)),
+        |al AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+        |         a.pos - b.pos AS diag
+        |  FROM hits a JOIN hits b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, diag,
+        |         pos_a - row_number() OVER (
+        |           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        |  FROM al),
+        |runs AS (
+        |  SELECT doc_a, doc_b, count(*) + 7 AS run_len
+        |  FROM isl GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, CAST(max(run_len) AS BIGINT) AS max_run,
+        |       count(*) AS n_runs
+        |FROM runs WHERE run_len >= 12
+        |GROUP BY doc_a, doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // 60-bit SimHash + top-15-bit block (Manku block 0) per doc.
     Q("dedup_simhash",
       // sort-first (see dedup_minhash_sig)
@@ -816,6 +850,46 @@ object ExtraAnalogs {
         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT), 6)
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL BPE token counting: the fixed BpeVocab merge table applied
+    // by the native codegen expression; the oracle applies the SAME
+    // table via a recursive CTE over the distinct vocabulary (merge
+    // one lowest-rank pair per iteration; final count per word is the
+    // fixpoint minimum, summed back over word instances). list_position
+    // returns 0 for absent keys in DuckDB, hence the x > 0 guards.
+    Q("text_bpe_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.expressions.BpeExpressions.bpeCount(col("text"))
+            .as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some {
+        val mk = graft.expressions.BpeVocab.Merges
+          .map { case (l, r) => s"'$l' || chr(1) || '$r'" }
+          .mkString("[", ",", "]")
+        s"""WITH RECURSIVE
+        |inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |         FROM documents),
+        |wd AS (SELECT DISTINCT w FROM inst),
+        |st AS (
+        |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS toks
+        |  FROM wd
+        |  UNION ALL
+        |  SELECT w, toks[1:bp-1] || [toks[bp] || toks[bp+1]] || toks[bp+2:]
+        |  FROM (
+        |    SELECT w, toks, list_position(rk,
+        |      list_min(list_filter(rk, x -> x > 0))) AS bp
+        |    FROM (
+        |      SELECT w, toks, list_transform(range(1, len(toks)),
+        |        i -> list_position($mk, toks[i] || chr(1) || toks[i+1])) AS rk
+        |      FROM st) s1) s2
+        |  WHERE bp IS NOT NULL AND bp > 0
+        |),
+        |bpe AS (SELECT w, min(len(toks)) AS n FROM st GROUP BY w)
+        |SELECT i.doc_id, CAST(sum(b.n) AS BIGINT) AS bpe_tokens
+        |FROM inst i JOIN bpe b USING (w)
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
+      }),
 
     // Frame sampling over a binary "video" payload: one row per
     // fixed-size frame with index, length, and content hash.

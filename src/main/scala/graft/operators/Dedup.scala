@@ -443,6 +443,89 @@ object Dedup {
     new Managed(out, Seq(fps))
   }
 
+  /** Exact-substring duplicate pairs (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — arXiv:2107.06499):
+    * doc pairs sharing an EXACT contiguous token run of at least
+    * `minRun` words, with the maximal shared run length reported.
+    * Where minhash measures set overlap and winnowing samples local
+    * runs, this is the exact notion: every shared run ≥ `gram` tokens
+    * is found (via its positional `gram`-token anchors — a run of
+    * length L contains L−gram+1 anchors, so none can be missed), then
+    * extended to its true maximal length along the match diagonal.
+    *
+    * Lee et al. build one suffix array over the concatenated corpus —
+    * inherently single-machine. The distributed re-expression: explode
+    * each doc into positional 60-bit `gram`-token hashes (the fused
+    * GramHashes walk), equi-join on the hash, and run gaps-and-islands
+    * on each (doc_a, doc_b, pos_a − pos_b) diagonal — consecutive
+    * anchor hits on one diagonal ARE the shared run, and
+    * `islandSize + gram − 1` is its exact token length. Per-doc work
+    * replaces the global suffix sort with one hash-keyed shuffle.
+    *
+    * Scale shape: the anchor table is ~24 bytes per corpus TOKEN — the
+    * same O(corpus) footprint as Lee et al.'s suffix array, shuffled
+    * once, keyed by gram hash. Join fan-out per key is bounded by
+    * `maxDf` (anchors whose hash occurs more than `maxDf` times
+    * corpus-wide are dropped): an 8-token gram repeated that often is
+    * boilerplate, exactly the text Lee et al. report dominating their
+    * duplicate clusters, and the cap is the standard guard that keeps
+    * a viral phrase from inducing a quadratic bucket. The cap is part
+    * of the operator's semantics (the oracle applies it identically).
+    *
+    * Returns (doc_a, doc_b, max_run, n_runs): maximal shared run in
+    * tokens and the count of distinct maximal runs ≥ `minRun`.
+    */
+  def substringPairs(docs: DataFrame, gram: Int = 8, minRun: Int = 12,
+      maxDf: Long = 128L): DataFrame =
+    substringPairsManaged(docs, gram, minRun, maxDf).df
+
+  /** [[substringPairs]] with its internal persist exposed for release —
+    * see [[Managed]].
+    */
+  def substringPairsManaged(docs: DataFrame, gram: Int = 8,
+      minRun: Int = 12, maxDf: Long = 128L): Managed = {
+    require(gram >= 1, s"gram must be >= 1, got $gram")
+    require(minRun >= gram, s"minRun must be >= gram, got $minRun < $gram")
+    import org.apache.spark.sql.expressions.Window
+    // positional anchors: (doc_id, pos, h) — one row per token position
+    // (minus the trailing gram−1). Cached: consumed by the df-count
+    // aggregate AND both self-join sides; 24 bytes a row, no text.
+    val anchors = docs.select(col("doc_id"),
+      posexplode(graft.expressions.TextExpressions.gramHashes60(
+        tokens(col("text")), gram, distinct = false)).as(Seq("pos", "h")))
+      .cache()
+    // hot-gram cap: one aggregate on the SAME key as the join, so the
+    // df table is hash-partitioned identically to the probe side
+    val rare = anchors.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    val hits = anchors.join(rare, "h")
+    // candidate anchor alignments, grouped by match diagonal
+    val aligned = hits.select(col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"), col("h"))
+      .join(hits.select(col("doc_id").as("doc_b"),
+        col("pos").as("pos_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    // gaps-and-islands per diagonal: consecutive pos_a values are one
+    // shared run; island size + gram − 1 is its exact token length
+    val wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    val runs = aligned
+      .withColumn("grp", col("pos_a") - row_number().over(wd))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg((count(lit(1)) + lit(gram - 1)).as("run_len"))
+    val out = runs
+      .filter(col("run_len") >= minRun)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("run_len")).as("max_run"),
+        count(lit(1)).as("n_runs"))
+      // export tail: only the surviving pair list crosses the
+      // single-task exchange (see minhashPairs)
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    new Managed(out, Seq(anchors))
+  }
+
   /** Dedup completion: collapse near-dup PAIRS into clusters and pick
     * one canonical survivor (min doc_id) per cluster — what a real
     * pipeline keeps. Iterative min-label propagation over the pair
