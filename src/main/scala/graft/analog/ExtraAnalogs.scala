@@ -457,6 +457,53 @@ object ExtraAnalogs {
         |GROUP BY doc_a, doc_b
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // The removal half of Lee et al.: excise token spans duplicating an
+    // exact >= 12-token run from a lower-id doc, rebuild survivors.
+    // Same anchor/island machinery as dedup_substring; spans land on
+    // the higher-id side, overlaps union via DISTINCT covered
+    // positions.
+    Q("dedup_substring_clean",
+      (s, d) => Dedup.substringClean(Tables.documents(s, d)),
+      Some(s"""WITH $tokCte,
+        |g AS (SELECT doc_id, list_transform(range(1, len(w) - 6),
+        |  i -> ${dWordHash60((0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || "))}) AS hs
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(range(1, len(hs) + 1)) AS pos,
+        |             unnest(hs) AS h FROM g),
+        |rare AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 128),
+        |hits AS (SELECT e.doc_id, e.pos, e.h FROM e JOIN rare USING (h)),
+        |al AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+        |         a.pos - b.pos AS diag
+        |  FROM hits a JOIN hits b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         pos_a - row_number() OVER (
+        |           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        |  FROM al),
+        |runs AS (
+        |  SELECT doc_b, count(*) + 7 AS run_len,
+        |         min(pos_a) - diag AS start_b
+        |  FROM isl GROUP BY doc_a, doc_b, diag, grp),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT doc_b AS doc_id,
+        |         unnest(range(start_b, start_b + run_len)) AS pos
+        |  FROM runs WHERE run_len >= 12)),
+        |toksd AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+        |                 unnest(w) AS tokn FROM tok),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tokn
+        |  FROM toksd t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL),
+        |res AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(tokn, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN res r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // 60-bit SimHash + top-15-bit block (Manku block 0) per doc.
     Q("dedup_simhash",
       // sort-first (see dedup_minhash_sig)

@@ -484,8 +484,25 @@ object Dedup {
     */
   def substringPairsManaged(docs: DataFrame, gram: Int = 8,
       minRun: Int = 12, maxDf: Long = 128L): Managed = {
+    val (runs, anchors) = substringRuns(docs, gram, maxDf)
+    val out = runs
+      .filter(col("run_len") >= minRun)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("run_len")).as("max_run"),
+        count(lit(1)).as("n_runs"))
+      // export tail: only the surviving pair list crosses the
+      // single-task exchange (see minhashPairs)
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    new Managed(out, Seq(anchors))
+  }
+
+  /** Shared core of [[substringPairs]] / [[substringClean]]: maximal
+    * matching runs per (doc_a < doc_b, diagonal), with 0-based span
+    * starts on both sides. Returns (runs, cached anchors handle).
+    */
+  private def substringRuns(docs: DataFrame, gram: Int,
+      maxDf: Long): (DataFrame, DataFrame) = {
     require(gram >= 1, s"gram must be >= 1, got $gram")
-    require(minRun >= gram, s"minRun must be >= gram, got $minRun < $gram")
     import org.apache.spark.sql.expressions.Window
     // positional anchors: (doc_id, pos, h) — one row per token position
     // (minus the trailing gram−1). Cached: consumed by the df-count
@@ -514,15 +531,63 @@ object Dedup {
     val runs = aligned
       .withColumn("grp", col("pos_a") - row_number().over(wd))
       .groupBy("doc_a", "doc_b", "diag", "grp")
-      .agg((count(lit(1)) + lit(gram - 1)).as("run_len"))
-    val out = runs
+      .agg((count(lit(1)) + lit(gram - 1)).as("run_len"),
+        min(col("pos_a")).as("start_a"))
+      .withColumn("start_b", col("start_a") - col("diag"))
+    (runs, anchors)
+  }
+
+  /** The REMOVAL half of Lee et al. 2021 (see [[substringPairs]]):
+    * excise every token span that duplicates an exact run of at least
+    * `minRun` tokens appearing in a LOWER-id document, and rebuild the
+    * surviving text. The lowest-id holder of a duplicated span keeps
+    * it; every later copy loses exactly the duplicated tokens, not the
+    * whole document — the surgical alternative to document-level
+    * dedup for boilerplate-heavy corpora. Overlapping spans (one doc
+    * duplicating runs from several earlier docs) union before removal.
+    *
+    * Within-document repeats (the same doc containing its own
+    * duplicated run twice) are out of scope of this pairwise screen —
+    * the chunk-hash family ([[graft.operators.Chunking]]) covers that
+    * shape.
+    *
+    * Output one row per input doc (doc_id, n_kept, clean_text),
+    * rebuilt in token order; docs losing every token stay with empty
+    * text (the [[graft.operators.Chunking.clean]] convention).
+    */
+  def substringClean(docs: DataFrame, gram: Int = 8, minRun: Int = 12,
+      maxDf: Long = 128L): DataFrame =
+    substringCleanManaged(docs, gram, minRun, maxDf).df
+
+  /** [[substringClean]] with its internal persist exposed for release —
+    * see [[Managed]].
+    */
+  def substringCleanManaged(docs: DataFrame, gram: Int = 8,
+      minRun: Int = 12, maxDf: Long = 128L): Managed = {
+    val (runs, anchors) = substringRuns(docs, gram, maxDf)
+    // spans to remove, on the HIGHER-id side of each pair; distinct
+    // covered positions union overlapping spans. The explode is
+    // bounded by the corpus' duplicated-token mass (run_len each).
+    val covered = runs
       .filter(col("run_len") >= minRun)
-      .groupBy("doc_a", "doc_b")
-      .agg(max(col("run_len")).as("max_run"),
-        count(lit(1)).as("n_runs"))
-      // export tail: only the surviving pair list crosses the
-      // single-task exchange (see minhashPairs)
-      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("run_len") - 1)).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        // order rebuilt by pos: struct sort keys on the first field
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          t => t.getField("tok")), " ").as("clean_text"))
+    val out = docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
     new Managed(out, Seq(anchors))
   }
 

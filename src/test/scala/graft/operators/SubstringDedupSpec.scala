@@ -57,6 +57,19 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("clean excises duplicated spans from the higher-id doc only") {
+    val got = Dedup.substringClean(docs, gram = 8, minRun = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (0L, 14L, t(0 until 14)),            // lowest holder keeps all
+      (1L, 0L, ""),                        // full dup loses everything
+      (2L, 2L, "x12 x13"),                 // loses the 12-token prefix
+      (3L, 12L, t(0 until 8) + " " + t(0 until 4, "z")), // run 8 < 12
+      (4L, 14L, t(0 until 14, "q")),       // disjoint, untouched
+      (5L, 25L, t(0 until 12, "a") + " gapL " + t(0 until 12, "b")),
+      (6L, 1L, "gapR")))                   // both 12-runs excised
+  }
+
   test("docs shorter than the gram produce no anchors and no pairs") {
     val s = spark
     import s.implicits._

@@ -38,20 +38,22 @@ object SubstringProps extends Properties("substring") {
   private val genCorpus: Gen[List[List[String]]] =
     Gen.chooseNum(2, 7).flatMap(k => Gen.listOfN(k, genDoc))
 
-  /** Brute force: maximal matching runs per (pair, diagonal). */
-  private def reference(docs: List[List[String]])
-      : Seq[(Long, Long, Long, Long)] =
-    (for {
+  /** Brute force: maximal matching runs per (pair, diagonal), each as
+    * (length, start position in the higher-id doc).
+    */
+  private def referenceRuns(docs: List[List[String]])
+      : Seq[(Int, Int, List[(Int, Int)])] =
+    for {
       a <- docs.indices
       b <- docs.indices
       if a < b
     } yield {
       val (da, db) = (docs(a), docs(b))
-      val runs = for {
+      val runs = (for {
         d <- -(db.size - 1) to (da.size - 1)
         // maximal runs along diagonal d: positions i in da matching
         // i - d in db
-        run <- {
+        island <- {
           val hits = da.indices
             .filter(i => i - d >= 0 && i - d < db.size && da(i) == db(i - d))
           // islands of consecutive i
@@ -59,25 +61,59 @@ object SubstringProps extends Properties("substring") {
             case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
               (i :: acc.head) :: acc.tail
             case (acc, i) => List(i) :: acc
-          }.map(_.size)
+          }
         }
-        if run >= MinRun
-      } yield run
-      (a.toLong, b.toLong, runs)
-    }).collect { case (a, b, rs) if rs.nonEmpty =>
-      (a, b, rs.max.toLong, rs.size.toLong)
+        if island.size >= MinRun
+      } yield (island.size, island.min - d)).toList
+      (a, b, runs)
+    }
+
+  private def referencePairs(docs: List[List[String]])
+      : Seq[(Long, Long, Long, Long)] =
+    referenceRuns(docs).collect { case (a, b, rs) if rs.nonEmpty =>
+      (a.toLong, b.toLong, rs.map(_._1).max.toLong, rs.size.toLong)
     }.sortBy(p => (p._1, p._2))
+
+  private def referenceClean(docs: List[List[String]])
+      : Seq[(Long, Long, String)] = {
+    val coveredByDoc = referenceRuns(docs)
+      .flatMap { case (_, b, rs) =>
+        rs.flatMap { case (len, startB) => (startB until startB + len).map(b -> _) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.indices.map { i =>
+      val cov = coveredByDoc.getOrElse(i, Set.empty)
+      val kept = docs(i).zipWithIndex.collect {
+        case (w, p) if !cov(p) => w
+      }
+      // tokenization of "" yields one empty token, like split(text," ")
+      val toks = if (docs(i).isEmpty) List("") else kept.toList
+      val keptN = if (docs(i).isEmpty) 1L else kept.size.toLong
+      (i.toLong, keptN, toks.mkString(" "))
+    }
+  }
+
+  private def toDf(docs: List[List[String]]) =
+    spark.createDataFrame(
+      docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
+      .toDF("doc_id", "text")
 
   property("pairs equal the brute-force diagonal scan") =
     forAll(genCorpus) { docs =>
-      val df = spark.createDataFrame(
-        docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
-        .toDF("doc_id", "text")
-      val got = Dedup.substringPairs(df, gram = Gram, minRun = MinRun,
-        maxDf = 1000000L).collect()
+      val got = Dedup.substringPairs(toDf(docs), gram = Gram,
+        minRun = MinRun, maxDf = 1000000L).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSeq
-      val want = reference(docs)
+      val want = referencePairs(docs)
+      if (got != want) println(s"docs=$docs\n got=$got\nwant=$want")
+      got == want
+    }
+
+  property("clean removes exactly the brute-force covered positions") =
+    forAll(genCorpus) { docs =>
+      val got = Dedup.substringClean(toDf(docs), gram = Gram,
+        minRun = MinRun, maxDf = 1000000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val want = referenceClean(docs)
       if (got != want) println(s"docs=$docs\n got=$got\nwant=$want")
       got == want
     }
