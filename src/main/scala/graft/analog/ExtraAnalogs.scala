@@ -457,6 +457,39 @@ object ExtraAnalogs {
         |GROUP BY doc_a, doc_b
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Exact-substring screen at ingest (batch twin): odd-id docs
+    // "arrive" and stream-static join the even-id corpus' df-capped
+    // positional anchor index; one row per anchor alignment. Oracle
+    // positions are 1-based (range) vs posexplode's 0-based, hence the
+    // - 1 on both exported positions; diag differences them and needs
+    // no shift.
+    Q("stream_substring_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.streaming.DocStreams.substringScreen(
+          docs.filter(col("doc_id") % 2 === 1),
+          graft.streaming.DocStreams.substringAnchorIndex(
+            docs.filter(col("doc_id") % 2 === 0)))
+          .orderBy("doc_id", "corpus_id", "pos", "corpus_pos")
+      },
+      Some(s"""WITH $tokCte,
+        |g AS (SELECT doc_id, list_transform(range(1, len(w) - 6),
+        |  i -> ${dWordHash60((0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || "))}) AS hs
+        |  FROM tok),
+        |e AS (SELECT doc_id, unnest(range(1, len(hs) + 1)) AS pos,
+        |             unnest(hs) AS h FROM g),
+        |c AS (SELECT doc_id AS corpus_id, pos AS corpus_pos, h
+        |      FROM e WHERE doc_id % 2 = 0),
+        |rare AS (SELECT h FROM c GROUP BY h HAVING count(*) <= 128),
+        |idx AS (SELECT c.corpus_id, c.corpus_pos, c.h
+        |        FROM c JOIN rare USING (h)),
+        |s AS (SELECT doc_id, pos, h FROM e WHERE doc_id % 2 = 1)
+        |SELECT s.doc_id, idx.corpus_id,
+        |       s.pos - 1 AS pos, idx.corpus_pos - 1 AS corpus_pos,
+        |       s.pos - idx.corpus_pos AS diag
+        |FROM s JOIN idx USING (h)
+        |ORDER BY s.doc_id, idx.corpus_id, s.pos, idx.corpus_pos""".stripMargin)),
+
     // The removal half of Lee et al.: excise token spans duplicating an
     // exact >= 12-token run from a lower-id doc, rebuild survivors.
     // Same anchor/island machinery as dedup_substring; spans land on

@@ -63,4 +63,44 @@ object DocStreams {
         tokens(col("text")), n)).as("h"))
       .join(gramIndex, "h")
       .select(col("doc_id"), col("bench_id"), col("h"))
+
+  /** (corpus_id, corpus_pos, h) — the accepted corpus' positional gram
+    * anchor table (graft.operators.Dedup.substringPairs' anchor
+    * shape), the static index for [[substringScreen]]. df-capped at
+    * BUILD time, corpus-side only: one boilerplate gram past `maxDf`
+    * occurrences would otherwise flood every micro-batch that carries
+    * it (the batch miner's cap argument, applied at the index).
+    */
+  def substringAnchorIndex(corpus: DataFrame, gram: Int = 8,
+      maxDf: Long = 128L): DataFrame = {
+    val anchors = corpus.select(col("doc_id").as("corpus_id"),
+      posexplode(graft.expressions.TextExpressions.gramHashes60(
+        tokens(col("text")), gram, distinct = false))
+        .as(Seq("corpus_pos", "h")))
+    val rare = anchors.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    anchors.join(rare, "h").select("corpus_id", "corpus_pos", "h")
+  }
+
+  /** Exact-substring screen at ingest: arriving docs explode their own
+    * positional anchors and stream-static join the corpus anchor
+    * index — stateless, each micro-batch touches only the gram hashes
+    * it carries. Emits one row per anchor ALIGNMENT (arriving doc,
+    * corpus doc, both positions, diagonal); the run extension that
+    * turns alignments into exact shared-run verdicts is the batch
+    * gaps-and-islands over this (tiny) hit set downstream — the same
+    * screen-then-verify split as [[nearDupScreen]]/[[contamScreen]].
+    */
+  def substringScreen(streamDocs: DataFrame, anchorIndex: DataFrame,
+      gram: Int = 8): DataFrame =
+    streamDocs.select(col("doc_id"),
+      posexplode(graft.expressions.TextExpressions.gramHashes60(
+        tokens(col("text")), gram, distinct = false)).as(Seq("pos", "h")))
+      .join(anchorIndex, "h")
+      .select(col("doc_id"), col("corpus_id"),
+        col("pos").cast("long").as("pos"),
+        col("corpus_pos").cast("long").as("corpus_pos"),
+        (col("pos") - col("corpus_pos")).cast("long").as("diag"))
 }

@@ -63,6 +63,42 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static substring screen emits anchor alignments") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    // corpus doc 100 has 8 tokens -> one 8-gram anchor at corpus_pos 0;
+    // a doc arriving with the same run shifted by 2 aligns at pos 2
+    val corpus8 = spark.createDataFrame(Seq(
+      (100L, "w0 w1 w2 w3 w4 w5 w6 w7")))
+      .toDF("doc_id", "text")
+    val index = DocStreams.substringAnchorIndex(corpus8)
+
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.substringScreen(
+      mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("subscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, "x0 x1 w0 w1 w2 w3 w4 w5 w6 w7"), // shares the run at pos 2
+        (2L, "totally unrelated token stream here")) // no anchors shared
+      query.processAllAvailable()
+      val hits = spark.table("subscreen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(hits === Seq((1L, 100L, 2L, 0L, 2L)))
+    } finally query.stop()
+  }
+
+  test("substring anchor index drops grams past the df cap") {
+    val hot = spark.createDataFrame(
+      (0 until 5).map(i => (i.toLong, "a b c d e f g h")))
+      .toDF("doc_id", "text")
+    // the single gram occurs 5 times; cap 4 empties the index
+    assert(DocStreams.substringAnchorIndex(hot, maxDf = 4L).collect().isEmpty)
+    assert(DocStreams.substringAnchorIndex(hot, maxDf = 5L).count() === 5)
+  }
+
   test("batch mode: screen equals the minhash candidate relation") {
     val hits = DocStreams.nearDupScreen(
       corpus.withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 1000),
