@@ -93,6 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NfcNormalize(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[graft.expressions.BpeCount].getName,
+        "bpe_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_token_count(text) takes one string arg")
+        graft.expressions.BpeCount(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (args: Seq[Expression]) => {

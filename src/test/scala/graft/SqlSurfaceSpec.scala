@@ -41,4 +41,11 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(top.head.getDouble(0) - 1.0) < 1e-3)
     }
   }
+
+  test("bpe_token_count is callable from SQL") {
+    val got = spark.sql(
+      "SELECT bpe_token_count('vector orderkey') AS n").head.getLong(0)
+    // 'vector' folds to 1 token, 'orderkey' to 4 (BpeSpec)
+    assert(got === 5L)
+  }
 }
