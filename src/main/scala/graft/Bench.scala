@@ -111,15 +111,14 @@ object Bench {
     // not the neighbor.
     val slowCutoffSec = 0.25
     val results = queries.map { case (name, fn) =>
-      // cached artifacts (pair-miner candidate/signature caches) must
-      // not leak across queries: accumulated blocks both distort later
-      // timings via memory pressure and spam CacheManager warnings
-      spark.catalog.clearCache()
       var err: Option[String] = None
       def timed(): Double = {
-        // per-RUN, not just per-query: pair miners persist candidate /
-        // signature frames internally, so without this the 2nd+ runs of
-        // a cached-artifact query time cache hits instead of the operator
+        // per RUN (which also covers per-query): pair miners persist
+        // candidate / signature frames internally and CacheManager
+        // matches re-built plans by canonical form, so without this the
+        // 2nd+ runs of a cached-artifact query time cache hits instead
+        // of the operator — and stale blocks would distort later
+        // queries via memory pressure
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { exec(fn(spark, sfDir)) } catch {

@@ -106,7 +106,8 @@ object ScalingBench {
       "dedup_incremental", "pii_scrub", "pipeline_select_budget",
       "dedup_semantic", "pipeline_pack", "pipeline_chunks",
       "dedup_chunk_stats", "dedup_chunk_clean", "emb_quantize",
-      "dedup_substring", "text_bpe_count")
+      "dedup_substring", "text_bpe_count", "dedup_substring_clean",
+      "stream_substring_screen")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
@@ -186,9 +187,15 @@ object ScalingBench {
     // rows: one untimed count per cell — the pair miners' output
     // growth (linear, not quadratic) is itself scaling evidence
     val cells = for ((name, fn) <- active; k <- scales) yield {
-      spark.catalog.clearCache()
       val dir = s"$outRoot/x$k"
       val times = (1 to runs).map { _ =>
+        // per RUN, not per cell (the Bench.scala lesson): the miners
+        // persist derived frames internally and CacheManager matches
+        // re-built plans by canonical form, so without this the 2nd+
+        // runs time cache hits and best-of-N reports warm minima —
+        // the growth exponent then measures cache-scan growth, not
+        // the operator
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         exec(fn(spark, dir))
         (System.nanoTime() - t0) / 1e9

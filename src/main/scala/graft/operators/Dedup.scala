@@ -500,17 +500,27 @@ object Dedup {
     * matching runs per (doc_a < doc_b, diagonal), with 0-based span
     * starts on both sides. Returns (runs, cached anchors handle).
     */
-  private def substringRuns(docs: DataFrame, gram: Int,
-      maxDf: Long): (DataFrame, DataFrame) = {
+  /** Positional gram anchors (doc_id, pos, h) — one row per token
+    * position (minus the trailing gram−1), 24 bytes each, no text.
+    * The shared primitive of the substring family: the batch miners
+    * cache it ([[substringRuns]]); the streaming index
+    * (graft.streaming.DocStreams.substringAnchorIndex) df-caps it in
+    * one pass.
+    */
+  private[graft] def positionalAnchors(docs: DataFrame,
+      gram: Int): DataFrame = {
     require(gram >= 1, s"gram must be >= 1, got $gram")
-    import org.apache.spark.sql.expressions.Window
-    // positional anchors: (doc_id, pos, h) — one row per token position
-    // (minus the trailing gram−1). Cached: consumed by the df-count
-    // aggregate AND both self-join sides; 24 bytes a row, no text.
-    val anchors = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
       posexplode(graft.expressions.TextExpressions.gramHashes60(
         tokens(col("text")), gram, distinct = false)).as(Seq("pos", "h")))
-      .cache()
+  }
+
+  private def substringRuns(docs: DataFrame, gram: Int,
+      maxDf: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // Cached: consumed by the df-count aggregate AND both self-join
+    // sides.
+    val anchors = positionalAnchors(docs, gram).cache()
     // hot-gram cap: one aggregate on the SAME key as the join, so the
     // df table is hash-partitioned identically to the probe side
     val rare = anchors.groupBy("h")

@@ -45,7 +45,13 @@ object Tables {
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // fail HERE, not three operators downstream: a fifth layout
+        // (the round-8 lesson) must name itself at the source
+        throw new IllegalStateException(
+          s"events.parquet ts has unhandled type $other — teach " +
+            "Tables.events this layout (see TablesEventsLayoutSpec)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

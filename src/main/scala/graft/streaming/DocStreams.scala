@@ -70,18 +70,21 @@ object DocStreams {
     * BUILD time, corpus-side only: one boilerplate gram past `maxDf`
     * occurrences would otherwise flood every micro-batch that carries
     * it (the batch miner's cap argument, applied at the index).
+    *
+    * Like [[bandRows]]/[[benchGramIndex]], the builder returns a plain
+    * frame; a streaming deployment persists it (or writes it out,
+    * bucketed by `h`) once — an unpersisted index re-evaluates per
+    * micro-batch. The df-cap is one windowed count over the single
+    * anchor pass (no second corpus scan, no self-join of the build).
     */
   def substringAnchorIndex(corpus: DataFrame, gram: Int = 8,
       maxDf: Long = 128L): DataFrame = {
-    val anchors = corpus.select(col("doc_id").as("corpus_id"),
-      posexplode(graft.expressions.TextExpressions.gramHashes60(
-        tokens(col("text")), gram, distinct = false))
-        .as(Seq("corpus_pos", "h")))
-    val rare = anchors.groupBy("h")
-      .agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    graft.operators.Dedup.positionalAnchors(corpus, gram)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= maxDf)
-      .select("h")
-    anchors.join(rare, "h").select("corpus_id", "corpus_pos", "h")
+      .select(col("doc_id").as("corpus_id"),
+        col("pos").as("corpus_pos"), col("h"))
   }
 
   /** Exact-substring screen at ingest: arriving docs explode their own

@@ -24,6 +24,24 @@ class TablesEventsLayoutSpec extends AnyFunSuite with SparkSpec {
     val dir = Files.createTempDirectory(s"events-$layout-").toFile
     dir.deleteOnExit()
     val path = s"${dir.getAbsolutePath}/events.parquet"
+    // the session is shared across every suite in the forked JVM —
+    // snapshot the confs this fixture mutates and restore them after,
+    // or later timestamp-writing tests become order-dependent
+    val savedOut = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val savedTz = s.conf.getOption("spark.sql.session.timeZone")
+    try writeFixtureInner(layout, path)
+    finally {
+      savedOut.fold(s.conf.unset("spark.sql.parquet.outputTimestampType"))(
+        s.conf.set("spark.sql.parquet.outputTimestampType", _))
+      savedTz.fold(s.conf.unset("spark.sql.session.timeZone"))(
+        s.conf.set("spark.sql.session.timeZone", _))
+    }
+    dir.getAbsolutePath
+  }
+
+  private def writeFixtureInner(layout: String, path: String): Unit = {
+    val s = spark
+    import s.implicits._
     layout match {
       case "micros" =>
         // Spark's own TIMESTAMP_MICROS writer — byte-for-byte the layout the
@@ -59,7 +77,6 @@ class TablesEventsLayoutSpec extends AnyFunSuite with SparkSpec {
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .write.mode("overwrite").parquet(path)
     }
-    dir.getAbsolutePath
   }
 
   test("micros layout passes through as TimestampType with exact value") {
