@@ -21,5 +21,6 @@ object Registry {
   /** Every registered query, in SURVEY.md §2 inventory order. */
   lazy val all: Seq[Q] =
     graft.analog.CoreAnalogs.queries ++ graft.analog.ExtraAnalogs.queries ++
-      graft.analog.DecontamAnalogs.queries ++ graft.analog.CorpusAnalogs.queries
+      graft.analog.DecontamAnalogs.queries ++
+      graft.analog.CorpusAnalogs.queries ++ graft.analog.QualityAnalogs.queries
 }

@@ -1,0 +1,144 @@
+package graft.analog
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.operators.QualityFilters
+import graft.sources.Tables
+
+/** Registry entries + DuckDB oracles for the rule-based quality
+  * filters (graft.operators.QualityFilters) — the published C4 /
+  * Gopher heuristics every pretraining pipeline runs (no reference
+  * counterpart; the reference's surface is the 7 rideshare tasks).
+  *
+  * The synthetic corpus is lowercase word-soup with no punctuation,
+  * lines, digits, or symbols, so — like `pii_scrub` — each query
+  * plants deterministic doc_id-derived structure identically in both
+  * engines (CASE gaps so every rule fires on some docs and not
+  * others); the operators themselves are injection-agnostic per-row
+  * scalar work.
+  */
+object QualityAnalogs {
+
+  val queries: Seq[Q] = Seq(
+
+    // Gopher document-level rules (Rae et al. 2021, table A1 subset
+    // that applies to a line-less corpus). Injections: required
+    // stopwords on doc_id%2 (g_stop), numeric words on %3 (g_alpha
+    // pressure), '#' words on %4 (g_sym pressure), ellipses on %9.
+    // Rule verdicts are integer arithmetic in both engines; the
+    // rounded ratio columns cannot tie at the 6th digit (denominators
+    // ≤ ~120 that divide 10^7 all terminate by digit 6).
+    Q("quality_gopher_rules",
+      (s, d) => {
+        val injected = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 2 === 0, lit(" and that have with"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, lit(" 123 456 789 000 111"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 4 === 0, lit(" # # # # # #"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 9 === 0, lit(" ... ..."))
+              .otherwise(lit(""))).as("text"))
+        QualityFilters.gopherRules(injected).orderBy("doc_id")
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ' and that have with' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ' 123 456 789 000 111' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ' # # # # # #' ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN ' ... ...' ELSE '' END) AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM inj),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+        |  CAST(len(regexp_extract_all(t, '#'))
+        |    + len(regexp_extract_all(t, '[.][.][.]')) AS BIGINT) AS n_symbols,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+        |    AS n_alpha_words,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    x -> list_contains(w, x))) AS BIGINT) AS n_req_stop
+        |  FROM tok)
+        |SELECT doc_id, n_words,
+        |  round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |  round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+        |  round(CAST(n_alpha_words AS DOUBLE) / n_words, 6) AS alpha_frac,
+        |  n_req_stop,
+        |  CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS g_words,
+        |  CASE WHEN 3*n_words <= sum_len AND sum_len <= 10*n_words THEN 1 ELSE 0 END AS g_len,
+        |  CASE WHEN 10*n_symbols <= n_words THEN 1 ELSE 0 END AS g_sym,
+        |  CASE WHEN 5*n_alpha_words >= 4*n_words THEN 1 ELSE 0 END AS g_alpha,
+        |  CASE WHEN n_req_stop >= 2 THEN 1 ELSE 0 END AS g_stop,
+        |  CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND 3*n_words <= sum_len AND sum_len <= 10*n_words
+        |    AND 10*n_symbols <= n_words
+        |    AND 5*n_alpha_words >= 4*n_words
+        |    AND n_req_stop >= 2 THEN 1 ELSE 0 END AS pass
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2). The corpus has
+    // no lines, so both engines BUILD the same lined page first: 8-token
+    // lines, terminal '.' on 3 of 4 lines (doc_id+line phase), plus a
+    // javascript line on %6 (line-rule kill), a curly-brace line on %5
+    // and a lorem-ipsum line on %7 (page-rule kills). The natural short
+    // last line exercises the ≥5-words rule without injection.
+    Q("quality_c4_clean",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val nLines = (size(col("w")) + lit(7)) / lit(8)
+        val built = base.select(col("doc_id"),
+          transform(sequence(lit(0), nLines.cast("int") - 1), i =>
+            concat(array_join(slice(col("w"), i * 8 + 1, lit(8)), " "),
+              when((col("doc_id") + i) % 4 =!= 0, lit("."))
+                .otherwise(lit("")))).as("l0"))
+        val emptyArr = array().cast("array<string>")
+        val lined = built.select(col("doc_id"), array_join(concat(
+          col("l0"),
+          when(col("doc_id") % 6 === 0,
+            array(lit("please enable javascript to continue.")))
+            .otherwise(emptyArr),
+          when(col("doc_id") % 5 === 0,
+            array(lit("function() { return 1; }"))).otherwise(emptyArr),
+          when(col("doc_id") % 7 === 0,
+            array(lit("lorem ipsum dolor sit amet."))).otherwise(emptyArr)),
+          "\n").as("text"))
+        QualityFilters.c4Clean(lined).orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |built AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, (len(w)+7)//8), i ->
+        |      array_to_string(w[(i*8+1):(i*8+8)], ' ') ||
+        |      (CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END)) AS l0
+        |  FROM tok),
+        |page AS (
+        |  SELECT doc_id, array_to_string(l0
+        |    || (CASE WHEN doc_id % 6 = 0
+        |        THEN ['please enable javascript to continue.']
+        |        ELSE []::VARCHAR[] END)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |        THEN ['function() { return 1; }'] ELSE []::VARCHAR[] END)
+        |    || (CASE WHEN doc_id % 7 = 0
+        |        THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END),
+        |    chr(10)) AS t
+        |  FROM built),
+        |f AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]$$') AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM page)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+        |  CASE WHEN NOT contains(t, 'lorem ipsum') AND NOT contains(t, '{')
+        |    AND len(kept) >= 3 THEN 1 ELSE 0 END AS pass
+        |FROM f ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -79,6 +79,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       plans("dedup_semantic").take(800))
   }
 
+  test("quality filters are map-only up to the output sort") {
+    // C4/Gopher filtering is per-row scalar work: the ONLY exchange in
+    // the plan must be the deterministic output orderBy's range
+    // partitioning — a hash exchange would mean the filter grew a
+    // shuffle (aggregation/join) it doesn't need
+    Seq("quality_gopher_rules", "quality_c4_clean").foreach { q =>
+      val exchanges = "Exchange (\\w+)".r
+        .findAllMatchIn(plans(q)).map(_.group(1)).toList
+      assert(exchanges.forall(_ == "rangepartitioning"),
+        s"$q: non-sort exchange in map-only filter: $exchanges\n" +
+          plans(q).take(800))
+    }
+  }
+
   test("column pruning reaches the scan on a projection-only query") {
     // t1_enrich_count aggregates a count over an enrichment join —
     // the orders scan must not read the full table width

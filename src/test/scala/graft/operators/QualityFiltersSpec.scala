@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class QualityFiltersSpec extends AnyFunSuite with SparkSpec {
+
+  // 60 plain words: passes every Gopher rule except g_stop (no
+  // required stopwords) unless they are appended.
+  private val plain60 = Seq.fill(60)("word").mkString(" ")
+
+  private def gopher(rows: (Long, String)*) = {
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    QualityFilters.gopherRules(df).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9), r.getInt(10),
+          r.getInt(11)))
+      .toMap
+  }
+
+  test("gopher: each rule fails independently") {
+    val got = gopher(
+      (0L, plain60 + " the and"), // all pass
+      (1L, Seq.fill(10)("word").mkString(" ") + " the and"), // g_words low
+      (2L, Seq.fill(60)("xy").mkString(" ") + " the and"), // g_len < 3
+      (3L, plain60 + " the and " + Seq.fill(8)("#").mkString(" ")), // g_sym
+      (4L, plain60 + " the and " + Seq.fill(20)("123").mkString(" ")), // g_alpha
+      (5L, plain60 + " the")) // g_stop: only 1 required stopword
+    assert(got(0L) === ((1, 1, 1, 1, 1, 1)))
+    assert(got(1L) === ((0, 1, 1, 1, 1, 0)))
+    assert(got(2L) === ((1, 0, 1, 1, 1, 0)))
+    assert(got(3L) === ((1, 1, 0, 1, 1, 0)))
+    assert(got(4L) === ((1, 1, 1, 0, 1, 0)))
+    assert(got(5L) === ((1, 1, 1, 1, 0, 0)))
+  }
+
+  test("gopher: metrics are exact on a hand-computed doc") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "the cat sat with a hat"))).toDF("doc_id", "text")
+    val r = QualityFilters.gopherRules(df).collect().head
+    assert(r.getLong(1) === 6L) // n_words
+    assert(r.getDouble(2) === 2.833333) // mean_word_len 17/6 rounded to 6 dp
+    assert(r.getDouble(3) === 0.0) // symbol_ratio
+    assert(r.getDouble(4) === 1.0) // alpha_frac
+    assert(r.getLong(5) === 2L) // n_req_stop: the, with
+  }
+
+  test("gopher: ellipsis and hash both count as symbols") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "a b ... c # d ...."))).toDF("doc_id", "text")
+    val r = QualityFilters.gopherRules(df).collect().head
+    // "..." twice ("...." contains one non-overlapping "...") + one "#"
+    assert(r.getDouble(3) === 0.428571) // round(3/7, 6)
+  }
+
+  private val goodLine = "one two three four five six."
+
+  test("c4: line rules — punctuation, length, javascript") {
+    val text = Seq(
+      goodLine, // kept
+      "one two three four five six", // no terminal punctuation
+      "too short line.", // < 5 words
+      "please enable javascript to continue.", // javascript
+      "does it work with a question?", // kept: '?' terminal
+      "she said \"yes\"").mkString("\n") // '"' terminal but 3 words: dropped
+    val df = spark.createDataFrame(Seq((0L, text))).toDF("doc_id", "text")
+    val r = QualityFilters.c4Clean(df, minLines = 2).collect().head
+    assert(r.getLong(1) === 6L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getString(3) ===
+      goodLine + "\n" + "does it work with a question?")
+    assert(r.getInt(4) === 1)
+  }
+
+  test("c4: page-level kills — lorem ipsum, curly brace, too few lines") {
+    val three = Seq(goodLine, goodLine, goodLine).mkString("\n")
+    val got = QualityFilters.c4Clean(spark.createDataFrame(Seq(
+      (0L, three),
+      (1L, three + "\nlorem ipsum dolor sit amet."),
+      (2L, three + "\nfunction() { return 1; }"),
+      (3L, goodLine + "\n" + goodLine)))
+      .toDF("doc_id", "text")).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    assert(got(0) === ((0L, 3L, 1)))
+    assert(got(1) === ((1L, 4L, 0))) // lorem line survives line rules, page dies
+    assert(got(2) === ((2L, 3L, 0))) // brace line dropped AND page dies
+    assert(got(3) === ((3L, 2L, 0))) // < 3 kept lines
+  }
+}
