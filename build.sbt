@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at 8g the forked test JVM was observed entering a
+  // G1 full-GC livelock (heap pinned at ~7.9g, GC threads at 100%
+  // CPU for an hour with the suite barely advancing) on a 128 GiB
+  // box; SPARK_DRIVER_MEM still overrides in both directions.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
