@@ -1,5 +1,6 @@
 package graft.analog
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -19,6 +20,62 @@ import graft.sources.Tables
   * scalar work.
   */
 object QualityAnalogs {
+
+  /** The deterministic lined page both engines build from the line-less
+    * corpus (the C4 rules need line structure): 8-token lines with a
+    * terminal '.' on 3 of 4 lines (doc_id+line phase), plus a
+    * javascript line on %6 (line-rule kill), a curly-brace line on %5
+    * and a lorem-ipsum line on %7 (page-rule kills). The natural short
+    * last line exercises the ≥5-words rule without injection.
+    */
+  private def linedDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val nLines = (size(col("w")) + lit(7)) / lit(8)
+    val built = base.select(col("doc_id"),
+      transform(sequence(lit(0), nLines.cast("int") - 1), i =>
+        concat(array_join(slice(col("w"), i * 8 + 1, lit(8)), " "),
+          when((col("doc_id") + i) % 4 =!= 0, lit("."))
+            .otherwise(lit("")))).as("l0"))
+    val emptyArr = array().cast("array<string>")
+    built.select(col("doc_id"), array_join(concat(
+      col("l0"),
+      when(col("doc_id") % 6 === 0,
+        array(lit("please enable javascript to continue.")))
+        .otherwise(emptyArr),
+      when(col("doc_id") % 5 === 0,
+        array(lit("function() { return 1; }"))).otherwise(emptyArr),
+      when(col("doc_id") % 7 === 0,
+        array(lit("lorem ipsum dolor sit amet."))).otherwise(emptyArr)),
+      "\n").as("text"))
+  }
+
+  /** DuckDB twin of [[linedDocs]]: CTEs ending in `page(doc_id, t)`. */
+  private val linedCte: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |built AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, (len(w)+7)//8), i ->
+      |      array_to_string(w[(i*8+1):(i*8+8)], ' ') ||
+      |      (CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END)) AS l0
+      |  FROM tok),
+      |page AS (
+      |  SELECT doc_id, array_to_string(l0
+      |    || (CASE WHEN doc_id % 6 = 0
+      |        THEN ['please enable javascript to continue.']
+      |        ELSE []::VARCHAR[] END)
+      |    || (CASE WHEN doc_id % 5 = 0
+      |        THEN ['function() { return 1; }'] ELSE []::VARCHAR[] END)
+      |    || (CASE WHEN doc_id % 7 = 0
+      |        THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END),
+      |    chr(10)) AS t
+      |  FROM built)""".stripMargin
+
+  /** The C4 line-keep predicate as DuckDB SQL over a line var `l`. */
+  private val dKeepLine =
+    """regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -79,59 +136,17 @@ object QualityAnalogs {
         |    AND n_req_stop >= 2 THEN 1 ELSE 0 END AS pass
         |FROM m ORDER BY doc_id""".stripMargin)),
 
-    // C4 line-level cleaning (Raffel et al. 2020 §2.2). The corpus has
-    // no lines, so both engines BUILD the same lined page first: 8-token
-    // lines, terminal '.' on 3 of 4 lines (doc_id+line phase), plus a
-    // javascript line on %6 (line-rule kill), a curly-brace line on %5
-    // and a lorem-ipsum line on %7 (page-rule kills). The natural short
-    // last line exercises the ≥5-words rule without injection.
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2) over the
+    // deterministic lined page (see linedDocs).
     Q("quality_c4_clean",
-      (s, d) => {
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-        val nLines = (size(col("w")) + lit(7)) / lit(8)
-        val built = base.select(col("doc_id"),
-          transform(sequence(lit(0), nLines.cast("int") - 1), i =>
-            concat(array_join(slice(col("w"), i * 8 + 1, lit(8)), " "),
-              when((col("doc_id") + i) % 4 =!= 0, lit("."))
-                .otherwise(lit("")))).as("l0"))
-        val emptyArr = array().cast("array<string>")
-        val lined = built.select(col("doc_id"), array_join(concat(
-          col("l0"),
-          when(col("doc_id") % 6 === 0,
-            array(lit("please enable javascript to continue.")))
-            .otherwise(emptyArr),
-          when(col("doc_id") % 5 === 0,
-            array(lit("function() { return 1; }"))).otherwise(emptyArr),
-          when(col("doc_id") % 7 === 0,
-            array(lit("lorem ipsum dolor sit amet."))).otherwise(emptyArr)),
-          "\n").as("text"))
-        QualityFilters.c4Clean(lined).orderBy("doc_id")
-      },
-      Some(s"""WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |built AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, (len(w)+7)//8), i ->
-        |      array_to_string(w[(i*8+1):(i*8+8)], ' ') ||
-        |      (CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END)) AS l0
-        |  FROM tok),
-        |page AS (
-        |  SELECT doc_id, array_to_string(l0
-        |    || (CASE WHEN doc_id % 6 = 0
-        |        THEN ['please enable javascript to continue.']
-        |        ELSE []::VARCHAR[] END)
-        |    || (CASE WHEN doc_id % 5 = 0
-        |        THEN ['function() { return 1; }'] ELSE []::VARCHAR[] END)
-        |    || (CASE WHEN doc_id % 7 = 0
-        |        THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END),
-        |    chr(10)) AS t
-        |  FROM built),
-        |f AS (
+      (s, d) => QualityFilters.c4Clean(linedDocs(s, d)).orderBy("doc_id"),
+      // linedCte is concatenated AFTER stripMargin: its own margins are
+      // already stripped, and running stripMargin over the spliced text
+      // would eat one '|' of every list-concat '||'
+      Some(s"WITH $linedCte,\n" + s"""f AS (
         |  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
         |    list_filter(string_split(t, chr(10)), l ->
-        |      regexp_matches(l, '[.!?"]$$') AND len(string_split(l, ' ')) >= 5
-        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |      $dKeepLine) AS kept
         |  FROM page)
         |SELECT doc_id,
         |  CAST(len(lines) AS BIGINT) AS n_lines,
@@ -139,6 +154,62 @@ object QualityAnalogs {
         |  COALESCE(array_to_string(kept, chr(10)), '') AS clean,
         |  CASE WHEN NOT contains(t, 'lorem ipsum') AND NOT contains(t, '{')
         |    AND len(kept) >= 3 THEN 1 ELSE 0 END AS pass
-        |FROM f ORDER BY doc_id""".stripMargin))
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Batch twin of the STREAMING quality screen
+    // (graft.streaming.DocStreams.qualityScreen): the C4-then-Gopher
+    // gate as one stateless per-row pipeline with a first-hit reject
+    // reason — identical plan on a finite frame. reqStops is the
+    // corpus-appropriate pair {the, a} (+2 absent words), so the
+    // g_stop rule genuinely splits the corpus.
+    Q("stream_quality_screen",
+      (s, d) => QualityFilters.screen(linedDocs(s, d),
+        reqStops = Seq("the", "a", "and", "that")).orderBy("doc_id"),
+      // same stripMargin-vs-'||' note as quality_c4_clean above
+      Some(s"WITH $linedCte,\n" + s"""f AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      $dKeepLine) AS kept
+        |  FROM page),
+        |cl AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+        |    (NOT contains(t, 'lorem ipsum') AND NOT contains(t, '{')
+        |      AND len(kept) >= 3) AS c4ok
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, n_lines, n_kept, c4ok, clean,
+        |    string_split(replace(clean, chr(10), ' '), ' ') AS w
+        |  FROM cl),
+        |m AS (
+        |  SELECT doc_id, n_lines, n_kept, c4ok,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(regexp_extract_all(clean, '#'))
+        |      + len(regexp_extract_all(clean, '[.][.][.]')) AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the','a','and','that'],
+        |      x -> list_contains(w, x))) AS BIGINT) AS n_req_stop
+        |  FROM g)
+        |SELECT doc_id, n_lines, n_kept, n_words,
+        |  CASE WHEN c4ok THEN 1 ELSE 0 END AS c4_pass,
+        |  CASE WHEN NOT c4ok THEN 'c4_page'
+        |    WHEN NOT (n_words >= 50 AND n_words <= 100000) THEN 'gopher_words'
+        |    WHEN NOT (3*n_words <= sum_len AND sum_len <= 10*n_words)
+        |      THEN 'gopher_len'
+        |    WHEN NOT (10*n_symbols <= n_words) THEN 'gopher_sym'
+        |    WHEN NOT (5*n_alpha_words >= 4*n_words) THEN 'gopher_alpha'
+        |    WHEN NOT (n_req_stop >= 2) THEN 'gopher_stop'
+        |    ELSE 'ok' END AS reason,
+        |  CASE WHEN c4ok AND n_words >= 50 AND n_words <= 100000
+        |    AND 3*n_words <= sum_len AND sum_len <= 10*n_words
+        |    AND 10*n_symbols <= n_words AND 5*n_alpha_words >= 4*n_words
+        |    AND n_req_stop >= 2 THEN 1 ELSE 0 END AS pass
+        |FROM m ORDER BY doc_id""".stripMargin))
   )
 }

@@ -29,6 +29,22 @@ object QualityFilters {
   val RequiredStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  // The five Gopher metric expressions, shared by gopherRules and the
+  // ingest screen. Callers must pass a MATERIALIZED token-array column
+  // (one split per row), not `split(...)` inline — higher-order
+  // functions get no common-subexpression elimination.
+  private def sumTokenLen(w: Column): Column =
+    aggregate(transform(w, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+  private def symbolCount(t: Column): Column =
+    (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+      .cast("long")
+  private def alphaWordCount(w: Column): Column =
+    size(filter(w, t => t.rlike("[a-zA-Z]"))).cast("long")
+  private def reqStopCount(w: Column, stops: Seq[String]): Column =
+    size(array_intersect(array_distinct(w),
+      array(stops.map(lit): _*))).cast("long")
+
   /** Gopher document-level rules over a line-less corpus (the
     * line-shape rules — bullet/ellipsis line ratios — live in the C4
     * cleaner below, which owns the line structure):
@@ -53,16 +69,10 @@ object QualityFilters {
     val ints = withW.select(
       col("doc_id"),
       size(col("w")).cast("long").as("n_words"),
-      aggregate(transform(col("w"), t => length(t).cast("long")),
-        lit(0L), (a, x) => a + x).as("sum_len"),
-      (regexp_count(col("_t"), lit("#")) +
-        regexp_count(col("_t"), lit("\\.\\.\\."))).cast("long")
-        .as("n_symbols"),
-      size(filter(col("w"), t => t.rlike("[a-zA-Z]"))).cast("long")
-        .as("n_alpha_words"),
-      size(array_intersect(array_distinct(col("w")),
-        array(RequiredStopwords.map(lit): _*))).cast("long")
-        .as("n_req_stop"))
+      sumTokenLen(col("w")).as("sum_len"),
+      symbolCount(col("_t")).as("n_symbols"),
+      alphaWordCount(col("w")).as("n_alpha_words"),
+      reqStopCount(col("w"), RequiredStopwords).as("n_req_stop"))
     val gWords = col("n_words") >= minWords && col("n_words") <= maxWords
     val gLen = lit(3) * col("n_words") <= col("sum_len") &&
       col("sum_len") <= lit(10) * col("n_words")
@@ -114,5 +124,57 @@ object QualityFilters {
       array_join(col("kept"), "\n").as("clean"),
       (col("_page_ok") && size(col("kept")) >= minLines).cast("int")
         .as("pass"))
+  }
+
+  /** The full quality gate as ONE stateless per-row pipeline — C4 line
+    * cleaning first, then the Gopher document rules over the CLEANED
+    * text (the real pipeline order: line noise would otherwise skew
+    * the document statistics). Emits a first-hit reject `reason`
+    * (the curateFull idiom) and the conjunction verdict.
+    *
+    * Stateless and aggregation-free, so the same plan runs unchanged
+    * on a streaming frame — this is the quality screen at ingest
+    * (graft.streaming.DocStreams.qualityScreen). `reqStops` is config,
+    * like Gopher's English list: pass a corpus-appropriate list.
+    */
+  def screen(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000, minLines: Int = 3,
+      reqStops: Seq[String] = RequiredStopwords): DataFrame = {
+    val s1 = docs.select(col("doc_id"),
+      split(col(textCol), "\n").as("lines"), col(textCol).as("_t"))
+    val s2 = s1.select(col("doc_id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      filter(col("lines"), keepLine _).as("kept"),
+      (!col("_t").contains("lorem ipsum") && !col("_t").contains("{"))
+        .as("_page_ok"))
+    val s3 = s2.select(col("doc_id"), col("n_lines"),
+      size(col("kept")).cast("long").as("n_kept"),
+      array_join(col("kept"), "\n").as("clean"),
+      (col("_page_ok") && size(col("kept")) >= minLines).as("_c4_ok"))
+    // materialize the cleaned text's token array once (see gopherRules)
+    val s4 = s3.withColumn("w",
+      split(translate(col("clean"), "\n", " "), " "))
+    val s5 = s4.select(col("doc_id"), col("n_lines"), col("n_kept"),
+      col("_c4_ok"),
+      size(col("w")).cast("long").as("n_words"),
+      sumTokenLen(col("w")).as("sum_len"),
+      symbolCount(col("clean")).as("n_symbols"),
+      alphaWordCount(col("w")).as("n_alpha_words"),
+      reqStopCount(col("w"), reqStops).as("n_req_stop"))
+    val gWords = col("n_words") >= minWords && col("n_words") <= maxWords
+    val gLen = lit(3) * col("n_words") <= col("sum_len") &&
+      col("sum_len") <= lit(10) * col("n_words")
+    val gSym = lit(10) * col("n_symbols") <= col("n_words")
+    val gAlpha = lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")
+    val gStop = col("n_req_stop") >= 2
+    s5.select(
+      col("doc_id"), col("n_lines"), col("n_kept"), col("n_words"),
+      col("_c4_ok").cast("int").as("c4_pass"),
+      when(!col("_c4_ok"), "c4_page")
+        .when(!gWords, "gopher_words").when(!gLen, "gopher_len")
+        .when(!gSym, "gopher_sym").when(!gAlpha, "gopher_alpha")
+        .when(!gStop, "gopher_stop").otherwise("ok").as("reason"),
+      (col("_c4_ok") && gWords && gLen && gSym && gAlpha && gStop)
+        .cast("int").as("pass"))
   }
 }

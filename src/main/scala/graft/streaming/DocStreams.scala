@@ -106,4 +106,16 @@ object DocStreams {
         col("pos").cast("long").as("pos"),
         col("corpus_pos").cast("long").as("corpus_pos"),
         (col("pos") - col("corpus_pos")).cast("long").as("diag"))
+
+  /** Quality screen at ingest: the C4-then-Gopher gate
+    * (graft.operators.QualityFilters.screen) applied to arriving
+    * documents. Unlike the dedup/contamination screens there is no
+    * static index at all — the gate is per-row scalar work, so each
+    * micro-batch maps through with zero state, zero joins, and no
+    * watermark; downstream routes on `pass`/`reason`.
+    */
+  def qualityScreen(streamDocs: DataFrame,
+      reqStops: Seq[String] = graft.operators.QualityFilters.RequiredStopwords)
+      : DataFrame =
+    graft.operators.QualityFilters.screen(streamDocs, reqStops = reqStops)
 }

@@ -84,7 +84,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // the plan must be the deterministic output orderBy's range
     // partitioning — a hash exchange would mean the filter grew a
     // shuffle (aggregation/join) it doesn't need
-    Seq("quality_gopher_rules", "quality_c4_clean").foreach { q =>
+    Seq("quality_gopher_rules", "quality_c4_clean",
+        "stream_quality_screen").foreach { q =>
       val exchanges = "Exchange (\\w+)".r
         .findAllMatchIn(plans(q)).map(_.group(1)).toList
       assert(exchanges.forall(_ == "rangepartitioning"),

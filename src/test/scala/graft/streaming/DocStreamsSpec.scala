@@ -99,6 +99,54 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(DocStreams.substringAnchorIndex(hot, maxDf = 5L).count() === 5)
   }
 
+  test("streaming quality screen gates per micro-batch, stateless") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val goodBody = (1 to 6).map(i =>
+      s"the a filler line number $i word pad.").mkString("\n")
+
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.qualityScreen(
+      mem.toDF().toDF("doc_id", "text"),
+      reqStops = Seq("the", "a", "and", "that"))
+      .writeStream.format("memory").queryName("qscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, goodBody), // passes everything (48+ words? see below)
+        (2L, goodBody + "\nlorem ipsum dolor sit amet.")) // page kill
+      query.processAllAvailable()
+      mem.addData( // second batch: no state carried, gating repeats
+        (3L, "too. short.")) // every line < 5 words -> 0 kept
+      query.processAllAvailable()
+      val got = spark.table("qscreen").collect()
+        .map(r => r.getLong(0) -> (r.getInt(4), r.getString(5)))
+        .toMap
+      // doc 1: 6 kept lines x 8 words = 48 < minWords=50 -> gopher_words
+      assert(got(1L) === ((1, "gopher_words")))
+      assert(got(2L) === ((0, "c4_page")))
+      assert(got(3L) === ((0, "c4_page")))
+    } finally query.stop()
+  }
+
+  test("batch quality screen: first-hit reason ordering") {
+    val body = (1 to 7).map(i =>
+      s"the a big line number $i extra word pad.").mkString("\n")
+    val got = graft.operators.QualityFilters.screen(
+      spark.createDataFrame(Seq(
+        (0L, body), // 7 x 9 = 63 words, has the + a -> ok
+        (1L, body + "\nfunction() { return 1; }"), // c4 kills first
+        (2L, (1 to 7).map(i => s"zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr $i.")
+          .mkString("\n")))) // mean len ok, no required stopwords -> gopher_stop
+        .toDF("doc_id", "text"),
+      reqStops = Seq("the", "a", "and", "that"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(5), r.getInt(6)))
+    assert(got(0) === ((0L, "ok", 1)))
+    assert(got(1) === ((1L, "c4_page", 0)))
+    assert(got(2) === ((2L, "gopher_stop", 0)))
+  }
+
   test("batch mode: screen equals the minhash candidate relation") {
     val hits = DocStreams.nearDupScreen(
       corpus.withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 1000),
