@@ -56,6 +56,40 @@ object CorpusAnalogs {
        |),
        |cnt AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h)""".stripMargin
 
+  /** CTE chain computing per-doc DSIR scores (needs `tok` in scope;
+    * yields `sc(doc_id, n_feats, dsir_score)`). Mirrors
+    * Curation.dsirWeights exactly: hashed unigram+bigram occurrences
+    * into 4096 buckets, target = sources src0-src3, Laplace add-1,
+    * per-bucket micro-nat log-ratio rounded BEFORE the per-doc sum.
+    */
+  private val dsirScoreCte: String =
+    s"""uni AS (SELECT doc_id, unnest(w) AS g FROM tok),
+       |bi AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM tok),
+       |feats AS (
+       |  SELECT doc_id, ${dH60("g")} % 4096 AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |tf AS (
+       |  SELECT f.b, f.doc_id FROM feats f JOIN documents d USING (doc_id)
+       |  WHERE d.source IN ('src0', 'src1', 'src2', 'src3')),
+       |crb AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+       |ctb AS (SELECT b, count(*) AS ct FROM tf GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT count(*) FROM feats) AS nr,
+       |         (SELECT count(*) FROM tf) AS nt),
+       |ratio AS (
+       |  SELECT COALESCE(crb.b, ctb.b) AS b,
+       |    CAST(round((ln(COALESCE(ctb.ct, 0) + 1)
+       |      - ln(COALESCE(crb.cr, 0) + 1)
+       |      + ln(tot.nr + 4096) - ln(tot.nt + 4096)) * 1000000)
+       |      AS BIGINT) AS r
+       |  FROM crb FULL OUTER JOIN ctb ON crb.b = ctb.b, tot),
+       |sc AS (
+       |  SELECT f.doc_id, count(*) AS n_feats, sum(r.r) AS dsir_score
+       |  FROM feats f JOIN ratio r USING (b) GROUP BY f.doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Overlapping fixed-token-window chunking (32-token windows every
@@ -179,6 +213,59 @@ object CorpusAnalogs {
         |  FROM q)
         |SELECT doc_id, quality, n_tok, cum_tok FROM cum
         |WHERE cum_tok <= 10000 ORDER BY quality DESC, doc_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): the first four
+    // sources play the "high-quality target" reference set; every raw
+    // doc scores Σ_features ln(p_target/p_raw) over Laplace-smoothed
+    // hashed unigram+bigram bucket multinomials (B = 4096), reported
+    // in integer micro-nats (see Curation.dsirWeights' determinism
+    // note — per-bucket rounding onto the 1e-6 grid BEFORE the per-doc
+    // integer sum).
+    Q("curation_dsir_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.dsirWeights(docs,
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $tokCte,
+        |$dsirScoreCte
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(COALESCE(sc.dsir_score, 0) AS BIGINT) AS dsir_score
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // DSIR selection under a 10k-token budget: raw docs ranked by the
+    // importance score, maximal (score DESC, doc_id) prefix. Oracle is
+    // the naive global window; the operator reuses selectBudget's
+    // two-level prefix sum with 0.01-nat score bands as the partition
+    // key (near-unique integer scores would otherwise degenerate the
+    // per-score frame to corpus size).
+    Q("curation_dsir_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.dsirSelect(docs,
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3")),
+          10000L)
+          .orderBy(col("dsir_score").desc, col("doc_id"))
+      },
+      Some(s"""WITH $tokCte,
+        |$dsirScoreCte,
+        |st AS (
+        |  SELECT t.doc_id, COALESCE(sc.dsir_score, 0) AS dsir_score,
+        |    CAST(len(t.w) AS BIGINT) AS n_tok
+        |  FROM tok t LEFT JOIN sc USING (doc_id)),
+        |cum AS (
+        |  SELECT doc_id, dsir_score, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY dsir_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM st)
+        |SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score, n_tok,
+        |  cum_tok
+        |FROM cum WHERE cum_tok <= 10000
+        |ORDER BY dsir_score DESC, doc_id""".stripMargin)),
 
     // PII scrubbing: per-doc email/phone/IP match counts + the
     // redacted text. The synthetic corpus carries no natural PII, so

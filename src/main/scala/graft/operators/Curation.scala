@@ -147,18 +147,120 @@ object Curation {
     val scored = docs.withColumn("_w", tokens(col("text")))
       .select(col("doc_id"), qualityExpr(toks).as("quality"),
         size(toks).cast("long").as("n_tok"))
-    // (a) per-quality totals; cumsum over the SMALL distinct-score frame
-    val perQ = scored.groupBy("quality").agg(sum("n_tok").as("q_tok"))
-    val wq = Window.orderBy(col("quality").desc)
-    val before = perQ
-      .withColumn("cum_before", sum("q_tok").over(wq) - col("q_tok"))
-      .select("quality", "cum_before")
-    // (b) within-quality prefix, parallel across score values
-    val win = Window.partitionBy("quality").orderBy("doc_id")
-    scored.join(before, Seq("quality"))
+    // band = the score itself: the rounded composite has FEW distinct
+    // values, so the per-band cumsum frame stays small
+    budgetPrefix(scored.withColumn("_band", col("quality")), "quality",
+      budgetTokens)
+      .select("doc_id", "quality", "n_tok", "cum_tok")
+  }
+
+  /** The maximal (`scoreCol` DESC, doc_id) prefix of `scored` whose
+    * token total fits `budgetTokens`, WITHOUT a corpus-wide
+    * single-partition window: (a) per-band token totals, cumsum over
+    * the small distinct-band frame; (b) within-band prefix windows,
+    * parallel across bands. Input carries (doc_id, scoreCol, _band,
+    * n_tok) where `_band` is any value monotone in `scoreCol` with a
+    * BOUNDED number of distinct values (the score itself when scores
+    * are few; a truncating div when they are unique-ish).
+    */
+  private def budgetPrefix(scored: DataFrame, scoreCol: String,
+      budgetTokens: Long): DataFrame = {
+    val perB = scored.groupBy("_band").agg(sum("n_tok").as("b_tok"))
+    val wb = Window.orderBy(col("_band").desc)
+    val before = perB
+      .withColumn("cum_before", sum("b_tok").over(wb) - col("b_tok"))
+      .select("_band", "cum_before")
+    val win = Window.partitionBy("_band")
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    scored.join(before, Seq("_band"))
       .withColumn("cum_tok", col("cum_before") + sum("n_tok").over(win))
       .filter(col("cum_tok") <= budgetTokens)
-      .select("doc_id", "quality", "n_tok", "cum_tok")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed word
+    * unigram+bigram features into `buckets`, Laplace-smoothed bucket
+    * multinomials for the target vs the raw corpus, and per-doc
+    * importance score Σ_features ln(p_target(b) / p_raw(b)) — the
+    * log-likelihood ratio under the two bag-of-hashed-ngrams models.
+    * Output: (doc_id, n_feats, dsir_score) for every raw doc, score in
+    * MICRO-NATS (integer).
+    *
+    * Engine-exact determinism (the oracle must hash-match): each
+    * bucket's log-ratio is rounded to an integer micro-nat grid FIRST
+    * — ln(ct')−ln(cr')+ln(Nr'+B)… is ≤ 4 libm calls on exact-integer
+    * doubles, so a 1-ulp divergence between engines is ~1e-16 relative
+    * against a 1e-6 grid — and doc scores are then exact integer sums
+    * of bucket constants.
+    *
+    * Scale shape: two feature explosions aggregated by bucket (B
+    * bucket rows regardless of corpus size), the B-row ratio table
+    * broadcast into one equi-join over the raw feature stream, one
+    * groupBy(doc_id). No all-pairs anything; the target corpus is
+    * typically small (a quality reference set) and never joins the
+    * raw corpus directly.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    def feats(docs: DataFrame): DataFrame = {
+      val w = tokens(col("text"))
+      // positional (distinct = false): multinomial counts are
+      // occurrence counts, multiplicity included
+      val uni = docs.select(col("doc_id"),
+        explode(graft.expressions.TextExpressions
+          .gramHashes60(w, 1, distinct = false)).as("h"))
+      val bi = docs.select(col("doc_id"),
+        explode(graft.expressions.TextExpressions
+          .gramHashes60(w, 2, distinct = false)).as("h"))
+      uni.unionAll(bi).select(col("doc_id"),
+        pmod(col("h"), lit(buckets.toLong)).as("b"))
+    }
+    val rawF = feats(raw)
+    val tgtF = feats(target)
+    val cr = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
+    // bucket model: full outer join (a bucket may appear on one side
+    // only), Laplace add-1, totals broadcast as 1-row frames
+    val nr = rawF.agg(count(lit(1)).as("nr"))
+    val nt = tgtF.agg(count(lit(1)).as("nt"))
+    val ratios = cr.join(ct, Seq("b"), "full_outer")
+      .select(col("b"),
+        (coalesce(col("cr"), lit(0L)) + 1L).as("cr1"),
+        (coalesce(col("ct"), lit(0L)) + 1L).as("ct1"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b"),
+        round((log(col("ct1")) - log(col("cr1"))
+          + log(col("nr") + lit(buckets.toLong))
+          - log(col("nt") + lit(buckets.toLong))) * 1e6)
+          .cast("long").as("r"))
+    // every raw doc appears: even an empty text tokenizes to [""] and
+    // contributes one unigram feature, so the groupBy covers the whole
+    // corpus and no join-back to the raw id set (a full extra shuffle
+    // at scale) is needed
+    rawF.join(broadcast(ratios), "b")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_feats"), sum("r").as("dsir_score"))
+  }
+
+  /** DSIR selection under a token budget: raw docs ranked by
+    * [[dsirWeights]]' importance score, keeping the maximal
+    * (dsir_score DESC, doc_id) prefix fitting `budgetTokens` — the
+    * deterministic top-score variant of the paper's resampling step,
+    * via the same two-level prefix sum as [[selectBudget]]. Scores are
+    * near-unique integers, so the band key is a truncating div onto
+    * 0.01-nat bands: the distinct-band frame is bounded by the
+    * LOG-RATIO RANGE (a few thousand bands), not the corpus.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, budgetTokens: Long,
+      buckets: Int = 4096): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val scored = dsirWeights(raw, target, buckets)
+      .join(raw.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+      .withColumn("_band", expr("dsir_score div 10000"))
+    budgetPrefix(scored, "dsir_score", budgetTokens)
+      .select("doc_id", "dsir_score", "n_tok", "cum_tok")
   }
 
   /** Deterministic train/val/test assignment from a content-stable

@@ -164,6 +164,58 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.selectBudget(corpus, Long.MaxValue).count() === 200L)
   }
 
+  test("dsirWeights: docs matching the target outrank docs that don't") {
+    val raw = spark.createDataFrame(Seq(
+      (0L, "x x x x"), (1L, "y y y y"), (2L, "x x y y")))
+      .toDF("doc_id", "text")
+    val target = spark.createDataFrame(Seq(
+      (100L, "x x x x x x"), (101L, "x x x x")))
+      .toDF("doc_id", "text")
+    val got = Curation.dsirWeights(raw, target, buckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 4 unigrams + 3 bigrams = 7 features each
+    assert(got.map(_._2).toSeq === Seq(7L, 7L, 7L))
+    val score = got.map(t => t._1 -> t._3).toMap
+    assert(score(0L) > score(2L) && score(2L) > score(1L))
+  }
+
+  test("dsirWeights is deterministic and target-frame-scoped") {
+    val raw = spark.createDataFrame(
+      (0L to 20L).map(i => (i, s"tok$i alpha beta tok${i % 3}")))
+      .toDF("doc_id", "text")
+    val target = raw.filter(org.apache.spark.sql.functions
+      .col("doc_id") < 5)
+    val a = Curation.dsirWeights(raw, target).orderBy("doc_id").collect()
+    val b = Curation.dsirWeights(raw, target).orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("dsirSelect: exact maximal prefix of the (score desc, id) order") {
+    val raw = spark.createDataFrame(
+      (0L to 30L).map(i => (i,
+        (0 to (i % 7).toInt).map(j => s"w${(i + j) % 5}").mkString(" "))))
+      .toDF("doc_id", "text")
+    val target = raw.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 3 === 0)
+    val budget = 40L
+    // brute force from the weights the operator itself reports
+    val w = Curation.dsirWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nTok = raw.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong)
+      .toMap
+    val order = w.toSeq.sortBy { case (id, s) => (-s, id) }
+    val expect = order.scanLeft((-1L, 0L)) { case ((_, cum), (id, _)) =>
+      (id, cum + nTok(id)) }.drop(1).takeWhile(_._2 <= budget)
+      .map { case (id, cum) => (id, nTok(id), cum) }
+    val got = Curation.dsirSelect(raw, target, budget)
+      .orderBy(org.apache.spark.sql.functions.col("dsir_score").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect)
+  }
+
   test("split: stable content-hash buckets in range, text-determined") {
     val s1 = Curation.split(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
