@@ -21,6 +21,9 @@ import graft.sources.Tables
   */
 object QualityAnalogs {
 
+  /** 60-bit word hash — TextFunctions.wordHash60 (DuckDB side). */
+  private def dH60(w: String) = s"('0x' || substr(md5($w),1,15))::BIGINT"
+
   /** The deterministic lined page both engines build from the line-less
     * corpus (the C4 rules need line structure): 8-token lines with a
     * terminal '.' on 3 of 4 lines (doc_id+line phase), plus a
@@ -155,6 +158,81 @@ object QualityAnalogs {
         |  CASE WHEN NOT contains(t, 'lorem ipsum') AND NOT contains(t, '{')
         |    AND len(kept) >= 3 THEN 1 ELSE 0 END AS pass
         |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Gopher repetition rules (table A1 bottom half) over the lined
+    // page, plus one more injection: doc_id%3 docs repeat their first
+    // line (a real duplicate-line group), so r_line_chars genuinely
+    // fires; short docs trip r_lines; the word-soup's natural bigram
+    // repetition exercises r_2gram.
+    Q("quality_gopher_repetition",
+      (s, d) => {
+        val lined = linedDocs(s, d).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit("\n"),
+            element_at(split(col("text"), "\n"), 1)))
+            .otherwise(lit(""))).as("text"))
+        QualityFilters.gopherRepetition(lined).orderBy("doc_id")
+      },
+      Some(s"WITH $linedCte,\n" + s"""page2 AS (
+        |  SELECT doc_id, t ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN chr(10) || string_split(t, chr(10))[1] ELSE '' END) AS t
+        |  FROM page),
+        |ln AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM page2),
+        |lg AS (
+        |  SELECT doc_id, l, count(*) AS c,
+        |    CAST(length(l) AS BIGINT) AS lc
+        |  FROM ln GROUP BY doc_id, l),
+        |per_line AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_dup_lines,
+        |    CAST(sum(c * lc) AS BIGINT) AS line_chars,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c * lc ELSE 0 END) AS BIGINT)
+        |      AS dup_line_chars
+        |  FROM lg GROUP BY doc_id),
+        |tk AS (
+        |  SELECT doc_id, t,
+        |    string_split(replace(t, chr(10), ' '), ' ') AS w
+        |  FROM page2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    ${dH60("w[i] || ' ' || w[i+1]")} AS h,
+        |    CAST(length(w[i] || ' ' || w[i+1]) AS BIGINT) AS gc
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tk)),
+        |gg AS (
+        |  SELECT doc_id, h, count(*) AS c, max(gc) AS gc
+        |  FROM bg GROUP BY doc_id, h),
+        |top AS (
+        |  SELECT doc_id,
+        |    first(c * gc ORDER BY c DESC, h ASC) AS top_cover
+        |  FROM gg GROUP BY doc_id),
+        |m AS (
+        |  SELECT p.doc_id,
+        |    CAST(length(p2.t) AS BIGINT) AS n_chars,
+        |    p.n_lines, p.n_dup_lines, p.line_chars, p.dup_line_chars,
+        |    CAST(COALESCE(tp.top_cover, 0) AS BIGINT) AS top_cover
+        |  FROM per_line p
+        |  JOIN page2 p2 ON p.doc_id = p2.doc_id
+        |  LEFT JOIN top tp ON p.doc_id = tp.doc_id)
+        |SELECT doc_id, n_lines,
+        |  round(CAST(n_dup_lines AS DOUBLE) / n_lines, 6)
+        |    AS dup_line_frac,
+        |  round(CAST(dup_line_chars AS DOUBLE)
+        |    / greatest(line_chars, 1), 6) AS dup_line_char_frac,
+        |  round(CAST(top_cover AS DOUBLE) / greatest(n_chars, 1), 6)
+        |    AS top_2gram_char_frac,
+        |  CASE WHEN 10*n_dup_lines <= 3*n_lines THEN 1 ELSE 0 END
+        |    AS r_lines,
+        |  CASE WHEN 5*dup_line_chars <= line_chars THEN 1 ELSE 0 END
+        |    AS r_line_chars,
+        |  CASE WHEN 5*top_cover <= n_chars THEN 1 ELSE 0 END AS r_2gram,
+        |  CASE WHEN 10*n_dup_lines <= 3*n_lines
+        |    AND 5*dup_line_chars <= line_chars
+        |    AND 5*top_cover <= n_chars THEN 1 ELSE 0 END AS pass
+        |FROM m ORDER BY doc_id""".stripMargin)),
 
     // Batch twin of the STREAMING quality screen
     // (graft.streaming.DocStreams.qualityScreen): the C4-then-Gopher

@@ -126,6 +126,78 @@ object QualityFilters {
         .as("pass"))
   }
 
+  /** Gopher's repetition rules (Rae et al. 2021, table A1 bottom
+    * half), the document-shape complement of [[gopherRules]]' scalar
+    * rules:
+    *
+    *   r_lines:      duplicate-line fraction ≤ 0.30 (occurrences in
+    *                 line-groups of size ≥ 2, over all lines)
+    *   r_line_chars: fraction of line characters in duplicate lines
+    *                 ≤ 0.20
+    *   r_2gram:      fraction of text characters covered by the most
+    *                 frequent word 2-gram ≤ 0.20 (count × gram chars
+    *                 over length(text); ties break to the smallest
+    *                 gram hash, so the verdict is engine-exact)
+    *
+    * Scale shape: two explodes (lines, bigram hashes) each aggregated
+    * by (doc_id, key) then by doc_id — every shuffle is keyed by the
+    * doc or (doc, key) pair, no corpus-wide window, no per-row O(L²)
+    * higher-order scans (the HOF formulation would be quadratic in
+    * document length; exploding keeps a 10k-line document linear).
+    * Verdicts are integer arithmetic, ratios rounded for reporting.
+    */
+  def gopherRepetition(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val base = docs.select(col("doc_id"), col(textCol).as("_t"))
+    // line groups: per (doc, line) occurrence counts
+    val lines = base.select(col("doc_id"),
+      explode(split(col("_t"), "\n")).as("l"))
+    val lg = lines.groupBy("doc_id", "l")
+      .agg(count(lit(1)).as("c"), length(col("l")).cast("long").as("lc"))
+    val perLine = lg.groupBy("doc_id").agg(
+      sum("c").as("n_lines"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_dup_lines"),
+      sum(col("c") * col("lc")).as("line_chars"),
+      sum(when(col("c") >= 2, col("c") * col("lc")).otherwise(0L))
+        .as("dup_line_chars"))
+    // bigram cover: count and char length per (doc, gram hash); the
+    // top gram by (count desc, hash asc) via one lexicographic max
+    val w = graft.functions.TextFunctions
+      .tokens(translate(col("_t"), "\n", " "))
+    val bg = base.select(col("doc_id"),
+      posexplode(graft.expressions.TextExpressions
+        .gramHashes60(w, 2, distinct = false)).as(Seq("p", "h")),
+      w.as("_w"))
+      .select(col("doc_id"), col("h"),
+        (length(concat_ws(" ", slice(col("_w"), col("p") + 1, lit(2)))))
+          .cast("long").as("gc"))
+    val gg = bg.groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"), max("gc").as("gc"))
+    val topG = gg.groupBy("doc_id").agg(
+      max(struct(col("c"), (-col("h")).as("nh"),
+        (col("c") * col("gc")).as("cover"))).as("top"))
+      .select(col("doc_id"), col("top.cover").as("top_cover"))
+    val rLines = lit(10) * col("n_dup_lines") <= lit(3) * col("n_lines")
+    val rLineChars = lit(5) * col("dup_line_chars") <= col("line_chars")
+    val r2gram = lit(5) * col("top_cover") <= col("n_chars")
+    base.select(col("doc_id"),
+      length(col("_t")).cast("long").as("n_chars"))
+      .join(perLine, "doc_id")
+      .join(topG, Seq("doc_id"), "left")
+      .withColumn("top_cover", coalesce(col("top_cover"), lit(0L)))
+      .select(col("doc_id"), col("n_lines"),
+        round(col("n_dup_lines").cast("double") / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        round(col("dup_line_chars").cast("double") /
+          greatest(col("line_chars"), lit(1L)), 6).as("dup_line_char_frac"),
+        round(col("top_cover").cast("double") /
+          greatest(col("n_chars"), lit(1L)), 6).as("top_2gram_char_frac"),
+        rLines.cast("int").as("r_lines"),
+        rLineChars.cast("int").as("r_line_chars"),
+        r2gram.cast("int").as("r_2gram"),
+        (rLines && rLineChars && r2gram).cast("int").as("pass"))
+  }
+
   /** The full quality gate as ONE stateless per-row pipeline — C4 line
     * cleaning first, then the Gopher document rules over the CLEANED
     * text (the real pipeline order: line noise would otherwise skew

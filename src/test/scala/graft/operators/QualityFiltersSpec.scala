@@ -87,4 +87,41 @@ class QualityFiltersSpec extends AnyFunSuite with SparkSpec {
     assert(got(2) === ((2L, 3L, 0))) // brace line dropped AND page dies
     assert(got(3) === ((3L, 2L, 0))) // < 3 kept lines
   }
+
+  test("gopherRepetition: duplicate-line fractions are exact") {
+    val dupLine = "aaaa bbbb cccc dddd x." // 22 chars
+    val df = spark.createDataFrame(Seq(
+      (0L, Seq(dupLine, dupLine, "unique line here now.").mkString("\n")),
+      // long enough that the count-1 top bigram's chars stay <= 20%
+      (1L, "aa bb cc dd ee ff.\ngg hh ii jj kk ll.\nmm nn oo pp qq rr.")))
+      .toDF("doc_id", "text")
+    val got = QualityFilters.gopherRepetition(df).orderBy("doc_id")
+      .collect()
+    val r0 = got(0)
+    assert(r0.getLong(1) === 3L) // n_lines
+    assert(r0.getDouble(2) === 0.666667) // 2/3 dup lines
+    // dup chars 44 of 44+21=65 line chars
+    assert(r0.getDouble(3) === 0.676923)
+    assert((r0.getInt(5), r0.getInt(6)) === ((0, 0))) // both rules fail
+    val r1 = got(1)
+    assert(r1.getDouble(2) === 0.0)
+    assert((r1.getInt(5), r1.getInt(6), r1.getInt(8)) === ((1, 1, 1)))
+  }
+
+  test("gopherRepetition: top-bigram character coverage") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "x y x y x y"))).toDF("doc_id", "text")
+    val r = QualityFilters.gopherRepetition(df).collect().head
+    // "x y" occurs 3x, covers 3*3=9 of 11 chars
+    assert(r.getDouble(4) === 0.818182)
+    assert(r.getInt(7) === 0) // r_2gram fails
+  }
+
+  test("gopherRepetition: single-token doc has no bigrams, passes") {
+    val r = QualityFilters.gopherRepetition(
+      spark.createDataFrame(Seq((0L, "lonely"))).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getDouble(4) === 0.0)
+    assert(r.getInt(8) === 1) // pass
+  }
 }
