@@ -236,6 +236,30 @@ object CorpusAnalogs {
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // Batch twin of the STREAMING DSIR screen
+    // (graft.streaming.DocStreams.dsirScreen): the dense bucket model
+    // is a BOUNDED driver-side collect (4096 entries), scoring is
+    // per-row array lookups — and the scores are bit-identical to
+    // curation_dsir_weights (same micro-nat grid, integer sums), so
+    // the oracle IS the weights oracle. The screen path exists for
+    // ingest, where a broadcast join against corpus-derived frames
+    // isn't available to a stateless micro-batch.
+    Q("stream_dsir_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = Curation.dsirModel(docs,
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
+        graft.streaming.DocStreams.dsirScreen(docs, model)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $tokCte,
+        |$dsirScoreCte
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(COALESCE(sc.dsir_score, 0) AS BIGINT) AS dsir_score
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // DSIR selection under a 10k-token budget: raw docs ranked by the
     // importance score, maximal (score DESC, doc_id) prefix. Oracle is
     // the naive global window; the operator reuses selectBudget's

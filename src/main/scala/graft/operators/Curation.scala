@@ -200,31 +200,38 @@ object Curation {
     * typically small (a quality reference set) and never joins the
     * raw corpus directly.
     */
-  def dsirWeights(raw: DataFrame, target: DataFrame,
+  /** (doc_id, b) hashed unigram+bigram feature occurrences. */
+  private def dsirFeats(docs: DataFrame, buckets: Int): DataFrame = {
+    val w = tokens(col("text"))
+    // positional (distinct = false): multinomial counts are
+    // occurrence counts, multiplicity included
+    val uni = docs.select(col("doc_id"),
+      explode(graft.expressions.TextExpressions
+        .gramHashes60(w, 1, distinct = false)).as("h"))
+    val bi = docs.select(col("doc_id"),
+      explode(graft.expressions.TextExpressions
+        .gramHashes60(w, 2, distinct = false)).as("h"))
+    uni.unionAll(bi).select(col("doc_id"),
+      pmod(col("h"), lit(buckets.toLong)).as("b"))
+  }
+
+  /** The DSIR bucket model: (b, r) micro-nat log-ratios for every
+    * bucket observed on either side (see [[dsirWeights]]). Buckets
+    * unseen by BOTH corpora are absent — their ratio is the shared
+    * Laplace default ln((Nr+B)/(Nt+B)), which [[dsirModel]] fills in.
+    */
+  def dsirRatios(raw: DataFrame, target: DataFrame,
       buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
-    def feats(docs: DataFrame): DataFrame = {
-      val w = tokens(col("text"))
-      // positional (distinct = false): multinomial counts are
-      // occurrence counts, multiplicity included
-      val uni = docs.select(col("doc_id"),
-        explode(graft.expressions.TextExpressions
-          .gramHashes60(w, 1, distinct = false)).as("h"))
-      val bi = docs.select(col("doc_id"),
-        explode(graft.expressions.TextExpressions
-          .gramHashes60(w, 2, distinct = false)).as("h"))
-      uni.unionAll(bi).select(col("doc_id"),
-        pmod(col("h"), lit(buckets.toLong)).as("b"))
-    }
-    val rawF = feats(raw)
-    val tgtF = feats(target)
+    val rawF = dsirFeats(raw, buckets)
+    val tgtF = dsirFeats(target, buckets)
     val cr = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
     val ct = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
     // bucket model: full outer join (a bucket may appear on one side
     // only), Laplace add-1, totals broadcast as 1-row frames
     val nr = rawF.agg(count(lit(1)).as("nr"))
     val nt = tgtF.agg(count(lit(1)).as("nt"))
-    val ratios = cr.join(ct, Seq("b"), "full_outer")
+    cr.join(ct, Seq("b"), "full_outer")
       .select(col("b"),
         (coalesce(col("cr"), lit(0L)) + 1L).as("cr1"),
         (coalesce(col("ct"), lit(0L)) + 1L).as("ct1"))
@@ -234,6 +241,36 @@ object Curation {
           + log(col("nr") + lit(buckets.toLong))
           - log(col("nt") + lit(buckets.toLong))) * 1e6)
           .cast("long").as("r"))
+  }
+
+  /** The DSIR model as a DENSE driver-side array: `model(b)` = the
+    * bucket's micro-nat ratio, unseen buckets filled with the Laplace
+    * default. A BOUNDED collect — `buckets` entries regardless of
+    * corpus size (the Similarity k×d centroid-model precedent) — for
+    * the per-row apply path ([[graft.streaming.DocStreams.dsirScreen]])
+    * where a join against the corpus-derived frame isn't available.
+    */
+  def dsirModel(raw: DataFrame, target: DataFrame,
+      buckets: Int = 4096): Array[Long] = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val nr = dsirFeats(raw, buckets).count()
+    val nt = dsirFeats(target, buckets).count()
+    // BigDecimal HALF_UP matches Spark's round() exactly (Math.round
+    // rounds half toward +inf, which differs on negative values)
+    val default = BigDecimal(
+      (math.log(nr.toDouble + buckets) - math.log(nt.toDouble + buckets))
+        * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val dense = Array.fill(buckets)(default)
+    dsirRatios(raw, target, buckets).collect()
+      .foreach(row => dense(row.getLong(0).toInt) = row.getLong(1))
+    dense
+  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val rawF = dsirFeats(raw, buckets)
+    val ratios = dsirRatios(raw, target, buckets)
     // every raw doc appears: even an empty text tokenizes to [""] and
     // contributes one unigram feature, so the groupBy covers the whole
     // corpus and no join-back to the raw id set (a full extra shuffle

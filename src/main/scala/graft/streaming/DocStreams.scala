@@ -118,4 +118,33 @@ object DocStreams {
       reqStops: Seq[String] = graft.operators.QualityFilters.RequiredStopwords)
       : DataFrame =
     graft.operators.QualityFilters.screen(streamDocs, reqStops = reqStops)
+
+  /** DSIR importance screen at ingest: arriving docs score
+    * Σ ln(p_target/p_raw) against the DENSE bucket model collected by
+    * [[graft.operators.Curation.dsirModel]] — a `buckets`-entry array
+    * literal, O(1) lookup per feature, so scoring is pure per-row
+    * scalar work: no join, no state, no watermark. Scores are
+    * BIT-IDENTICAL to the batch [[graft.operators.Curation.dsirWeights]]
+    * (same per-bucket micro-nat grid, integer sum) — the screen and
+    * the batch selector agree on every document by construction.
+    */
+  def dsirScreen(streamDocs: DataFrame, model: Array[Long]): DataFrame = {
+    val buckets = model.length
+    val lut = typedLit(model.toSeq)
+    def score(hs: org.apache.spark.sql.Column) =
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + element_at(lut, (pmod(h, lit(buckets.toLong)) + 1L)
+          .cast("int")))
+    streamDocs
+      // materialize the two hash arrays ONCE (HOFs get no CSE; the
+      // gram walk is the expensive part)
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.gramHashes60(
+          tokens(col("text")), 1, distinct = false).as("_h1"),
+        graft.expressions.TextExpressions.gramHashes60(
+          tokens(col("text")), 2, distinct = false).as("_h2"))
+      .select(col("doc_id"),
+        (size(col("_h1")) + size(col("_h2"))).cast("long").as("n_feats"),
+        (score(col("_h1")) + score(col("_h2"))).as("dsir_score"))
+  }
 }

@@ -147,6 +147,50 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2) === ((2L, "gopher_stop", 0)))
   }
 
+  test("dsirScreen scores are bit-identical to the batch weights") {
+    val raw = spark.createDataFrame(
+      (0L to 40L).map(i => (i, s"tok$i alpha beta tok${i % 3} gamma")))
+      .toDF("doc_id", "text")
+    val target = raw.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 4 === 0)
+    val model = graft.operators.Curation.dsirModel(raw, target, 256)
+    val screen = DocStreams.dsirScreen(raw, model)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val batch = graft.operators.Curation.dsirWeights(raw, target, 256)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(screen.toSeq === batch.toSeq)
+  }
+
+  test("streaming dsir screen scores arriving docs per micro-batch") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val corpus = spark.createDataFrame(
+      (0L to 20L).map(i => (i, s"alpha beta w$i gamma")))
+      .toDF("doc_id", "text")
+    val target = corpus.filter(org.apache.spark.sql.functions
+      .col("doc_id") < 5)
+    val model = graft.operators.Curation.dsirModel(corpus, target, 128)
+    val expect = DocStreams.dsirScreen(
+      spark.createDataFrame(Seq(
+        (100L, "alpha beta gamma"), (101L, "zz yy xx"))).toDF("doc_id", "text"),
+      model).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.dsirScreen(
+      mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("dscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((100L, "alpha beta gamma"))
+      query.processAllAvailable()
+      mem.addData((101L, "zz yy xx"))
+      query.processAllAvailable()
+      val got = spark.table("dscreen").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expect)
+    } finally query.stop()
+  }
+
   test("batch mode: screen equals the minhash candidate relation") {
     val hits = DocStreams.nearDupScreen(
       corpus.withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 1000),
