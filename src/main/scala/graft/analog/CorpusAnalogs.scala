@@ -3,7 +3,7 @@ package graft.analog
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.operators.{Chunking, Curation, Decontam, Scrub}
+import graft.operators.{Chunking, Curation, Decontam, Perplexity, Scrub}
 import graft.sources.Tables
 
 /** Registry entries + DuckDB oracles for the sequence-prep operators
@@ -89,6 +89,52 @@ object CorpusAnalogs {
        |sc AS (
        |  SELECT f.doc_id, count(*) AS n_feats, sum(r.r) AS dsir_score
        |  FROM feats f JOIN ratio r USING (b) GROUP BY f.doc_id)""".stripMargin
+
+  /** CTE chain computing the CCNet-style bigram-LM perplexity scores
+    * (needs `tok` in scope; yields `tr(doc_id, pos, bp, bn)` and
+    * `psc(doc_id, n_trans, sum_lp)`). Mirrors
+    * graft.operators.Perplexity exactly: hashed token buckets mod
+    * 4096, BOS context 4096 before the first token, target = sources
+    * src0-src3, add-1 smoothing over the 4096 next-buckets, and every
+    * model log-prob rounded onto the integer micro-nat grid BEFORE
+    * the per-doc sum (the DSIR determinism discipline). The
+    * first-hit lookup is pair log-prob → context backoff → the
+    * ln(1)−ln(4096) global floor.
+    */
+  private val pplScoreCte: String =
+    s"""tr AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)+1), i -> i - 1)) AS pos,
+       |    unnest(list_transform(range(1, len(w)+1), i ->
+       |      CASE WHEN i = 1 THEN 4096
+       |           ELSE ${dH60("w[i-1]")} % 4096 END)) AS bp,
+       |    unnest(list_transform(range(1, len(w)+1), i ->
+       |      ${dH60("w[i]")} % 4096)) AS bn
+       |  FROM tok),
+       |ttr AS (
+       |  SELECT tr.bp, tr.bn FROM tr JOIN documents d USING (doc_id)
+       |  WHERE d.source IN ('src0', 'src1', 'src2', 'src3')),
+       |pctx AS (SELECT bp, count(*) AS cu FROM ttr GROUP BY bp),
+       |ppair AS (SELECT bp, bn, count(*) AS cb FROM ttr GROUP BY bp, bn),
+       |rpair AS (
+       |  SELECT p.bp, p.bn,
+       |    CAST(round((ln(p.cb + 1) - ln(c.cu + 4096)) * 1000000)
+       |      AS BIGINT) AS lp
+       |  FROM ppair p JOIN pctx c USING (bp)),
+       |rctx AS (
+       |  SELECT bp,
+       |    CAST(round((ln(1) - ln(cu + 4096)) * 1000000) AS BIGINT)
+       |      AS lp_ctx
+       |  FROM pctx),
+       |str AS (
+       |  SELECT tr.doc_id, tr.pos, tr.bp, tr.bn,
+       |    COALESCE(rp.lp, rc.lp_ctx,
+       |      CAST(round((ln(1) - ln(4096)) * 1000000) AS BIGINT)) AS lp
+       |  FROM tr LEFT JOIN rpair rp ON tr.bp = rp.bp AND tr.bn = rp.bn
+       |          LEFT JOIN rctx rc ON tr.bp = rc.bp),
+       |psc AS (
+       |  SELECT doc_id, count(*) AS n_trans, sum(lp) AS sum_lp
+       |  FROM str GROUP BY doc_id)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -290,6 +336,78 @@ object CorpusAnalogs {
         |  cum_tok
         |FROM cum WHERE cum_tok <= 10000
         |ORDER BY dsir_score DESC, doc_id""".stripMargin)),
+
+    // CCNet-style LM perplexity (Wenzek et al. 2019): every doc's
+    // negative log-likelihood under a hashed-bucket bigram model
+    // trained on the src0-src3 "clean reference" slice — integer
+    // micro-nat sums over grid-rounded model constants (the DSIR
+    // determinism discipline), per-transition average via truncating
+    // integer division.
+    Q("quality_perplexity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Perplexity.score(docs,
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $tokCte,
+        |$pplScoreCte
+        |SELECT doc_id, CAST(n_trans AS BIGINT) AS n_trans,
+        |  CAST(sum_lp AS BIGINT) AS sum_lp,
+        |  CAST((-sum_lp) // n_trans AS BIGINT) AS nll_per_tok
+        |FROM psc ORDER BY doc_id""".stripMargin)),
+
+    // CCNet's head/middle/tail routing: tercile cut values as exact
+    // rank-ceil(n/3)/ceil(2n/3) order statistics from a per-VALUE
+    // histogram (the cumulated frame is bounded by the distinct
+    // micro-nat scores, never the corpus — no global sort, no ntile).
+    Q("quality_perplexity_buckets",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Perplexity.terciles(docs,
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $tokCte,
+        |$pplScoreCte,
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST((-sum_lp) // n_trans AS BIGINT) AS nll FROM psc),
+        |hist AS (SELECT nll, count(*) AS c FROM scored GROUP BY nll),
+        |cum AS (
+        |  SELECT nll, sum(c) OVER (ORDER BY nll) AS cum FROM hist),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+        |cuts AS (
+        |  SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN nll END) AS t1,
+        |         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN nll END) AS t2
+        |  FROM cum, tot)
+        |SELECT s.doc_id, s.nll AS nll_per_tok,
+        |  CASE WHEN s.nll <= c.t1 THEN 'head'
+        |       WHEN s.nll <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored s, cuts c ORDER BY s.doc_id""".stripMargin)),
+
+    // Batch twin of the STREAMING perplexity screen
+    // (graft.streaming.DocStreams.perplexityScreen): one scored row
+    // per transition via two stream-static broadcast joins against
+    // the target-derived model frames — stateless, so the per-doc
+    // rollup happens downstream (contamScreen's screen-then-verify
+    // split); the per-transition lp values feeding quality_perplexity
+    // are identical by construction (shared scoreTransitions core).
+    Q("stream_perplexity_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val target =
+          docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+        graft.streaming.DocStreams.perplexityScreen(docs,
+          Perplexity.pairLogProbs(target), Perplexity.ctxLogProbs(target))
+          .orderBy("doc_id", "pos")
+      },
+      Some(s"""WITH $tokCte,
+        |$pplScoreCte
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(bp AS BIGINT) AS bp, CAST(bn AS BIGINT) AS bn,
+        |  CAST(lp AS BIGINT) AS lp
+        |FROM str ORDER BY doc_id, pos""".stripMargin)),
 
     // PII scrubbing: per-doc email/phone/IP match counts + the
     // redacted text. The synthetic corpus carries no natural PII, so

@@ -147,4 +147,22 @@ object DocStreams {
         (size(col("_h1")) + size(col("_h2"))).cast("long").as("n_feats"),
         (score(col("_h1")) + score(col("_h2"))).as("dsir_score"))
   }
+
+  /** LM-perplexity screen at ingest: arriving docs' token-bucket
+    * transitions score against the TARGET-trained bigram model
+    * (graft.operators.Perplexity), via two stream-static left joins
+    * (pair hit → context backoff → global floor) — both model frames
+    * are target-derived (bounded by the reference set, never the
+    * corpus) and broadcast. Stateless: streaming can't re-aggregate
+    * per doc without state, so this emits one scored row per
+    * transition — micro-nat `lp` identical to the batch
+    * [[graft.operators.Perplexity.score]] inputs by construction —
+    * and the per-doc rollup (Σ lp, the nll average, the tercile
+    * verdict) is one tiny aggregation over the scored stream
+    * downstream: [[contamScreen]]'s screen-then-verify split.
+    */
+  def perplexityScreen(streamDocs: DataFrame, pairLp: DataFrame,
+      ctxLp: DataFrame, buckets: Int = 4096): DataFrame =
+    graft.operators.Perplexity.scoreTransitions(
+      streamDocs, pairLp, ctxLp, buckets)
 }
