@@ -161,16 +161,27 @@ object QualityFilters {
       sum(when(col("c") >= 2, col("c") * col("lc")).otherwise(0L))
         .as("dup_line_chars"))
     // bigram cover: count and char length per (doc, gram hash); the
-    // top gram by (count desc, hash asc) via one lexicographic max
+    // top gram by (count desc, hash asc) via one lexicographic max.
+    // Per-gram char lengths are an ARRAY built once per doc (token
+    // length pairs zipped off-by-one) and exploded zipped with the
+    // hash array — carrying the token array through the explode and
+    // re-slicing it per row would do O(L) work per gram, O(L²) per
+    // doc (measured 4.9 s → sub-second at sf0.1).
     val w = graft.functions.TextFunctions
       .tokens(translate(col("_t"), "\n", " "))
-    val bg = base.select(col("doc_id"),
-      posexplode(graft.expressions.TextExpressions
-        .gramHashes60(w, 2, distinct = false)).as(Seq("p", "h")),
-      w.as("_w"))
-      .select(col("doc_id"), col("h"),
-        (length(concat_ws(" ", slice(col("_w"), col("p") + 1, lit(2)))))
-          .cast("long").as("gc"))
+    val bg = base
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions
+          .gramHashes60(w, 2, distinct = false).as("_h"),
+        transform(w, t => length(t).cast("long")).as("_l"))
+      .select(col("doc_id"), explode(zip_with(
+        col("_h"),
+        zip_with(
+          slice(col("_l"), lit(1), greatest(size(col("_l")) - 1, lit(0))),
+          slice(col("_l"), lit(2), greatest(size(col("_l")) - 1, lit(0))),
+          (a, b) => a + b + 1L),
+        (h, g) => struct(h.as("h"), g.as("gc")))).as("z"))
+      .select(col("doc_id"), col("z.h").as("h"), col("z.gc").as("gc"))
     val gg = bg.groupBy("doc_id", "h")
       .agg(count(lit(1)).as("c"), max("gc").as("gc"))
     val topG = gg.groupBy("doc_id").agg(
