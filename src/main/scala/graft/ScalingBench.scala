@@ -108,7 +108,8 @@ object ScalingBench {
       "dedup_chunk_stats", "dedup_chunk_clean", "emb_quantize",
       "dedup_substring", "text_bpe_count", "dedup_substring_clean",
       "stream_substring_screen", "quality_gopher_rules", "quality_c4_clean",
-      "curation_dsir_weights", "quality_gopher_repetition")
+      "curation_dsir_weights", "quality_gopher_repetition",
+      "quality_perplexity", "quality_perplexity_buckets")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -43,4 +43,16 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .json(path)
   }
+
+  /** ORC sink — the other columnar interchange format (Hive-native
+    * stacks). Same scale shape as [[writeParquet]]: columnar + striped
+    * so downstream scans prune columns and split by stripe; zstd keeps
+    * parity with the parquet default. Optional hive partitioning.
+    */
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "zstd")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
 }

@@ -91,4 +91,23 @@ object Tables {
   /** Schema-enforced JSONL copy of the embeddings table. */
   def embeddingsJsonl(s: SparkSession, path: String): DataFrame =
     jsonl(s, path, embeddingsSchema)
+
+  /** ORC reader with an EXPLICIT schema (same ingest discipline as
+    * [[jsonl]]: never infer on a corpus-sized read; a missing column
+    * surfaces as nulls, a type conflict fails the scan rather than
+    * silently widening). ORC scans support the same column pruning +
+    * predicate pushdown as parquet (`.explain`: `PushedFilters`),
+    * and stripes split across executors at any file size.
+    */
+  def orc(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  /** Schema-enforced ORC copy of the documents table. */
+  def documentsOrc(s: SparkSession, path: String): DataFrame =
+    orc(s, path, documentsSchema)
+
+  /** Schema-enforced ORC copy of the embeddings table. */
+  def embeddingsOrc(s: SparkSession, path: String): DataFrame =
+    orc(s, path, embeddingsSchema)
 }

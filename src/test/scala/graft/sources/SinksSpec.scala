@@ -60,6 +60,49 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
       embs.orderBy("vec_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("ORC round-trip: documents + embeddings, schema-enforced") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "hello world", "en", "web", 11L),
+      (2L, "ein \"zitat\" mit unicode: один", "de", "books", 29L),
+      (3L, "", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Sinks.writeOrc(docs, dir)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".orc")))
+    val back = Tables.documentsOrc(spark, dir)
+    assert(back.schema === Tables.documentsSchema)
+    assert(back.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    val embs = Seq(
+      (1L, Seq(0.25f, -1.5f, 3.125f), 0),
+      (2L, Seq.empty[Float], 1))
+      .toDF("vec_id", "embedding", "label")
+    val dirE = Files.createTempDirectory("graft_orc_e").toString
+    Sinks.writeOrc(embs, dirE)
+    val backE = Tables.embeddingsOrc(spark, dirE)
+    assert(backE.schema === Tables.embeddingsSchema)
+    assert(backE.orderBy("vec_id").collect().map(_.toSeq).toSeq ===
+      embs.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("ORC scan pushes filters and prunes columns") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, s"text $i", "en", s"src${i % 4}", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_orc_p").toString
+    Sinks.writeOrc(docs, dir)
+    val q = Tables.documentsOrc(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") > 40L)
+      .select("doc_id", "source")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(doc_id,40)"), plan)
+    assert(q.count() === 9)
+  }
+
   test("partitioned parquet sink prunes by partition column") {
     val dir = Files.createTempDirectory("graft_pq").toString
     Sinks.writeParquet(df, dir, partitionBy = Seq("business"))
