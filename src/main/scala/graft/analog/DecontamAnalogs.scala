@@ -3,7 +3,7 @@ package graft.analog
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.operators.Decontam
+import graft.operators.{Curation, Decontam}
 import graft.sources.Tables
 
 /** Registry entries + DuckDB oracles for the decontamination /
@@ -239,6 +239,86 @@ object DecontamAnalogs {
         |    (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6)
         |    AS samp_weight
         |FROM per_source CROSS JOIN totals
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // Temperature-scaled mixture (mT5 recipe, alpha = 0.3): target
+    // share ∝ token_share^alpha. The one transcendental (pow) lands on
+    // an integer micro-unit grid first (the DSIR discipline); shares
+    // and weights are then IEEE-exact double products/divisions of
+    // those integers, identically parenthesized here.
+    Q("domain_mix_temperature",
+      (s, d) => Decontam.domainMixTemperature(Tables.documents(s, d)),
+      Some("""WITH per_source AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |totals AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per_source),
+        |scored AS (
+        |  SELECT source, n_docs, n_tokens, tot_tokens,
+        |    CAST(round(pow(CAST(n_tokens AS DOUBLE)
+        |      / CAST(tot_tokens AS DOUBLE), 0.3) * 1000000) AS BIGINT) AS a
+        |  FROM per_source CROSS JOIN totals),
+        |norm AS (SELECT CAST(sum(a) AS BIGINT) AS sum_a FROM scored)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+        |    AS token_share,
+        |  round(CAST(a AS DOUBLE) / CAST(sum_a AS DOUBLE), 6)
+        |    AS target_share,
+        |  round((CAST(a AS DOUBLE) * CAST(tot_tokens AS DOUBLE)) /
+        |    (CAST(sum_a AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+        |    AS samp_weight
+        |FROM scored CROSS JOIN norm
+        |ORDER BY source""".stripMargin)),
+
+    // UniMax budget allocation (Chung et al. 2023): uniform waterfill
+    // over sources with a maxEpochs capacity cap — closed-form over
+    // the capacity-sorted source frame, ALL integer arithmetic
+    // (truncating div + explicit mod-remainder placement), so the
+    // allocation hash-matches exactly. Budget 100k tokens, 4 epochs.
+    Q("curation_unimax_alloc",
+      (s, d) => Curation.unimaxAlloc(Tables.documents(s, d), 100000L),
+      Some("""WITH per_source AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |caps AS (
+        |  SELECT source, n_tokens, n_tokens * 4 AS cap,
+        |         (SELECT count(*) FROM per_source) AS k
+        |  FROM per_source),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT)
+        |      AS i,
+        |    COALESCE(CAST(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS s_prev
+        |  FROM caps),
+        |flagged AS (
+        |  SELECT *, (cap * (k - i + 1) <= 100000 - s_prev) AS is_full
+        |  FROM ranked),
+        |leveled AS (
+        |  SELECT *,
+        |    COALESCE(CAST(sum(CASE WHEN is_full THEN cap END)
+        |      OVER () AS BIGINT), 0) AS full_tok,
+        |    CAST(sum(CASE WHEN is_full THEN 0 ELSE 1 END) OVER () AS BIGINT)
+        |      AS m,
+        |    CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY cap, source
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_full_upto
+        |  FROM flagged),
+        |alloc AS (
+        |  SELECT source, n_tokens, cap,
+        |    CASE WHEN is_full THEN cap
+        |         ELSE (100000 - full_tok) // greatest(m, 1)
+        |           + (CASE WHEN i - n_full_upto <=
+        |               (100000 - full_tok) % greatest(m, 1)
+        |              THEN 1 ELSE 0 END)
+        |    END AS alloc
+        |  FROM leveled)
+        |SELECT source, n_tokens, cap, CAST(alloc AS BIGINT) AS alloc,
+        |  round(CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS epochs
+        |FROM alloc ORDER BY source""".stripMargin))
   )
 }

@@ -300,6 +300,70 @@ object Curation {
       .select("doc_id", "dsir_score", "n_tok", "cum_tok")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total token budget as uniformly as
+    * possible across sources, capping each source at
+    * `maxEpochs × n_tokens` — the waterfill that gives every
+    * low-resource domain its full (capped) corpus before head domains
+    * absorb the rest.
+    *
+    * Closed-form waterfill over the capacity-sorted source frame: with
+    * caps ascending and prefix sums S, source i is FULLY funded iff
+    * cap_i·(k−i+1) ≤ N−S_{i−1} (caps ascending make "full" a prefix);
+    * the remaining budget splits evenly over the m non-full sources as
+    * a truncating div, the `mod m` remainder going one token each to
+    * the first `rem` of them in sort order — so Σ alloc == min(N,
+    * Σ cap) EXACTLY and every column is integer arithmetic: the
+    * verdict hash-matches any engine.
+    *
+    * Scale: one (source) aggregation over the corpus; everything after
+    * operates on the k-row source frame (k = distinct sources), whose
+    * single-partition windows are bounded by k, never the corpus.
+    */
+  def unimaxAlloc(docs: DataFrame, budgetTokens: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val perSource = docs.groupBy("source").agg(
+      sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val caps = perSource.select(col("source"), col("n_tokens"),
+      (col("n_tokens") * maxEpochs).as("cap"))
+    val w = Window.orderBy("cap", "source")
+    val ranked = caps
+      .crossJoin(broadcast(caps.agg(count(lit(1)).as("k"))))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s_prev", coalesce(
+        sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("full",
+        col("cap") * (col("k") - col("i") + 1L) <=
+          lit(budgetTokens) - col("s_prev"))
+    // full_tok / m as whole-frame window aggregates, not a separate
+    // aggregation job — keeps the corpus scan in ONE linear plan
+    // (ranked would otherwise be consumed twice and the per-source
+    // aggregation recomputed)
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    ranked
+      .withColumn("full_tok",
+        coalesce(sum(when(col("full"), col("cap"))).over(wAll), lit(0L)))
+      .withColumn("m", sum(when(!col("full"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("rest", lit(budgetTokens) - col("full_tok"))
+      .withColumn("base", expr("rest div greatest(m, 1)"))
+      .withColumn("rem", expr("rest % greatest(m, 1)"))
+      // j = rank among non-full rows in the same (cap, source) order
+      .withColumn("j", col("i") - sum(when(col("full"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("alloc", when(col("full"), col("cap"))
+        .otherwise(col("base") + when(col("j") <= col("rem"), 1L)
+          .otherwise(0L)))
+      .select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
+        round(col("alloc").cast("double") / col("n_tokens").cast("double"),
+          6).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/val/test assignment from a content-stable
     * hash (docs keep their split across reruns and re-shards; the same
     * md5 arithmetic is engine-portable for the verify oracle).

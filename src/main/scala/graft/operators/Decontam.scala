@@ -320,4 +320,47 @@ object Decontam {
           6).as("samp_weight"))
       .orderBy("source")
   }
+
+  /** Temperature-scaled mixture weights (the mT5 / multilingual-LM
+    * recipe, Xue et al. 2021 §3.1): target share q_s ∝ p_s^alpha for
+    * observed token share p_s — alpha = 1 reproduces the corpus, 0 the
+    * uniform target of [[domainMix]]; the standard 0.3 boosts tail
+    * domains without flattening the head.
+    *
+    * Engine-exact determinism: p_s^alpha is the one transcendental, so
+    * it lands on an integer micro-unit grid FIRST (`a` =
+    * round(1e6·p_s^alpha) — the DSIR discipline; libm pow divergence
+    * is ~1e-16 relative against the 1e-6 grid) and the shares/weights
+    * are then IEEE-exact double products and divisions of those
+    * integers, identically parenthesized in the oracle.
+    *
+    * Scale: identical to [[domainMix]] — one (source) aggregation, a
+    * 1-row totals broadcast, plus a second k-row normalization
+    * aggregate (k = distinct sources, never the corpus).
+    */
+  def domainMixTemperature(docs: DataFrame,
+      alpha: Double = 0.3): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val perSource = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val totals = perSource.agg(sum("n_tokens").as("tot_tokens"))
+    val scored = perSource.crossJoin(broadcast(totals))
+      .withColumn("a",
+        round(pow(col("n_tokens").cast("double") /
+          col("tot_tokens").cast("double"), lit(alpha)) * 1e6)
+          .cast("long"))
+    val norm = scored.agg(sum("a").as("sum_a"))
+    scored.crossJoin(broadcast(norm))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("tot_tokens").cast("double"), 6).as("token_share"),
+        round(col("a").cast("double") / col("sum_a").cast("double"), 6)
+          .as("target_share"),
+        round((col("a").cast("double") * col("tot_tokens").cast("double"))
+          / (col("sum_a").cast("double") * col("n_tokens").cast("double")),
+          6).as("samp_weight"))
+      .orderBy("source")
+  }
 }
