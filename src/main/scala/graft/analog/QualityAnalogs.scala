@@ -288,6 +288,55 @@ object QualityAnalogs {
         |    AND 3*n_words <= sum_len AND sum_len <= 10*n_words
         |    AND 10*n_symbols <= n_words AND 5*n_alpha_words >= 4*n_words
         |    AND n_req_stop >= 2 THEN 1 ELSE 0 END AS pass
-        |FROM m ORDER BY doc_id""".stripMargin))
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // HTML text extraction (the WARC→WET step): the line-less corpus
+    // gets deterministic doc_id-derived markup — a wrapping page, a
+    // script element whose CODE contains a bare '<' (must vanish with
+    // the element), a comment, and an entity sampler exercising the
+    // &amp;-last double-decode guard. Both engines strip/decode with
+    // the same regex chain + literal replaces.
+    Q("text_html_extract",
+      (s, d) => {
+        val injected = Tables.documents(s, d).select(col("doc_id"), concat(
+          lit("<html><body ><p class=\"c"),
+          (col("doc_id") % 7).cast("string"), lit("\">"),
+          col("text"), lit("</p>"),
+          when(col("doc_id") % 3 === 0, lit("<script type=\"text/javascript\">if (a<b) { alert(\"x\"); }</script>"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("<!-- note <hidden> -->"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("<div>&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div>"))
+            .otherwise(lit("")),
+          lit("</body></html>")).as("text"))
+        graft.operators.Scrub.extractHtml(injected)
+          .select("doc_id", "n_tags", "clean_text").orderBy("doc_id")
+      },
+      Some("""WITH inj AS (
+        |  SELECT doc_id,
+        |    '<html><body ><p class="c' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '">' || text || '</p>'
+        |    || (CASE WHEN doc_id % 3 = 0
+        |        THEN '<script type="text/javascript">if (a<b) { alert("x"); }</script>'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '<!-- note <hidden> -->'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |        THEN '<div>&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div>'
+        |        ELSE '' END)
+        |    || '</body></html>' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(t,
+        |        '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM inj ORDER BY doc_id""".stripMargin))
   )
 }

@@ -62,4 +62,55 @@ object Scrub {
       .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("long"))
       .withColumn("clean", redact(t))
   }
+
+  // ---- HTML text extraction (the WARC→WET step of a web-crawl
+  // pipeline: markup out, visible text + decoded entities kept) ----
+
+  /** script/style elements with their CONTENT (which is code, not
+    * text — and can contain `<`). Inline `(?is)`: case-insensitive +
+    * dotall, identical semantics in Java regex and RE2.
+    */
+  val ScriptRe = "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>"
+
+  /** HTML comments, dotall (comments span lines). */
+  val CommentRe = "(?s)<!--.*?-->"
+
+  /** Any remaining tag. Non-greedy not needed: `[^>]` self-bounds. */
+  val TagRe = "<[^>]+>"
+
+  /** The fixed entity set decoded after tag removal — `&amp;` LAST,
+    * so `&amp;lt;` decodes to the literal text `&lt;`, not to `<`
+    * (the standard double-decode guard).
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** The extracted text for one column: drop script/style/comments
+    * with their content, strip remaining tags (each becomes a space
+    * so adjacent words never merge), decode the entity set, collapse
+    * whitespace runs, trim.
+    */
+  def extractText(html: Column): Column = {
+    val noScript = regexp_replace(html, ScriptRe, " ")
+    val noComment = regexp_replace(noScript, CommentRe, " ")
+    val noTags = regexp_replace(noComment, TagRe, " ")
+    val decoded = Entities.foldLeft(noTags) { case (c, (k, v)) =>
+      replace(c, lit(k), lit(v)) // literal, not regex — same as the
+        // oracle's replace()
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Per-doc HTML extraction: tag count on the original markup (the
+    * audit column) plus the extracted text. Map-only codegen regex —
+    * the identical plan runs under Structured Streaming (stateless),
+    * so this IS the extract-at-ingest screen.
+    */
+  def extractHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tags", regexp_count(t, lit(TagRe)).cast("long"))
+      .withColumn("clean_text", extractText(t))
+  }
 }

@@ -51,4 +51,31 @@ class ScrubSpec extends AnyFunSuite with SparkSpec {
     assert(got(0) === ((0L, 0L, 0L, "id ab555-123-4567cd and v1.2.3.4beta")))
     assert(got(1) === ((0L, 1L, 1L, "see (<IP>) and call <PHONE>.")))
   }
+
+  test("extractHtml strips markup with content rules and decodes entities") {
+    val html = spark.createDataFrame(Seq(
+      (0L, "<html><body><p>hello <b>world</b></p>" +
+        "<script>if (a<b) { x(); }</script></body></html>"),
+      (1L, "no markup at all"),
+      (2L, "&amp;lt; stays &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      (3L, "<!-- secret <hidden> -->visible<style>p { color: red; }</style>"),
+      (4L, "<SCRIPT>case();</SCRIPT>upper survives"),
+      (5L, "")))
+      .toDF("doc_id", "text")
+    val got = Scrub.extractHtml(html).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    // n_tags = the same TagRe applied by plain Java regex (pins the
+    // column to the count-on-ORIGINAL-markup contract)
+    html.collect().foreach { r =>
+      val want = Scrub.TagRe.r.findAllIn(r.getString(1)).length.toLong
+      assert(got(r.getLong(0).toInt)._2 === want)
+    }
+    assert(got.map(_._3) === Array(
+      "hello world", // script CODE (with its bare '<') gone
+      "no markup at all",
+      "&lt; stays <tag> \"q\" 's' end", // &amp;-last double-decode guard
+      "visible", // comment + style content gone
+      "upper survives", // (?i): SCRIPT matches
+      ""))
+  }
 }
