@@ -101,7 +101,7 @@ object CorpusAnalogs {
     * first-hit lookup is pair log-prob → context backoff → the
     * ln(1)−ln(4096) global floor.
     */
-  private val pplScoreCte: String =
+  private[analog] val pplScoreCte: String =
     s"""tr AS (
        |  SELECT doc_id,
        |    unnest(list_transform(range(1, len(w)+1), i -> i - 1)) AS pos,

@@ -1327,6 +1327,94 @@ object ExtraAnalogs {
         |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
         |         '%Y-%m-%d %H:%M:%S') AS hour,
         |       vec_id, cand, sim, rnk AS rank
-        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin))
+        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
+    // THE COMPOSED INGEST SCREEN (batch twin of
+    // DocStreams.startIngestPipeline's per-micro-batch body): every
+    // 10th doc "arrives" wrapped in deterministic HTML (a page, a
+    // script with a bare '<' on %3), gets text-extracted, gated by the
+    // Gopher scalar rules (stopwords injected on %2 so the stop rule
+    // splits), perplexity-scored against the src0-src3 bigram LM, and
+    // band-probed against the accepted (non-arriving) corpus — one
+    // first-hit reject reason, near_dup ≻ quality ≻ perplexity.
+    // The oracle composes the already-verified per-stage CTEs over the
+    // PRE-markup injected text: extraction provably restores it (the
+    // text_html_extract contract), so a broken extraction breaks this
+    // hash too.
+    Q("pipeline_ingest_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val injected = docs.select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" and that have with"))
+              .otherwise(lit(""))).as("text"))
+        val arrivingHtml = injected.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), concat(
+            lit("<html><body><p>"), col("text"), lit("</p>"),
+            when(col("doc_id") % 3 === 0,
+              lit("<script>var a = 1 < 2;</script>")).otherwise(lit("")),
+            lit("</body></html>")).as("text"))
+        val corpusIdx = graft.streaming.DocStreams.bandRows(
+          injected.filter(col("doc_id") % 10 =!= 0))
+        val target = injected.filter(
+          col("source").isin("src0", "src1", "src2", "src3"))
+        graft.streaming.DocStreams.ingestVerdicts(arrivingHtml, corpusIdx,
+          graft.operators.Perplexity.pairLogProbs(target),
+          graft.operators.Perplexity.ctxLogProbs(target),
+          maxNll = 6350000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, lang, source,
+        |    text || (CASE WHEN doc_id % 2 = 0
+        |      THEN ' and that have with' ELSE '' END) AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, source, text,
+        |        string_split(text, ' ') AS w FROM inj),
+        |$shCte, $hsCte,
+        |bands AS (
+        |${(0 until 4).map(b =>
+          s"  SELECT doc_id, ${b}::BIGINT AS band_pos, ${dBand("hs", b)} AS band FROM hsc")
+          .mkString("\n  UNION ALL\n")}
+        |),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM bands a JOIN bands c
+        |    ON a.band_pos = c.band_pos AND a.band = c.band
+        |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  GROUP BY a.doc_id, c.doc_id
+        |  HAVING count(DISTINCT a.band_pos) >= 2),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '[.][.][.]')) AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      x -> list_contains(w, x))) AS BIGINT) AS n_req_stop
+        |  FROM tok WHERE doc_id % 10 = 0),
+        |${graft.analog.CorpusAnalogs.pplScoreCte},
+        |v AS (
+        |  SELECT m.doc_id, m.n_words,
+        |    CAST((-psc.sum_lp) // psc.n_trans AS BIGINT) AS nll_per_tok,
+        |    CASE WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+        |      WHEN NOT (n_words >= 20 AND n_words <= 100000)
+        |        THEN 'gopher_words'
+        |      WHEN NOT (3*n_words <= sum_len AND sum_len <= 10*n_words)
+        |        THEN 'gopher_len'
+        |      WHEN NOT (10*n_symbols <= n_words) THEN 'gopher_sym'
+        |      WHEN NOT (5*n_alpha_words >= 4*n_words) THEN 'gopher_alpha'
+        |      WHEN NOT (n_req_stop >= 2) THEN 'gopher_stop'
+        |      WHEN (-psc.sum_lp) // psc.n_trans > 6350000 THEN 'perplexity'
+        |      ELSE 'ok' END AS reason
+        |  FROM m JOIN psc ON m.doc_id = psc.doc_id
+        |  LEFT JOIN dup ON m.doc_id = dup.doc_id)
+        |SELECT doc_id, n_words, nll_per_tok, reason,
+        |  CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS pass
+        |FROM v ORDER BY doc_id""".stripMargin))
   )
 }

@@ -165,4 +165,94 @@ object DocStreams {
       ctxLp: DataFrame, buckets: Int = 4096): DataFrame =
     graft.operators.Perplexity.scoreTransitions(
       streamDocs, pairLp, ctxLp, buckets)
+
+  /** The COMPOSED ingest verdict — what a real acquisition pipeline
+    * runs per batch of arriving raw pages: HTML text extraction →
+    * Gopher scalar gate on the extracted text → LM-perplexity score →
+    * near-dup band probe against the accepted corpus, folded into ONE
+    * first-hit reject reason (`near_dup` ≻ quality rules ≻
+    * `perplexity` ≻ ok — dedup first, the CCNet order; quality reasons
+    * reuse gopherRules' names). Every stage is the already-verified
+    * operator; the composition is one Catalyst plan (extract and gate
+    * are map-only; perplexity adds the model broadcasts + a batch-local
+    * (doc_id) rollup; the probe is an equi-join on band keys), so the
+    * optimizer prunes across stage boundaries.
+    *
+    * This needs per-doc aggregation and joins, so a STREAM deployment
+    * wraps it in `foreachBatch` ([[startIngestPipeline]]) — the
+    * documented Structured Streaming pattern for micro-batch-local
+    * batch logic; the stateless prefix (extract → gate) would also run
+    * directly on the stream frame.
+    */
+  def ingestVerdicts(docs: DataFrame, bandIndex: DataFrame,
+      pairLp: DataFrame, ctxLp: DataFrame, maxNll: Long,
+      minWords: Int = 20, minBands: Int = 2,
+      buckets: Int = 4096): DataFrame = {
+    val extracted = graft.operators.Scrub.extractHtml(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val q = graft.operators.QualityFilters
+      .gopherRules(extracted, minWords = minWords)
+    val qReason = when(col("g_words") === 0, "gopher_words")
+      .when(col("g_len") === 0, "gopher_len")
+      .when(col("g_sym") === 0, "gopher_sym")
+      .when(col("g_alpha") === 0, "gopher_alpha")
+      .when(col("g_stop") === 0, "gopher_stop")
+      .otherwise("ok")
+    val ppl = graft.operators.Perplexity
+      .scoreTransitions(extracted, pairLp, ctxLp, buckets)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("lp").as("sum_lp"))
+      .withColumn("nll_per_tok", expr("(-sum_lp) div n_trans"))
+    // reject on >= minBands DISTINCT band-position collisions with one
+    // corpus doc: a single band hit is the screen's candidate signal
+    // (plentiful on same-vocabulary text), not dup evidence — true
+    // replicas collide on all 4
+    val dup = nearDupScreen(extracted, bandIndex)
+      .groupBy("doc_id", "matched_id")
+      .agg(countDistinct("band_pos").as("_nb"))
+      .filter(col("_nb") >= minBands)
+      .select("doc_id").distinct().withColumn("_dup", lit(1))
+    q.select(col("doc_id"), col("n_words"), qReason.as("_q_reason"))
+      .join(ppl.select("doc_id", "nll_per_tok"), "doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("nll_per_tok"),
+        when(col("_dup") === 1, "near_dup")
+          .when(col("_q_reason") =!= "ok", col("_q_reason"))
+          .when(col("nll_per_tok") > maxNll, lit("perplexity"))
+          .otherwise(lit("ok")).as("reason"))
+      .withColumn("pass", (col("reason") === "ok").cast("int"))
+  }
+
+  /** Streaming deployment of [[ingestVerdicts]]: parquet-directory
+    * source → per-micro-batch composed verdict → parquet verdict sink,
+    * checkpointed. The corpus-derived artifacts (band index, LM model
+    * frames) are built ONCE and persisted before the stream starts —
+    * an unpersisted index would re-evaluate per micro-batch — and
+    * refreshing them is a restart, the standard static-side contract
+    * of stream-static joins. Returns the running query; callers own
+    * its lifecycle.
+    */
+  def startIngestPipeline(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, corpus: DataFrame, target: DataFrame,
+      sinkDir: String, checkpointDir: String, maxNll: Long,
+      minWords: Int = 20)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val bandIndex = bandRows(corpus).persist()
+    val pairLp = graft.operators.Perplexity.pairLogProbs(target).persist()
+    val ctxLp = graft.operators.Perplexity.ctxLogProbs(target).persist()
+    bandIndex.count(); pairLp.count(); ctxLp.count()
+    val in = spark.readStream
+      .schema(graft.sources.Tables.documentsSchema)
+      .parquet(srcDir)
+    in.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        ingestVerdicts(b.toDF(), bandIndex, pairLp, ctxLp, maxNll,
+          minWords)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
 }

@@ -199,4 +199,74 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     // each shifted doc matches exactly its original on all bands
     assert(hits === Seq((1100L, 100L), (1101L, 101L), (1102L, 102L)))
   }
+
+  test("composed ingest pipeline: verdicts per micro-batch, checkpointed") {
+    import org.apache.spark.sql.functions._
+    val accepted = spark.createDataFrame(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight")))
+      .toDF("doc_id", "text")
+    val target = spark.createDataFrame(Seq(
+      (900L, "the cat and the dog have fun with the ball"),
+      (901L, "the sun and the moon have light with the stars")))
+      .toDF("doc_id", "text")
+    // verdict fixtures: one per reject branch plus a clean pass
+    val arriving = Seq(
+      // exact replica of accepted 100 → near_dup (all 4 bands)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "tiny doc here"), // 3 words → gopher_words at minWords=5
+      // ≥5 alpha words, no required stopwords → gopher_stop
+      (3L, "zebra quokka wombat dingo koala bilby"),
+      // markup-wrapped copy of target 900 → extraction restores it,
+      // every transition in-model → ok
+      (4L, "<html><body><p>the cat and the dog have fun with the " +
+        "ball</p><script>var x = 1 < 2;</script></body></html>"),
+      // passes the rules (stopwords present) but transitions are
+      // off-model → perplexity
+      (5L, "the qqqqq and the zzzzz have wwww with the kkkkk"))
+    val pairLp = graft.operators.Perplexity.pairLogProbs(target)
+    val ctxLp = graft.operators.Perplexity.ctxLogProbs(target)
+    // threshold between the in-model doc's score and the gibberish one
+    val plain = spark.createDataFrame(Seq(
+      (4L, "the cat and the dog have fun with the ball"),
+      (5L, "the qqqqq and the zzzzz have wwww with the kkkkk")))
+      .toDF("doc_id", "text")
+    val nll = graft.operators.Perplexity.score(plain, target)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(nll(4L) < nll(5L))
+    val maxNll = (nll(4L) + nll(5L)) / 2
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString
+    val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    def writeBatch(docs: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(docs).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("web").as("source"), length(col("text")).as("n_chars"))
+        .write.mode("append").parquet(src)
+    writeBatch(arriving.take(3))
+    val query = DocStreams.startIngestPipeline(ss, src, accepted, target,
+      sink, ckpt, maxNll, minWords = 5)
+    try {
+      query.processAllAvailable()
+      writeBatch(arriving.drop(3)) // second micro-batch, new files
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(got === Map(
+      1L -> ("near_dup", 0), 2L -> ("gopher_words", 0),
+      3L -> ("gopher_stop", 0), 4L -> ("ok", 1),
+      5L -> ("perplexity", 0)))
+    // the streamed verdicts equal the batch twin on the same input —
+    // per-doc logic has no cross-batch state, so union(batches) ==
+    // batch(union)
+    val batchDf = spark.createDataFrame(arriving).toDF("doc_id", "text")
+    val twin = DocStreams.ingestVerdicts(batchDf,
+      DocStreams.bandRows(accepted), pairLp, ctxLp, maxNll, minWords = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getInt(4)))
+      .toMap
+    assert(twin === got)
+  }
 }
