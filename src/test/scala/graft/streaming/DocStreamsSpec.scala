@@ -268,5 +268,19 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getString(3), r.getInt(4)))
       .toMap
     assert(twin === got)
+
+    // checkpoint durability: a NEW query over the same checkpoint
+    // resumes past the processed files — no reprocessing (sink stays
+    // 5 rows for the old docs), and only the new batch appends
+    writeBatch(Seq((6L, "the cat and the dog have fun with the ball")))
+    val resumed = DocStreams.startIngestPipeline(ss, src, accepted,
+      target, sink, ckpt, maxNll, minWords = 5)
+    try resumed.processAllAvailable() finally resumed.stop()
+    // row count on the RAW sink read: a reprocessed batch would
+    // duplicate rows that a doc_id-keyed map would silently collapse
+    assert(spark.read.parquet(sink).count() === 6)
+    val after = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(after(6L) === (("ok", 1)))
   }
 }
