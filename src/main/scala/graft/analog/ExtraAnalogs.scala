@@ -1121,6 +1121,65 @@ object ExtraAnalogs {
         |  3::BIGINT AS channels
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL uncompressed-image decode: each doc gets a VALID binary-PPM
+    // (P6) payload built byte-for-byte from doc_id (2×2 RGB, pixel
+    // byte i = (doc_id·7+3i) mod 256), and Multimodal.parsePpm — an
+    // actual pure-JVM header parse + pixel walk in mapPartitions —
+    // recovers dims and integer channel means. The oracle KNOWS the
+    // construction, so it verifies the decode in closed form: a parser
+    // that misreads the header or mis-strides the pixel array diverges.
+    Q("mm_decode_ppm",
+      (s, d) => {
+        val pix = (0 until 12).map(i =>
+          lpad(hex(pmod(col("doc_id") * 7 + lit(3 * i), lit(256))), 2, "0"))
+        val withPayload = Tables.documents(s, d).select(col("doc_id"),
+          unhex(concat(lit("50360A3220320A3235350A") +: pix: _*))
+            .as("payload"))
+        Multimodal.decodePpm(s, withPayload).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  2::BIGINT AS width, 2::BIGINT AS height, 255::BIGINT AS maxval,
+        |  12::BIGINT AS n_pixel_bytes,
+        |  CAST(((doc_id*7)%256 + (doc_id*7+9)%256 + (doc_id*7+18)%256
+        |    + (doc_id*7+27)%256) // 4 AS BIGINT) AS mean_r,
+        |  CAST(((doc_id*7+3)%256 + (doc_id*7+12)%256 + (doc_id*7+21)%256
+        |    + (doc_id*7+30)%256) // 4 AS BIGINT) AS mean_g,
+        |  CAST(((doc_id*7+6)%256 + (doc_id*7+15)%256 + (doc_id*7+24)%256
+        |    + (doc_id*7+33)%256) // 4 AS BIGINT) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL PCM-WAV decode: a valid 44-byte RIFF/fmt/data header (8 kHz
+    // mono s16le) + 8 samples u_i = (doc_id·13+5i) mod 65536 stored
+    // little-endian; Multimodal.parseWav chunk-walks the container and
+    // folds signed peak / Σ|s| — again closed-form verifiable.
+    Q("mm_decode_wav",
+      (s, d) => {
+        val header = "52494646" + "34000000" + "57415645" + "666D7420" +
+          "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+          "0200" + "1000" + "64617461" + "10000000"
+        val samples = (0 until 8).flatMap { i =>
+          val u = pmod(col("doc_id") * 13 + lit(5 * i), lit(65536))
+          Seq(lpad(hex(pmod(u, lit(256))), 2, "0"),
+            lpad(hex(shiftright(u.cast("int"), 8)), 2, "0"))
+        }
+        val withPayload = Tables.documents(s, d).select(col("doc_id"),
+          unhex(concat(lit(header) +: samples: _*)).as("payload"))
+        Multimodal.decodeWav(s, withPayload).toDF().orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id, unnest(range(0, 8)) AS i FROM documents),
+        |sv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id*13 + 5*i) % 65536 >= 32768
+        |      THEN (doc_id*13 + 5*i) % 65536 - 65536
+        |      ELSE (doc_id*13 + 5*i) % 65536 END AS v
+        |  FROM s)
+        |SELECT doc_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+        |  16::BIGINT AS bits, 8::BIGINT AS n_samples,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Backward as-of join (TemporalJoins.asOfJoin — union + window, one
     // equi-shuffle, never a nested loop): each purchase matched to the
     // user's latest click at-or-before it. The oracle is DuckDB's

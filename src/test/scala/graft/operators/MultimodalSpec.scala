@@ -55,4 +55,81 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       w >= 64 && w < 512 && h >= 64 && h < 512
     })
   }
+
+  // ---- real uncompressed codecs ----
+
+  /** Hand-built P6: header (with a comment line, which the parser must
+    * skip) + the given RGB byte triples. */
+  private def ppm(w: Int, h: Int, pix: Seq[Int],
+      comment: Boolean = false): Array[Byte] = {
+    val head = if (comment) s"P6\n# fixture\n$w $h\n255\n"
+      else s"P6\n$w $h\n255\n"
+    head.getBytes("US-ASCII") ++ pix.map(_.toByte).toArray
+  }
+
+  test("parsePpm: real header parse + channel means, comments skipped") {
+    // 2x2: R plane 10,20,30,40; G 50,60,70,80; B 90,100,110,120
+    val pix = Seq(10, 50, 90, 20, 60, 100, 30, 70, 110, 40, 80, 120)
+    val m = Multimodal.parsePpm(7L, ppm(2, 2, pix, comment = true))
+    assert(m === Multimodal.PpmMeta(7L, 2L, 2L, 255L, 12L, 25L, 65L, 105L))
+    // high bytes must read unsigned: 250 stays 250, not -6
+    val hot = Multimodal.parsePpm(8L, ppm(1, 1, Seq(250, 251, 252)))
+    assert((hot.mean_r, hot.mean_g, hot.mean_b) === ((250L, 251L, 252L)))
+  }
+
+  test("resizePpmBytes: nearest-neighbor picks the floor source pixel") {
+    // 4x4 image whose pixel (x,y) is (16x+y, 0, 0): resize to 2x2 must
+    // pick sources (0,0),(2,0),(0,2),(2,2)
+    val pix = for (y <- 0 until 4; x <- 0 until 4;
+      c <- Seq(16 * x + y, 0, 0)) yield c
+    val out = Multimodal.resizePpmBytes(ppm(4, 4, pix), 2, 2)
+    val m = Multimodal.parsePpm(0L, out)
+    assert((m.width, m.height) === ((2L, 2L)))
+    val outPix = out.drop(out.length - 12).map(_ & 255).toSeq
+    assert(outPix === Seq(0, 0, 0, 32, 0, 0, 2, 0, 0, 34, 0, 0))
+    // and the emitted payload is itself a valid P6 (round-trips)
+    assert(m.maxval === 255L)
+  }
+
+  /** Hand-built PCM wav with an extra junk chunk BEFORE fmt, so the
+    * parser must really walk chunks instead of assuming offset 44. */
+  private def wav(samples: Seq[Int], junk: Boolean): Array[Byte] = {
+    def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
+    def le32(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+    def tag(s: String) = s.getBytes("US-ASCII")
+    val data = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+    val junkChunk = if (junk) tag("JUNK") ++ le32(6) ++
+      Array.fill(6)(0xAB.toByte) else Array.empty[Byte]
+    val fmt = tag("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val dataChunk = tag("data") ++ le32(data.length) ++ data
+    val body = junkChunk ++ fmt ++ dataChunk
+    tag("RIFF") ++ le32(4 + body.length) ++ tag("WAVE") ++ body
+  }
+
+  test("parseWav: chunk walk, signed s16le samples, peak and sum") {
+    val m = Multimodal.parseWav(3L,
+      wav(Seq(100, -200, 32767, -32768, 0), junk = true))
+    assert(m === Multimodal.WavMeta(3L, 8000L, 1L, 16L, 5L,
+      32768L, 100L + 200L + 32767L + 32768L + 0L))
+    // without the junk chunk too (standard 44-byte layout)
+    val m2 = Multimodal.parseWav(4L, wav(Seq(-1, 1), junk = false))
+    assert((m2.n_samples, m2.peak, m2.sum_abs) === ((2L, 1L, 2L)))
+  }
+
+  test("decodePpm/decodeWav run distributed over payload frames") {
+    val s = spark; import s.implicits._
+    val frames = Seq(
+      (0L, ppm(1, 1, Seq(9, 8, 7))),
+      (1L, ppm(2, 1, Seq(0, 0, 0, 255, 255, 255))))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.decodePpm(spark, frames)
+      .collect().sortBy(_.doc_id)
+    assert(metas.map(m => (m.width, m.mean_r)).toSeq ===
+      Seq((1L, 9L), (2L, 127L)))
+    val wavs = Seq((0L, wav(Seq(5, -5), junk = false)))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.decodeWav(spark, wavs).collect().head.sum_abs === 10L)
+  }
 }
