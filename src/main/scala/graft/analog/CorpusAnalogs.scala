@@ -409,6 +409,27 @@ object CorpusAnalogs {
         |  CAST(lp AS BIGINT) AS lp
         |FROM str ORDER BY doc_id, pos""".stripMargin)),
 
+    // Corpus datasheet (Gebru et al. "Datasheets for Datasets"): the
+    // data card composed from already-verified aggregate operators
+    // (profile, mixture, language mix, dup rate, quality pass counts)
+    // rendered deterministically; like vis_report_manifest the
+    // registry exposes content hashes (rows-only check — the markdown
+    // and SVG have no SQL representation, but every NUMBER in them
+    // comes from an operator the oracle gate already hash-verifies).
+    Q("corpus_datasheet_manifest",
+      (s, d) => {
+        val arts = graft.operators.Datasheet.render(Tables.documents(s, d))
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        val rows = arts.map { case (name, content) =>
+          val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (name, digest.digest(bytes).map("%02x".format(_)).mkString,
+            bytes.length.toLong)
+        }.sortBy(_._1)
+        import s.implicits._
+        rows.toDF("artifact", "sha256", "bytes")
+      },
+      None),
+
     // PII scrubbing: per-doc email/phone/IP match counts + the
     // redacted text. The synthetic corpus carries no natural PII, so
     // the query plants deterministic doc_id-derived PII (with CASE
