@@ -409,6 +409,37 @@ object CorpusAnalogs {
         |  CAST(lp AS BIGINT) AS lp
         |FROM str ORDER BY doc_id, pos""".stripMargin)),
 
+    // Corpus snapshot diff: two deterministic "generations" carved
+    // from the documents table (old drops %7 docs, new drops %5 docs
+    // and rewrites %3 texts) — one full-outer join on narrow
+    // (id, hash) projections classifies added/removed/changed/
+    // unchanged.
+    Q("corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldC = docs.filter(col("doc_id") % 7 =!= 0)
+        val newC = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Curation.corpusDiff(oldC, newC).orderBy("doc_id")
+      },
+      Some("""WITH o AS (
+        |  SELECT doc_id, md5(text) AS oh FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+        |        ELSE text END) AS nh
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.oh <> n.nh THEN 'changed' ELSE 'unchanged' END
+        |    AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
     // Corpus datasheet (Gebru et al. "Datasheets for Datasets"): the
     // data card composed from already-verified aggregate operators
     // (profile, mixture, language mix, dup rate, quality pass counts)

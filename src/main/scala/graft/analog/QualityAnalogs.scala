@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.operators.QualityFilters
+import graft.operators.{Chunking, QualityFilters}
 import graft.sources.Tables
 
 /** Registry entries + DuckDB oracles for the rule-based quality
@@ -289,6 +289,52 @@ object QualityAnalogs {
         |    AND 10*n_symbols <= n_words AND 5*n_alpha_words >= 4*n_words
         |    AND n_req_stop >= 2 THEN 1 ELSE 0 END AS pass
         |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Paragraph-level dedup over the lined pages — CCNet's actual unit
+    // (the paragraph/line): the injected boilerplate lines (javascript
+    // notice on %6, curly-brace line on %5, lorem ipsum on %7) repeat
+    // verbatim across unrelated pages, exactly the cross-document
+    // boilerplate this strips; fixed-token-window chunk dedup cannot
+    // catch them (no alignment).
+    Q("dedup_paragraph_stats",
+      (s, d) => Chunking.paragraphDupStats(linedDocs(s, d)),
+      Some(s"WITH $linedCte,\n" + s"""par AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS para,
+        |    unnest(range(0, len(string_split(t, chr(10))))) AS para_idx
+        |  FROM page),
+        |cnt AS (
+        |  SELECT md5(para) AS h, count(DISTINCT doc_id) AS n_docs
+        |  FROM par GROUP BY 1)
+        |SELECT par.doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  round(CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM par JOIN cnt ON md5(par.para) = cnt.h
+        |GROUP BY par.doc_id ORDER BY par.doc_id""".stripMargin)),
+
+    Q("dedup_paragraph_clean",
+      (s, d) => Chunking.paragraphClean(linedDocs(s, d)),
+      Some(s"WITH $linedCte,\n" + s"""par AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS para,
+        |    unnest(range(0, len(string_split(t, chr(10))))) AS para_idx
+        |  FROM page),
+        |cnt AS (
+        |  SELECT md5(para) AS h, count(DISTINCT doc_id) AS n_docs
+        |  FROM par GROUP BY 1),
+        |kept AS (
+        |  SELECT par.doc_id, count(*) AS n_kept,
+        |    string_agg(par.para, chr(10) ORDER BY par.para_idx)
+        |      AS clean_text
+        |  FROM par JOIN cnt ON md5(par.para) = cnt.h
+        |  WHERE cnt.n_docs = 1
+        |  GROUP BY par.doc_id)
+        |SELECT p.doc_id, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM page p LEFT JOIN kept k USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin)),
 
     // HTML text extraction (the WARC→WET step): the line-less corpus
     // gets deterministic doc_id-derived markup — a wrapping page, a

@@ -163,4 +163,60 @@ object Chunking {
         floor((col("cum") - col("n_tok")) / budget).cast("long").as("bin"))
       .orderBy("doc_id")
   }
+
+  // ---- paragraph-level dedup: the chunk machinery at CCNet's actual
+  // unit (the paragraph/line, not a fixed token window) — the shape
+  // that strips cross-document BOILERPLATE (nav bars, cookie notices,
+  // license footers), which repeats verbatim across unrelated pages
+  // and so never forms a fixed-window alignment. ----
+
+  /** (doc_id, para_idx, para, h): documents split on `sep`, one row
+    * per paragraph with its content hash. Map-only explode.
+    */
+  def paragraphs(docs: DataFrame, sep: String = "\n"): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), sep)).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("para"), md5(col("para")).as("h"))
+
+  /** Per-doc paragraph duplication profile: paragraphs appearing in
+    * ≥ 2 DISTINCT docs are boilerplate candidates. Same two
+    * aggregations as [[dupStats]] keyed on the paragraph hash.
+    */
+  def paragraphDupStats(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val p = paragraphs(docs, sep).select("doc_id", "h")
+    val counts = p.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    p.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_paras").cast("double"),
+          6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate-stripped corpus: every doc rebuilt (order preserved)
+    * from only the paragraphs NO other doc carries — all copies of a
+    * cross-doc duplicate drop, the [[clean]] convention at paragraph
+    * granularity. Docs losing everything stay with empty text.
+    */
+  def paragraphClean(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val p = paragraphs(docs, sep)
+    val counts = p.select("doc_id", "h").groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    val kept = p.join(counts, "h")
+      .filter(col("n_docs") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          t => t.getField("para")), sep).as("clean_text"))
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

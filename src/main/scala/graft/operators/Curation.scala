@@ -364,6 +364,24 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Corpus snapshot diff — the versioning ledger between two corpus
+    * generations (the batch counterpart of the incremental-dedup
+    * screen's "what arrived" view): per doc_id, whether it was added,
+    * removed, changed (content hash differs), or unchanged. ONE
+    * full-outer equi-join on doc_id over two narrow (id, hash)
+    * projections — no text ever shuffles.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("_oh"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("_nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_oh").isNull, "added")
+          .when(col("_nh").isNull, "removed")
+          .when(col("_oh") =!= col("_nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Deterministic train/val/test assignment from a content-stable
     * hash (docs keep their split across reruns and re-shards; the same
     * md5 arithmetic is engine-portable for the verify oracle).

@@ -106,4 +106,28 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === ((2L, 1L, 0.5)))
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
+
+  test("paragraph dedup: cross-doc boilerplate drops, unique lines stay") {
+    val d = spark.createDataFrame(Seq(
+      (0L, "unique alpha line\ncookie notice here\nunique beta line"),
+      (1L, "different body text\ncookie notice here"),
+      (2L, "cookie notice here"),
+      (3L, "entirely original page"),
+      // within-doc repeat, no other doc carries it: kept twice
+      (4L, "self repeated line\nself repeated line")))
+      .toDF("doc_id", "text")
+    val stats = Chunking.paragraphDupStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(0L) === ((3L, 1L)))
+    assert(stats(1L) === ((2L, 1L)))
+    assert(stats(2L) === ((1L, 1L)))
+    assert(stats(3L) === ((1L, 0L)))
+    assert(stats(4L) === ((2L, 0L))) // distinct-DOC count is 1
+    val clean = Chunking.paragraphClean(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(clean(0L) === ((2L, "unique alpha line\nunique beta line")))
+    assert(clean(1L) === ((1L, "different body text")))
+    assert(clean(2L) === ((0L, ""))) // pure boilerplate page empties
+    assert(clean(4L) === ((2L, "self repeated line\nself repeated line")))
+  }
 }

@@ -230,4 +230,17 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val m = s1.map(t => t._1 -> t._3).toMap
     assert(m(0L) === m(1L))
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val old = spark.createDataFrame(Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will vanish")))
+      .toDF("doc_id", "text")
+    val neu = spark.createDataFrame(Seq(
+      (1L, "same text"), (2L, "has changed"), (4L, "brand new")))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }
