@@ -22,9 +22,11 @@ class RegistrySmokeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("every query has an oracle (except the known non-SQL artifacts)") {
-    // vis_report_manifest hashes rendered SVG/markdown — not expressible
-    // in DuckDB SQL, so the driver records its rows-only check
-    val oracleless = Set("vis_report_manifest")
+    // the manifest queries hash rendered SVG/markdown — not expressible
+    // in DuckDB SQL, so the driver records their rows-only check (every
+    // NUMBER inside the rendered artifacts comes from operators the
+    // oracle gate hash-verifies)
+    val oracleless = Set("vis_report_manifest", "corpus_datasheet_manifest")
     val missing = Registry.all.filter(q => q.oracle.isEmpty && !oracleless(q.name))
     assert(missing.isEmpty, s"queries missing oracles: ${missing.map(_.name)}")
     assert(oracleless.subsetOf(Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet))
