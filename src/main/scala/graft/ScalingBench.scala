@@ -111,7 +111,9 @@ object ScalingBench {
       "curation_dsir_weights", "quality_gopher_repetition",
       "quality_perplexity", "quality_perplexity_buckets",
       "text_html_extract", "domain_mix_temperature",
-      "curation_unimax_alloc", "pipeline_ingest_screen")
+      "curation_unimax_alloc", "pipeline_ingest_screen",
+      "dedup_paragraph_stats", "dedup_paragraph_clean", "corpus_diff",
+      "mm_decode_ppm", "mm_decode_wav")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
