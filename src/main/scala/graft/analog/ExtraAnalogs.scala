@@ -73,6 +73,42 @@ object ExtraAnalogs {
        |  WHEN len(hs) > 0 THEN [list_min(hs)]
        |  ELSE []::BIGINT[] END)) AS fps FROM gseq)""".stripMargin
 
+  /** Recursive BPE CTE chain (yields `bpedoc(doc_id, n_tok)`):
+    * per-word start states char-split, one lowest-rank merge per
+    * recursion step, fixpoint minimum per word, summed back over word
+    * instances — replays the SAME BpeVocab.Merges table the native
+    * BpeCount expression memoizes. Needs `WITH RECURSIVE` and the
+    * concat-after-stripMargin embedding (its list-concat `||`s would
+    * lose a bar under a spliced stripMargin).
+    */
+  private lazy val dBpeCte: String = {
+    val mk = graft.expressions.BpeVocab.Merges
+      .map { case (l, r) => s"'$l' || chr(1) || '$r'" }
+      .mkString("[", ",", "]")
+    s"""inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |         FROM documents),
+       |wd AS (SELECT DISTINCT w FROM inst),
+       |st AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS toks
+       |  FROM wd
+       |  UNION ALL
+       |  SELECT w, toks[1:bp-1] || [toks[bp] || toks[bp+1]] || toks[bp+2:]
+       |  FROM (
+       |    SELECT w, toks, list_position(rk,
+       |      list_min(list_filter(rk, x -> x > 0))) AS bp
+       |    FROM (
+       |      SELECT w, toks, list_transform(range(1, len(toks)),
+       |        i -> list_position($mk, toks[i] || chr(1) || toks[i+1])) AS rk
+       |      FROM st) s1) s2
+       |  WHERE bp IS NOT NULL AND bp > 0
+       |),
+       |bpe AS (SELECT w, min(len(toks)) AS n FROM st GROUP BY w),
+       |bpedoc AS (
+       |  SELECT i.doc_id, CAST(sum(b.n) AS BIGINT) AS n_tok
+       |  FROM inst i JOIN bpe b USING (w)
+       |  GROUP BY i.doc_id)""".stripMargin
+  }
+
   private[analog] def dMarkerHits(markers: Seq[String]) =
     s"len(list_filter(w, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
 
@@ -943,33 +979,31 @@ object ExtraAnalogs {
           graft.expressions.BpeExpressions.bpeCount(col("text"))
             .as("bpe_tokens"))
         .orderBy("doc_id"),
-      Some {
-        val mk = graft.expressions.BpeVocab.Merges
-          .map { case (l, r) => s"'$l' || chr(1) || '$r'" }
-          .mkString("[", ",", "]")
-        s"""WITH RECURSIVE
-        |inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |         FROM documents),
-        |wd AS (SELECT DISTINCT w FROM inst),
-        |st AS (
-        |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS toks
-        |  FROM wd
-        |  UNION ALL
-        |  SELECT w, toks[1:bp-1] || [toks[bp] || toks[bp+1]] || toks[bp+2:]
-        |  FROM (
-        |    SELECT w, toks, list_position(rk,
-        |      list_min(list_filter(rk, x -> x > 0))) AS bp
-        |    FROM (
-        |      SELECT w, toks, list_transform(range(1, len(toks)),
-        |        i -> list_position($mk, toks[i] || chr(1) || toks[i+1])) AS rk
-        |      FROM st) s1) s2
-        |  WHERE bp IS NOT NULL AND bp > 0
-        |),
-        |bpe AS (SELECT w, min(len(toks)) AS n FROM st GROUP BY w)
-        |SELECT i.doc_id, CAST(sum(b.n) AS BIGINT) AS bpe_tokens
-        |FROM inst i JOIN bpe b USING (w)
-        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
-      }),
+      Some(s"WITH RECURSIVE $dBpeCte\n" +
+        """SELECT doc_id, n_tok AS bpe_tokens
+        |FROM bpedoc ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing keyed on REAL BPE token counts (the verdict's
+    // "re-key pack on the tokenizer" thread): identical two-level
+    // prefix-sum operator, the per-doc size column is the native
+    // BpeCount expression; the oracle composes the recursive BPE CTE
+    // with the pack window.
+    Q("pipeline_pack_bpe",
+      (s, d) => graft.operators.Chunking.packBy(Tables.documents(s, d),
+        graft.expressions.BpeExpressions.bpeCount(col("text")))
+        .orderBy("doc_id"),
+      Some(s"WITH RECURSIVE $dBpeCte,\n" +
+        """base AS (
+        |  SELECT d.doc_id, d.source, b.n_tok
+        |  FROM documents d JOIN bpedoc b USING (doc_id)),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM base)
+        |SELECT doc_id, source, n_tok,
+        |  CAST((c - n_tok) // 256 AS BIGINT) AS bin
+        |FROM cum ORDER BY doc_id""".stripMargin)),
 
     // Frame sampling over a binary "video" payload: one row per
     // fixed-size frame with index, length, and content hash.

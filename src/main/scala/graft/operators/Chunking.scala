@@ -140,11 +140,21 @@ object Chunking {
     * ordering key preserve doc_id order across block boundaries).
     */
   def pack(docs: DataFrame, budget: Int = 256,
-      blockSize: Long = 4096L): DataFrame = {
+      blockSize: Long = 4096L): DataFrame =
+    packBy(docs, size(tokens(col("text"))).cast("long"), budget, blockSize)
+
+  /** [[pack]] generalized over the token-count EXPRESSION — the real
+    * training packer keys on the tokenizer's counts, not whitespace
+    * words: pass `BpeExpressions.bpeCount(col("text"))` to pack by
+    * actual BPE tokens (`pipeline_pack_bpe`). Identical two-level
+    * prefix-sum plan; only the per-doc size column changes.
+    */
+  def packBy(docs: DataFrame, nTok: org.apache.spark.sql.Column,
+      budget: Int = 256, blockSize: Long = 4096L): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
     val sized = docs.select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tok"))
+      nTok.cast("long").as("n_tok"))
       // `div` (integral), not floor(double /): long ids above 2^53 would
       // lose precision in the double round-trip and split/merge blocks
       .withColumn("block", expr(s"doc_id div ${blockSize}L"))
