@@ -1451,10 +1451,9 @@ object ExtraAnalogs {
           injected.filter(col("doc_id") % 10 =!= 0))
         val target = injected.filter(
           col("source").isin("src0", "src1", "src2", "src3"))
+        val (pairLp, ctxLp) = graft.operators.Perplexity.models(target)
         graft.streaming.DocStreams.ingestVerdicts(arrivingHtml, corpusIdx,
-          graft.operators.Perplexity.pairLogProbs(target),
-          graft.operators.Perplexity.ctxLogProbs(target),
-          maxNll = 6350000L)
+          pairLp, ctxLp, maxNll = 6350000L)
           .orderBy("doc_id")
       },
       Some(s"""WITH inj AS (

@@ -305,13 +305,14 @@ object QualityAnalogs {
         |  FROM page),
         |cnt AS (
         |  SELECT md5(para) AS h, count(DISTINCT doc_id) AS n_docs
-        |  FROM par GROUP BY 1)
+        |  FROM par WHERE length(para) > 0 GROUP BY 1)
         |SELECT par.doc_id, count(*) AS n_paras,
-        |  CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_dup,
-        |  round(CAST(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN COALESCE(cnt.n_docs, 1) >= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN COALESCE(cnt.n_docs, 1) >= 2
+        |    THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 6) AS dup_ratio
-        |FROM par JOIN cnt ON md5(par.para) = cnt.h
+        |FROM par LEFT JOIN cnt ON md5(par.para) = cnt.h
         |GROUP BY par.doc_id ORDER BY par.doc_id""".stripMargin)),
 
     Q("dedup_paragraph_clean",
@@ -323,13 +324,13 @@ object QualityAnalogs {
         |  FROM page),
         |cnt AS (
         |  SELECT md5(para) AS h, count(DISTINCT doc_id) AS n_docs
-        |  FROM par GROUP BY 1),
+        |  FROM par WHERE length(para) > 0 GROUP BY 1),
         |kept AS (
         |  SELECT par.doc_id, count(*) AS n_kept,
         |    string_agg(par.para, chr(10) ORDER BY par.para_idx)
         |      AS clean_text
-        |  FROM par JOIN cnt ON md5(par.para) = cnt.h
-        |  WHERE cnt.n_docs = 1
+        |  FROM par LEFT JOIN cnt ON md5(par.para) = cnt.h
+        |  WHERE COALESCE(cnt.n_docs, 1) = 1
         |  GROUP BY par.doc_id)
         |SELECT p.doc_id, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(k.clean_text, '') AS clean_text
@@ -376,8 +377,9 @@ object QualityAnalogs {
         |  CAST(len(regexp_extract_all(t, '<[^>]+>')) AS BIGINT) AS n_tags,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(regexp_replace(regexp_replace(t,
-        |        '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |        '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

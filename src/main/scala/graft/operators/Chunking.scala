@@ -169,8 +169,12 @@ object Chunking {
     val win = Window.partitionBy("source", "block").orderBy("doc_id")
     sized.join(before, Seq("source", "block"))
       .withColumn("cum", col("cum_before") + sum("n_tok").over(win))
+      // `div`, not floor(double /): a 100 TB source's cumulative token
+      // prefix exceeds 2^53 and the double round-trip could land a
+      // boundary doc one bin off (the same argument as `block` above);
+      // operands are non-negative so div == the oracle's `//`
       .select(col("doc_id"), col("source"), col("n_tok"),
-        floor((col("cum") - col("n_tok")) / budget).cast("long").as("bin"))
+        expr(s"(cum - n_tok) div ${budget}L").as("bin"))
       .orderBy("doc_id")
   }
 
@@ -194,13 +198,17 @@ object Chunking {
     * aggregations as [[dupStats]] keyed on the paragraph hash.
     */
   def paragraphDupStats(docs: DataFrame, sep: String = "\n"): DataFrame = {
-    val p = paragraphs(docs, sep).select("doc_id", "h")
-    val counts = p.groupBy("h")
+    val p = paragraphs(docs, sep).select("doc_id", "para", "h")
+    // empty paragraphs (consecutive separators) are STRUCTURE, not
+    // content: every doc with a blank line would otherwise share one
+    // hash and read as cross-doc boilerplate
+    val counts = p.filter(length(col("para")) > 0).groupBy("h")
       .agg(countDistinct("doc_id").as("n_docs"))
-    p.join(counts, "h")
+    p.join(counts, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(coalesce(col("n_docs"), lit(1L)) >= 2, 1L)
+          .otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_paras"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_paras").cast("double"),
           6).as("dup_ratio"))
@@ -214,10 +222,13 @@ object Chunking {
     */
   def paragraphClean(docs: DataFrame, sep: String = "\n"): DataFrame = {
     val p = paragraphs(docs, sep)
-    val counts = p.select("doc_id", "h").groupBy("h")
+    // same structure-vs-content rule as [[paragraphDupStats]]: empty
+    // paragraphs never count as duplicates and are always kept
+    val counts = p.filter(length(col("para")) > 0)
+      .select("doc_id", "h").groupBy("h")
       .agg(countDistinct("doc_id").as("n_docs"))
-    val kept = p.join(counts, "h")
-      .filter(col("n_docs") === 1)
+    val kept = p.join(counts, Seq("h"), "left")
+      .filter(coalesce(col("n_docs"), lit(1L)) === 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

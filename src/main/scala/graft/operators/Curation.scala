@@ -330,15 +330,18 @@ object Curation {
     val caps = perSource.select(col("source"), col("n_tokens"),
       (col("n_tokens") * maxEpochs).as("cap"))
     val w = Window.orderBy("cap", "source")
+    // sources-left = a count window from the current row to the end —
+    // deriving k via a separate caps.agg would consume `caps` twice
+    // and recompute the corpus-wide per-source aggregation
     val ranked = caps
-      .crossJoin(broadcast(caps.agg(count(lit(1)).as("k"))))
       .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("left", count(lit(1)).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .withColumn("s_prev", coalesce(
         sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("full",
-        col("cap") * (col("k") - col("i") + 1L) <=
-          lit(budgetTokens) - col("s_prev"))
+        col("cap") * col("left") <= lit(budgetTokens) - col("s_prev"))
     // full_tok / m as whole-frame window aggregates, not a separate
     // aggregation job — keeps the corpus scan in ONE linear plan
     // (ranked would otherwise be consumed twice and the per-source

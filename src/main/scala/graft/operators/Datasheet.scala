@@ -33,8 +33,8 @@ object Datasheet {
     val dup = Dedup.exact(docs)
       .agg(count(lit(1)).as("n_distinct_texts"),
         sum("n_copies").as("n_docs"),
-        sum(when(col("n_copies") >= 2, col("n_copies") - 1))
-          .as("n_exact_dups"))
+        coalesce(sum(when(col("n_copies") >= 2, col("n_copies") - 1)),
+          lit(0L)).as("n_exact_dups"))
     val quality = QualityFilters.gopherRules(docs)
       .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"),
         sum("g_words").as("n_words_ok"), sum("g_len").as("n_len_ok"),

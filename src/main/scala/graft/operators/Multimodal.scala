@@ -146,6 +146,14 @@ object Multimodal {
     pos += 1 // the single whitespace byte after maxval (PPM spec)
     val n = w.toLong * h
     require(n > 0, s"doc $id: empty ppm ($w x $h)")
+    // P6 allows maxval up to 65535 with TWO bytes per sample — the
+    // stride-3 walk below would silently read interleaved halves.
+    // Reject rather than misparse; extend here if 16-bit PPMs appear.
+    require(mx > 0 && mx <= 255,
+      s"doc $id: maxval $mx needs 2-byte samples")
+    require(bytes.length - pos >= n * 3,
+      s"doc $id: truncated ppm — need ${n * 3} pixel bytes, " +
+        s"have ${bytes.length - pos}")
     var (sr, sg, sb) = (0L, 0L, 0L)
     var i = pos; var k = 0L
     while (k < n) {
@@ -174,6 +182,10 @@ object Multimodal {
     var dataOff = -1; var dataLen = 0L
     while (pos + 8 <= bytes.length) {
       val t = tag(pos); val len = u32(pos + 4)
+      // trust nothing declared: a corrupt length must fail loudly, not
+      // loop (negative toInt) or walk past the buffer
+      require(len >= 0 && pos + 8 + len <= bytes.length,
+        s"doc $id: chunk '$t' declares $len bytes past the buffer")
       if (t == "fmt ") {
         require(u16(pos + 8) == 1, s"doc $id: not PCM")
         ch = u16(pos + 10).toLong

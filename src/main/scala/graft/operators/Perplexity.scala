@@ -77,33 +77,45 @@ object Perplexity {
   private def ctxCounts(target: DataFrame, buckets: Int): DataFrame =
     transitions(target, buckets).groupBy("bp").agg(count(lit(1)).as("cu"))
 
+  /** Both model halves from ONE context-count frame: (pairLp, ctxLp).
+    * Sharing the `ctxCounts` DataFrame keeps its aggregation subtree
+    * canonically identical in the two branches, so Spark's
+    * ReuseExchange computes the target's (bp) aggregate once per job
+    * (pairLogProbs/ctxLogProbs called separately would each rebuild
+    * it). Callers that reuse the model across jobs (the ingest
+    * pipeline) additionally persist the two frames.
+    */
+  def models(target: DataFrame, buckets: Int = 4096)
+      : (DataFrame, DataFrame) = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val ctx = ctxCounts(target, buckets)
+    val pairs = transitions(target, buckets)
+      .groupBy("bp", "bn").agg(count(lit(1)).as("cb"))
+    val pairLp = pairs.join(ctx, "bp")
+      .select(col("bp"), col("bn"),
+        round((log(col("cb") + lit(1L))
+          - log(col("cu") + lit(buckets.toLong))) * 1e6)
+          .cast("long").as("lp"))
+    val ctxLp = ctx.select(col("bp"),
+      round(-log(col("cu") + lit(buckets.toLong)) * 1e6)
+        .cast("long").as("lp_ctx"))
+    (pairLp, ctxLp)
+  }
+
   /** The observed-pair half of the model: (bp, bn, lp) micro-nat
     * log-probs for every transition the target corpus contains —
     * bounded by the target's transition count (and hard-capped at
     * B²), never by the raw corpus.
     */
-  def pairLogProbs(target: DataFrame, buckets: Int = 4096): DataFrame = {
-    require(buckets > 0, s"buckets must be > 0, got $buckets")
-    val t = transitions(target, buckets)
-    val pairs = t.groupBy("bp", "bn").agg(count(lit(1)).as("cb"))
-    pairs.join(ctxCounts(target, buckets), "bp")
-      .select(col("bp"), col("bn"),
-        round((log(col("cb") + lit(1L))
-          - log(col("cu") + lit(buckets.toLong))) * 1e6)
-          .cast("long").as("lp"))
-  }
+  def pairLogProbs(target: DataFrame, buckets: Int = 4096): DataFrame =
+    models(target, buckets)._1
 
   /** The backoff half: (bp, lp_ctx) — the log-prob of an UNSEEN next
     * bucket after a context the target HAS seen (add-1 numerator 1).
     * At most B rows.
     */
-  def ctxLogProbs(target: DataFrame, buckets: Int = 4096): DataFrame = {
-    require(buckets > 0, s"buckets must be > 0, got $buckets")
-    ctxCounts(target, buckets)
-      .select(col("bp"),
-        round(-log(col("cu") + lit(buckets.toLong)) * 1e6)
-          .cast("long").as("lp_ctx"))
-  }
+  def ctxLogProbs(target: DataFrame, buckets: Int = 4096): DataFrame =
+    models(target, buckets)._2
 
   /** The global floor: log-prob of a transition whose CONTEXT the
     * target never saw — ln(1) − ln(0 + B). BigDecimal HALF_UP matches
@@ -141,12 +153,13 @@ object Perplexity {
     * `sum_lp` ≤ 0 since every model entry has cb+1 ≤ cu+B).
     */
   def score(raw: DataFrame, target: DataFrame,
-      buckets: Int = 4096): DataFrame =
-    scoreTransitions(raw, pairLogProbs(target, buckets),
-      ctxLogProbs(target, buckets), buckets)
+      buckets: Int = 4096): DataFrame = {
+    val (pairLp, ctxLp) = models(target, buckets)
+    scoreTransitions(raw, pairLp, ctxLp, buckets)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"), sum("lp").as("sum_lp"))
       .withColumn("nll_per_tok", expr("(-sum_lp) div n_trans"))
+  }
 
   /** CCNet's head/middle/tail routing: every doc tagged by which
     * tercile of the corpus' `nll_per_tok` distribution it falls in

@@ -66,11 +66,19 @@ object Scrub {
   // ---- HTML text extraction (the WARC→WET step of a web-crawl
   // pipeline: markup out, visible text + decoded entities kept) ----
 
-  /** script/style elements with their CONTENT (which is code, not
-    * text — and can contain `<`). Inline `(?is)`: case-insensitive +
-    * dotall, identical semantics in Java regex and RE2.
+  /** script / style elements with their CONTENT (which is code, not
+    * text — and can contain `<`). TWO patterns, not one alternation:
+    * RE2 has no backreferences, and a combined
+    * `<(script|style)>.*?</(script|style)>` would let a script
+    * element "close" at a `</style>` inside its code, leaking the
+    * rest of the script into the extracted text. (A literal
+    * `"</script>"` inside a JS string still terminates the element —
+    * the browser-spec behavior, which real extractors share.) Inline
+    * `(?is)`: case-insensitive + dotall, identical in Java regex and
+    * RE2.
     */
-  val ScriptRe = "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>"
+  val ScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val StyleRe = "(?is)<style[^>]*>.*?</style>"
 
   /** HTML comments, dotall (comments span lines). */
   val CommentRe = "(?s)<!--.*?-->"
@@ -92,7 +100,8 @@ object Scrub {
     * whitespace runs, trim.
     */
   def extractText(html: Column): Column = {
-    val noScript = regexp_replace(html, ScriptRe, " ")
+    val noScript = regexp_replace(
+      regexp_replace(html, ScriptRe, " "), StyleRe, " ")
     val noComment = regexp_replace(noScript, CommentRe, " ")
     val noTags = regexp_replace(noComment, TagRe, " ")
     val decoded = Entities.foldLeft(noTags) { case (c, (k, v)) =>

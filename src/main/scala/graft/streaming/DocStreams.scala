@@ -238,18 +238,24 @@ object DocStreams {
       minWords: Int = 20)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val bandIndex = bandRows(corpus).persist()
-    val pairLp = graft.operators.Perplexity.pairLogProbs(target).persist()
-    val ctxLp = graft.operators.Perplexity.ctxLogProbs(target).persist()
+    val (pairLp0, ctxLp0) = graft.operators.Perplexity.models(target)
+    val (pairLp, ctxLp) = (pairLp0.persist(), ctxLp0.persist())
     bandIndex.count(); pairLp.count(); ctxLp.count()
     val in = spark.readStream
       .schema(graft.sources.Tables.documentsSchema)
       .parquet(srcDir)
     in.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
+        // idempotent sink: each micro-batch OVERWRITES its own
+        // batch_id partition, so a replay after a crash between the
+        // sink write and the checkpoint commit rewrites the same
+        // partition instead of appending duplicate verdicts (plain
+        // `append` would double-count every doc of the replayed batch)
         ingestVerdicts(b.toDF(), bandIndex, pairLp, ctxLp, maxNll,
           minWords)
-          .write.mode("append").parquet(sinkDir)
+          .write.mode("overwrite")
+          .parquet(s"$sinkDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)

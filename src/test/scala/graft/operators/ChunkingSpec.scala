@@ -130,4 +130,21 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
     assert(clean(2L) === ((0L, ""))) // pure boilerplate page empties
     assert(clean(4L) === ((2L, "self repeated line\nself repeated line")))
   }
+
+  test("empty paragraphs are structure, not cross-doc boilerplate") {
+    // both docs contain a blank line (consecutive separators) — it
+    // must neither count as duplicated nor be stripped
+    val d = spark.createDataFrame(Seq(
+      (0L, "alpha one\n\nbeta two"),
+      (1L, "gamma three\n\ndelta four")))
+      .toDF("doc_id", "text")
+    val stats = Chunking.paragraphDupStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(0L) === ((3L, 0L)))
+    assert(stats(1L) === ((3L, 0L)))
+    val clean = Chunking.paragraphClean(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(clean(0L) === "alpha one\n\nbeta two") // blank line survives
+    assert(clean(1L) === "gamma three\n\ndelta four")
+  }
 }

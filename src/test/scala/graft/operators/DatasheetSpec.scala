@@ -36,6 +36,16 @@ class DatasheetSpec extends AnyFunSuite with SparkSpec {
     assert(idx.forall(_ >= 0) && idx === idx.sorted)
   }
 
+  test("a dup-free corpus reports 0 exact dups, not null") {
+    val unique = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") =!= 1L)
+    val md = Datasheet.render(unique).head._2
+    assert(md.contains("| 3 | 3 | 0 |"))
+    val dupSection = md.substring(md.indexOf("## Exact duplication"),
+      md.indexOf("## Gopher quality"))
+    assert(!dupSection.contains("null"), dupSection)
+  }
+
   test("the mixture figure is valid SVG naming every source") {
     val svg = Datasheet.render(docs).last._2
     assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))

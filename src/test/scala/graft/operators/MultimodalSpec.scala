@@ -118,6 +118,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert((m2.n_samples, m2.peak, m2.sum_abs) === ((2L, 1L, 2L)))
   }
 
+  test("malformed payloads fail loudly, never hang or misparse") {
+    // truncated pixel array: a diagnosable require, not a raw AIOOBE
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.parsePpm(1L, ppm(2, 2, Seq(1, 2, 3, 4, 5, 6)))
+    }
+    assert(e1.getMessage.contains("truncated"))
+    // 16-bit maxval would silently stride wrong: rejected by name
+    val bad16 = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 0, 2, 0, 3)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.parsePpm(2L, bad16)
+    }
+    assert(e2.getMessage.contains("2-byte"))
+    // a WAV chunk declaring a length past the buffer (or one whose
+    // i32 view is negative) must require out, not loop forever
+    val w0 = wav(Seq(1, 2), junk = false)
+    val corrupt = w0.clone()
+    corrupt(16) = 0xF8.toByte; corrupt(17) = 0xFF.toByte
+    corrupt(18) = 0xFF.toByte; corrupt(19) = 0xFF.toByte // fmt len
+    val e3 = intercept[IllegalArgumentException] {
+      Multimodal.parseWav(3L, corrupt)
+    }
+    assert(e3.getMessage.contains("past the buffer"))
+  }
+
   test("decodePpm/decodeWav run distributed over payload frames") {
     val s = spark; import s.implicits._
     val frames = Seq(

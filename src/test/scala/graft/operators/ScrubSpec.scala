@@ -78,4 +78,20 @@ class ScrubSpec extends AnyFunSuite with SparkSpec {
       "upper survives", // (?i): SCRIPT matches
       ""))
   }
+
+  test("a script element never terminates at a </style> in its code") {
+    // the single-alternation pattern <(script|style)>.*?</(script|style)>
+    // would end the script at the quoted </style> and leak trackUser()
+    val html = spark.createDataFrame(Seq(
+      (0L, "before<script>var a = \"</style>\"; trackUser()</script>after"),
+      (1L, "x<style>p { content: \"</script>\" }</style>y")))
+      .toDF("doc_id", "text")
+    val got = Scrub.extractHtml(html).orderBy("doc_id").collect()
+      .map(_.getString(3))
+    assert(got(0) === "before after")
+    assert(!got(0).contains("trackUser"))
+    // and symmetrically the style closes at </style>, not the quoted
+    // </script> inside its content
+    assert(got(1) === "x y")
+  }
 }
