@@ -1214,6 +1214,29 @@ object ExtraAnalogs {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
         |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Batch twin of the STREAM-STREAM attribution join
+    // (graft.streaming.EventStreams.attribution): every purchase
+    // matched to same-user clicks in the preceding 30 minutes. The
+    // operator is the Structured Streaming stream-stream join
+    // (watermarks both sides, event-time range bounding state); in
+    // batch the watermarks are no-ops and the oracle is the plain
+    // inequality join.
+    Q("stream_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.streaming.EventStreams.attribution(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+        |  p.ts AS p_ts, c.event_id AS click_id, c.ts AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin)),
+
     // Backward as-of join (TemporalJoins.asOfJoin — union + window, one
     // equi-shuffle, never a nested loop): each purchase matched to the
     // user's latest click at-or-before it. The oracle is DuckDB's

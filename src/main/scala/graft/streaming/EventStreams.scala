@@ -140,6 +140,40 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** STREAM-STREAM attribution join: each purchase matched to every
+    * click by the same user in the `windowMinutes` before it — the
+    * canonical ad-attribution shape, and the engine's exerciser of
+    * Structured Streaming's stream-stream join (both inputs unbounded,
+    * watermarked state on both sides). The event-time range condition
+    * `c_ts ∈ [p_ts − window, p_ts]` plus the two watermarks is exactly
+    * what lets Spark bound and evict join state: a click older than
+    * (purchase watermark − window) can never match again.
+    *
+    * Written against plain DataFrames, so the SAME code runs in batch
+    * for the oracle (`stream_attribution`; `withWatermark` is a no-op
+    * on batch frames). Batch-at-scale note: the bucketized
+    * [[graft.operators.TemporalJoins.rangeJoin]] is the 100 TB BATCH
+    * plan for this shape — this operator is the CONTINUOUS one, where
+    * state is bounded by the watermark horizon, not corpus size.
+    */
+  def attribution(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    require(windowMinutes > 0,
+      s"windowMinutes must be > 0, got $windowMinutes")
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("_c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("_c_user") &&
+        col("c_ts") >= col("p_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+  }
+
   /** Streaming entry: parquet-directory source → hourly aggregate →
     * parquet sink with checkpointing. Returns the running query; callers
     * own its lifecycle (`awaitTermination` in a deployment,

@@ -116,4 +116,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(closed === Seq(org.apache.spark.sql.Row(1L, ts(0), ts(10), 2L)))
     } finally query.stop()
   }
+
+  test("stream-stream attribution joins purchases to preceding clicks") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    // u1 purchases at 10:40: clicks at 10:15/10:39 match (within 30
+    // min before), 10:05 is too old, 10:45 is after; u2 never buys
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val query = attribution(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Event(10, ts(5), 1, "click", 0.0),
+        Event(11, ts(15), 1, "click", 0.0),
+        Event(12, ts(39), 1, "click", 0.0),
+        Event(13, ts(45), 1, "click", 0.0),
+        Event(14, ts(20), 2, "click", 0.0))
+      purchases.addData(Event(20, ts(40), 1, "purchase", 9.0))
+      query.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      assert(got === Seq((20L, 11L), (20L, 12L)))
+      // a second micro-batch purchase still matches state-held clicks
+      purchases.addData(Event(21, ts(50), 2, "purchase", 5.0))
+      query.processAllAvailable()
+      val got2 = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      assert(got2 === Seq((20L, 11L), (20L, 12L), (21L, 14L)))
+    } finally query.stop()
+  }
+
+  test("attribution batch twin: same code, watermark a no-op") {
+    import ss.implicits._
+    val evs = Seq(
+      Event(10, ts(5), 1, "click", 0.0),
+      Event(11, ts(15), 1, "click", 0.0),
+      Event(20, ts(40), 1, "purchase", 9.0)).toDF()
+    val got = attribution(
+      evs.filter("event_type = 'purchase'"),
+      evs.filter("event_type = 'click'"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === Seq((20L, 11L)))
+  }
 }
