@@ -1445,6 +1445,59 @@ object ExtraAnalogs {
         |       vec_id, cand, sim, rnk AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
 
+    // Batch twin of the STREAMING IVF screen
+    // (graft.streaming.VecStreams.ivfScreen): every 20th vector
+    // arrives (one minute per vec_id), per-row-ranks the full-corpus
+    // k-means centroids (driver-held model literal), and probes its 2
+    // best cells of the non-arriving index — the trained-index
+    // counterpart of stream_ann_screen, sharing the sim_ivf_topk
+    // oracle's Lloyd CTE so the two cannot drift.
+    Q("stream_ivf_screen",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val cents = Similarity.trainIvfCentroids(embs)
+        val arrivals = embs.filter(col("vec_id") % 20 === 0)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+          .select("vec_id", "embedding", "ts")
+        val index = Similarity.ivfCellsWith(
+          embs.filter(col("vec_id") % 20 =!= 0), cents)
+        graft.streaming.VecStreams.ivfScreen(arrivals, index, cents)
+          .select(col("hour"), col("vec_id"),
+            posexplode(col("matches")).as(Seq("pos", "m")))
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("vec_id"), col("m.label").as("cand"),
+            col("m.score").as("sim"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |q AS (
+        |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
+        |  FROM a3 a JOIN v USING (vec_id)
+        |  WHERE a.rk <= 2 AND v.vec_id % 20 = 0
+        |),
+        |c AS (SELECT vec_id, emb, norm, cell FROM cells
+        |      WHERE vec_id % 20 <> 0),
+        |hits AS (
+        |  SELECT q.vec_id, CAST(c.vec_id AS VARCHAR) AS cand,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+        |           AS sim
+        |  FROM q JOIN c USING (cell)
+        |),
+        |ranked AS (
+        |  SELECT vec_id, cand, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, cand) AS rnk
+        |  FROM hits
+        |)
+        |SELECT strftime(date_trunc('hour',
+        |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |       vec_id, cand, sim, rnk AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
     // THE COMPOSED INGEST SCREEN (batch twin of
     // DocStreams.startIngestPipeline's per-micro-batch body): every
     // 10th doc "arrives" wrapped in deterministic HTML (a page, a

@@ -44,4 +44,46 @@ object VecStreams {
       .agg(TopKAgg.topK(col("sim"), col("cand"), k).as("matches"))
       .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
   }
+
+  /** IVF-routed streaming screen — the trained-index counterpart of
+    * [[annScreen]]: each arriving vector ranks the k-means centroids
+    * PER ROW (the model is a driver-held k×d literal — the
+    * dsirScreen dense-model pattern; a window-rank over a streaming
+    * frame isn't available) and probes its `nprobe` best cells'
+    * inverted lists via one stream-static join. The per-row sort key
+    * (−rounded sim, cent_id) reproduces the batch `assignRanked`
+    * ordering exactly, so the probe set matches
+    * [[graft.operators.Similarity.ivfTopK]]'s rk ≤ nprobe by
+    * construction. Tail identical to [[annScreen]]: watermark, 1-hour
+    * window, bounded-heap top-k.
+    */
+  def ivfScreen(streamEmbs: DataFrame, cells: DataFrame,
+      cents: Seq[Array[Long]], k: Int = 3, nprobe: Int = 2): DataFrame = {
+    require(cents.nonEmpty, "cents must be non-empty")
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe must be in [1, ${cents.size}], got $nprobe")
+    val centLit = typedLit(cents.zipWithIndex.map { case (cv, i) =>
+      val d = cv.map(_.toDouble).toSeq
+      (i.toLong, d, math.sqrt(d.map(x => x * x).sum))
+    })
+    val q = streamEmbs
+      .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .withColumn("cell", explode(transform(
+        slice(array_sort(transform(centLit, c => struct(
+          (-round(vecDot(col("embedding"), c.getField("_2")) /
+            (col("norm") * c.getField("_3")), 6)).as("ns"),
+          c.getField("_1").as("cid")))), 1, nprobe),
+        t => t.getField("cid"))))
+      .withWatermark("ts", "1 hour")
+    val c = cells.select(col("cell"), col("vec_id").as("cand_id"),
+      col("embedding").as("cand_emb"), col("norm").as("cand_norm"))
+    q.join(c, Seq("cell"))
+      .select(col("ts"), col("vec_id"),
+        round(vecDot(col("embedding"), col("cand_emb")) /
+          (col("norm") * col("cand_norm")), 6).as("sim"),
+        col("cand_id").cast("string").as("cand"))
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .agg(TopKAgg.topK(col("sim"), col("cand"), k).as("matches"))
+      .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
+  }
 }

@@ -50,4 +50,42 @@ class VecStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(matches.head._2 === 1.0)
     } finally query.stop()
   }
+
+  test("IVF screen routes per-row like the batch assignment and matches") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    // 8+ vectors so the default seed (vec_id < 8) trains: two tight
+    // groups on orthogonal axes
+    val corpus = spark.createDataFrame((0L until 10L).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f)
+      (i, base.map(x => x + (i.toFloat / 100f) * x), i.toInt % 2)
+    }).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.trainIvfCentroids(corpus)
+    val cells = Similarity.ivfCellsWith(corpus, cents)
+
+    val mem = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val query = VecStreams.ivfScreen(
+      mem.toDF().toDF("vec_id", "embedding", "ts"), cells, cents, k = 2)
+      .writeStream.format("memory").queryName("ivf_screen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1000L, Seq(0.95f, 0.05f, 0f, 0f),
+        Timestamp.valueOf("2023-01-01 10:30:00")))
+      query.processAllAvailable()
+      mem.addData((1001L, Seq(0f, 0f, 1f, 0f),
+        Timestamp.valueOf("2023-01-01 14:30:00"))) // advance watermark
+      query.processAllAvailable()
+      mem.addData((1002L, Seq(0f, 0f, 0f, 1f),
+        Timestamp.valueOf("2023-01-01 18:30:00")))
+      query.processAllAvailable()
+      val rows = spark.table("ivf_screen").filter("vec_id = 1000").collect()
+      assert(rows.length === 1)
+      val matches = rows.head.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => r.getString(1))
+      // nprobe=2 reaches BOTH cells; best matches are the x-axis
+      // vectors nearest [0.95, 0.05]: the top-2 must be x-axis ids
+      assert(matches.length === 2)
+      assert(matches.forall(m => m.toLong % 2 == 0))
+    } finally query.stop()
+  }
 }
