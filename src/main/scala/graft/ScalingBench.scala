@@ -113,7 +113,8 @@ object ScalingBench {
       "text_html_extract", "domain_mix_temperature",
       "curation_unimax_alloc", "pipeline_ingest_screen",
       "dedup_paragraph_stats", "dedup_paragraph_clean", "corpus_diff",
-      "mm_decode_ppm", "mm_decode_wav")
+      "mm_decode_ppm", "mm_decode_wav", "pipeline_pack_bpe",
+      "stream_ivf_screen")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
