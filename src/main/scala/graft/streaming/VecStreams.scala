@@ -62,15 +62,18 @@ object VecStreams {
     require(cents.nonEmpty, "cents must be non-empty")
     require(nprobe >= 1 && nprobe <= cents.size,
       s"nprobe must be in [1, ${cents.size}], got $nprobe")
-    val centLit = typedLit(cents.zipWithIndex.map { case (cv, i) =>
-      val d = cv.map(_.toDouble).toSeq
-      (i.toLong, d, math.sqrt(d.map(x => x * x).sum))
-    })
+    val centLit = typedLit(Similarity.centroidModel(cents))
+    // sort key: ascending (−sim) == batch's sim DESC for every real
+    // cosine; a NaN sim (zero-norm centroid) must ALSO agree — Spark
+    // sorts NaN largest, so batch DESC puts it FIRST, and −NaN is
+    // still NaN (last ascending): map it to −∞ so it leads here too
+    def negSim(s: org.apache.spark.sql.Column) =
+      when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
     val q = streamEmbs
       .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
       .withColumn("cell", explode(transform(
         slice(array_sort(transform(centLit, c => struct(
-          (-round(vecDot(col("embedding"), c.getField("_2")) /
+          negSim(round(vecDot(col("embedding"), c.getField("_2")) /
             (col("norm") * c.getField("_3")), 6)).as("ns"),
           c.getField("_1").as("cid")))), 1, nprobe),
         t => t.getField("cid"))))
