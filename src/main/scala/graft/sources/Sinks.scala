@@ -44,6 +44,44 @@ object Sinks {
       .json(path)
   }
 
+  /** Small-file compaction — the maintenance pass every streaming
+    * sink eventually needs (the ingest pipeline's idempotent
+    * per-batch partitions each hold a micro-batch's worth of files;
+    * a 1000-batch day leaves thousands of kilobyte parquet files
+    * whose open/footer overhead dominates downstream scans).
+    * Rewrites the dataset at `path` into ~`targetBytes`-sized files:
+    * file count = ceil(current total bytes / targetBytes), laid out
+    * by `repartition` (round-robin — even sizes without a sort).
+    * Writes to `path + ".compact"` then swaps via atomic-ish renames:
+    * never rewrites in place, so a crash mid-compaction leaves the
+    * original intact (the stale `.compact` dir is simply re-run).
+    * Returns the output file count.
+    *
+    * Hive-partitioned inputs (the ingest sink's `batch_id=N` layout)
+    * flatten: the partition column becomes an ordinary data column in
+    * the compacted output — provenance preserved as data, not layout.
+    * Stop the writing stream before compacting its sink (the standard
+    * maintenance-window contract; a restarted query would interleave
+    * fresh partition dirs with the flattened files).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val old = new org.apache.hadoop.fs.Path(path + ".precompact")
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(hPath, old)
+    fs.rename(tmp, hPath)
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** ORC sink — the other columnar interchange format (Hive-native
     * stacks). Same scale shape as [[writeParquet]]: columnar + striped
     * so downstream scans prune columns and split by stripe; zstd keeps

@@ -103,6 +103,30 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(q.count() === 9)
   }
 
+  test("compaction rewrites a fragmented sink, values intact") {
+    val s = spark; import s.implicits._
+    val rows = (0L until 500L).map(i => (i, s"text body number $i"))
+    val dir = Files.createTempDirectory("graft_compact").toString + "/data"
+    // fragment: 20 small files
+    rows.toDF("doc_id", "text").repartition(20)
+      .write.mode("overwrite").parquet(dir)
+    def parquetFiles = {
+      val d = new java.io.File(dir)
+      if (d.exists) d.listFiles().count(_.getName.endsWith(".parquet"))
+      else 0
+    }
+    assert(parquetFiles === 20)
+    val n = Sinks.compactParquet(spark, dir, targetBytes = 64L * 1024)
+    assert(n >= 1 && n < 20)
+    assert(parquetFiles === n)
+    // byte-identical content, no leftover staging dirs
+    val back = spark.read.parquet(dir).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back === rows)
+    assert(!new java.io.File(dir + ".compact").exists)
+    assert(!new java.io.File(dir + ".precompact").exists)
+  }
+
   test("partitioned parquet sink prunes by partition column") {
     val dir = Files.createTempDirectory("graft_pq").toString
     Sinks.writeParquet(df, dir, partitionBy = Seq("business"))
