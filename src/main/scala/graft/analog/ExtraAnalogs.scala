@@ -983,6 +983,62 @@ object ExtraAnalogs {
         """SELECT doc_id, n_tok AS bpe_tokens
         |FROM bpedoc ORDER BY doc_id""".stripMargin)),
 
+    // BPE merge TRAINING (Sennrich 2016 — the learn half of the BPE
+    // story; text_bpe_count applies a fixed public table). The oracle
+    // UNROLLS the 8 greedy iterations as chained CTEs (the Lloyd
+    // k-means precedent): per round, weighted adjacent-pair counts
+    // over the vocab, arg-max with (cnt DESC, l, r) ties, and the
+    // merge applied via replace() on a sentinel-delimited token
+    // string — chr(1)+l+chr(1)chr(1)+r+chr(1) → chr(1)+lr+chr(1)
+    // anchors whole tokens (inner boundaries are DOUBLE sentinels)
+    // and consumes one boundary per hit, which reproduces the
+    // left-to-right non-overlapping greedy exactly (back-to-back
+    // pairs share a boundary, so the second occurrence no longer
+    // matches — same as the skip-2 loop).
+    Q("text_bpe_train",
+      (s, d) => graft.operators.BpeTrain
+        .learnMerges(Tables.documents(s, d), nMerges = 8)
+        .orderBy("rank"),
+      Some {
+        val iters = (1 to 8).map { i =>
+          s"""tk$i AS (
+             |  SELECT freq, string_split(trim(s, chr(1)),
+             |    chr(1) || chr(1)) AS t
+             |  FROM st$i),
+             |p$i AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq,
+             |      unnest(list_transform(range(1, len(t)), j -> t[j])) AS l,
+             |      unnest(list_transform(range(1, len(t)), j -> t[j+1])) AS r
+             |    FROM tk$i)
+             |  GROUP BY l, r),
+             |b$i AS (SELECT l, r, cnt FROM p$i
+             |        ORDER BY cnt DESC, l, r LIMIT 1),
+             |st${i + 1} AS (
+             |  SELECT w, freq,
+             |    replace(s, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+             |      chr(1) || b.l || b.r || chr(1)) AS s
+             |  FROM st$i, b$i b)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 8).map(i =>
+          s"SELECT $i AS rank, l AS \"left\", r AS \"right\", l || r AS merged, cnt FROM b$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH vf AS (
+           |  SELECT w, count(*) AS freq FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY w),
+           |st1 AS (
+           |  SELECT w, freq,
+           |    chr(1) || array_to_string(
+           |      list_transform(range(1, length(w) + 1), i -> w[i]),
+           |      chr(1) || chr(1)) || chr(1) AS s
+           |  FROM vf),
+           |$iters
+           |SELECT CAST(rank AS BIGINT) AS rank, "left", "right",
+           |  merged, cnt
+           |FROM ($out) ORDER BY rank""".stripMargin
+      }),
+
     // Sequence packing keyed on REAL BPE token counts (the verdict's
     // "re-key pack on the tokenizer" thread): identical two-level
     // prefix-sum operator, the per-doc size column is the native

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class BpeTrainSpec extends AnyFunSuite with SparkSpec {
+
+  private def df(texts: String*) =
+    spark.createDataFrame(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t) }).toDF("doc_id", "text")
+
+  test("learns the classic merge sequence on a hand corpus") {
+    // vocab: low ×2 (one doc has it twice), lower, lowest — 'l','o'
+    // is the most frequent adjacent pair (4), then 'lo','w' (4 after
+    // merge 1), then 'e' pairs
+    val docs = df("low low lower", "lowest low")
+    val got = BpeTrain.learnMerges(docs, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got(0) === ((1L, "l", "o", "lo", 5L)))
+    assert(got(1) === ((2L, "lo", "w", "low", 5L)))
+    // after [lo][w]: low=[low], lower=[low,e,r], lowest=[low,e,s,t]
+    // pairs: (low,e)x2, (e,r)x1, (e,s)x1, (s,t)x1
+    assert(got(2) === ((3L, "low", "e", "lowe", 2L)))
+  }
+
+  test("ties break on (count desc, left, right) binary order") {
+    // 'ab' and 'ba' pairs both occur twice ('abab'); 'ab' < 'ba'
+    val got = BpeTrain.learnMerges(df("abab abab"), nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // pairs in 'abab': (a,b)x2, (b,a)x1 per word, freq 2 → ab=4, ba=2
+    assert(got(0) === (("a", "b", 4L)))
+  }
+
+  test("back-to-back pairs merge left-to-right, non-overlapping") {
+    // 'aaaa' with merge (a,a): greedy gives [aa][aa], so round 2's
+    // top pair is (aa,aa)
+    val got = BpeTrain.learnMerges(df("aaaa"), nMerges = 2).collect()
+      .map(r => (r.getString(3), r.getLong(4)))
+    assert(got(0) === (("aa", 3L))) // positional count in a-a-a-a
+    assert(got(1) === (("aaaa", 1L)))
+  }
+
+  test("minFreq prunes the vocabulary before the loop") {
+    val docs = df("zz zz zz qq")
+    // qq appears once; with minFreq=2 only zz trains
+    val got = BpeTrain.learnMerges(docs, nMerges = 1, minFreq = 2L)
+      .collect().map(r => r.getString(3))
+    assert(got(0) === "zz")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.learnMerges(docs, nMerges = 1, maxVocab = 1)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+}
