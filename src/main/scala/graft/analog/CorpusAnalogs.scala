@@ -399,7 +399,7 @@ object CorpusAnalogs {
         val target =
           docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
         graft.streaming.DocStreams.perplexityScreen(docs,
-          Perplexity.pairLogProbs(target), Perplexity.ctxLogProbs(target))
+          Perplexity.model(target))
           .orderBy("doc_id", "pos")
       },
       Some(s"""WITH $tokCte,

@@ -1583,9 +1583,8 @@ object ExtraAnalogs {
           injected.filter(col("doc_id") % 10 =!= 0))
         val target = injected.filter(
           col("source").isin("src0", "src1", "src2", "src3"))
-        val (pairLp, ctxLp) = graft.operators.Perplexity.models(target)
         graft.streaming.DocStreams.ingestVerdicts(arrivingHtml, corpusIdx,
-          pairLp, ctxLp, maxNll = 6350000L)
+          graft.operators.Perplexity.model(target), maxNll = 6350000L)
           .orderBy("doc_id")
       },
       Some(s"""WITH inj AS (

@@ -374,17 +374,21 @@ object QualityAnalogs {
         |    || '</body></html>' AS t
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |  CAST(len(regexp_extract_all(t, 'TAG_RE')) AS BIGINT) AS n_tags,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
         |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |        '(?s)<!--.*?-->', ' ', 'g'),
-        |        '<[^>]+>', ' ', 'g'),
+        |        'TAG_RE', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean_text
-        |FROM inj ORDER BY doc_id""".stripMargin))
+        |FROM inj ORDER BY doc_id""".stripMargin
+        // the SAME tag regex the engine applies (Scrub.TagRe is valid
+        // RE2), spliced AFTER stripMargin so margin processing can't
+        // touch it
+        .replace("TAG_RE", graft.operators.Scrub.TagRe)))
   )
 }

@@ -184,12 +184,17 @@ object Chunking {
   // license footers), which repeats verbatim across unrelated pages
   // and so never forms a fixed-window alignment. ----
 
-  /** (doc_id, para_idx, para, h): documents split on `sep`, one row
-    * per paragraph with its content hash. Map-only explode.
+  /** (doc_id, para_idx, para, h): documents split on the LITERAL
+    * separator `sep`, one row per paragraph with its content hash.
+    * Map-only explode. Spark's `split` takes a Java regex, so `sep`
+    * is `Pattern.quote`d — a separator with metacharacters ("|",
+    * ".", "\n\n") would otherwise silently diverge from the
+    * literal-delimiter semantics the oracle and callers assume.
     */
   def paragraphs(docs: DataFrame, sep: String = "\n"): DataFrame =
     docs.select(col("doc_id"),
-      posexplode(split(col("text"), sep)).as(Seq("para_idx", "para")))
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("para_idx", "para")))
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
         col("para"), md5(col("para")).as("h"))
 

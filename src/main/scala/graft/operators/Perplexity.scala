@@ -77,15 +77,41 @@ object Perplexity {
   private def ctxCounts(target: DataFrame, buckets: Int): DataFrame =
     transitions(target, buckets).groupBy("bp").agg(count(lit(1)).as("cu"))
 
+  /** The trained bigram LM: both model frames PLUS the bucket count
+    * they were hashed into. The bucket count travels with the frames
+    * because scoring re-buckets the scored corpus — a model built at
+    * B=2048 but scored at the 4096 default would hash transitions
+    * into a different bucket space and silently drop every lookup to
+    * the backoff/floor. Carrying `buckets` here makes that mismatch
+    * unrepresentable.
+    */
+  final case class LmModel(pairLp: DataFrame, ctxLp: DataFrame,
+      buckets: Int) {
+    /** Persisted copy (the ingest pipeline's stream-static contract:
+      * an unpersisted model frame re-evaluates per micro-batch).
+      * Eager — both frames are materialized before return.
+      */
+    def persisted(): LmModel = {
+      val p = pairLp.persist(); val c = ctxLp.persist()
+      p.count(); c.count()
+      LmModel(p, c, buckets)
+    }
+  }
+
+  /** Train the model: see [[LmModel]]. */
+  def model(target: DataFrame, buckets: Int = 4096): LmModel = {
+    val (p, c) = models(target, buckets)
+    LmModel(p, c, buckets)
+  }
+
   /** Both model halves from ONE context-count frame: (pairLp, ctxLp).
     * Sharing the `ctxCounts` DataFrame keeps its aggregation subtree
     * canonically identical in the two branches, so Spark's
-    * ReuseExchange computes the target's (bp) aggregate once per job
-    * (pairLogProbs/ctxLogProbs called separately would each rebuild
-    * it). Callers that reuse the model across jobs (the ingest
-    * pipeline) additionally persist the two frames.
+    * ReuseExchange computes the target's (bp) aggregate once per job.
+    * Private — external callers go through [[model]], which carries
+    * the bucket count with the frames.
     */
-  def models(target: DataFrame, buckets: Int = 4096)
+  private def models(target: DataFrame, buckets: Int = 4096)
       : (DataFrame, DataFrame) = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     val ctx = ctxCounts(target, buckets)
@@ -101,21 +127,6 @@ object Perplexity {
         .cast("long").as("lp_ctx"))
     (pairLp, ctxLp)
   }
-
-  /** The observed-pair half of the model: (bp, bn, lp) micro-nat
-    * log-probs for every transition the target corpus contains —
-    * bounded by the target's transition count (and hard-capped at
-    * B²), never by the raw corpus.
-    */
-  def pairLogProbs(target: DataFrame, buckets: Int = 4096): DataFrame =
-    models(target, buckets)._1
-
-  /** The backoff half: (bp, lp_ctx) — the log-prob of an UNSEEN next
-    * bucket after a context the target HAS seen (add-1 numerator 1).
-    * At most B rows.
-    */
-  def ctxLogProbs(target: DataFrame, buckets: Int = 4096): DataFrame =
-    models(target, buckets)._2
 
   /** The global floor: log-prob of a transition whose CONTEXT the
     * target never saw — ln(1) − ln(0 + B). BigDecimal HALF_UP matches
@@ -137,13 +148,12 @@ object Perplexity {
     * floor. Stateless and per-row, so the identical plan runs over a
     * micro-batch.
     */
-  def scoreTransitions(docs: DataFrame, pairLp: DataFrame,
-      ctxLp: DataFrame, buckets: Int = 4096): DataFrame =
-    transitions(docs, buckets)
-      .join(broadcast(pairLp), Seq("bp", "bn"), "left")
-      .join(broadcast(ctxLp), Seq("bp"), "left")
+  def scoreTransitions(docs: DataFrame, lm: LmModel): DataFrame =
+    transitions(docs, lm.buckets)
+      .join(broadcast(lm.pairLp), Seq("bp", "bn"), "left")
+      .join(broadcast(lm.ctxLp), Seq("bp"), "left")
       .select(col("doc_id"), col("pos"), col("bp"), col("bn"),
-        coalesce(col("lp"), col("lp_ctx"), lit(defaultLp(buckets)))
+        coalesce(col("lp"), col("lp_ctx"), lit(defaultLp(lm.buckets)))
           .as("lp"))
 
   /** Per-doc LM score: (doc_id, n_trans, sum_lp, nll_per_tok) for
@@ -154,8 +164,7 @@ object Perplexity {
     */
   def score(raw: DataFrame, target: DataFrame,
       buckets: Int = 4096): DataFrame = {
-    val (pairLp, ctxLp) = models(target, buckets)
-    scoreTransitions(raw, pairLp, ctxLp, buckets)
+    scoreTransitions(raw, model(target, buckets))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"), sum("lp").as("sum_lp"))
       .withColumn("nll_per_tok", expr("(-sum_lp) div n_trans"))

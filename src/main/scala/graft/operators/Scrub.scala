@@ -83,8 +83,15 @@ object Scrub {
   /** HTML comments, dotall (comments span lines). */
   val CommentRe = "(?s)<!--.*?-->"
 
-  /** Any remaining tag. Non-greedy not needed: `[^>]` self-bounds. */
-  val TagRe = "<[^>]+>"
+  /** Any remaining tag — requires a tag-like start (`</p`, `<div`,
+    * `<!DOCTYPE`), so a bare '<' in prose ("for x < 10 and y > 5")
+    * is NOT eaten to the next '>' (the ADVICE r9 finding: the old
+    * `<[^>]+>` deleted legitimate text between stray comparison
+    * operators). Non-greedy not needed: `[^>]` self-bounds. Valid and
+    * identical in Java regex and RE2 (the oracle interpolates this
+    * constant).
+    */
+  val TagRe = "</?[a-zA-Z!][^>]*>"
 
   /** The fixed entity set decoded after tag removal — `&amp;` LAST,
     * so `&amp;lt;` decodes to the literal text `&lt;`, not to `<`

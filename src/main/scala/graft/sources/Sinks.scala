@@ -52,10 +52,16 @@ object Sinks {
     * Rewrites the dataset at `path` into ~`targetBytes`-sized files:
     * file count = ceil(current total bytes / targetBytes), laid out
     * by `repartition` (round-robin — even sizes without a sort).
-    * Writes to `path + ".compact"` then swaps via atomic-ish renames:
-    * never rewrites in place, so a crash mid-compaction leaves the
-    * original intact (the stale `.compact` dir is simply re-run).
-    * Returns the output file count.
+    * Writes to `path + ".compact"` then swaps via two renames
+    * (`path` → `.precompact`, `.compact` → `path`), each CHECKED —
+    * Hadoop `rename` reports failure by returning false, so an
+    * unchecked swap could silently leave the sink uncompacted or
+    * half-swapped. Crash recovery: a crash before the first rename
+    * leaves the original intact (stale `.compact` is overwritten on
+    * re-run); a crash BETWEEN the renames leaves no dataset at
+    * `path` — the data survives at `.precompact`, and the next run
+    * restores it automatically before compacting. Returns the output
+    * file count.
     *
     * Hive-partitioned inputs (the ingest sink's `batch_id=N` layout)
     * flatten: the partition column becomes an ordinary data column in
@@ -69,16 +75,29 @@ object Sinks {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(hPath).getLength
-    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
     val old = new org.apache.hadoop.fs.Path(path + ".precompact")
+    // recover from a prior crash: between the two renames there is no
+    // dataset at `path` — the data lives at `.precompact`; restore it.
+    // After a completed swap that crashed before cleanup, both exist —
+    // `path` is the compacted data and `.precompact` is stale; drop it.
+    if (fs.exists(old)) {
+      if (!fs.exists(hPath)) require(fs.rename(old, hPath),
+        s"recovery rename $old -> $hPath failed; restore manually")
+      else require(fs.delete(old, true),
+        s"could not delete stale $old from a prior crash")
+    }
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     spark.read.parquet(path)
       .repartition(nFiles.toInt)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
-    fs.delete(old, true)
+    require(fs.rename(hPath, old),
+      s"rename $hPath -> $old failed; sink left uncompacted (intact)")
+    require(fs.rename(tmp, hPath),
+      s"rename $tmp -> $hPath failed; original preserved at $old — " +
+        "re-run to recover")
+    fs.delete(old, true) // best-effort: next run drops a leftover
     nFiles
   }
 

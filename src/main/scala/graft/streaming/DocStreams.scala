@@ -161,10 +161,9 @@ object DocStreams {
     * verdict) is one tiny aggregation over the scored stream
     * downstream: [[contamScreen]]'s screen-then-verify split.
     */
-  def perplexityScreen(streamDocs: DataFrame, pairLp: DataFrame,
-      ctxLp: DataFrame, buckets: Int = 4096): DataFrame =
-    graft.operators.Perplexity.scoreTransitions(
-      streamDocs, pairLp, ctxLp, buckets)
+  def perplexityScreen(streamDocs: DataFrame,
+      lm: graft.operators.Perplexity.LmModel): DataFrame =
+    graft.operators.Perplexity.scoreTransitions(streamDocs, lm)
 
   /** The COMPOSED ingest verdict — what a real acquisition pipeline
     * runs per batch of arriving raw pages: HTML text extraction →
@@ -185,9 +184,8 @@ object DocStreams {
     * directly on the stream frame.
     */
   def ingestVerdicts(docs: DataFrame, bandIndex: DataFrame,
-      pairLp: DataFrame, ctxLp: DataFrame, maxNll: Long,
-      minWords: Int = 20, minBands: Int = 2,
-      buckets: Int = 4096): DataFrame = {
+      lm: graft.operators.Perplexity.LmModel, maxNll: Long,
+      minWords: Int = 20, minBands: Int = 2): DataFrame = {
     val extracted = graft.operators.Scrub.extractHtml(docs)
       .select(col("doc_id"), col("clean_text").as("text"))
     val q = graft.operators.QualityFilters
@@ -199,7 +197,7 @@ object DocStreams {
       .when(col("g_stop") === 0, "gopher_stop")
       .otherwise("ok")
     val ppl = graft.operators.Perplexity
-      .scoreTransitions(extracted, pairLp, ctxLp, buckets)
+      .scoreTransitions(extracted, lm)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"), sum("lp").as("sum_lp"))
       .withColumn("nll_per_tok", expr("(-sum_lp) div n_trans"))
@@ -238,9 +236,8 @@ object DocStreams {
       minWords: Int = 20)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val bandIndex = bandRows(corpus).persist()
-    val (pairLp0, ctxLp0) = graft.operators.Perplexity.models(target)
-    val (pairLp, ctxLp) = (pairLp0.persist(), ctxLp0.persist())
-    bandIndex.count(); pairLp.count(); ctxLp.count()
+    val lm = graft.operators.Perplexity.model(target).persisted()
+    bandIndex.count()
     val in = spark.readStream
       .schema(graft.sources.Tables.documentsSchema)
       .parquet(srcDir)
@@ -252,8 +249,7 @@ object DocStreams {
         // sink write and the checkpoint commit rewrites the same
         // partition instead of appending duplicate verdicts (plain
         // `append` would double-count every doc of the replayed batch)
-        ingestVerdicts(b.toDF(), bandIndex, pairLp, ctxLp, maxNll,
-          minWords)
+        ingestVerdicts(b.toDF(), bandIndex, lm, maxNll, minWords)
           .write.mode("overwrite")
           .parquet(s"$sinkDir/batch_id=$batchId")
         ()

@@ -148,7 +148,7 @@ class PerplexitySpec extends AnyFunSuite with SparkSpec {
     val target = df(fixedTarget.zipWithIndex
       .map { case (t, i) => (100L + i, t) })
     val screened = Perplexity.scoreTransitions(raw,
-      Perplexity.pairLogProbs(target), Perplexity.ctxLogProbs(target))
+      Perplexity.model(target))
     import org.apache.spark.sql.functions._
     val rolled = screened.groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"), sum("lp").as("sum_lp"))

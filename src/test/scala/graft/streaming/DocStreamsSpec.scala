@@ -224,8 +224,7 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
       // passes the rules (stopwords present) but transitions are
       // off-model → perplexity
       (5L, "the qqqqq and the zzzzz have wwww with the kkkkk"))
-    val pairLp = graft.operators.Perplexity.pairLogProbs(target)
-    val ctxLp = graft.operators.Perplexity.ctxLogProbs(target)
+    val lm = graft.operators.Perplexity.model(target)
     // threshold between the in-model doc's score and the gibberish one
     val plain = spark.createDataFrame(Seq(
       (4L, "the cat and the dog have fun with the ball"),
@@ -264,7 +263,7 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     // batch(union)
     val batchDf = spark.createDataFrame(arriving).toDF("doc_id", "text")
     val twin = DocStreams.ingestVerdicts(batchDf,
-      DocStreams.bandRows(accepted), pairLp, ctxLp, maxNll, minWords = 5)
+      DocStreams.bandRows(accepted), lm, maxNll, minWords = 5)
       .collect().map(r => r.getLong(0) -> (r.getString(3), r.getInt(4)))
       .toMap
     assert(twin === got)
