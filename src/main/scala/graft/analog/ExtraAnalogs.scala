@@ -1270,6 +1270,44 @@ object ExtraAnalogs {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
         |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // REAL compressed-image decode, pure JDK: each doc gets a VALID
+    // PNG payload (Multimodal.pngFixture — dims/color-type functions
+    // of doc_id, pixel byte j = (doc_id·7+3j) mod 256, scanline
+    // filters cycling through ALL FIVE types, stored-block zlib,
+    // CRC'd chunks split into multiple IDATs), and Multimodal.parsePng
+    // — signature check, CRC-verified chunk walk, Inflater, per-row
+    // unfilter — recovers dims and integer channel means. The oracle
+    // KNOWS the pixel construction, so a decoder that misparses the
+    // header, drops an IDAT, or botches any filter's reconstruction
+    // diverges. (The compressed payload itself can't be built in SQL —
+    // the closed form lives in the DECODED statistics, the same
+    // contract as mm_decode_ppm.)
+    Q("mm_decode_png",
+      (s, d) => Multimodal.decodePngFixtures(
+        s, Tables.documents(s, d).select("doc_id"))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH dims AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS w, 5 + doc_id % 2 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS ct,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS bpp
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, ct, bpp,
+        |  unnest(range(0, w*h)) AS p FROM dims),
+        |sums AS (
+        |  SELECT doc_id, w, h, ct, bpp,
+        |    CAST(sum((doc_id*7 + 3*bpp*p) % 256) AS BIGINT) AS sr,
+        |    CAST(sum((doc_id*7 + 3*bpp*p + 3) % 256) AS BIGINT) AS sg,
+        |    CAST(sum((doc_id*7 + 3*bpp*p + 6) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, w, h, ct, bpp)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, 8::BIGINT AS bit_depth,
+        |  CAST(ct AS BIGINT) AS color_type,
+        |  CAST(h*(1+w*bpp) AS BIGINT) AS n_raw_bytes,
+        |  CAST(sr // (w*h) AS BIGINT) AS mean_r,
+        |  CAST(sg // (w*h) AS BIGINT) AS mean_g,
+        |  CAST(sb // (w*h) AS BIGINT) AS mean_b
+        |FROM sums ORDER BY doc_id""".stripMargin)),
+
     // Batch twin of the STREAM-STREAM attribution join
     // (graft.streaming.EventStreams.attribution): every purchase
     // matched to same-user clicks in the preceding 30 minutes. The

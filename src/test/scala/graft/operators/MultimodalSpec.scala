@@ -157,4 +157,97 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .toDF("doc_id", "payload")
     assert(Multimodal.decodeWav(spark, wavs).collect().head.sum_abs === 10L)
   }
+
+  // ---- real PNG codec (pure JDK: Inflater + CRC32 + Adler32) ----
+
+  test("parsePng: hand fixture — 2x2 RGB, known pixels, exact means") {
+    // pixels row-major RGB: (10,20,30) (40,50,60) / (70,80,90) (200,210,220)
+    val px = Array[Int](10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220)
+      .map(_.toByte)
+    val bytes = Multimodal.encodePng(2, 2, 2, px)
+    val m = Multimodal.parsePng(7L, bytes)
+    assert((m.width, m.height, m.bit_depth, m.color_type) === ((2L, 2L, 8L, 2L)))
+    assert(m.n_raw_bytes === 2L * (1 + 2 * 3))
+    assert((m.mean_r, m.mean_g, m.mean_b) === ((80L, 90L, 100L)))
+  }
+
+  test("png round-trip: every filter type reconstructs pixels exactly") {
+    for (ft <- 0 to 4; ct <- Seq(2, 6)) {
+      val bpp = if (ct == 2) 3 else 4
+      val (w, h) = (5, 4)
+      val px = Array.tabulate(w * h * bpp)(j => ((j * 37 + 11) % 256).toByte)
+      val enc = Multimodal.encodePng(w, h, ct, px, _ => ft)
+      val (gw, gh, gct, gpx) = Multimodal.pngPixels(1L, enc)
+      assert((gw, gh, gct) === ((w, h, ct)), s"ft=$ft ct=$ct")
+      assert(gpx.toSeq === px.toSeq, s"filter $ft ct $ct round-trip")
+    }
+  }
+
+  test("png decode agrees pixel-for-pixel with ImageIO (independent decoder)") {
+    // javax.imageio ships in the JDK: an independent reference decoder,
+    // so a symmetric encoder+decoder bug cannot hide
+    for (id <- Seq(0L, 1L, 5L, 38L)) {
+      val bytes = Multimodal.pngFixture(id)
+      val (w, h, ct, px) = Multimodal.pngPixels(id, bytes)
+      val bpp = if (ct == 2) 3 else 4
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected fixture $id")
+      assert((img.getWidth, img.getHeight) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val o = (y * w + x) * bpp
+        assert(((argb >> 16) & 255) === (px(o) & 255), s"R at ($x,$y) id=$id")
+        assert(((argb >> 8) & 255) === (px(o + 1) & 255), s"G at ($x,$y) id=$id")
+        assert((argb & 255) === (px(o + 2) & 255), s"B at ($x,$y) id=$id")
+        if (bpp == 4)
+          assert(((argb >> 24) & 255) === (px(o + 3) & 255), s"A at ($x,$y) id=$id")
+      }
+    }
+  }
+
+  test("png fixture splits into multiple IDAT chunks and still decodes") {
+    val bytes = Multimodal.pngFixture(1L) // w=3,h=6,RGBA → 89B zlib > 64
+    val tags = bytes.sliding(4).count(_.sameElements("IDAT".getBytes))
+    assert(tags >= 2, s"expected multi-IDAT, got $tags")
+    assert(Multimodal.parsePng(1L, bytes).width === 3L)
+  }
+
+  test("corrupt png payloads fail loudly") {
+    val good = Multimodal.pngFixture(2L)
+    // flip a byte inside the first IDAT's data → chunk CRC mismatch
+    val idatOff = good.sliding(4).indexWhere(_.sameElements("IDAT".getBytes))
+    val bad = good.clone(); bad(idatOff + 6) = (bad(idatOff + 6) ^ 0x55).toByte
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.parsePng(2L, bad)
+    }
+    assert(e1.getMessage.contains("CRC mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.parsePng(2L, good.take(20))
+    }
+    assert(e2.getMessage.contains("past the buffer") ||
+      e2.getMessage.contains("missing"))
+    val e3 = intercept[IllegalArgumentException] {
+      Multimodal.parsePng(2L, "nope".getBytes)
+    }
+    assert(e3.getMessage.contains("not a png"))
+  }
+
+  test("decodePngFixtures runs distributed and matches the closed form") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val metas = Multimodal.decodePngFixtures(spark, ids)
+      .collect().sortBy(_.doc_id)
+    metas.foreach { m =>
+      val id = m.doc_id
+      val (w, h) = ((id % 3 + 2).toInt, (5 + id % 2).toInt)
+      val bpp = if (id % 2 == 0) 3 else 4
+      val n = w * h
+      def mean(c: Int) =
+        (0 until n).map(p => (id * 7 + 3 * bpp * p + 3 * c) % 256).sum / n
+      assert((m.width, m.height) === ((w.toLong, h.toLong)))
+      assert(m.color_type === (if (id % 2 == 0) 2L else 6L))
+      assert((m.mean_r, m.mean_g, m.mean_b) === ((mean(0), mean(1), mean(2))))
+    }
+  }
 }
