@@ -17,6 +17,12 @@ import graft.sources.Tables
   */
 object ExtraAnalogs {
 
+  /** text_bpe_train depth: deep enough to exercise the incremental
+    * trainer (a naive recount loop shows quadratic drift here), safely
+    * under the corpus' 89-merge exhaustion point at every shipped SF.
+    */
+  private val BpeTrainMerges = 64
+
   // ---- DuckDB SQL fragments mirroring TextFunctions ----------------------
 
   /** `('0x'||substr(md5(w),1,8))::BIGINT` — TextFunctions.wordHash. */
@@ -985,8 +991,14 @@ object ExtraAnalogs {
 
     // BPE merge TRAINING (Sennrich 2016 — the learn half of the BPE
     // story; text_bpe_count applies a fixed public table). The oracle
-    // UNROLLS the 8 greedy iterations as chained CTEs (the Lloyd
-    // k-means precedent): per round, weighted adjacent-pair counts
+    // UNROLLS the 64 greedy iterations as chained CTEs (the Lloyd
+    // k-means precedent; 64 — not 8 — exercises the trainer's
+    // incremental pair maintenance through a real merge depth, and the
+    // documents vocabulary supports 89 merges before exhaustion at
+    // every shipped SF; st/b CTEs are MATERIALIZED because DuckDB
+    // inlines CTEs by default and each round references the previous
+    // one twice — 2^64 expansion without the keyword): per round,
+    // weighted adjacent-pair counts
     // over the vocab, arg-max with (cnt DESC, l, r) ties, and the
     // merge applied via replace() on a sentinel-delimited token
     // string — chr(1)+l+chr(1)chr(1)+r+chr(1) → chr(1)+lr+chr(1)
@@ -997,10 +1009,10 @@ object ExtraAnalogs {
     // matches — same as the skip-2 loop).
     Q("text_bpe_train",
       (s, d) => graft.operators.BpeTrain
-        .learnMerges(Tables.documents(s, d), nMerges = 8)
+        .learnMerges(Tables.documents(s, d), nMerges = BpeTrainMerges)
         .orderBy("rank"),
       Some {
-        val iters = (1 to 8).map { i =>
+        val iters = (1 to BpeTrainMerges).map { i =>
           s"""tk$i AS (
              |  SELECT freq, string_split(trim(s, chr(1)),
              |    chr(1) || chr(1)) AS t
@@ -1012,22 +1024,22 @@ object ExtraAnalogs {
              |      unnest(list_transform(range(1, len(t)), j -> t[j+1])) AS r
              |    FROM tk$i)
              |  GROUP BY l, r),
-             |b$i AS (SELECT l, r, cnt FROM p$i
+             |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
              |        ORDER BY cnt DESC, l, r LIMIT 1),
-             |st${i + 1} AS (
+             |st${i + 1} AS MATERIALIZED (
              |  SELECT w, freq,
              |    replace(s, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
              |      chr(1) || b.l || b.r || chr(1)) AS s
              |  FROM st$i, b$i b)""".stripMargin
         }.mkString(",\n")
-        val out = (1 to 8).map(i =>
+        val out = (1 to BpeTrainMerges).map(i =>
           s"SELECT $i AS rank, l AS \"left\", r AS \"right\", l || r AS merged, cnt FROM b$i")
           .mkString("\nUNION ALL\n")
         s"""WITH vf AS (
            |  SELECT w, count(*) AS freq FROM (
            |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            |  GROUP BY w),
-           |st1 AS (
+           |st1 AS MATERIALIZED (
            |  SELECT w, freq,
            |    chr(1) || array_to_string(
            |      list_transform(range(1, length(w) + 1), i -> w[i]),
