@@ -241,8 +241,9 @@ object ExtraAnalogs {
        |)""".stripMargin
 
   /** WITH-body prefix replicating Similarity.trainIvfCentroids +
-    * ivfCells exactly (2 Lloyd rounds, `seed` centroids seeded at
-    * vec_id < seed, integer-scaled sums): ends in
+    * ivfCells exactly (2 Lloyd rounds, `seed` centroids drawn by
+    * md5-rank over vec_id — the order-free deterministic sample,
+    * cent_id = rank position — integer-scaled sums): ends in
     * `cells(vec_id, emb, norm, label, cell)` with the final ranked
     * assignment available as `a3`. Shared by sim_ivf_topk (fixed
     * index-time k = 8) and dedup_semantic (corpus-sized k — a SQL
@@ -255,7 +256,11 @@ object ExtraAnalogs {
        |v AS (SELECT vec_id, emb, norm, label,
        |        list_transform(emb, x -> CAST(round(x*1000000.0) AS BIGINT)) AS vi
        |      FROM e),
-       |c0 AS (SELECT vec_id AS cent_id, vi AS cv FROM v WHERE vec_id < $seed),
+       |c0 AS (SELECT cent_id, cv FROM (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+       |    AS cent_id, vi AS cv FROM v)
+       |  WHERE cent_id < $seed),
        |${dKmCentw("c0", "cw0")},
        |${dKmAsg("a1", "cw0")},
        |${dKmRecent("a1", "c0", "c1")},
@@ -773,6 +778,68 @@ object ExtraAnalogs {
       Some(s"""WITH $tokCte
         |SELECT lang, $dLangCase AS pred_lang, count(*) AS n
         |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TRAINED language-ID: hashed char-trigram naive Bayes learned on
+    // the doc_id%5 seed slice (labels = the lang column), scored on
+    // the integer micro-nat grid and applied per-doc to the FULL
+    // table. The oracle replays train + score + argmax term-for-term:
+    // every log is independently grid-rounded, the unseen-bucket
+    // backoff is folded into prior + G·floor + Σ observed Δ, ties
+    // break (score DESC, lang ASC) — all integer, so both engines
+    // agree exactly.
+    Q("text_langid_nb",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = graft.operators.LangId.train(
+          docs.filter(col("doc_id") % 5 === 0))
+        graft.operators.LangId.predict(docs, m)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            col("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH seed AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |g AS (
+        |  SELECT lang, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
+        |  FROM (SELECT lang, unnest(list_transform(
+        |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
+        |    FROM seed)),
+        |clb AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS clb
+        |        FROM g GROUP BY lang, b),
+        |lf AS (SELECT lang, CAST(count(*) AS BIGINT) AS cl,
+        |         CAST(round(-ln(count(*) + 1024) * 1e6) AS BIGINT) AS fl
+        |       FROM g GROUP BY lang),
+        |dl AS (SELECT clb.lang, b,
+        |         CAST(round((ln(clb + 1) - ln(cl + 1024)) * 1e6) AS BIGINT)
+        |           - fl AS delta
+        |       FROM clb JOIN lf USING (lang)),
+        |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |       FROM seed GROUP BY lang),
+        |st AS (SELECT lang,
+        |         CAST(round((ln(nl) - ln((SELECT CAST(sum(nl) AS BIGINT)
+        |           FROM nd))) * 1e6) AS BIGINT) AS prior, fl
+        |       FROM nd JOIN lf USING (lang)),
+        |dg AS (SELECT doc_id, lang AS true_lang,
+        |         CAST(greatest(length(text) - 2, 0) AS BIGINT) AS ng
+        |       FROM documents),
+        |docb AS (
+        |  SELECT doc_id, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
+        |    FROM documents)),
+        |hits AS (SELECT doc_id, dl.lang, CAST(sum(delta) AS BIGINT) AS sd
+        |         FROM docb JOIN dl USING (b) GROUP BY doc_id, dl.lang),
+        |sc AS (SELECT dg.doc_id, dg.true_lang, st.lang,
+        |         st.prior + dg.ng * st.fl + coalesce(hits.sd, 0) AS score
+        |       FROM dg CROSS JOIN st
+        |       LEFT JOIN hits ON hits.doc_id = dg.doc_id
+        |         AND hits.lang = st.lang),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, lang) AS rk FROM sc)
+        |SELECT doc_id, true_lang AS lang, lang AS pred_lang,
+        |  CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
 
     // Per-doc quality metrics + composite score.
     //

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class LangIdSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) =
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+
+  test("charGrams: 1-based positions, short docs yield empty not descending") {
+    val got = docs((0L, "abcd", "x"), (1L, "ab", "x"), (2L, "", "x"))
+      .select(col("doc_id"), LangId.charGrams(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(0L) === Seq("abc", "bcd"))
+    assert(got(1L) === Seq.empty)
+    assert(got(2L) === Seq.empty)
+  }
+
+  test("trained NB separates distinct character distributions") {
+    // class A lives on 'aaa...' grams, class B on 'zzz...' grams;
+    // a held-out doc drawn from A's distribution must score A
+    val seed = docs(
+      (0L, "aaabbbaaabbb", "A"), (5L, "aaabbbaaaabb", "A"),
+      (10L, "zzzyyyzzzyyy", "B"), (15L, "zzzyyyzzzzyy", "B"))
+    val m = LangId.train(seed)
+    val test = docs((100L, "aaabbbaab", "?"), (101L, "zzzyyyzzy", "?"))
+    val pred = LangId.predict(test, m).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === Map(100L -> "A", 101L -> "B"))
+  }
+
+  test("scores: prior + G*floor + sum(delta) with exact integers") {
+    val seed = docs((0L, "abcabc", "A"), (1L, "abcabc", "B"))
+    val m = LangId.train(seed)
+    // equal training text: only priors (equal) and shared deltas —
+    // every test doc ties, and ties break lang ASC
+    val pred = LangId.predict(docs((9L, "abc", "?")), m).collect()
+    assert(pred.head.getString(1) === "A")
+    // scores for both classes are identical integers
+    val sc = LangId.scores(docs((9L, "abc", "?")), m).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(sc("A") === sc("B"))
+  }
+
+  test("document shorter than n scores prior only (G=0, no hits)") {
+    val seed = docs((0L, "aaaa", "A"), (1L, "bbbb", "B"), (2L, "bbbb", "B"))
+    val m = LangId.train(seed)
+    // B has the larger prior (2 of 3 seed docs) — an uninformative
+    // doc must fall back to it
+    val pred = LangId.predict(docs((7L, "xy", "?")), m).collect()
+    assert(pred.head.getString(1) === "B")
+  }
+
+  test("bucket count rides with the model (no silent mismatch possible)") {
+    val seed = docs((0L, "aaaa", "A"))
+    val m = LangId.train(seed, buckets = 64)
+    assert(m.buckets === 64)
+    // scoring uses the model's own bucket count — same prediction
+    // regardless of any ambient default
+    val p = LangId.predict(docs((1L, "aaaa", "?")), m).collect()
+    assert(p.head.getString(1) === "A")
+  }
+}

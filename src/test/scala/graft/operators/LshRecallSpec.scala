@@ -82,4 +82,39 @@ class LshRecallSpec extends AnyFunSuite with SparkSpec {
     assert(r2 > 0.0)
     embs.unpersist()
   }
+
+  test("IVF seeding survives adversarial id ordering (clustered appends)") {
+    // 8 well-separated clusters × 32 vectors, vec_id SORTED by
+    // cluster — the ordering that degenerates id-prefix seeding (all
+    // 8 seeds drawn from cluster 0). The md5 rank is order-free: its
+    // 8 picks must span many true clusters, and the trained index
+    // must still recall well.
+    val s = spark; import s.implicits._
+    val d = 16
+    val rows = (0 until 256).map { id =>
+      val cl = id / 32 // ids 0..31 are cluster 0, 32..63 cluster 1, …
+      val v = Array.tabulate(d) { j =>
+        val base = if (j == cl * 2) 10f else 0f // axis-anchored cluster
+        // deterministic jitter, small vs the 10.0 anchor
+        base + ((id * 31 + j * 7) % 11 - 5) * 0.05f
+      }
+      (id.toLong, v)
+    }
+    val embs = rows.toDF("vec_id", "embedding").cache()
+    val seedIds = Similarity.seedOrdered(embs).limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    val seedClusters = seedIds.map(_ / 32).distinct
+    info(s"seed ids: $seedIds -> clusters $seedClusters")
+    // id-prefix seeding would give exactly 1 distinct cluster here
+    assert(seedClusters.size >= 4,
+      s"md5 seeding collapsed to clusters $seedClusters")
+    val exact = Similarity.bruteForceTopK(embs, 16, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, 16, 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    info(f"adversarial-order IVF recall@5: $recall%.3f")
+    assert(recall >= 0.6, f"recall $recall%.3f under adversarial ordering")
+    embs.unpersist()
+  }
 }
