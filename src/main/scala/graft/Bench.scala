@@ -81,10 +81,16 @@ object Bench {
     val warmupDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
         new java.io.File(warmupDir).isDirectory) {
-      queries.foreach { case (_, fn) =>
-        try exec(fn(spark, warmupDir)) catch { case _: Throwable => () }
+      // TWO warmup passes (round-9 verdict: single-warmup runs left
+      // 3-9x per-run spread on the fast core queries — the second
+      // pass catches codegen/classloader tails the first one
+      // triggered but didn't finish absorbing)
+      (1 to 2).foreach { _ =>
+        queries.foreach { case (_, fn) =>
+          try exec(fn(spark, warmupDir)) catch { case _: Throwable => () }
+        }
+        spark.catalog.clearCache()
       }
-      spark.catalog.clearCache()
     }
 
     // best-of-N steady-state timing (N = SPARK_GRAFT_RUNS, default 3,
@@ -129,9 +135,19 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val base = (1 to runs).map(_ => timed())
-      val times = if (err.isEmpty && base.min > slowCutoffSec)
-        base ++ (1 to runs).map(_ => timed())
-      else base
+      // extra-run policy (round-9 verdict): widen the sample not just
+      // for SLOW queries (min > cutoff) but for NOISY ones — a fast
+      // query whose run spread exceeds 3x (t3a ran 2.4-8.2 s across
+      // runs on the shared box) needs best-of-6..9 for its min to
+      // measure the code rather than the neighbor
+      def spread(ts: Seq[Double]): Double =
+        ts.max / math.max(ts.min, 1e-9)
+      var times = base
+      if (err.isEmpty &&
+          (times.min > slowCutoffSec || spread(times) > 3.0))
+        times = times ++ (1 to runs).map(_ => timed())
+      if (err.isEmpty && spread(times) > 3.0)
+        times = times ++ (1 to runs).map(_ => timed())
       (name, times, err)
     }
     val ok = results.filter(_._3.isEmpty)

@@ -574,13 +574,14 @@ object CoreAnalogs {
     // reference's T2/T5 notebooks (`codes/task2_vis.ipynb`,
     // `codes/task5_vis.ipynb`): render all four figures + the data view
     // in memory (graft.rideshare.VisReport.renderAll) and expose one
-    // (figure, sha256, bytes) row per artifact. No DuckDB oracle (SVG
-    // rendering isn't SQL) → the driver records the rows-only check,
-    // but the verify parquet now carries content hashes that diff
-    // round-over-round — determinism is separately pinned by
-    // VisReportSpec's double-render test. The collect()s inside
-    // renderAll are the notebooks' own pandas step: ≤ dozens of
-    // pre-aggregated rows.
+    // (figure, sha256, bytes) row per artifact. SVG rendering isn't
+    // SQL, so the oracle is a COMMITTED GOLDEN manifest per scale
+    // factor, dispatched on the orders row count (see
+    // corpus_datasheet_manifest for the regeneration command) —
+    // render drift or a testdata regeneration fails the gate loudly.
+    // Determinism is separately pinned by VisReportSpec's
+    // double-render test. The collect()s inside renderAll are the
+    // notebooks' own pandas step: ≤ dozens of pre-aggregated rows.
     Q("vis_report_manifest",
       (s, d) => {
         val byName = queries.map(q => q.name -> q.fn).toMap
@@ -594,8 +595,56 @@ object CoreAnalogs {
             bytes.length.toLong)
         }.sortBy(_._1)
         import s.implicits._
-        rows.toDF("figure", "sha256", "bytes")
+        rows.toDF("figure", "sha256", "bytes").orderBy("figure")
       },
-      None)
+      Some("""WITH n AS (SELECT count(*) AS c FROM orders),
+        |exp(figure, sha256, bytes, c) AS (VALUES
+        |  ('t2a_trip_counts.svg',
+        |   'a2e87b8f8e9820fae4b7ce79a32cac0912c6442c59f884a28b21e7c65b674df9',
+        |   9116, 1500),
+        |  ('t2b_total_profits.svg',
+        |   '56e53d9a8a297465fa4cf41b3497d9634b14d4535bbace94afa3e61a64a24b8e',
+        |   9759, 1500),
+        |  ('t2c_total_earnings.svg',
+        |   '27da89ea516bf9bafa0ae0b582fed52446f9c8370b16027ef0a4e221ba9478ee',
+        |   6429, 1500),
+        |  ('t5_daily_avg_wait.svg',
+        |   'ff2afd21b18b00107c75098380453ce70c3d6b63842a1e99359b520ae47a5bc1',
+        |   4790, 1500),
+        |  ('vis_report.md',
+        |   'fc1a6ad67ce2d923cc80056e0bfea4987cc2d09d78233013abc8dc3eb973f19e',
+        |   5423, 1500),
+        |  ('t2a_trip_counts.svg',
+        |   '8a7d5c892706d10289788fe42b6e78458631e2fba56a70d3a11c51a76b87489e',
+        |   9141, 15000),
+        |  ('t2b_total_profits.svg',
+        |   'b3505ab7f20cd65dfc1f4f678817e07680f0e9219e03df0e78261de1659a9afc',
+        |   9790, 15000),
+        |  ('t2c_total_earnings.svg',
+        |   '60f9ca03e2d2cd8b704ea62f622dd37b2142202351ba9fb290cdbcb13f546b52',
+        |   6455, 15000),
+        |  ('t5_daily_avg_wait.svg',
+        |   '2e95d05b76edf46899bb1ffdfbdc8feaa243f3e88916725fc3148e0fef273448',
+        |   4804, 15000),
+        |  ('vis_report.md',
+        |   '5c0fcaf5d361b6913acf62ea29b7d718c11233996ea6ac1800724c0a61537358',
+        |   5589, 15000),
+        |  ('t2a_trip_counts.svg',
+        |   'a4faed153936b7eeb7362a7fa4d270afcffe36555b6e7cded1200b56314d0d46',
+        |   9254, 150000),
+        |  ('t2b_total_profits.svg',
+        |   '4d2977eb1ddf29cb56ef7feaddb61014eb58a0ab1e2af3cc3f96e1f214628fdb',
+        |   9840, 150000),
+        |  ('t2c_total_earnings.svg',
+        |   '5e6fb2d6cb3258d8ebe29526715c0b4c12f9f8b23c1d979339d2c3b283a631b7',
+        |   6495, 150000),
+        |  ('t5_daily_avg_wait.svg',
+        |   'ae7f29a56c638128fe1ddcbf7cc53c91a2b09132ed8868ab2a19ee40fab7b7ad',
+        |   4763, 150000),
+        |  ('vis_report.md',
+        |   'cc3f3330cfb6df8cd265135178bf65dcd5c2556910bb81b2493775b2ba455a21',
+        |   5741, 150000))
+        |SELECT figure, sha256, CAST(bytes AS BIGINT) AS bytes
+        |FROM exp JOIN n ON exp.c = n.c ORDER BY figure""".stripMargin))
   )
 }

@@ -443,10 +443,16 @@ object CorpusAnalogs {
     // Corpus datasheet (Gebru et al. "Datasheets for Datasets"): the
     // data card composed from already-verified aggregate operators
     // (profile, mixture, language mix, dup rate, quality pass counts)
-    // rendered deterministically; like vis_report_manifest the
-    // registry exposes content hashes (rows-only check — the markdown
-    // and SVG have no SQL representation, but every NUMBER in them
-    // comes from an operator the oracle gate already hash-verifies).
+    // rendered deterministically. The markdown/SVG render has no SQL
+    // representation, so the oracle is a COMMITTED GOLDEN: the
+    // (artifact, sha256, bytes) manifest pinned per scale factor,
+    // dispatched on the orders row count (documents is 500 rows at
+    // both small SFs — orders distinguishes all three). A driver
+    // testdata regeneration or any render drift fails the gate
+    // LOUDLY, which is the point; regenerate with
+    //   SPARK_GRAFT_ONLY=corpus_datasheet_manifest,vis_report_manifest \
+    //     sbt "runMain graft.Verify <sfDir> /tmp/out"
+    // and re-pin the VALUES below.
     Q("corpus_datasheet_manifest",
       (s, d) => {
         val arts = graft.operators.Datasheet.render(Tables.documents(s, d))
@@ -457,9 +463,30 @@ object CorpusAnalogs {
             bytes.length.toLong)
         }.sortBy(_._1)
         import s.implicits._
-        rows.toDF("artifact", "sha256", "bytes")
+        rows.toDF("artifact", "sha256", "bytes").orderBy("artifact")
       },
-      None),
+      Some("""WITH n AS (SELECT count(*) AS c FROM orders),
+        |exp(artifact, sha256, bytes, c) AS (VALUES
+        |  ('corpus_datasheet.md',
+        |   'a0022d5a00ea817bb758f20b85c7cb03cbf183f87bc5232634c0c074e591a6ed',
+        |   1789, 1500),
+        |  ('corpus_mixture.svg',
+        |   '7e5c9b95f338562d06b41253dd8aed662d5e6ea0317771619993df3bea8cc5a8',
+        |   5081, 1500),
+        |  ('corpus_datasheet.md',
+        |   'd4dc98f6b9c3ceae3b8c90bbb37e3ef1d76b99de7653f9055c10e3595559e471',
+        |   1799, 15000),
+        |  ('corpus_mixture.svg',
+        |   '89909b29f59f2b9969586e54f906dc8a81f3bafd046260d228605a2a3282b8b4',
+        |   5076, 15000),
+        |  ('corpus_datasheet.md',
+        |   'c9f8e6c5efd1c7e897bfa066635ab74ff3b19a93b41873947936a9d12fbe1a9a',
+        |   1859, 150000),
+        |  ('corpus_mixture.svg',
+        |   '192eb86269331888442f609b8d17fb14cfb3e4b2bc0fee92f3e1eae4c9c842d2',
+        |   5074, 150000))
+        |SELECT artifact, sha256, CAST(bytes AS BIGINT) AS bytes
+        |FROM exp JOIN n ON exp.c = n.c ORDER BY artifact""".stripMargin)),
 
     // PII scrubbing: per-doc email/phone/IP match counts + the
     // redacted text. The synthetic corpus carries no natural PII, so
