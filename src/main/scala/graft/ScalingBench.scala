@@ -114,7 +114,8 @@ object ScalingBench {
       "curation_unimax_alloc", "pipeline_ingest_screen",
       "dedup_paragraph_stats", "dedup_paragraph_clean", "corpus_diff",
       "mm_decode_ppm", "mm_decode_wav", "pipeline_pack_bpe",
-      "stream_ivf_screen", "text_bpe_train", "mm_decode_png")
+      "stream_ivf_screen", "text_bpe_train", "mm_decode_png",
+      "text_langid_nb")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -1387,6 +1387,21 @@ object ExtraAnalogs {
         |  CAST(sb // (w*h) AS BIGINT) AS mean_b
         |FROM sums ORDER BY doc_id""".stripMargin)),
 
+    // JPEG through the PLATFORM codec (javax.imageio): real entropy
+    // decode, but JPEG is lossy — pixel statistics are codec-rounding
+    // dependent, so the query exposes ONLY the compression-invariant
+    // columns (dims, exactly recoverable from the SOF header at any
+    // quality; closed-form in doc_id). Lossy means and same-JDK
+    // encode determinism are spec-pinned in MultimodalSpec.
+    Q("mm_decode_jpeg",
+      (s, d) => Multimodal.decodeJpegFixtures(
+        s, Tables.documents(s, d).select("doc_id"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(doc_id % 3 + 2 AS BIGINT) AS width,
+        |  CAST(5 + doc_id % 2 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Batch twin of the STREAM-STREAM attribution join
     // (graft.streaming.EventStreams.attribution): every purchase
     // matched to same-user clicks in the preceding 30 minutes. The

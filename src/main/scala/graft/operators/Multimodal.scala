@@ -570,11 +570,103 @@ object Multimodal {
       .mapPartitions(_.map(id => parsePng(id, pngFixture(id))))
   }
 
+  // ---- JPEG through the PLATFORM codec (javax.imageio — public JDK
+  // API, present in this sandbox). Entropy decoding is real, but JPEG
+  // is LOSSY: pixel statistics depend on the codec's DCT rounding and
+  // are not closed-form in the fixture construction. The determinism
+  // boundary is drawn honestly: the registered query exposes only the
+  // compression-INVARIANT facts (dimensions — exactly recoverable from
+  // the SOF header no matter the quality), while pixel means are
+  // asserted in MultimodalSpec against the exact PNG-path means with a
+  // lossiness tolerance. Within one JDK the encode/decode pair is
+  // deterministic (double-encode byte-equality is spec-pinned). ----
+
+  /** Decoded JPEG: platform-codec decode; means are LOSSY (see the
+    * section note) — dims are exact.
+    */
+  final case class JpegMeta(doc_id: Long, width: Long, height: Long,
+      mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** Encode raw RGB pixels as JPEG via the JDK's writer (quality
+    * left at the writer default — fixed per JDK, so fixture bytes are
+    * stable within an environment).
+    */
+  def encodeJpeg(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * 3,
+      s"pixel buffer ${pixels.length} != w*h*3 ${w * h * 3}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      val o = p * 3
+      img.setRGB(p % w, p / w,
+        ((pixels(o) & 255) << 16) | ((pixels(o + 1) & 255) << 8) |
+          (pixels(o + 2) & 255))
+      p += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", out),
+      "no JPEG writer in this JDK")
+    out.toByteArray
+  }
+
+  /** Real JPEG decode via the platform codec: dims exact, integer
+    * channel means over the decoded (lossy) pixels.
+    */
+  def parseJpeg(id: Long, bytes: Array[Byte]): JpegMeta = {
+    require(bytes.length >= 2 && (bytes(0) & 255) == 0xFF &&
+      (bytes(1) & 255) == 0xD8, s"doc $id: not a jpeg")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: JPEG decode failed")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        sr += (argb >> 16) & 255; sg += (argb >> 8) & 255
+        sb += argb & 255
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    JpegMeta(id, w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** Deterministic JPEG fixture: the [[pngFixture]] RGB pixel formula
+    * (byte j = (id·7+3j) mod 256) at the same id-derived dims,
+    * entropy-coded by the platform writer.
+    */
+  def jpegFixture(id: Long): Array[Byte] = {
+    val w = (id % 3).toInt + 2
+    val h = 5 + (id % 2).toInt
+    val px = Array.tabulate(h * w * 3)(j =>
+      (((id * 7 + 3L * j) % 256).toInt & 255).toByte)
+    encodeJpeg(w, h, px)
+  }
+
+  /** Partition-local fixture decode — the registered `mm_decode_jpeg`
+    * exposes only the compression-invariant columns.
+    */
+  def decodeJpegFixtures(spark: SparkSession, ids: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = parseJpeg(id, jpegFixture(id))
+        (m.doc_id, m.width, m.height)
+      })
+      .toDF("doc_id", "width", "height")
+  }
+
   /** STUB codec: deterministic metadata from raw bytes (kept for the
-    * formats that DO still need an external library — JPEG/MP3/H.264;
-    * PNG, PPM and WAV have the real pure-JDK codecs above). Mirrors
-    * [[extractMeta]]'s arithmetic so the two paths cross-check in
-    * tests.
+    * formats that DO still need an external library — video/audio
+    * entropy codecs like MP3/H.264; PNG, JPEG-via-platform, PPM and
+    * WAV have real codecs above). Mirrors [[extractMeta]]'s
+    * arithmetic so the two paths cross-check in tests.
     */
   private def fakeDecode(id: Long, bytes: Array[Byte]): AssetMeta = {
     val md = java.security.MessageDigest.getInstance("MD5")

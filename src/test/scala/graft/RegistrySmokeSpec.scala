@@ -21,15 +21,13 @@ class RegistrySmokeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("every query has an oracle (except the known non-SQL artifacts)") {
-    // the manifest queries hash rendered SVG/markdown — not expressible
-    // in DuckDB SQL, so the driver records their rows-only check (every
-    // NUMBER inside the rendered artifacts comes from operators the
-    // oracle gate hash-verifies)
-    val oracleless = Set("vis_report_manifest", "corpus_datasheet_manifest")
-    val missing = Registry.all.filter(q => q.oracle.isEmpty && !oracleless(q.name))
+  test("every query has an oracle — no exceptions since round 10") {
+    // the manifest queries (rendered SVG/markdown) carry committed
+    // per-SF golden-hash VALUES oracles since round 10, so the
+    // rows-only escape hatch is CLOSED: a query without an oracle is
+    // a registration bug
+    val missing = Registry.all.filter(_.oracle.isEmpty)
     assert(missing.isEmpty, s"queries missing oracles: ${missing.map(_.name)}")
-    assert(oracleless.subsetOf(Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet))
   }
 
   test("every query's output schema is hash-compare safe") {

@@ -233,6 +233,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("not a png"))
   }
 
+  test("jpeg: platform-codec roundtrip — dims exact, means near, encode stable") {
+    for (id <- Seq(0L, 3L)) {
+      val bytes = Multimodal.jpegFixture(id)
+      // same-JDK determinism: double-encode is byte-identical
+      assert(bytes.toSeq === Multimodal.jpegFixture(id).toSeq)
+      val m = Multimodal.parseJpeg(id, bytes)
+      val (w, h) = (id % 3 + 2, 5 + id % 2)
+      assert((m.width, m.height) === ((w, h)))
+      // lossy means stay near the exact means of the same pixel
+      // formula (PNG path is the exact reference)
+      val exact = Multimodal.parsePng(id, Multimodal.pngFixture(id))
+      if (id % 2 == 0) { // even ids share the RGB pixel construction
+        assert(math.abs(m.mean_r - exact.mean_r) <= 16, s"id=$id r")
+        assert(math.abs(m.mean_g - exact.mean_g) <= 16, s"id=$id g")
+        assert(math.abs(m.mean_b - exact.mean_b) <= 16, s"id=$id b")
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.parseJpeg(0L, "nope".getBytes)
+    }
+    assert(e.getMessage.contains("not a jpeg"))
+  }
+
   test("decodePngFixtures runs distributed and matches the closed form") {
     val s = spark; import s.implicits._
     val ids = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
