@@ -583,6 +583,82 @@ case class GramHashes(child: Expression, n: Int, distinct: Boolean,
     copy(child = newChild)
 }
 
+/** Runtime for [[CharGramBuckets]] — the character-n-gram sibling of
+  * [[GramHash.hashes]]: one walk over the string's CHARACTERS
+  * (UTF8String.substring is code-point aware, matching SQL `substr`
+  * on multibyte text), md5-prefix hash per gram with a reused digest,
+  * bucket modulo inline. Emits longs only — no gram-string array ever
+  * materializes.
+  */
+object CharGramHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def buckets(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
+      mod: Long): ArrayData = {
+    val chars = text.numChars()
+    val m = chars - n + 1
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val digest = md.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val gram = text.substring(i, i + n)
+      out(i) = GramHash.hash(digest, gram.getBytes, 8) % mod
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** Fused hashed character-n-gram bucketer — the trained language-ID
+  * feature extractor ([[graft.operators.LangId]]). Replaces the
+  * composed `transform(sequence(...), i -> pmod(conv(substring(
+  * md5(text.substr(i, n)), 1, 8), 16, 10), B))` tree: the position
+  * walk, code-point slicing, md5 (reused digest, digest BYTES — no
+  * hex round-trip), and bucket modulo happen in one native pass.
+  * Value semantics are exactly the composed form's (grams at
+  * character positions 1..len−n+1; hash = first 8 md5 hex digits as
+  * an unsigned value; positive % buckets) — equality property-tested
+  * in TextExpressionsSpec, and the DuckDB oracle mirrors the
+  * composed form unchanged.
+  */
+case class CharGramBuckets(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  require(mod >= 1L, s"mod must be >= 1, got $mod")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "char_gram_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramHash.buckets(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => s"""
+       |${ev.value} = graft.expressions.CharGramHash.buckets(
+       |  $x, $n, ${mod}L);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramBuckets =
+    copy(child = newChild)
+}
+
 /** Runtime for [[NfcNormalize]] — plain object for codegen's static
   * forwarder call.
   */
@@ -690,4 +766,11 @@ object TextExpressions {
   /** Column-level Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfcNormalize(text: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+
+  /** Column-level fused hashed char-n-gram buckets (see
+    * [[CharGramBuckets]]).
+    */
+  def charGramBuckets(text: Column, n: Int, buckets: Int): Column =
+    GraftBridge.column(CharGramBuckets(GraftBridge.expression(text),
+      n, buckets.toLong))
 }

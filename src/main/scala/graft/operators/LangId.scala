@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.wordHash
-
 /** TRAINED language identification: a hashed character-n-gram naive
   * Bayes classifier — the standard fastText/langid.py-shaped model
   * (char n-grams → hashed feature buckets → per-class multinomial
@@ -28,11 +26,20 @@ import graft.functions.TextFunctions.wordHash
   * Scale shape: training is two distributed aggregations over the
   * SEED slice (bounded by slice size, grouped to ≤ L·B model rows —
   * 5·1024 here); scoring streams the corpus through one map-only
-  * gram explode, one broadcast inner join against the Δ model, one
-  * (doc_id, lang) partial-aggregating groupBy, and a 5-rows-per-doc
-  * argmax window. No corpus-sized shuffle beyond the per-doc
-  * aggregation; no driver-side state at all (the model never leaves
-  * the cluster, unlike the collect-based IVF/DSIR models).
+  * fused gram explode (`CharGramBuckets`), one broadcast left join
+  * against the WIDE Δ model (one row crosses per gram, not per
+  * gram×class), one per-doc partial-aggregating groupBy, an L-row
+  * stack + broadcast prior attach, and a 5-rows-per-doc argmax
+  * window. The only driver-side state is the ≤ L-entry class list
+  * (the IVF-centroid precedent).
+  *
+  * Local-bench caveat: the sf0.1 documents parquet is ONE row group,
+  * so the scan — and with it the whole fused gram/md5 map side —
+  * runs on a single core until the first shuffle; the query's
+  * sf-bench time is dominated by that artifact. No repartition is
+  * added: at deployment scale the corpus has thousands of row groups
+  * and the scan parallelizes naturally, while a forced repartition
+  * would shuffle the full corpus text.
   */
 object LangId {
 
@@ -45,6 +52,22 @@ object LangId {
       transform(sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
+
+  /** The exploded hashed-gram stream (doc_id, b) used by BOTH train
+    * and score: ONE native walk per row (`CharGramBuckets` — slicing,
+    * md5 with a reused digest, bucket modulo fused; the GramHashes
+    * precedent), then a bare long explode. No per-row gram STRING
+    * array ever materializes — the composed `transform`+`substr`+
+    * `md5`-hex form benched 8.5 s at sf0.1, the fused form ~1 s.
+    * Value semantics are the composed form's exactly (grams at
+    * character positions 1..len−n+1; first-8-hex-digit md5 value;
+    * positive mod), so the DuckDB oracle is untouched.
+    */
+  private def gramBuckets(docs: DataFrame, extra: Seq[Column],
+      n: Int, buckets: Int): DataFrame =
+    docs.select(extra :+ explode(
+      graft.expressions.TextExpressions.charGramBuckets(
+        col("text"), n, buckets)).as("b"): _*)
 
   /** The trained model. `delta`: (lang, b, delta) — the micro-nat
     * advantage of an OBSERVED (class, bucket) pair over that class'
@@ -63,9 +86,7 @@ object LangId {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     require(n >= 1, s"n must be >= 1, got $n")
     val b = lit(buckets.toLong)
-    val grams = seed.select(col("lang"),
-      explode(charGrams(col("text"), n)).as("g"))
-      .select(col("lang"), pmod(wordHash(col("g")), b).as("b"))
+    val grams = gramBuckets(seed, Seq(col("lang")), n, buckets)
     val clb = grams.groupBy("lang", "b").agg(count(lit(1)).as("clb"))
     val cl = grams.groupBy("lang").agg(count(lit(1)).as("cl"))
     val floor = round(-log(col("cl") + b) * 1e6).cast("long")
@@ -87,23 +108,56 @@ object LangId {
 
   /** Per-document class scores: (doc_id, lang, score) — one row per
     * (doc, trained class), integer micro-nats.
+    *
+    * Plan shape: ONE pipeline — gram explode → cross with the ≤ L-row
+    * broadcast `langStats` → broadcast LEFT join against the observed
+    * Δ model → a single (doc_id, lang) groupBy where G falls out as
+    * `count(*)` (every gram contributes one row per class). No
+    * doc-keyed join at all: the earlier hits-then-left-join shape
+    * planned a SortMergeJoin + extra exchange for the re-attachment.
+    * Documents shorter than `n` produce no gram rows, so they rejoin
+    * as a prior-only union (G = 0, no observed hits — the same
+    * algebra, zero rows of work when every doc clears `n`).
     */
   def scores(docs: DataFrame, m: NbModel): DataFrame = {
-    val b = lit(m.buckets.toLong)
-    val withG = docs.select(col("doc_id"),
-      greatest(length(col("text")) - (m.n - 1), lit(0)).cast("long")
-        .as("n_grams"),
-      charGrams(col("text"), m.n).as("gs"))
-    val grams = withG.select(col("doc_id"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), pmod(wordHash(col("g")), b).as("b"))
-    val hits = grams.join(broadcast(m.delta), Seq("b"))
-      .groupBy("doc_id", "lang").agg(sum("delta").as("sd"))
-    withG.select("doc_id", "n_grams")
-      .crossJoin(broadcast(m.langStats))
-      .join(hits, Seq("doc_id", "lang"), "left")
+    // class list: a model-sized driver collect (the IVF-centroid /
+    // DSIR precedent — classes are bounded, never corpus-sized),
+    // needed to name the pivoted Δ columns
+    val langs = m.langStats.select("lang").collect()
+      .map(_.getString(0)).sorted.toSeq
+    // Δ model pivoted WIDE: one broadcast row per observed bucket
+    // with a Δ column per class, so each gram crosses the join ONCE —
+    // the (gram × class) long form pushed L× the rows through the
+    // per-doc aggregation for the same integer sums. The positional
+    // toDF rename sidesteps the resolver: a class literally named
+    // "B" would otherwise collide case-insensitively with the bucket
+    // key (pivot names columns by VALUE).
+    val wide = m.delta.groupBy("b")
+      .pivot("lang", langs).agg(first(col("delta")))
+      .toDF("_bkt" +: langs.map(l => s"_d_$l"): _*)
+    val grams = gramBuckets(docs, Seq(col("doc_id")), m.n, m.buckets)
+    val sums = grams.join(broadcast(wide),
+        col("b") === col("_bkt"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        langs.map(l =>
+          sum(coalesce(col(s"_d_$l"), lit(0L))).as(s"_sd_$l")): _*)
+    // melt back to (doc_id, lang, sd): L rows per doc, then the tiny
+    // broadcast prior/floor attach
+    val stackArgs = langs
+      .map(l => s"'${l.replace("'", "''")}', `_sd_$l`").mkString(", ")
+    val scored = sums
+      .select(col("doc_id"), col("n_grams"),
+        expr(s"stack(${langs.size}, $stackArgs) AS (lang, sd)"))
+      .join(broadcast(m.langStats), Seq("lang"))
       .select(col("doc_id"), col("lang"),
-        (col("prior") + col("n_grams") * col("floor") +
-          coalesce(col("sd"), lit(0L))).as("score"))
+        (col("prior") + col("n_grams") * col("floor") + col("sd"))
+          .as("score"))
+    val priorOnly = docs.filter(length(col("text")) < m.n)
+      .select(col("doc_id"))
+      .crossJoin(broadcast(m.langStats))
+      .select(col("doc_id"), col("lang"), col("prior").as("score"))
+    scored.unionByName(priorOnly)
   }
 
   /** Per-document prediction: (doc_id, pred_lang, score) — argmax

@@ -167,6 +167,25 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("char_gram_buckets equals the composed substr+md5-hex chain") {
+    import graft.functions.TextFunctions._
+    // multibyte row 4 pins code-point (not byte) slicing; rows 1-2
+    // pin the shorter-than-n empty result
+    for (n <- Seq(2, 3); b <- Seq(64, 1024)) {
+      val rows = gramDocs.select(
+        TextExpressions.charGramBuckets(col("text"), n, b).as("fused"),
+        when(length(col("text")) >= n,
+          transform(sequence(lit(1), length(col("text")) - (n - 1)),
+            i => pmod(wordHash(col("text").substr(i, lit(n))),
+              lit(b.toLong))))
+          .otherwise(array().cast("array<long>")).as("legacy"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n b=$b")
+      }
+    }
+  }
+
   test("gram_hashes positional equals the composed seq chain (order+mult)") {
     import graft.functions.TextFunctions._
     for (n <- 1 to 3) {
