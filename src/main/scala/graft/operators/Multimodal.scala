@@ -587,6 +587,12 @@ object Multimodal {
   final case class JpegMeta(doc_id: Long, width: Long, height: Long,
       mean_r: Long, mean_g: Long, mean_b: Long)
 
+  // ImageIO defaults to a DISK-backed stream cache — one temp file per
+  // read/write. Per-row decode at corpus scale turns that into file-
+  // system churn (measured superlinear: the x8 scaling cell tripled);
+  // in-memory streams need no cache at all.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode raw RGB pixels as JPEG via the JDK's writer (quality
     * left at the writer default — fixed per JDK, so fixture bytes are
     * stable within an environment).
