@@ -115,7 +115,8 @@ object ScalingBench {
       "dedup_paragraph_stats", "dedup_paragraph_clean", "corpus_diff",
       "mm_decode_ppm", "mm_decode_wav", "pipeline_pack_bpe",
       "stream_ivf_screen", "text_bpe_train", "mm_decode_png",
-      "text_langid_nb", "mm_decode_jpeg")
+      "text_langid_nb", "mm_decode_jpeg", "mm_resize_png",
+      "text_bpe_train_apply")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -23,6 +23,47 @@ object ExtraAnalogs {
     */
   private val BpeTrainMerges = 64
 
+  /** Shared unrolled BPE-training chain (text_bpe_train +
+    * text_bpe_train_apply): vf (word freq), st1 (sentinel-delimited
+    * char split), then per round i the pair counts (p), the argmax
+    * (b) and the merged state (st_{i+1}). st/b are MATERIALIZED —
+    * DuckDB inlines CTEs by default and each round references the
+    * previous one twice (2^n expansion without the keyword).
+    */
+  private def dBpeTrainChain(n: Int): String = {
+    val iters = (1 to n).map { i =>
+      s"""tk$i AS (
+         |  SELECT freq, string_split(trim(s, chr(1)),
+         |    chr(1) || chr(1)) AS t
+         |  FROM st$i),
+         |p$i AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(t)), j -> t[j])) AS l,
+         |      unnest(list_transform(range(1, len(t)), j -> t[j+1])) AS r
+         |    FROM tk$i)
+         |  GROUP BY l, r),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+         |        ORDER BY cnt DESC, l, r LIMIT 1),
+         |st${i + 1} AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    replace(s, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+         |      chr(1) || b.l || b.r || chr(1)) AS s
+         |  FROM st$i, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""vf AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |st1 AS MATERIALIZED (
+       |  SELECT w, freq,
+       |    chr(1) || array_to_string(
+       |      list_transform(range(1, length(w) + 1), i -> w[i]),
+       |      chr(1) || chr(1)) || chr(1) AS s
+       |  FROM vf),
+       |$iters""".stripMargin
+  }
+
   // ---- DuckDB SQL fragments mirroring TextFunctions ----------------------
 
   /** `('0x'||substr(md5(w),1,8))::BIGINT` — TextFunctions.wordHash. */
@@ -1079,44 +1120,51 @@ object ExtraAnalogs {
         .learnMerges(Tables.documents(s, d), nMerges = BpeTrainMerges)
         .orderBy("rank"),
       Some {
-        val iters = (1 to BpeTrainMerges).map { i =>
-          s"""tk$i AS (
-             |  SELECT freq, string_split(trim(s, chr(1)),
-             |    chr(1) || chr(1)) AS t
-             |  FROM st$i),
-             |p$i AS (
-             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT freq,
-             |      unnest(list_transform(range(1, len(t)), j -> t[j])) AS l,
-             |      unnest(list_transform(range(1, len(t)), j -> t[j+1])) AS r
-             |    FROM tk$i)
-             |  GROUP BY l, r),
-             |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
-             |        ORDER BY cnt DESC, l, r LIMIT 1),
-             |st${i + 1} AS MATERIALIZED (
-             |  SELECT w, freq,
-             |    replace(s, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
-             |      chr(1) || b.l || b.r || chr(1)) AS s
-             |  FROM st$i, b$i b)""".stripMargin
-        }.mkString(",\n")
         val out = (1 to BpeTrainMerges).map(i =>
           s"SELECT $i AS rank, l AS \"left\", r AS \"right\", l || r AS merged, cnt FROM b$i")
           .mkString("\nUNION ALL\n")
-        s"""WITH vf AS (
-           |  SELECT w, count(*) AS freq FROM (
-           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           |  GROUP BY w),
-           |st1 AS MATERIALIZED (
-           |  SELECT w, freq,
-           |    chr(1) || array_to_string(
-           |      list_transform(range(1, length(w) + 1), i -> w[i]),
-           |      chr(1) || chr(1)) || chr(1) AS s
-           |  FROM vf),
-           |$iters
+        s"""WITH ${dBpeTrainChain(BpeTrainMerges)}
            |SELECT CAST(rank AS BIGINT) AS rank, "left", "right",
            |  merged, cnt
            |FROM ($out) ORDER BY rank""".stripMargin
       }),
+
+    // TRAIN -> APPLY composition: tokenize the SAME corpus under the
+    // just-learned 64-merge table. The engine side exposes the
+    // trainer's own final word state (learnWithTokenization — the
+    // sequential training-order application, the ground truth every
+    // BPE trainer emits as a byproduct) as a vocab-bounded broadcast
+    // (w, n_tok) frame; per-doc counts are one map-side join + sum.
+    // The oracle replays the identical chain and reads the FINAL
+    // sentinel state st{n+1}: a trainer whose application drifted
+    // from its own merge choices diverges here even if the merge
+    // table itself matched.
+    Q("text_bpe_train_apply",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (_, wordTok) = graft.operators.BpeTrain
+          .learnWithTokenization(docs, nMerges = BpeTrainMerges)
+        docs.select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .join(broadcast(wordTok), Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${dBpeTrainChain(BpeTrainMerges)},
+        |wt AS (
+        |  SELECT w, CAST(len(string_split(trim(s, chr(1)),
+        |    chr(1) || chr(1))) AS BIGINT) AS n_tok
+        |  FROM st${BpeTrainMerges + 1}),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok
+        |FROM dw JOIN wt USING (w)
+        |WHERE w <> ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Sequence packing keyed on REAL BPE token counts (the verdict's
     // "re-key pack on the tokenizer" thread): identical two-level
@@ -1385,6 +1433,42 @@ object ExtraAnalogs {
         |  CAST(sr // (w*h) AS BIGINT) AS mean_r,
         |  CAST(sg // (w*h) AS BIGINT) AS mean_g,
         |  CAST(sb // (w*h) AS BIGINT) AS mean_b
+        |FROM sums ORDER BY doc_id""".stripMargin)),
+
+    // REAL image-transform pipeline: PNG decode -> nearest-neighbor
+    // resample -> PNG re-encode -> re-decode, per row, with the
+    // RE-DECODED statistics exposed. Closed-form oracle: the resized
+    // pixel at (x, y, c) is the fixture formula evaluated at the floor
+    // source index (sx, sy) = (x·w÷outW, y·h÷outH) — a bug in either
+    // codec direction OR the index arithmetic diverges the means.
+    Q("mm_resize_png",
+      (s, d) => {
+        import s.implicits._
+        val withPayload = Tables.documents(s, d).select("doc_id")
+          .as[Long].mapPartitions(_.map(id => (id, Multimodal.pngFixture(id))))
+          .toDF("doc_id", "payload")
+        Multimodal.resizePng(s, withPayload, 3, 4).toDF().orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS w, 5 + doc_id % 2 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS ct,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS bpp
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, ct, bpp,
+        |    ((p % 3) * w) // 3 AS sx, ((p // 3) * h) // 4 AS sy
+        |  FROM (SELECT *, unnest(range(0, 12)) AS p FROM dims)),
+        |sums AS (
+        |  SELECT doc_id, ct, bpp,
+        |    CAST(sum((doc_id*7 + 3*(bpp*(sy*w+sx))) % 256) AS BIGINT) AS sr,
+        |    CAST(sum((doc_id*7 + 3*(bpp*(sy*w+sx)) + 3) % 256) AS BIGINT) AS sg,
+        |    CAST(sum((doc_id*7 + 3*(bpp*(sy*w+sx)) + 6) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, ct, bpp)
+        |SELECT doc_id, 3::BIGINT AS width, 4::BIGINT AS height,
+        |  8::BIGINT AS bit_depth, CAST(ct AS BIGINT) AS color_type,
+        |  CAST(4*(1+3*bpp) AS BIGINT) AS n_raw_bytes,
+        |  CAST(sr // 12 AS BIGINT) AS mean_r,
+        |  CAST(sg // 12 AS BIGINT) AS mean_g,
+        |  CAST(sb // 12 AS BIGINT) AS mean_b
         |FROM sums ORDER BY doc_id""".stripMargin)),
 
     // JPEG through the PLATFORM codec (javax.imageio): real entropy

@@ -52,7 +52,23 @@ object BpeTrain {
     * provably bounds the vocabulary collect at `maxVocab`.
     */
   def learnMerges(docs: DataFrame, nMerges: Int = 8,
-      minFreq: Long = 0L, maxVocab: Int = 1000000): DataFrame = {
+      minFreq: Long = 0L, maxVocab: Int = 1000000): DataFrame =
+    learnWithTokenization(docs, nMerges, minFreq, maxVocab)._1
+
+  /** Train AND apply: the merge table plus the per-word token counts
+    * `(w, n_tok)` under the learned tokenizer — the trainer's own
+    * final word state, i.e. the SEQUENTIAL (training-order)
+    * application every BPE trainer produces as a byproduct. Exposing
+    * it closes the learn→tokenize loop without re-deriving
+    * application semantics (rank-priority re-application can differ
+    * on adversarial tables; the training-order result is the ground
+    * truth the oracle's unrolled chain replays). The counts frame is
+    * vocab-bounded (same ⌈T/maxVocab⌉ argument), so a caller
+    * broadcasts it and tokenizes the corpus with one map-side join.
+    */
+  def learnWithTokenization(docs: DataFrame, nMerges: Int = 8,
+      minFreq: Long = 0L, maxVocab: Int = 1000000)
+      : (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(minFreq >= 0, s"minFreq must be >= 0, got $minFreq")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
@@ -72,8 +88,9 @@ object BpeTrain {
       s"vocabulary ${rows.length} exceeds maxVocab $maxVocab — the " +
         "caller forced a minFreq below the corpus-derived bound; " +
         "use minFreq = 0 (auto) or raise maxVocab")
-    val words: Array[Array[String]] = rows.map(
-      _.getString(0).split("").filter(_.nonEmpty))
+    val wordStrs: Array[String] = rows.map(_.getString(0))
+    val words: Array[Array[String]] = wordStrs.map(
+      _.split("").filter(_.nonEmpty))
     val freqs: Array[Long] = rows.map(_.getLong(1))
 
     // global pair-count map + pair -> {word index} occurrence index:
@@ -134,8 +151,12 @@ object BpeTrain {
         add(wi, words(wi), f)
       }
     }
-    spark.createDataFrame(merges.toSeq.map { case (rk, l, r, c) =>
-      (rk, l, r, l + r, c)
+    val mergeDf = spark.createDataFrame(merges.toSeq.map {
+      case (rk, l, r, c) => (rk, l, r, l + r, c)
     }).toDF("rank", "left", "right", "merged", "cnt")
+    val tokDf = spark.createDataFrame(
+      wordStrs.indices.map(wi => (wordStrs(wi), words(wi).length.toLong)))
+      .toDF("w", "n_tok")
+    (mergeDf, tokDf)
   }
 }

@@ -570,6 +570,50 @@ object Multimodal {
       .mapPartitions(_.map(id => parsePng(id, pngFixture(id))))
   }
 
+  /** REAL nearest-neighbor resize of a PNG payload — decode
+    * ([[pngPixels]]), source pixel (sx, sy) = (x·w ÷ outW, y·h ÷ outH)
+    * floor (the [[resizePpmBytes]] arithmetic), re-encode
+    * ([[encodePng]], color type preserved). Deterministic bytes
+    * (stored-block zlib), so downstream content hashes are stable.
+    */
+  def resizePngBytes(bytes: Array[Byte], outW: Int, outH: Int)
+      : Array[Byte] = {
+    require(outW > 0 && outH > 0, s"bad target ${outW}x$outH")
+    val (w, h, ct, px) = pngPixels(0L, bytes)
+    val bpp = bytesPerPixel(ct)
+    val out = new Array[Byte](outW * outH * bpp)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        var c = 0
+        while (c < bpp) {
+          out((y * outW + x) * bpp + c) = px((sy * w + sx) * bpp + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(outW, outH, ct, out)
+  }
+
+  /** Resize every PNG payload, emitting the RE-DECODED statistics —
+    * the full decode → resample → encode → decode chain per row, so
+    * the emitted means verify BOTH codec directions plus the index
+    * arithmetic in one closed form.
+    */
+  def resizePng(spark: SparkSession, withPayload: DataFrame,
+      outW: Int, outH: Int): Dataset[PngMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        parsePng(id, resizePngBytes(b, outW, outH)) })
+  }
+
   // ---- JPEG through the PLATFORM codec (javax.imageio — public JDK
   // API, present in this sandbox). Entropy decoding is real, but JPEG
   // is LOSSY: pixel statistics depend on the codec's DCT rounding and

@@ -68,6 +68,15 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert(auto(0).getString(3) === "zz")
   }
 
+  test("learnWithTokenization exposes the trainer's final word state") {
+    val docs = df("low low lower", "lowest low")
+    // after merges (l,o) and (lo,w): low=[low], lower=[low,e,r],
+    // lowest=[low,e,s,t]
+    val (_, tok) = BpeTrain.learnWithTokenization(docs, nMerges = 2)
+    val got = tok.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("low" -> 1L, "lower" -> 3L, "lowest" -> 4L))
+  }
+
   test("incremental pair maintenance equals a full recount, 30 merges") {
     // naive reference: recount every pair over the whole vocab per
     // merge (the pre-r10 implementation) — the incremental trainer

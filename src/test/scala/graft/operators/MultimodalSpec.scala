@@ -233,6 +233,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("not a png"))
   }
 
+  test("resizePngBytes: floor source indexing, both color types, re-decodable") {
+    // 2x2 RGB -> 4x4: each source pixel becomes a 2x2 block
+    val px = Array[Int](10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220)
+      .map(_.toByte)
+    val up = Multimodal.resizePngBytes(
+      Multimodal.encodePng(2, 2, 2, px), 4, 4)
+    val (w, h, ct, got) = Multimodal.pngPixels(9L, up)
+    assert((w, h, ct) === ((4, 4, 2)))
+    // pixel (3,3) maps to source (1,1) = (200,210,220)
+    val o = (3 * 4 + 3) * 3
+    assert((got(o) & 255, got(o + 1) & 255, got(o + 2) & 255) ===
+      ((200, 210, 220)))
+    // pixel (0,0) maps to source (0,0)
+    assert((got(0) & 255, got(1) & 255, got(2) & 255) === ((10, 20, 30)))
+    // RGBA payloads preserve the alpha channel through the resample
+    val rgba = Multimodal.pngFixture(1L) // ct=6
+    val down = Multimodal.resizePngBytes(rgba, 2, 2)
+    assert(Multimodal.pngPixels(1L, down)._3 === 6)
+  }
+
   test("jpeg: platform-codec roundtrip — dims exact, means near, encode stable") {
     for (id <- Seq(0L, 3L)) {
       val bytes = Multimodal.jpegFixture(id)
