@@ -1397,6 +1397,40 @@ object ExtraAnalogs {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
         |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio-transform pipeline: WAV decode -> nearest-sample
+    // resample 8 kHz -> 4 kHz -> RIFF re-encode -> re-decode (the
+    // mm_resize_png contract for audio). Output frame i maps to input
+    // frame 2i, so the re-decoded stats are closed-form: samples
+    // u = (doc_id·13 + 10i) mod 65536, signed.
+    Q("mm_resample_wav",
+      (s, d) => {
+        val header = "52494646" + "34000000" + "57415645" + "666D7420" +
+          "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+          "0200" + "1000" + "64617461" + "10000000"
+        val samples = (0 until 8).flatMap { i =>
+          val u = pmod(col("doc_id") * 13 + lit(5 * i), lit(65536))
+          Seq(lpad(hex(pmod(u, lit(256))), 2, "0"),
+            lpad(hex(shiftright(u.cast("int"), 8)), 2, "0"))
+        }
+        val withPayload = Tables.documents(s, d).select(col("doc_id"),
+          unhex(concat(lit(header) +: samples: _*)).as("payload"))
+        Multimodal.resampleWav(s, withPayload, 4000)
+          .toDF().orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS i FROM documents),
+        |sv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id*13 + 10*i) % 65536 >= 32768
+        |      THEN (doc_id*13 + 10*i) % 65536 - 65536
+        |      ELSE (doc_id*13 + 10*i) % 65536 END AS v
+        |  FROM s)
+        |SELECT doc_id, 4000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+        |  16::BIGINT AS bits, 4::BIGINT AS n_samples,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // REAL compressed-image decode, pure JDK: each doc gets a VALID
     // PNG payload (Multimodal.pngFixture — dims/color-type functions
     // of doc_id, pixel byte j = (doc_id·7+3j) mod 256, scanline
@@ -1484,6 +1518,33 @@ object ExtraAnalogs {
       Some("""SELECT doc_id,
         |  CAST(doc_id % 3 + 2 AS BIGINT) AS width,
         |  CAST(5 + doc_id % 2 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Batch twin of the STREAMING asset-triage screen
+    // (graft.streaming.DocStreams.assetScreen — stateless, so the
+    // identical function runs on both frame kinds; the stream/batch
+    // equality is proven in DocStreamsSpec). Every 7th payload is
+    // corrupted (one byte flipped inside the first IDAT's data, so
+    // the chunk CRC check trips); the screen must flag it with −1
+    // dims and decode the rest — closed-form both ways.
+    Q("stream_asset_screen",
+      (s, d) => {
+        import s.implicits._
+        val withPayload = Tables.documents(s, d).select("doc_id")
+          .as[Long].mapPartitions(_.map { id =>
+            val b = Multimodal.pngFixture(id)
+            if (id % 7 == 0) b(50) = (b(50) ^ 0x55).toByte
+            (id, b)
+          }).toDF("doc_id", "payload")
+        graft.streaming.DocStreams.assetScreen(withPayload)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS INTEGER) AS ok,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    ELSE doc_id % 3 + 2 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    ELSE 5 + doc_id % 2 END AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Batch twin of the STREAM-STREAM attribution join

@@ -213,6 +213,84 @@ object Multimodal {
     WavMeta(id, rate, ch, bits, n, peak, sum)
   }
 
+  /** Encode 16-bit little-endian PCM frames as a canonical 44-byte
+    * RIFF/WAVE container (fmt then data — the layout every encoder
+    * emits; [[parseWav]] additionally accepts chunk reorderings and
+    * junk chunks on READ, the usual strict-write/lenient-read split).
+    * Deterministic bytes by construction.
+    */
+  def encodeWav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "bad wav params")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** REAL nearest-sample resample of a PCM WAV payload — decode, map
+    * output frame i to input frame ⌊i·inRate ÷ outRate⌋ (the
+    * [[resizePngBytes]] floor arithmetic in one dimension, frame-wise
+    * so channel interleaving survives), re-encode via [[encodeWav]].
+    * Duration-preserving: out frames = ⌊inFrames·outRate ÷ inRate⌋.
+    */
+  def resampleWavBytes(bytes: Array[Byte], outRate: Int): Array[Byte] = {
+    require(outRate > 0, s"bad target rate $outRate")
+    val meta = parseWav(0L, bytes)
+    val ch = meta.channels.toInt
+    val inRate = meta.sample_rate
+    val inFrames = meta.n_samples / ch
+    // re-walk the container for the data offset (parseWav validated it)
+    def u8(i: Int) = bytes(i) & 255
+    def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(bytes.slice(i, i + 4), "US-ASCII")
+    var pos = 12; var dataOff = -1
+    while (dataOff < 0 && pos + 8 <= bytes.length) {
+      val len = u32(pos + 4)
+      if (tag(pos) == "data") dataOff = pos + 8
+      else pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    val outFrames = (inFrames * outRate / inRate).toInt
+    val out = new Array[Short](outFrames * ch)
+    var i = 0
+    while (i < outFrames) {
+      val src = (i.toLong * inRate / outRate).toInt
+      var c = 0
+      while (c < ch) {
+        val o = dataOff + (src * ch + c) * 2
+        out(i * ch + c) =
+          ((bytes(o) & 255) | (bytes(o + 1) << 8)).toShort
+        c += 1
+      }
+      i += 1
+    }
+    encodeWav(outRate, ch, out)
+  }
+
+  /** Resample every WAV payload, emitting the RE-DECODED statistics —
+    * decode → resample → encode → decode per row, the [[resizePng]]
+    * contract for audio.
+    */
+  def resampleWav(spark: SparkSession, withPayload: DataFrame,
+      outRate: Int): Dataset[WavMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        parseWav(id, resampleWavBytes(b, outRate)) })
+  }
+
   /** Partition-local REAL decode of P6 payloads (the
     * [[decodePartitions]] shape with an actual parser). */
   def decodePpm(spark: SparkSession, withPayload: DataFrame)
@@ -612,6 +690,30 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
         parsePng(id, resizePngBytes(b, outW, outH)) })
+  }
+
+  /** Decode VERDICT for arriving assets — the triage an ingest
+    * pipeline runs before letting payloads near the corpus: attempt
+    * the full [[parsePng]] (signature, CRCs, inflate, unfilter) and
+    * emit (doc_id, ok, width, height) with −1 dims on failure
+    * (integer sentinel, not NULL, so the row hashes identically in
+    * both engines). Purely stateless and partition-local, so the SAME
+    * function runs on a batch frame and on a Structured Streaming
+    * frame (graft.streaming.DocStreams.assetScreen) — corrupt assets
+    * never throw past the screen.
+    */
+  def pngVerdicts(spark: SparkSession, withPayload: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        scala.util.Try(parsePng(id, b)) match {
+          case scala.util.Success(m) => (id, 1, m.width, m.height)
+          case scala.util.Failure(_) => (id, 0, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "ok", "width", "height")
   }
 
   // ---- JPEG through the PLATFORM codec (javax.imageio — public JDK

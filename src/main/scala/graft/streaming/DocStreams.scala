@@ -257,4 +257,18 @@ object DocStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
   }
+
+  /** Multimodal-asset triage at ingest: attempt the full PNG decode
+    * per arriving payload and emit an (ok, dims) verdict — corrupt
+    * assets are flagged, never thrown past the screen. STATELESS
+    * (partition-local mapPartitions, no aggregation, no watermark),
+    * so the identical function runs on a batch frame and on a
+    * readStream frame; DocStreamsSpec proves the streamed verdicts
+    * equal the batch twin's. The heavy decode rides the stream's own
+    * parallelism — at deployment scale each micro-batch's files
+    * decode across the executors with zero shuffle.
+    */
+  def assetScreen(streamAssets: DataFrame): DataFrame =
+    graft.operators.Multimodal.pngVerdicts(
+      streamAssets.sparkSession, streamAssets)
 }

@@ -253,6 +253,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.pngPixels(1L, down)._3 === 6)
   }
 
+  test("encodeWav/resampleWavBytes: canonical container, floor frame mapping") {
+    // 8 kHz mono, samples 0..7 scaled: downsample to 4 kHz keeps
+    // every other frame
+    val in = Multimodal.encodeWav(8000, 1,
+      Array[Short](10, -20, 30, -40, 50, -60, 70, -80))
+    val roundtrip = Multimodal.parseWav(1L, in)
+    assert((roundtrip.sample_rate, roundtrip.n_samples) === ((8000L, 8L)))
+    val down = Multimodal.parseWav(1L, Multimodal.resampleWavBytes(in, 4000))
+    assert((down.sample_rate, down.n_samples) === ((4000L, 4L)))
+    // kept frames: 0,2,4,6 → |10|+|30|+|50|+|70| = 160, peak 70
+    assert((down.peak, down.sum_abs) === ((70L, 160L)))
+    // upsample 8 kHz -> 16 kHz duplicates every frame
+    val up = Multimodal.parseWav(1L, Multimodal.resampleWavBytes(in, 16000))
+    assert((up.n_samples, up.sum_abs) === ((16L, 2L * 360)))
+    // stereo interleaving survives: L channel constant 5, R constant -7
+    val st = Multimodal.encodeWav(8000, 2,
+      Array[Short](5, -7, 5, -7, 5, -7, 5, -7))
+    val std = Multimodal.parseWav(2L, Multimodal.resampleWavBytes(st, 4000))
+    assert((std.channels, std.n_samples, std.sum_abs) === ((2L, 4L, 24L)))
+  }
+
   test("jpeg: platform-codec roundtrip — dims exact, means near, encode stable") {
     for (id <- Seq(0L, 3L)) {
       val bytes = Multimodal.jpegFixture(id)

@@ -38,6 +38,39 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("asset screen: streamed verdicts equal the batch twin, corrupt flagged") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    import graft.operators.Multimodal
+    def payload(id: Long): Array[Byte] = {
+      val b = Multimodal.pngFixture(id)
+      if (id % 7 == 0) b(50) = (b(50) ^ 0x55).toByte
+      b
+    }
+    val ids = Seq(0L, 1L, 2L, 7L, 9L) // 0 and 7 corrupted
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val query = DocStreams.assetScreen(
+      mem.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("assets")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ids.map(id => (id, payload(id))): _*)
+      query.processAllAvailable()
+      val got = spark.table("assets").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      assert(got(0L) === ((0, -1L)))
+      assert(got(7L) === ((0, -1L)))
+      assert(got(1L) === ((1, 3L))) // w = 1%3+2
+      assert(got(9L) === ((1, 2L))) // w = 9%3+2... = 2
+      // batch twin over the same payloads — identical verdicts
+      val twin = DocStreams.assetScreen(
+        ids.map(id => (id, payload(id))).toDF("doc_id", "payload"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+        .toMap
+      assert(twin === got)
+    } finally query.stop()
+  }
+
   test("stream-static contamination screen flags shared 3-grams") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
