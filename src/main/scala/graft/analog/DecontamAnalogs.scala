@@ -90,6 +90,29 @@ object DecontamAnalogs {
       },
       Some(hitsSql)),
 
+    // The RATIO form of the screen (GPT-3 appendix C shape): per train
+    // doc, what fraction of its distinct 3-grams appears anywhere in
+    // the benchmark set — integer per-myriad, truncating.
+    Q("decontam_overlap_ratio",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontam.overlapRatio(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      },
+      Some(s"""WITH $g3Cte, $splitCte,
+        |bset AS (SELECT DISTINCT h FROM bg),
+        |r AS (
+        |  SELECT tg.train_id AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN bset.h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_contam
+        |  FROM tg LEFT JOIN bset ON tg.h = bset.h
+        |  GROUP BY 1)
+        |SELECT doc_id, n_grams, n_contam,
+        |  CAST(n_contam * 10000 // n_grams AS BIGINT) AS contam_pm
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     // The decontaminated keep set: train docs hitting NO benchmark doc.
     Q("decontam_survivors",
       (s, d) => {

@@ -721,6 +721,24 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Cluster-balanced diversity sample: the trained IVF cells capped
+    // at 40 members each by md5 rank — the topic-balancing selection
+    // (SemDeDup-adjacent) that stops one dominant cluster flooding a
+    // training mix. Composes the SAME dKmCellsCte the index queries
+    // use, so cell assignment cannot drift between them.
+    Q("sim_cluster_sample",
+      (s, d) => Similarity.clusterBalancedSample(
+        Tables.embeddings(s, d), perCell = 40),
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |s AS (
+        |  SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+        |    CAST(row_number() OVER (PARTITION BY cell
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+        |      AS rk
+        |  FROM cells)
+        |SELECT vec_id, cell, rk FROM s
+        |WHERE rk <= 40 ORDER BY vec_id""".stripMargin)),
+
     // IVF-routed approximate top-3 under TRAINED centroids: 2 Lloyd
     // iterations over integer-scaled vectors (exact, order-independent
     // sums; cosine is scale-invariant so no mean division), nprobe=2.

@@ -100,6 +100,33 @@ object Decontam {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-train-doc contamination RATIO — the GPT-3-appendix form of
+    * the screen ("a document is dirty if more than X% of its n-grams
+    * appear in the benchmark set"), complementing the pairwise
+    * [[overlapScreen]]: (doc_id, n_grams, n_contam, contam_pm) with
+    * `contam_pm` the truncating per-myriad ratio n_contam·10000 ÷
+    * n_grams — integer-exact, engine-portable. The bench side
+    * collapses to its DISTINCT gram set (which benchmark doc matched
+    * is irrelevant to the ratio), so the broadcast bound is the eval
+    * suite's distinct grams. One explode + one broadcast left join +
+    * one per-doc aggregate; documents with fewer than `n` tokens have
+    * no grams and hence no definable ratio — they carry no row.
+    */
+  def overlapRatio(train: DataFrame, bench: DataFrame, n: Int = 3,
+      broadcastBench: Boolean = true): DataFrame = {
+    val tg = gramHashes(train, "doc_id", n)
+    val bs = gramHashes(bench, "bench_id", n)
+      .select("h").distinct().withColumn("_hit", lit(1L))
+    val b = if (broadcastBench) broadcast(bs) else bs
+    tg.join(b, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contam"))
+      .withColumn("contam_pm",
+        expr("n_contam * 10000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Training docs that hit NO benchmark doc at the screen's
     * threshold — the decontaminated keep set. One `left_anti` against
     * the hit list's train ids; the corpus never shuffles.

@@ -58,6 +58,22 @@ class DecontamSpec extends AnyFunSuite with SparkSpec {
     assert(hits.keySet === Set((1L, 100L), (4L, 150L)))
   }
 
+  test("overlapRatio: per-doc contaminated-gram fraction, per-myriad") {
+    val got = Decontam.overlapRatio(train, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 "the quick brown fox jumps high": 4 distinct 3-grams —
+    // "the quick brown", "quick brown fox", "brown fox jumps" shared
+    // with bench 100, "fox jumps high" clean -> 3*10000 div 4 = 7500
+    assert(got(1L) === ((4L, 3L, 7500L)))
+    // doc 3: no overlap -> ratio 0
+    assert(got(3L)._2 === 0L)
+    assert(got(3L)._3 === 0L)
+    // doc 4 is an exact copy of bench 150 -> every gram contaminated
+    assert(got(4L)._1 === got(4L)._2)
+    assert(got(4L)._3 === 10000L)
+  }
+
   test("survivors is the exact complement of screened train ids") {
     val kept = Decontam.survivors(train, bench, n = 3, minShared = 2)
       .collect().map(_.getLong(0)).toSeq

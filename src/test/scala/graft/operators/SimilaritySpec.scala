@@ -191,6 +191,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(errs.sum / errs.size < 0.25, s"mean distortion ${errs.sum / errs.size}")
   }
 
+  test("clusterBalancedSample caps each cell by the md5 rank") {
+    val s = spark; import s.implicits._
+    // 3 tight clusters of 6 vectors each, ids interleaved
+    val rows = (0 until 18).map { id =>
+      val cl = id % 3
+      val v = Array.tabulate(6)(j =>
+        (if (j == cl * 2) 10f else 0f) + ((id * 7 + j) % 5) * 0.01f)
+      (id.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.clusterBalancedSample(df, perCell = 2,
+      nCells = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every cell contributes at most perCell rows, ranks are 1..2
+    got.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.length <= 2)
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length).toSeq)
+    }
+    // total kept = 3 cells x 2 (every cell has >= 2 members)
+    assert(got.length === 6)
+    // deterministic: a second run returns the identical selection
+    val again = Similarity.clusterBalancedSample(df, perCell = 2,
+      nCells = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("LSH top-k with multi-probe matches brute force on a tiny corpus") {
     // n=4 → chooseBits gives 1 bit; self + Hamming-1 probe covers both
     // buckets, so the approximate result must equal the exact one
