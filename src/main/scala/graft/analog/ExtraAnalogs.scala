@@ -721,6 +721,53 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // BM25 top-3 retrieval: every 100th doc plays the query set, the
+    // rest the corpus. Integer-exact end to end: grid-rounded idf
+    // micro-nats (the Perplexity ln discipline), the Okapi tf
+    // normalization as ONE truncating integer division per (term,
+    // doc) with k1=6/5, b=3/4 and the centi-token integer avgdl, and
+    // the score a plain integer sum — both engines rank identically.
+    Q("text_bm25_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Retrieval.bm25TopK(
+          docs.filter(col("doc_id") % 100 === 0),
+          docs.filter(col("doc_id") % 100 =!= 0))
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |post AS (
+        |  SELECT doc_id, l AS len, ${dWordHash60("t")} AS h,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS l,
+        |          unnest(w) AS t
+        |        FROM tok WHERE doc_id % 100 <> 0)
+        |  GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST((100 * sum(len(w))) // count(*) AS BIGINT) AS adl
+        |  FROM tok WHERE doc_id % 100 <> 0),
+        |idf AS (
+        |  SELECT h, CAST(round((ln(2*st.n_docs + 2) - ln(2*df + 1))
+        |    * 1e6) AS BIGINT) AS idf
+        |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS df
+        |        FROM post GROUP BY h), st),
+        |qt AS (
+        |  SELECT query_id, ${dWordHash60("t")} AS h
+        |  FROM (SELECT DISTINCT doc_id AS query_id, unnest(w) AS t
+        |        FROM tok WHERE doc_id % 100 = 0)),
+        |sc AS (
+        |  SELECT qt.query_id, post.doc_id,
+        |    CAST(sum((idf.idf * 22 * post.tf * st.adl) //
+        |      (10*post.tf*st.adl + 3*st.adl + 900*post.len))
+        |      AS BIGINT) AS score
+        |  FROM qt JOIN post USING (h) JOIN idf USING (h), st
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS rk FROM sc)
+        |SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // Cluster-balanced diversity sample: the trained IVF cells capped
     // at 40 members each by md5 rank — the topic-balancing selection
     // (SemDeDup-adjacent) that stops one dominant cluster flooding a

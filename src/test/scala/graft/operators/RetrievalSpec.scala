@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class RetrievalSpec extends AnyFunSuite with SparkSpec {
+
+  private def df(rows: (Long, String)*) =
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+
+  test("postings: tf counts multiplicity, len is the token count") {
+    val p = Retrieval.postings(df((1L, "cat cat dog"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    // two terms: cat tf=2, dog tf=1; len 3 on both rows
+    assert(p.map(_._2).toSet === Set(3L))
+    assert(p.map(_._3).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("bm25: rare-term match outranks common-term match, ties on doc_id") {
+    val corpus = df(
+      (1L, "cat sat here"), // matches 'cat' (rare: df=1)
+      (2L, "dog ran far"), // matches 'dog' (common: df=3)
+      (3L, "dog dog dog"), // more dog mass but same idf
+      (4L, "dog naps a lot"),
+      (5L, "zebra only words"))
+    val q = df((100L, "cat dog"))
+    val got = Retrieval.bm25TopK(q, corpus, k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 5 shares nothing -> absent
+    assert(!got.map(_._1).contains(5L))
+    // idf(cat) [df=1] > idf(dog) [df=3], same tf/len shape -> doc 1 first
+    assert(got.head._1 === 1L)
+    // ranks are a dense 1..n sequence
+    assert(got.map(_._3).toSeq === (1L to got.length).toSeq)
+    // doc 3 (tf=3, len=3) beats docs 2/4 (tf=1): tf saturation raises
+    // but never inverts a same-term score at equal idf
+    val byDoc = got.map(g => g._1 -> g._2).toMap
+    assert(byDoc(3L) > byDoc(2L))
+    assert(byDoc(2L) > 0L)
+    // scores are exact integers and stable across runs
+    val again = Retrieval.bm25TopK(q, corpus, k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("bm25: per-query isolation — each query ranks its own matches") {
+    val corpus = df((1L, "alpha beta"), (2L, "gamma delta"))
+    val q = df((10L, "alpha"), (20L, "gamma"))
+    val got = Retrieval.bm25TopK(q, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L), (20L, 2L)))
+  }
+}
