@@ -721,6 +721,32 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Z-order layout codes: the Morton interleave (Delta/Iceberg
+    // ZORDER BY) over two 16-bit key projections of orders — the
+    // locality layout whose payoff is conjunctive-range file pruning
+    // (ZorderSpec measures the per-file bounding boxes). Pure column
+    // arithmetic, bit-for-bit mirrored by the unrolled oracle.
+    Q("layout_zorder",
+      (s, d) => Tables.orders(s, d).select(
+          col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("a"),
+          pmod(col("o_orderkey"), lit(65536L)).as("b"))
+        .withColumn("zcode",
+          graft.sources.Zorder.morton(col("a"), col("b")))
+        .orderBy("o_orderkey"),
+      Some {
+        val z = (0 until 16).map(i =>
+          s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""WITH m AS (
+           |  SELECT o_orderkey, o_custkey % 65536 AS a,
+           |    o_orderkey % 65536 AS b
+           |  FROM orders)
+           |SELECT o_orderkey, CAST(a AS BIGINT) AS a,
+           |  CAST(b AS BIGINT) AS b, CAST($z AS BIGINT) AS zcode
+           |FROM m ORDER BY o_orderkey""".stripMargin
+      }),
+
     // BM25 top-3 retrieval: every 100th doc plays the query set, the
     // rest the corpus. Integer-exact end to end: grid-rounded idf
     // micro-nats (the Perplexity ln discipline), the Okapi tf

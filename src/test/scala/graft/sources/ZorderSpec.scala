@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ZorderSpec extends AnyFunSuite with SparkSpec {
+
+  test("morton: hand-checked interleave, a at even bits, b at odd") {
+    val s = spark; import s.implicits._
+    val got = Seq((3L, 0L), (0L, 3L), (1L, 1L), (5L, 2L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Zorder.morton(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // a=0b11 -> bits 0,2 = 0b0101; b=0b11 -> bits 1,3 = 0b1010
+    // a=1,b=1 -> 0b11; a=0b101,b=0b010 -> bits a:0,4 b:3 -> 0b011001
+    assert(got === Set((3L, 0L, 5L), (0L, 3L, 10L), (1L, 1L, 3L),
+      (5L, 2L, 25L)))
+  }
+
+  test("z-order layout prunes a second-key range scan; a-stripes don't") {
+    val s = spark; import s.implicits._
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b =>
+      (a.toLong, b.toLong))).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+
+    Zorder.writeZordered(grid, s"$dir/z", col("a"), col("b"),
+      nFiles = 16, bits = 6)
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(s"$dir/astripe")
+
+    // min/max pruning simulation at file granularity: a file is
+    // scanned iff its [min, max] box intersects the query box — the
+    // exact decision parquet row-group stats drive
+    def filesHit(path: String, bLo: Long, bHi: Long): (Int, Int) = {
+      val boxes = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min("b"), max("b")).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+      (boxes.count { case (lo, hi) => hi >= bLo && lo <= bHi },
+        boxes.size)
+    }
+    // query on b ALONE (b in [0, 7]): the stripe layout sorted by `a`
+    // leaves b unbounded per file -> every file intersects; z-order
+    // bounds BOTH keys per file -> most files prune
+    val (zHit, zTotal) = filesHit(s"$dir/z", 0L, 7L)
+    val (sHit, sTotal) = filesHit(s"$dir/astripe", 0L, 7L)
+    assert(zTotal >= 8 && sTotal >= 8) // the writers actually split
+    assert(sHit === sTotal, s"a-stripes should not bound b: $sHit/$sTotal")
+    assert(zHit * 2 <= zTotal,
+      s"z-order pruned only ${zTotal - zHit} of $zTotal files")
+  }
+}
