@@ -23,6 +23,51 @@ object ExtraAnalogs {
     */
   private val BpeTrainMerges = 64
 
+  /** Shared trained-language-ID prediction chain (text_langid_nb +
+    * eval_langid_prf): train the char-trigram NB on the doc_id%5
+    * seed, score every doc, argmax into `rk` (WHERE rk = 1 = the
+    * prediction, with true_lang riding along).
+    */
+  private val dLangidNbCte: String = """seed AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |g AS (
+        |  SELECT lang, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
+        |  FROM (SELECT lang, unnest(list_transform(
+        |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
+        |    FROM seed)),
+        |clb AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS clb
+        |        FROM g GROUP BY lang, b),
+        |lf AS (SELECT lang, CAST(count(*) AS BIGINT) AS cl,
+        |         CAST(round(-ln(count(*) + 1024) * 1e6) AS BIGINT) AS fl
+        |       FROM g GROUP BY lang),
+        |dl AS (SELECT clb.lang, b,
+        |         CAST(round((ln(clb + 1) - ln(cl + 1024)) * 1e6) AS BIGINT)
+        |           - fl AS delta
+        |       FROM clb JOIN lf USING (lang)),
+        |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |       FROM seed GROUP BY lang),
+        |st AS (SELECT lang,
+        |         CAST(round((ln(nl) - ln((SELECT CAST(sum(nl) AS BIGINT)
+        |           FROM nd))) * 1e6) AS BIGINT) AS prior, fl
+        |       FROM nd JOIN lf USING (lang)),
+        |dg AS (SELECT doc_id, lang AS true_lang,
+        |         CAST(greatest(length(text) - 2, 0) AS BIGINT) AS ng
+        |       FROM documents),
+        |docb AS (
+        |  SELECT doc_id, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
+        |    FROM documents)),
+        |hits AS (SELECT doc_id, dl.lang, CAST(sum(delta) AS BIGINT) AS sd
+        |         FROM docb JOIN dl USING (b) GROUP BY doc_id, dl.lang),
+        |sc AS (SELECT dg.doc_id, dg.true_lang, st.lang,
+        |         st.prior + dg.ng * st.fl + coalesce(hits.sd, 0) AS score
+        |       FROM dg CROSS JOIN st
+        |       LEFT JOIN hits ON hits.doc_id = dg.doc_id
+        |         AND hits.lang = st.lang),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, lang) AS rk FROM sc)""".stripMargin
+
   /** Shared unrolled BPE-training chain (text_bpe_train +
     * text_bpe_train_apply): vf (word freq), st1 (sentinel-delimited
     * char split), then per round i the pair counts (p), the argmax
@@ -930,48 +975,54 @@ object ExtraAnalogs {
             col("score"))
           .orderBy("doc_id")
       },
-      Some("""WITH seed AS (
-        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
-        |g AS (
-        |  SELECT lang, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
-        |  FROM (SELECT lang, unnest(list_transform(
-        |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
-        |    FROM seed)),
-        |clb AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS clb
-        |        FROM g GROUP BY lang, b),
-        |lf AS (SELECT lang, CAST(count(*) AS BIGINT) AS cl,
-        |         CAST(round(-ln(count(*) + 1024) * 1e6) AS BIGINT) AS fl
-        |       FROM g GROUP BY lang),
-        |dl AS (SELECT clb.lang, b,
-        |         CAST(round((ln(clb + 1) - ln(cl + 1024)) * 1e6) AS BIGINT)
-        |           - fl AS delta
-        |       FROM clb JOIN lf USING (lang)),
-        |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
-        |       FROM seed GROUP BY lang),
-        |st AS (SELECT lang,
-        |         CAST(round((ln(nl) - ln((SELECT CAST(sum(nl) AS BIGINT)
-        |           FROM nd))) * 1e6) AS BIGINT) AS prior, fl
-        |       FROM nd JOIN lf USING (lang)),
-        |dg AS (SELECT doc_id, lang AS true_lang,
-        |         CAST(greatest(length(text) - 2, 0) AS BIGINT) AS ng
-        |       FROM documents),
-        |docb AS (
-        |  SELECT doc_id, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
-        |  FROM (SELECT doc_id, unnest(list_transform(
-        |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
-        |    FROM documents)),
-        |hits AS (SELECT doc_id, dl.lang, CAST(sum(delta) AS BIGINT) AS sd
-        |         FROM docb JOIN dl USING (b) GROUP BY doc_id, dl.lang),
-        |sc AS (SELECT dg.doc_id, dg.true_lang, st.lang,
-        |         st.prior + dg.ng * st.fl + coalesce(hits.sd, 0) AS score
-        |       FROM dg CROSS JOIN st
-        |       LEFT JOIN hits ON hits.doc_id = dg.doc_id
-        |         AND hits.lang = st.lang),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |         ORDER BY score DESC, lang) AS rk FROM sc)
+      Some(s"""WITH $dLangidNbCte
         |SELECT doc_id, true_lang AS lang, lang AS pred_lang,
         |  CAST(score AS BIGINT) AS score
         |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Per-class precision/recall/F1 of the trained language-ID — the
+    // measurement leg of the model-in-the-loop story (Evaluation
+    // .classPrf). Integer-exact: counts, truncating per-myriad ratios
+    // and the integer F1 form 2tp*10^4 // (2tp+fp+fn); the oracle
+    // composes the SHARED langid-NB prediction CTE with the confusion
+    // arithmetic, so the metric can never drift from the classifier.
+    Q("eval_langid_prf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = graft.operators.LangId.train(
+          docs.filter(col("doc_id") % 5 === 0))
+        val scored = graft.operators.LangId.predict(docs, m)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("lang").as("label"), col("pred_lang").as("pred"))
+        graft.operators.Evaluation.classPrf(scored)
+      },
+      Some(s"""WITH $dLangidNbCte,
+        |prd AS (SELECT true_lang AS label, lang AS pred
+        |        FROM rk WHERE rk = 1),
+        |bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_label,
+        |         CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS tp
+        |       FROM prd GROUP BY 1),
+        |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM prd GROUP BY 1),
+        |j AS (SELECT COALESCE(bl.cls, bp.cls) AS cls,
+        |        COALESCE(tp, 0) AS tp,
+        |        COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+        |        COALESCE(n_label, 0) - COALESCE(tp, 0) AS fn
+        |      FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls)
+        |SELECT cls, tp, fp, fn,
+        |  CAST(CASE WHEN tp + fp > 0
+        |    THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT)
+        |    AS precision_pm,
+        |  CAST(CASE WHEN tp + fn > 0
+        |    THEN tp * 10000 // (tp + fn) ELSE 0 END AS BIGINT)
+        |    AS recall_pm,
+        |  CAST(CASE WHEN 2*tp + fp + fn > 0
+        |    THEN 2 * tp * 10000 // (2*tp + fp + fn) ELSE 0 END
+        |    AS BIGINT) AS f1_pm
+        |FROM j ORDER BY cls""".stripMargin)),
+
+
 
     // Per-doc quality metrics + composite score.
     //

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation over a scored frame — the metrics leg every
+  * model-in-the-loop curation stack needs (quality classifiers,
+  * language ID, contamination detectors all gate data on a trained
+  * model; shipping the model without its measurement invites silent
+  * drift). Integer-exact per the house discipline: counts are longs,
+  * ratios are truncating per-myriad divisions, and F1 uses its
+  * integer-exact form 2·tp·10⁴ ÷ (2·tp + fp + fn) — no floating
+  * point anywhere, so the oracle matches bit-for-bit.
+  *
+  * Scale shape: two partial-aggregating groupBys over the scored
+  * frame (by label, by prediction) joined on the CLASS key — the
+  * result is |classes| rows however large the corpus; no window, no
+  * collect.
+  */
+object Evaluation {
+
+  /** Per-class precision / recall / F1: (cls, tp, fp, fn,
+    * precision_pm, recall_pm, f1_pm) over a frame carrying `label`
+    * and `pred` columns. Classes = union of observed labels and
+    * predictions, so a class the model never predicts (recall 0) and
+    * a hallucinated class (precision 0) both get rows. A zero
+    * denominator scores 0 (the conventional “no predictions → zero
+    * precision” reading), never a division error.
+    */
+  def classPrf(scored: DataFrame, labelCol: String = "label",
+      predCol: String = "pred"): DataFrame = {
+    val base = scored.select(col(labelCol).as("label"),
+      col(predCol).as("pred"))
+    val byLabel = base.groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("n_label"),
+        sum(when(col("label") === col("pred"), 1L).otherwise(0L))
+          .as("tp_l"))
+    val byPred = base.groupBy(col("pred").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    byLabel.join(byPred, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("tp_l"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L))
+          - coalesce(col("tp_l"), lit(0L))).as("fp"),
+        (coalesce(col("n_label"), lit(0L))
+          - coalesce(col("tp_l"), lit(0L))).as("fn"))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 10000 div (tp + fp)")).otherwise(0L)
+          .cast("long").as("precision_pm"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 10000 div (tp + fn)")).otherwise(0L)
+          .cast("long").as("recall_pm"),
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          expr("2 * tp * 10000 div (2 * tp + fp + fn)")).otherwise(0L)
+          .cast("long").as("f1_pm"))
+      .orderBy("cls")
+  }
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EvaluationSpec extends AnyFunSuite with SparkSpec {
+
+  test("classPrf: hand confusion matrix, per-myriad truncating metrics") {
+    val s = spark; import s.implicits._
+    // A: tp=2 fp=1 fn=1 -> P=6666 R=6666 F1=6666
+    // B: tp=1 fp=1 fn=1 -> P=5000 R=5000 F1=5000
+    val scored = Seq(
+      ("A", "A"), ("A", "A"), ("A", "B"),
+      ("B", "B"), ("B", "A")).toDF("label", "pred")
+    val got = Evaluation.classPrf(scored).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got("A") === ((2L, 1L, 1L, 6666L, 6666L, 6666L)))
+    assert(got("B") === ((1L, 1L, 1L, 5000L, 5000L, 5000L)))
+  }
+
+  test("classPrf: never-predicted and hallucinated classes get rows") {
+    val s = spark; import s.implicits._
+    val scored = Seq(
+      ("A", "GHOST"), // A never predicted; GHOST never a label
+      ("A", "A")).toDF("label", "pred")
+    val got = Evaluation.classPrf(scored).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // A: tp=1 fp=0 fn=1 -> P=10000 R=5000
+    assert(got("A") === ((1L, 0L, 1L, 10000L, 5000L)))
+    // GHOST: tp=0 fp=1 fn=0 -> P=0 (predicted, never right), R=0
+    // (zero denominator scores 0, not an error)
+    assert(got("GHOST") === ((0L, 1L, 0L, 0L, 0L)))
+  }
+}
