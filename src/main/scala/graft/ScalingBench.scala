@@ -117,7 +117,11 @@ object ScalingBench {
       "stream_ivf_screen", "text_bpe_train", "mm_decode_png",
       "text_langid_nb", "mm_decode_jpeg", "mm_resize_png",
       "text_bpe_train_apply", "mm_resample_wav", "stream_asset_screen",
-      "decontam_overlap_ratio", "sim_cluster_sample", "text_bm25_topk")
+      "decontam_overlap_ratio", "sim_cluster_sample", "text_bm25_topk",
+      // layout_zorder reads ORDERS, which the scaled corpora don't
+      // replicate (documents/embeddings only) — and its shape is
+      // map-only arithmetic + one range shuffle, nothing to curve
+      "eval_langid_prf")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
