@@ -409,6 +409,35 @@ object CorpusAnalogs {
         |  CAST(lp AS BIGINT) AS lp
         |FROM str ORDER BY doc_id, pos""".stripMargin)),
 
+    // Corpus snapshot PATCH — the write half of the diff story:
+    // reconstruct v2 from v1 + the patch frame (the diff's statuses
+    // with the added/changed rows' NEW text), the incremental-
+    // distribution shape where the publisher ships the small patch
+    // instead of the 100 TB corpus. The oracle computes v2 DIRECTLY,
+    // so the gate proves the law applyPatch(v1, patch(diff, v2)) == v2
+    // on content hashes.
+    Q("corpus_patch",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldC = docs.filter(col("doc_id") % 7 =!= 0)
+        val newC = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        val patch = Curation.corpusDiff(oldC, newC)
+          .filter(col("status") =!= "unchanged")
+          .join(newC, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("status"), col("text"))
+        Curation.applyPatch(oldC, patch)
+          .select(col("doc_id"), md5(col("text")).as("text_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+        |      ELSE text END) AS text_hash
+        |FROM documents WHERE doc_id % 5 <> 0
+        |ORDER BY doc_id""".stripMargin)),
+
     // Corpus snapshot diff: two deterministic "generations" carved
     // from the documents table (old drops %7 docs, new drops %5 docs
     // and rewrites %3 texts) — one full-outer join on narrow

@@ -385,6 +385,26 @@ object Curation {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Apply a snapshot patch — the WRITE half of the diff story
+    * ([[corpusDiff]] is the read half): reconstruct v2 from v1 plus a
+    * patch frame carrying the added/changed rows' NEW text and the
+    * removed ids. Incremental-distribution shape: instead of
+    * re-shipping a 100 TB corpus, a publisher ships the (small) patch
+    * and consumers reconstruct — v1 streams through ONE left_anti
+    * against the broadcast-sized dead-id set (removed ∪ changed),
+    * then the replacement rows union in; the big side never shuffles.
+    * Law (spec-pinned): applyPatch(v1, patchOf(diff, v2)) == v2.
+    */
+  def applyPatch(v1: DataFrame, patch: DataFrame): DataFrame = {
+    val dead = patch.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val fresh = patch.filter(col("status").isin("added", "changed"))
+      .select("doc_id", "text")
+    v1.select("doc_id", "text")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .unionByName(fresh)
+  }
+
   /** Deterministic train/val/test assignment from a content-stable
     * hash (docs keep their split across reruns and re-shards; the same
     * md5 arithmetic is engine-portable for the verify oracle).

@@ -243,4 +243,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("applyPatch: reconstructing v2 from v1 + the diff patch is exact") {
+    val old = spark.createDataFrame(Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will vanish")))
+      .toDF("doc_id", "text")
+    val neu = spark.createDataFrame(Seq(
+      (1L, "same text"), (2L, "has changed"), (4L, "brand new")))
+      .toDF("doc_id", "text")
+    val patch = Curation.corpusDiff(old, neu)
+      .filter(org.apache.spark.sql.functions.col("status") =!= "unchanged")
+      .join(neu, Seq("doc_id"), "left")
+      .select("doc_id", "status", "text")
+    // the patch is SMALL: only the 3 non-unchanged rows ship
+    assert(patch.count() === 3)
+    val rebuilt = Curation.applyPatch(old, patch).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = neu.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt === want)
+  }
 }
