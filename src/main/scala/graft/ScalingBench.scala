@@ -121,7 +121,7 @@ object ScalingBench {
       // layout_zorder reads ORDERS, which the scaled corpora don't
       // replicate (documents/embeddings only) — and its shape is
       // map-only arithmetic + one range shuffle, nothing to curve
-      "eval_langid_prf")
+      "eval_langid_prf", "corpus_patch")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
