@@ -68,6 +68,47 @@ object ExtraAnalogs {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |         ORDER BY score DESC, lang) AS rk FROM sc)""".stripMargin
 
+  /** Shared BM25 probe chain (text_bm25_topk + stream_bm25_screen):
+    * postings with tf and doc length over the corpus slice
+    * (doc_id % 100 <> 0), corpus scalars, df-capped grid-rounded idf
+    * (terms in > 900‰ of docs dropped), distinct query unigrams
+    * (doc_id % 100 = 0), ending in `hits` — one row per (query, doc,
+    * shared term) with the integer score contribution c mirroring
+    * Retrieval.termScore: tf clamped at 2^25, dln = (90000·len)//adl
+    * pre-truncated. Built as string concatenation AFTER stripMargin
+    * (the dWordHash60 interpolations are margin-safe, but the
+    * convention keeps the `||`-eats-a-pipe trap out).
+    */
+  private val dBm25Cte: String = s"""tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |post AS (
+        |  SELECT doc_id, l AS len, ${dWordHash60("t")} AS h,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS l,
+        |          unnest(w) AS t
+        |        FROM tok WHERE doc_id % 100 <> 0)
+        |  GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST((100 * sum(len(w))) // count(*) AS BIGINT) AS adl
+        |  FROM tok WHERE doc_id % 100 <> 0),
+        |idf AS (
+        |  SELECT h, CAST(round((ln(2*st.n_docs + 2) - ln(2*df + 1))
+        |    * 1e6) AS BIGINT) AS idf
+        |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS df
+        |        FROM post GROUP BY h), st
+        |  WHERE df * 1000 <= st.n_docs * 900),
+        |qt AS (
+        |  SELECT query_id, ${dWordHash60("t")} AS h
+        |  FROM (SELECT DISTINCT doc_id AS query_id, unnest(w) AS t
+        |        FROM tok WHERE doc_id % 100 = 0)),
+        |hits AS (
+        |  SELECT qt.query_id, post.doc_id, h,
+        |    (idf.idf * 220 * least(post.tf, 33554432)) //
+        |      (100 * least(post.tf, 33554432) + 30
+        |        + (90000 * post.len) // st.adl) AS c
+        |  FROM qt JOIN post USING (h) JOIN idf USING (h), st)""".stripMargin
+
   /** Shared unrolled BPE-training chain (text_bpe_train +
     * text_bpe_train_apply): vf (word freq), st1 (sentinel-delimited
     * char split), then per round i the pair counts (p), the argmax
@@ -796,8 +837,14 @@ object ExtraAnalogs {
     // rest the corpus. Integer-exact end to end: grid-rounded idf
     // micro-nats (the Perplexity ln discipline), the Okapi tf
     // normalization as ONE truncating integer division per (term,
-    // doc) with k1=6/5, b=3/4 and the centi-token integer avgdl, and
-    // the score a plain integer sum — both engines rank identically.
+    // doc) with k1=6/5, b=3/4, the pre-truncated length penalty dln
+    // = (90000·len)//adl against the centi-token integer avgdl, tf
+    // clamped at 2^25 (saturation + unconditional int64 headroom),
+    // and the score a plain integer sum — both engines rank
+    // identically. Probe terms in > 900‰ of documents are dropped
+    // from the index (the Zipfian stop-word cap — idf≈0, unbounded
+    // fan-out at scale); on this corpus no term crosses 90% so the
+    // cap executes without changing the result.
     Q("text_bm25_topk",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -805,39 +852,37 @@ object ExtraAnalogs {
           docs.filter(col("doc_id") % 100 === 0),
           docs.filter(col("doc_id") % 100 =!= 0))
       },
-      Some(s"""WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |post AS (
-        |  SELECT doc_id, l AS len, ${dWordHash60("t")} AS h,
-        |    CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS l,
-        |          unnest(w) AS t
-        |        FROM tok WHERE doc_id % 100 <> 0)
-        |  GROUP BY 1, 2, 3),
-        |st AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST((100 * sum(len(w))) // count(*) AS BIGINT) AS adl
-        |  FROM tok WHERE doc_id % 100 <> 0),
-        |idf AS (
-        |  SELECT h, CAST(round((ln(2*st.n_docs + 2) - ln(2*df + 1))
-        |    * 1e6) AS BIGINT) AS idf
-        |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS df
-        |        FROM post GROUP BY h), st),
-        |qt AS (
-        |  SELECT query_id, ${dWordHash60("t")} AS h
-        |  FROM (SELECT DISTINCT doc_id AS query_id, unnest(w) AS t
-        |        FROM tok WHERE doc_id % 100 = 0)),
+      Some(s"""WITH $dBm25Cte,
         |sc AS (
-        |  SELECT qt.query_id, post.doc_id,
-        |    CAST(sum((idf.idf * 22 * post.tf * st.adl) //
-        |      (10*post.tf*st.adl + 3*st.adl + 900*post.len))
-        |      AS BIGINT) AS score
-        |  FROM qt JOIN post USING (h) JOIN idf USING (h), st
-        |  GROUP BY 1, 2),
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(c) AS BIGINT) AS score
+        |  FROM hits GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY score DESC, doc_id) AS rk FROM sc)
         |SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
         |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // Batch twin of the STREAMING BM25 screen (graft.streaming
+    // .DocStreams.bm25Screen): arriving queries probe the static
+    // df-capped postings index and emit one scored row per (query,
+    // doc, shared term) collision — stateless, so the identical
+    // function runs on a readStream frame (DocStreamsSpec proves
+    // stream == batch); the per-pair Σc rollup + top-k is the tiny
+    // downstream aggregation, exactly the contamScreen
+    // screen-then-verify split. Shares bm25Index/queryTerms/termScore
+    // with text_bm25_topk, so screen and ranker cannot drift.
+    Q("stream_bm25_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.Retrieval.bm25Index(
+          docs.filter(col("doc_id") % 100 =!= 0))
+        graft.streaming.DocStreams.bm25Screen(
+          docs.filter(col("doc_id") % 100 === 0), idx)
+          .orderBy("query_id", "doc_id", "h")
+      },
+      Some(s"""WITH $dBm25Cte
+        |SELECT query_id, doc_id, h, CAST(c AS BIGINT) AS c
+        |FROM hits ORDER BY query_id, doc_id, h""".stripMargin)),
 
     // Cluster-balanced diversity sample: the trained IVF cells capped
     // at 40 members each by md5 rank — the topic-balancing selection

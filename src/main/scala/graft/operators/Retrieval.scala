@@ -19,24 +19,52 @@ import graft.functions.TextFunctions.tokens
   *     idf(t) = round(1e6·(ln(2N+2) − ln(2·df+1))) — the BM25+ form
   *     ln(1 + (N−df+½)/(df+½)) with the halves cleared to integers,
   *     both ln arguments exactly representable.
-  *   - The tf normalization is computed as ONE truncating integer
-  *     division per (term, doc): with k1 = 6/5 and b = 3/4,
-  *       term = idf · 22·tf·adl ÷ (10·tf·adl + 3·adl + 900·len)
-  *     where adl = (100·ΣL) div N is the integer centi-token average
-  *     doc length — bounded by document length, NOT corpus size, so
-  *     the int64 headroom holds at any corpus scale.
+  *   - The tf normalization is ONE truncating integer division per
+  *     (term, doc): with k1 = 6/5 and b = 3/4,
+  *       term = idf · 220·tf ÷ (100·tf + 30 + dln)
+  *     where dln = (90000·len) div adl is the doc's pre-truncated
+  *     length penalty against the integer centi-token average doc
+  *     length adl = (100·ΣL) div N. (Pre-truncating the len/adl ratio
+  *     — instead of multiplying the whole fraction through by adl —
+  *     keeps every intermediate bounded by idf·220·tf, NOT by
+  *     tf·adl·idf, which at corpus scale quietly wrapped int64 for
+  *     long documents.)
+  *   - tf is clamped at [[TfClamp]] before scoring: BM25 saturates in
+  *     tf anyway (at 2²⁵ the term is within 1e-5 of its asymptote for
+  *     any real dln), and the clamp is what makes the int64 headroom
+  *     unconditional — idf ≤ 2.8e7 (N = 10¹²) × 220 × 2²⁵ ≈ 2.1e17.
+  *     The one remaining documented bound: dln needs 90000·len within
+  *     int64, i.e. documents under ~10¹⁴ tokens.
   *   - score(q, d) = Σ over shared terms — a sum of integers.
   *
   * Scale shape: postings = one fused gram explode over the corpus
   * (term hash, tf) plus a doc-length column; df and the two corpus
   * scalars are one aggregation each; query terms (distinct per query)
-  * equi-join the postings on the 8-byte term hash — the inverted-
-  * index probe — then one (query, doc) aggregation and a per-query
-  * top-k window over the MATCHED docs only (never the full corpus).
-  * Queries are expected to be few relative to the corpus; the
-  * postings side streams, nothing corpus-sized is broadcast.
+  * equi-join the scored postings index on the 8-byte term hash — the
+  * inverted-index probe — then one (query, doc) aggregation and a
+  * per-query top-k window over the MATCHED docs only (never the full
+  * corpus). Queries are expected to be few relative to the corpus;
+  * the postings side streams, nothing corpus-sized is broadcast.
+  *
+  * The df cap (`maxDfPermille`) is what makes the probe scale-safe on
+  * REAL text: term frequencies are Zipfian, so a query containing
+  * "the" would otherwise fan out against nearly every document in the
+  * corpus while contributing idf ≈ 0 to every score. Terms whose df
+  * exceeds the cap are dropped from the INDEX (the standard stop-word
+  * cut — [[Dedup]]'s df-capped substring anchors are the in-house
+  * precedent), bounding the per-term join fan-out at
+  * maxDfPermille·N/1000 and barely perturbing scores. The default 900
+  * (90% of documents) only fires on genuinely boilerplate terms.
   */
 object Retrieval {
+
+  /** tf saturation clamp (see class doc): keeps idf·220·tf within
+    * int64 at any corpus size while changing no realistic score.
+    */
+  val TfClamp: Long = 1L << 25
+
+  /** Default df cap: drop terms appearing in > 90% of documents. */
+  val DefaultMaxDfPermille = 900
 
   /** (doc_id, h, tf, len): the corpus posting table — term-hash
     * occurrence counts plus the document's token length. One fused
@@ -53,14 +81,20 @@ object Retrieval {
       .groupBy("doc_id", "len", "h")
       .agg(count(lit(1)).as("tf"))
 
-  /** Top-k BM25 matches: (query_id, doc_id, score, rank) — `score`
-    * integer micro-nat-scaled, rank 1..k per query by (score DESC,
-    * doc_id). Only documents sharing ≥ 1 term with the query appear
-    * (classic BM25: no match, no score).
+  /** The SCORED postings index: (h, doc_id, tf, dln, idf) — postings
+    * with the grid-rounded idf attached and the doc length penalty
+    * dln = (90000·len) div adl pre-truncated, df-capped (terms in
+    * more than `maxDfPermille`‰ of documents are dropped — idf ≈ 0,
+    * unbounded fan-out; see class doc). This is the static artifact a
+    * deployment builds once over the accepted corpus and probes from
+    * [[bm25TopK]] and the streaming screen
+    * ([[graft.streaming.DocStreams.bm25Screen]]) alike — one builder,
+    * so batch and stream scoring cannot drift.
     */
-  def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int = 3)
-      : DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  def bm25Index(corpus: DataFrame,
+      maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1,1000], got $maxDfPermille")
     val post = postings(corpus)
     // corpus scalars: N docs, total length -> integer centi-token avgdl
     val stats = corpus.agg(
@@ -68,25 +102,47 @@ object Retrieval {
       sum(size(tokens(col("text"))).cast("long")).as("total_len"))
       .select(col("n_docs"),
         expr("(100 * total_len) div n_docs").as("adl"))
-    // document frequency + grid-rounded idf per term
+    // document frequency + grid-rounded idf per surviving term
     val idf = post.groupBy("h").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
+      .filter(col("df") * 1000 <= col("n_docs") * maxDfPermille)
       .select(col("h"),
         round((log(col("n_docs") * 2 + lit(2L))
           - log(col("df") * 2 + lit(1L))) * 1e6).cast("long").as("idf"),
         col("adl"))
-    // query terms: DISTINCT unigrams per query
-    val qterms = queries.select(col("doc_id").as("query_id"),
+    post.join(idf, Seq("h"))
+      .select(col("h"), col("doc_id"), col("tf"),
+        expr("(90000 * len) div adl").as("dln"), col("idf"))
+  }
+
+  /** (query_id, h): DISTINCT unigram hashes per query — the probe
+    * side of the inverted index, shared by [[bm25TopK]] and the
+    * streaming screen.
+    */
+  def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("doc_id").as("query_id"),
       explode(graft.expressions.TextExpressions.gramHashes60(
         tokens(col("text")), 1, distinct = true)).as("h"))
+
+  /** The per-(term, doc) integer score contribution (see class doc). */
+  private[graft] val termScore =
+    expr(s"(idf * 220 * least(tf, $TfClamp)) div " +
+      s"(100 * least(tf, $TfClamp) + 30 + dln)")
+
+  /** Top-k BM25 matches: (query_id, doc_id, score, rank) — `score`
+    * integer micro-nat-scaled, rank 1..k per query by (score DESC,
+    * doc_id). Only documents sharing ≥ 1 sub-cap term with the query
+    * appear (classic BM25: no match, no score).
+    */
+  def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+      maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idx = bm25Index(corpus, maxDfPermille)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
-    qterms
-      .join(post, Seq("h"))
-      .join(idf, Seq("h"))
-      .select(col("query_id"), col("doc_id"),
-        expr("(idf * 22 * tf * adl) div " +
-          "(10 * tf * adl + 3 * adl + 900 * len)").as("c"))
+    queryTerms(queries)
+      .join(idx, Seq("h"))
+      .select(col("query_id"), col("doc_id"), termScore.as("c"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c").as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -107,6 +107,28 @@ object DocStreams {
         col("corpus_pos").cast("long").as("corpus_pos"),
         (col("pos") - col("corpus_pos")).cast("long").as("diag"))
 
+  /** BM25 retrieval screen at ingest: arriving query documents (eval
+    * prompts being audited, candidate citations, hard-negative seeds)
+    * probe the static DF-CAPPED postings index built by
+    * [[graft.operators.Retrieval.bm25Index]] over the accepted corpus
+    * — a stream-static equi-join on the 8-byte term hash, the
+    * [[contamScreen]] / [[nearDupScreen]] shape. Stateless: each
+    * micro-batch touches only the term hashes it carries, and the cap
+    * bounds every term's fan-out at maxDfPermille·N/1000 (without it
+    * one "the" in an arriving query would join nearly the whole
+    * corpus). Emits one row per (arriving query, corpus doc, shared
+    * term) with the integer score contribution `c`
+    * ([[graft.operators.Retrieval.termScore]] — the SAME expression
+    * the batch ranker sums, so screen and ranker cannot drift); the
+    * per-pair Σc rollup and top-k window run over the (small) hit
+    * stream downstream — the standard screen-then-verify split.
+    */
+  def bm25Screen(streamQueries: DataFrame, index: DataFrame): DataFrame =
+    graft.operators.Retrieval.queryTerms(streamQueries)
+      .join(index, "h")
+      .select(col("query_id"), col("doc_id"), col("h"),
+        graft.operators.Retrieval.termScore.as("c"))
+
   /** Quality screen at ingest: the C4-then-Gopher gate
     * (graft.operators.QualityFilters.screen) applied to arriving
     * documents. Unlike the dedup/contamination screens there is no

@@ -44,6 +44,40 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("bm25: df cap drops boilerplate terms from the index") {
+    // 'the' appears in ALL 5 corpus docs (df = 5 = 100% > 90% cap);
+    // 'cat' in one. A query of only capped terms matches nothing.
+    val corpus = df(
+      (1L, "the cat"), (2L, "the dog"), (3L, "the bird"),
+      (4L, "the fish"), (5L, "the newt"))
+    val onlyCapped = Retrieval.bm25TopK(df((10L, "the")), corpus)
+    assert(onlyCapped.count() === 0L)
+    // mixed query still scores via the rare term, and the capped term
+    // contributes nothing: doc 1 is the only match
+    val got = Retrieval.bm25TopK(df((11L, "the cat")), corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((11L, 1L)))
+    // cap disabled (1000 permille): 'the' matches every doc
+    val uncapped =
+      Retrieval.bm25TopK(df((12L, "the")), corpus, k = 9,
+        maxDfPermille = 1000)
+    assert(uncapped.count() === 5L)
+  }
+
+  test("bm25Screen batch twin: per-hit contributions sum to the ranker's score") {
+    val corpus = df((1L, "cat sat here"), (2L, "dog ran far"),
+      (3L, "dog dog dog"), (4L, "dog naps a lot"), (5L, "zebra only words"))
+    val q = df((100L, "cat dog"))
+    val idx = Retrieval.bm25Index(corpus)
+    val hits = graft.streaming.DocStreams.bm25Screen(q, idx)
+    val summed = hits.groupBy("query_id", "doc_id")
+      .agg(org.apache.spark.sql.functions.sum("c").as("score"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val ranked = Retrieval.bm25TopK(q, corpus, k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(summed === ranked)
+  }
+
   test("bm25: per-query isolation — each query ranks its own matches") {
     val corpus = df((1L, "alpha beta"), (2L, "gamma delta"))
     val q = df((10L, "alpha"), (20L, "gamma"))
