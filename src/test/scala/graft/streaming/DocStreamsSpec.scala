@@ -96,6 +96,39 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static bm25 screen: streamed hits equal the batch twin") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "cat sat here"), (2L, "dog ran far"), (3L, "dog dog dog"),
+      (4L, "dog naps a lot"), (5L, "zebra only words")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Retrieval.bm25Index(corpus).persist()
+    val arrivals = Seq((100L, "cat dog"), (200L, "unmatched vocabulary"))
+    val batch = DocStreams.bm25Screen(
+      spark.createDataFrame(arrivals).toDF("doc_id", "text"), index)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.bm25Screen(
+      mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("bm25scr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(arrivals: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("bm25scr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+      assert(streamed === batch)
+      // query 100 hits: cat->doc1, dog->docs 2,3,4; 200 hits nothing
+      assert(batch.map(_._1).distinct === Seq(100L))
+      assert(batch.map(_._2).distinct.sorted === Seq(1L, 2L, 3L, 4L))
+    } finally { query.stop(); index.unpersist() }
+  }
+
   test("stream-static substring screen emits anchor alignments") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
