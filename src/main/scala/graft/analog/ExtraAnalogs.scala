@@ -68,6 +68,23 @@ object ExtraAnalogs {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |         ORDER BY score DESC, lang) AS rk FROM sc)""".stripMargin
 
+  /** The Spark half of [[dLangidNbCte]] — ONE shared chain for
+    * text_langid_nb + eval_langid_prf: train the char-trigram NB on
+    * the doc_id%5 seed, PERSIST the model frames
+    * (LangId.NbModel.persisted — without it every consuming subtree
+    * re-runs the seed gram walk: the eval query's plan carried the
+    * training aggregations twice, 29 exchanges for |classes| rows of
+    * output), predict over the full table, ride true `lang` along.
+    */
+  private def langidNbPredictions(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = graft.operators.LangId.train(
+      docs.filter(col("doc_id") % 5 === 0)).persisted()
+    graft.operators.LangId.predict(docs, m)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+  }
+
   /** Shared BM25 probe chain (text_bm25_topk + stream_bm25_screen):
     * postings with tf and doc length over the corpus slice
     * (doc_id % 100 <> 0), corpus scalars, df-capped grid-rounded idf
@@ -1010,16 +1027,10 @@ object ExtraAnalogs {
     // break (score DESC, lang ASC) — all integer, so both engines
     // agree exactly.
     Q("text_langid_nb",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val m = graft.operators.LangId.train(
-          docs.filter(col("doc_id") % 5 === 0))
-        graft.operators.LangId.predict(docs, m)
-          .join(docs.select("doc_id", "lang"), "doc_id")
-          .select(col("doc_id"), col("lang"), col("pred_lang"),
-            col("score"))
-          .orderBy("doc_id")
-      },
+      (s, d) => langidNbPredictions(s, d)
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("score"))
+        .orderBy("doc_id"),
       Some(s"""WITH $dLangidNbCte
         |SELECT doc_id, true_lang AS lang, lang AS pred_lang,
         |  CAST(score AS BIGINT) AS score
@@ -1032,15 +1043,9 @@ object ExtraAnalogs {
     // composes the SHARED langid-NB prediction CTE with the confusion
     // arithmetic, so the metric can never drift from the classifier.
     Q("eval_langid_prf",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val m = graft.operators.LangId.train(
-          docs.filter(col("doc_id") % 5 === 0))
-        val scored = graft.operators.LangId.predict(docs, m)
-          .join(docs.select("doc_id", "lang"), "doc_id")
-          .select(col("lang").as("label"), col("pred_lang").as("pred"))
-        graft.operators.Evaluation.classPrf(scored)
-      },
+      (s, d) => graft.operators.Evaluation.classPrf(
+        langidNbPredictions(s, d)
+          .select(col("lang").as("label"), col("pred_lang").as("pred"))),
       Some(s"""WITH $dLangidNbCte,
         |prd AS (SELECT true_lang AS label, lang AS pred
         |        FROM rk WHERE rk = 1),

@@ -12,12 +12,22 @@ import org.apache.spark.sql.functions._
   * integer-exact form 2·tp·10⁴ ÷ (2·tp + fp + fn) — no floating
   * point anywhere, so the oracle matches bit-for-bit.
   *
-  * Scale shape: two partial-aggregating groupBys over the scored
-  * frame (by label, by prediction) joined on the CLASS key — the
-  * result is |classes| rows however large the corpus; no window, no
-  * collect.
+  * Scale shape: ONE partial-aggregating groupBy over the scored
+  * frame — the (label, pred) confusion matrix, ≤ |classes|² rows —
+  * persisted, then per-label / per-prediction rollups and the class-
+  * key full-outer join all run over that model-sized frame. The
+  * corpus (and whatever expensive prediction pipeline feeds it) is
+  * scanned exactly once however many metric legs derive from it; the
+  * earlier two-groupBy shape re-executed the scoring subtree per leg
+  * (the round-10 eval query carried its NB training twice).
   */
 object Evaluation {
+
+  /** (label, pred, n): the confusion matrix — one corpus scan. */
+  def confusion(scored: DataFrame, labelCol: String = "label",
+      predCol: String = "pred"): DataFrame =
+    scored.select(col(labelCol).as("label"), col(predCol).as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
 
   /** Per-class precision / recall / F1: (cls, tp, fp, fn,
     * precision_pm, recall_pm, f1_pm) over a frame carrying `label`
@@ -29,14 +39,16 @@ object Evaluation {
     */
   def classPrf(scored: DataFrame, labelCol: String = "label",
       predCol: String = "pred"): DataFrame = {
-    val base = scored.select(col(labelCol).as("label"),
-      col(predCol).as("pred"))
-    val byLabel = base.groupBy(col("label").as("cls"))
-      .agg(count(lit(1)).as("n_label"),
-        sum(when(col("label") === col("pred"), 1L).otherwise(0L))
+    // persist is what stops the by-label and by-pred rollups each
+    // re-running the (possibly corpus-sized) scoring subtree; the
+    // frame itself is |classes|^2 rows at any corpus scale
+    val conf = confusion(scored, labelCol, predCol).persist()
+    val byLabel = conf.groupBy(col("label").as("cls"))
+      .agg(sum("n").as("n_label"),
+        sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
           .as("tp_l"))
-    val byPred = base.groupBy(col("pred").as("cls"))
-      .agg(count(lit(1)).as("n_pred"))
+    val byPred = conf.groupBy(col("pred").as("cls"))
+      .agg(sum("n").as("n_pred"))
     byLabel.join(byPred, Seq("cls"), "full_outer")
       .select(col("cls"),
         coalesce(col("tp_l"), lit(0L)).as("tp"),

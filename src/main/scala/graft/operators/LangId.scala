@@ -77,7 +77,20 @@ object LangId {
     * unrepresentable (the [[Perplexity.LmModel]] contract).
     */
   final case class NbModel(delta: DataFrame, langStats: DataFrame,
-      buckets: Int, n: Int)
+      buckets: Int, n: Int) {
+    /** Persisted copy (the [[Perplexity.LmModel.persisted]] contract):
+      * eager — both frames materialize before return, so a caller
+      * composing several queries over one model (predict + evaluate,
+      * or a stream's per-micro-batch scoring) executes the training
+      * aggregations ONCE instead of re-running the seed gram walk
+      * inside every consuming subtree.
+      */
+    def persisted(): NbModel = {
+      val d = delta.persist(); val s = langStats.persist()
+      d.count(); s.count()
+      NbModel(d, s, buckets, n)
+    }
+  }
 
   /** Train on a labeled seed slice (`lang` column = the label).
     * Both aggregations are distributed; nothing is collected.
@@ -120,35 +133,43 @@ object LangId {
     * algebra, zero rows of work when every doc clears `n`).
     */
   def scores(docs: DataFrame, m: NbModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // class list: a model-sized driver collect (the IVF-centroid /
     // DSIR precedent — classes are bounded, never corpus-sized),
-    // needed to name the pivoted Δ columns
+    // needed to size the pivot
     val langs = m.langStats.select("lang").collect()
       .map(_.getString(0)).sorted.toSeq
     // Δ model pivoted WIDE: one broadcast row per observed bucket
     // with a Δ column per class, so each gram crosses the join ONCE —
     // the (gram × class) long form pushed L× the rows through the
-    // per-doc aggregation for the same integer sums. The positional
-    // toDF rename sidesteps the resolver: a class literally named
-    // "B" would otherwise collide case-insensitively with the bucket
-    // key (pivot names columns by VALUE).
+    // per-doc aggregation for the same integer sums. Pivot columns
+    // are named POSITIONALLY (_d_0.._d_k from the sorted class index,
+    // via the positional toDF rename): label CONTENT never reaches a
+    // generated column name or stack SQL, so a class named "B" (the
+    // case-insensitive bucket-key collision), or one containing a
+    // backtick, dot, or quote, cannot break resolution — labels
+    // rejoin only at the final tiny (li, lang) broadcast.
     val wide = m.delta.groupBy("b")
       .pivot("lang", langs).agg(first(col("delta")))
-      .toDF("_bkt" +: langs.map(l => s"_d_$l"): _*)
+      .toDF("_bkt" +: langs.indices.map(i => s"_d_$i"): _*)
     val grams = gramBuckets(docs, Seq(col("doc_id")), m.n, m.buckets)
     val sums = grams.join(broadcast(wide),
         col("b") === col("_bkt"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
-        langs.map(l =>
-          sum(coalesce(col(s"_d_$l"), lit(0L))).as(s"_sd_$l")): _*)
-    // melt back to (doc_id, lang, sd): L rows per doc, then the tiny
-    // broadcast prior/floor attach
-    val stackArgs = langs
-      .map(l => s"'${l.replace("'", "''")}', `_sd_$l`").mkString(", ")
+        langs.indices.map(i =>
+          sum(coalesce(col(s"_d_$i"), lit(0L))).as(s"_sd_$i")): _*)
+    // melt back to (doc_id, li, sd): L rows per doc, map the index
+    // back to its label, then the tiny broadcast prior/floor attach
+    val stackArgs = langs.indices
+      .map(i => s"${i}L, `_sd_$i`").mkString(", ")
+    val langIdx = langs.zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("li", "lang")
     val scored = sums
       .select(col("doc_id"), col("n_grams"),
-        expr(s"stack(${langs.size}, $stackArgs) AS (lang, sd)"))
+        expr(s"stack(${langs.size}, $stackArgs) AS (li, sd)"))
+      .join(broadcast(langIdx), Seq("li"))
       .join(broadcast(m.langStats), Seq("lang"))
       .select(col("doc_id"), col("lang"),
         (col("prior") + col("n_grams") * col("floor") + col("sd"))
