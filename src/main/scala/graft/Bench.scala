@@ -116,6 +116,14 @@ object Bench {
     // time and makes the round-over-round comparison measure the code,
     // not the neighbor.
     val slowCutoffSec = 0.25
+    // queries that ALWAYS get the widest sample (3N runs), regardless
+    // of observed spread: dedup_incremental's first run after a cache
+    // eviction pays its Managed corpus-band-table rebuild, so its
+    // per-run trace showed 13x ambient spread on the driver box
+    // (round-10 verdict) — the spread trigger below reacts only after
+    // noise has already polluted the sample, while this tier makes
+    // the reported min a steady-state measurement by construction
+    val wideSample = Set("dedup_incremental")
     val results = queries.map { case (name, fn) =>
       var err: Option[String] = None
       def timed(): Double = {
@@ -144,9 +152,10 @@ object Bench {
         ts.max / math.max(ts.min, 1e-9)
       var times = base
       if (err.isEmpty &&
-          (times.min > slowCutoffSec || spread(times) > 3.0))
+          (wideSample(name) || times.min > slowCutoffSec ||
+            spread(times) > 3.0))
         times = times ++ (1 to runs).map(_ => timed())
-      if (err.isEmpty && spread(times) > 3.0)
+      if (err.isEmpty && (wideSample(name) || spread(times) > 3.0))
         times = times ++ (1 to runs).map(_ => timed())
       (name, times, err)
     }

@@ -401,16 +401,37 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  /** Decompression-bomb guard: max decoded pixel count accepted by
+    * [[pngPixels]] (default 2²⁶ ≈ 67M pixels — a 8192×8192 RGBA
+    * decodes to ~268 MB, the ceiling of what a per-row decode should
+    * ever hold). The bound is checked BEFORE any allocation: a
+    * tiny payload whose CRC-valid IHDR declares 20000×20000 would
+    * otherwise force ~1.2 GB of allocations and escape the triage
+    * screen as an executor OutOfMemoryError rather than a caught
+    * verdict. Callers with bigger genuine assets pass `maxPixels`
+    * explicitly.
+    */
+  val MaxPngPixels: Long = 1L << 26
+
+  /** zlib's worst-case expansion is ~1032:1 (one bit per 258-byte
+    * match run); a declared raw size beyond idat·1032 cannot be a
+    * valid stream and is rejected before allocating.
+    */
+  private val ZlibMaxExpansion = 1032L
+
   /** Decode a PNG payload to (width, height, colorType, raw pixel
     * bytes — unfiltered scanlines concatenated, no filter bytes).
     * Fails loudly on: bad signature, chunk CRC mismatch, declared
     * chunk length past the buffer, non-IHDR first chunk, unsupported
-    * bit depth / color type / interlace, inflate size mismatch, or an
-    * unknown filter byte — a corrupt asset must never decode to
-    * plausible pixels.
+    * bit depth / color type / interlace, dims past `maxPixels` or
+    * impossible for the carried IDAT size (both checked BEFORE
+    * allocating — the decompression-bomb guard), inflate size
+    * mismatch, or an unknown filter byte — a corrupt asset must
+    * never decode to plausible pixels, and never OOM past a
+    * [[pngVerdicts]] screen.
     */
-  private[operators] def pngPixels(id: Long, bytes: Array[Byte])
-      : (Int, Int, Int, Array[Byte]) = {
+  private[operators] def pngPixels(id: Long, bytes: Array[Byte],
+      maxPixels: Long = MaxPngPixels): (Int, Int, Int, Array[Byte]) = {
     require(bytes.length >= 8 &&
       (0 until 8).forall(i => (bytes(i) & 255) == PngSig(i)),
       s"doc $id: not a png")
@@ -455,12 +476,37 @@ object Multimodal {
     require(seenIhdr && seenIend && idat.size > 0,
       s"doc $id: missing IHDR/IDAT/IEND")
     val bpp = bytesPerPixel(ct)
-    val rowLen = w * bpp
-    val rawLen = h * (1 + rowLen)
+    // size sanity BEFORE any allocation, all in Long (w·h and
+    // h·(1+w·bpp) overflow Int for CRC-valid bomb headers): the pixel
+    // bound, and the zlib-impossibility bound on the declared raw
+    // size vs the IDAT bytes actually carried
+    require(w.toLong * h <= maxPixels,
+      s"doc $id: $w x $h exceeds the $maxPixels-pixel decode bound")
+    val rowLenL = w.toLong * bpp
+    val rawLenL = h.toLong * (1 + rowLenL)
+    require(rawLenL <= idat.size.toLong * ZlibMaxExpansion + 64,
+      s"doc $id: ${idat.size} IDAT bytes cannot inflate to $rawLenL")
+    val rowLen = rowLenL.toInt
+    val rawLen = rawLenL.toInt
     val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater() // zlib-wrapped, the PNG spec
     inf.setInput(idat.toByteArray)
-    val got = inf.inflate(raw)
+    // inflate() may legally return a partial count even with output
+    // space left — loop until the stream finishes or stalls, then
+    // require the exact declared total
+    var got = 0
+    var stalled = false
+    while (!inf.finished() && !stalled && got < rawLen) {
+      val n = inf.inflate(raw, got, rawLen - got)
+      if (n == 0 && !inf.finished()) stalled = true else got += n
+    }
+    if (got == rawLen && !inf.finished()) {
+      // buffer filled on the same call that consumed the final block:
+      // probe one byte — a valid stream yields 0 and flips finished();
+      // surplus raw data is a size mismatch and fails the require
+      val probe = new Array[Byte](1)
+      if (inf.inflate(probe) > 0) got += 1
+    }
     require(got == rawLen && inf.finished(),
       s"doc $id: inflate produced $got of $rawLen raw bytes")
     inf.end()

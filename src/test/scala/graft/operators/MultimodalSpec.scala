@@ -233,6 +233,61 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("not a png"))
   }
 
+  test("png decompression-bomb headers are rejected before allocating") {
+    // a CRC-valid container whose IHDR declares 60000x60000 RGBA
+    // (~14.4 GB decoded, rawLen overflows Int) over a 3-byte IDAT:
+    // the dims bound must fail the decode as a plain require — a
+    // caught verdict, never an allocation
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write(len >>> 24); out.write((len >>> 16) & 255)
+      out.write((len >>> 8) & 255); out.write(len & 255)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data, 0, len)
+      val c = crc.getValue
+      out.write((c >>> 24).toInt & 255); out.write((c >>> 16).toInt & 255)
+      out.write((c >>> 8).toInt & 255); out.write(c.toInt & 255)
+      out.toByteArray
+    }
+    def bombWithDims(w: Int, h: Int): Array[Byte] = {
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+      ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+      ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+      ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+      ihdr(8) = 8; ihdr(9) = 6
+      val out = new java.io.ByteArrayOutputStream()
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).foreach(out.write)
+      out.write(chunk("IHDR", ihdr))
+      out.write(chunk("IDAT", Array[Byte](1, 2, 3)))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.parsePng(9L, bombWithDims(60000, 60000))
+    }
+    assert(e.getMessage.contains("decode bound"))
+    // sane dims but an IDAT too small to possibly inflate to them:
+    // the zlib-impossibility bound trips (still before allocation)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.parsePng(9L, bombWithDims(2000, 2000))
+    }
+    assert(e2.getMessage.contains("cannot inflate"))
+    // and the triage screen reports both as failed verdicts, not throws
+    val ss = spark
+    import ss.implicits._
+    val frames = ss.createDataset(Seq(
+      (9L, bombWithDims(60000, 60000)), (10L, bombWithDims(2000, 2000)),
+      (11L, Multimodal.pngFixture(11L))))
+      .toDF("doc_id", "payload")
+    val v = Multimodal.pngVerdicts(spark, frames).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(v === Map(9L -> 0, 10L -> 0, 11L -> 1))
+  }
+
   test("resizePngBytes: floor source indexing, both color types, re-decodable") {
     // 2x2 RGB -> 4x4: each source pixel becomes a 2x2 block
     val px = Array[Int](10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220)
