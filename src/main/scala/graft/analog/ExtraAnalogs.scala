@@ -850,6 +850,55 @@ object ExtraAnalogs {
            |FROM m ORDER BY o_orderkey""".stripMargin
       }),
 
+    // Hilbert-curve layout codes over the same key projection — the
+    // locality-STRICT layout option (continuous curve, no Z seams;
+    // ZorderSpec measures its box pruning ≤ Z-order's on the same
+    // query). Native codegen expression on the Spark side; the oracle
+    // replays the identical per-level reflect/transpose state machine
+    // as 16 chained CTE stages generated bit-for-bit.
+    Q("layout_hilbert",
+      (s, d) => Tables.orders(s, d).select(
+          col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("a"),
+          pmod(col("o_orderkey"), lit(65536L)).as("b"))
+        .withColumn("hcode",
+          graft.sources.Zorder.hilbert(col("a"), col("b")))
+        .orderBy("o_orderkey"),
+      Some {
+        val bits = 16
+        val n = 1L << bits
+        // stage i consumes level s = 2^(bits-1-i): quadrant digit
+        // d += s^2 * ((3*rx) xor ry), then the rotation — ry=0 swaps
+        // x/y (reflecting both against n-1 first when rx=1)
+        val stages = (0 until bits).map { i =>
+          val sh = bits - 1 - i
+          val s2 = (1L << sh) * (1L << sh)
+          s"""h${i + 1} AS (
+             |  SELECT o_orderkey, a, b, nx AS x, ny AS y, nd AS d FROM (
+             |    SELECT o_orderkey, a, b,
+             |      CASE WHEN ((y >> $sh) & 1) = 0 THEN
+             |        CASE WHEN ((x >> $sh) & 1) = 1
+             |          THEN ${n - 1} - y ELSE y END
+             |      ELSE x END AS nx,
+             |      CASE WHEN ((y >> $sh) & 1) = 0 THEN
+             |        CASE WHEN ((x >> $sh) & 1) = 1
+             |          THEN ${n - 1} - x ELSE x END
+             |      ELSE y END AS ny,
+             |      d + $s2 * xor(3 * ((x >> $sh) & 1), (y >> $sh) & 1)
+             |        AS nd
+             |    FROM h$i))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH h0 AS (
+           |  SELECT o_orderkey, o_custkey % 65536 AS a,
+           |    o_orderkey % 65536 AS b, o_custkey % 65536 AS x,
+           |    o_orderkey % 65536 AS y, 0 AS d
+           |  FROM orders),
+           |""".stripMargin + stages + s"""
+           |SELECT o_orderkey, CAST(a AS BIGINT) AS a,
+           |  CAST(b AS BIGINT) AS b, CAST(d AS BIGINT) AS hcode
+           |FROM h$bits ORDER BY o_orderkey""".stripMargin
+      }),
+
     // BM25 top-3 retrieval: every 100th doc plays the query set, the
     // rest the corpus. Integer-exact end to end: grid-rounded idf
     // micro-nats (the Perplexity ln discipline), the Okapi tf

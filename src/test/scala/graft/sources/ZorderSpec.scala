@@ -20,6 +20,72 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
       (5L, 2L, 25L)))
   }
 
+  test("hilbert: bijective over the grid, CONTINUOUS (adjacent codes are grid neighbors)") {
+    val s = spark; import s.implicits._
+    val bits = 4 // 16x16 = 256 cells
+    val grid = (0 until 16).flatMap(a => (0 until 16).map(b =>
+      (a.toLong, b.toLong))).toDF("a", "b")
+    val got = grid
+      .select(col("a"), col("b"),
+        Zorder.hilbert(col("a"), col("b"), bits).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    // bijection: codes are exactly 0..255
+    assert(got.map(_._1).toSeq === (0L until 256L))
+    // continuity — the property Z-order lacks: consecutive codes are
+    // Manhattan-distance-1 grid neighbors, every single step
+    got.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+    // origin anchors the orientation
+    assert(got.head._2 === ((0L, 0L)))
+    // eval and codegen agree (collect above ran codegen; spot-check
+    // the interpreted runtime directly)
+    assert(graft.expressions.HilbertCurve.index(0L, 0L, bits) === 0L)
+    assert(got.toMap.apply(255L) ===
+      ((0 until 16).flatMap(a => (0 until 16).map(b => (a.toLong, b.toLong)))
+        .maxBy(p => graft.expressions.HilbertCurve.index(p._1, p._2, bits))))
+  }
+
+  test("hilbert layout prunes box queries at least as well as z-order") {
+    val s = spark; import s.implicits._
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b =>
+      (a.toLong, b.toLong))).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_h").toString
+    Zorder.writeZordered(grid, s"$dir/z", col("a"), col("b"),
+      nFiles = 16, bits = 6)
+    Zorder.writeHilbertOrdered(grid, s"$dir/h", col("a"), col("b"),
+      nFiles = 16, bits = 6)
+    // file-granularity min/max pruning on a conjunctive box query —
+    // the parquet row-group stats decision
+    def filesHit(path: String, aLo: Long, aHi: Long, bLo: Long,
+        bHi: Long): (Int, Int) = {
+      val boxes = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min("a"), max("a"), min("b"), max("b")).collect()(0)
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+      (boxes.count { case (al, ah, bl, bh) =>
+        ah >= aLo && al <= aHi && bh >= bLo && bl <= bHi },
+        boxes.size)
+    }
+    // several box queries, including one straddling the 32-boundary
+    // diagonal seam where Z-order's long jump hurts
+    val boxes = Seq((0L, 7L, 0L, 7L), (28L, 35L, 28L, 35L),
+      (0L, 7L, 56L, 63L), (16L, 23L, 16L, 23L))
+    boxes.foreach { case (al, ah, bl, bh) =>
+      val (zHit, zTotal) = filesHit(s"$dir/z", al, ah, bl, bh)
+      val (hHit, hTotal) = filesHit(s"$dir/h", al, ah, bl, bh)
+      assert(zTotal >= 8 && hTotal >= 8)
+      assert(hHit <= zHit,
+        s"box ($al-$ah, $bl-$bh): hilbert hit $hHit files, z-order $zHit")
+      assert(hHit * 2 <= hTotal,
+        s"box ($al-$ah, $bl-$bh): hilbert pruned only ${hTotal - hHit}")
+    }
+  }
+
   test("z-order layout prunes a second-key range scan; a-stripes don't") {
     val s = spark; import s.implicits._
     val grid = (0 until 64).flatMap(a => (0 until 64).map(b =>
