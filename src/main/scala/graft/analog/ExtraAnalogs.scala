@@ -1672,6 +1672,60 @@ object ExtraAnalogs {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
         |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // REAL compressed-audio decode, pure JVM: each doc gets a valid
+    // one-block mono IMA-ADPCM WAV (format tag 0x11 — Multimodal
+    // .adpcmFixture: initial predictor (id·97 mod 2001)−1000, step
+    // index id mod 89, 40 nibbles (id·7+5j) mod 16), and Multimodal
+    // .parseAdpcmWav chunk-walks the container and runs the published
+    // table decode (89-entry step table, index-adjust walk, s16
+    // clamping). The oracle replays the identical state machine as a
+    // RECURSIVE CTE — one (pred, idx, Σ|s|, max|s|) state row per
+    // sample step, the step table as an inline list literal — so a
+    // decoder that misreads the block header, mispacks nibble order,
+    // or diverges from the tables on ANY of the 40 steps hash-fails.
+    Q("mm_decode_adpcm",
+      (s, d) => Multimodal.decodeAdpcmFixtures(
+        s, Tables.documents(s, d).select("doc_id"))
+        .toDF().orderBy("doc_id"),
+      Some {
+        val steps = graft.operators.Multimodal.ImaSteps
+          .mkString("[", ", ", "]")
+        s"""WITH RECURSIVE st AS (
+          |  SELECT doc_id, 0 AS j,
+          |    CAST((doc_id * 97) % 2001 - 1000 AS BIGINT) AS pred,
+          |    CAST(doc_id % 89 AS BIGINT) AS idx,
+          |    CAST(abs((doc_id * 97) % 2001 - 1000) AS BIGINT) AS sabs,
+          |    CAST(abs((doc_id * 97) % 2001 - 1000) AS BIGINT) AS peak
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, j + 1, np AS pred,
+          |    greatest(0, least(88, idx + adj)) AS idx,
+          |    sabs + abs(np) AS sabs, greatest(peak, abs(np)) AS peak
+          |  FROM (
+          |    SELECT doc_id, j, idx, sabs, peak,
+          |      greatest(-32768, least(32767, pred +
+          |        CASE WHEN (nib & 8) != 0 THEN -dmag ELSE dmag END))
+          |        AS np,
+          |      CASE (nib & 7) WHEN 4 THEN 2 WHEN 5 THEN 4
+          |        WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END AS adj
+          |    FROM (
+          |      SELECT doc_id, j, idx, sabs, peak, pred, nib,
+          |        (stp >> 3)
+          |          + CASE WHEN (nib & 4) != 0 THEN stp ELSE 0 END
+          |          + CASE WHEN (nib & 2) != 0 THEN (stp >> 1) ELSE 0 END
+          |          + CASE WHEN (nib & 1) != 0 THEN (stp >> 2) ELSE 0 END
+          |          AS dmag
+          |      FROM (
+          |        SELECT *, (doc_id * 7 + 5 * j) % 16 AS nib,
+          |          ($steps)[CAST(idx + 1 AS INTEGER)] AS stp
+          |        FROM st WHERE j < 40))))
+          |SELECT doc_id, 8000::BIGINT AS sample_rate,
+          |  1::BIGINT AS channels, 4::BIGINT AS bits,
+          |  41::BIGINT AS n_samples, CAST(peak AS BIGINT) AS peak,
+          |  CAST(sabs AS BIGINT) AS sum_abs
+          |FROM st WHERE j = 40 ORDER BY doc_id""".stripMargin
+      }),
+
     // REAL compressed-image decode, pure JDK: each doc gets a VALID
     // PNG payload (Multimodal.pngFixture — dims/color-type functions
     // of doc_id, pixel byte j = (doc_id·7+3j) mod 256, scanline

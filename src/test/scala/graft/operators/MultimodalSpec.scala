@@ -329,6 +329,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert((std.channels, std.n_samples, std.sum_abs) === ((2L, 4L, 24L)))
   }
 
+  test("ima adpcm: hand-decoded vectors against the published tables") {
+    // pred0=0, idx0=0 (step 7):
+    //  n=0:  diff = 7>>3 = 0            -> pred 0,  idx max(0,-1)=0
+    //  n=2:  diff = 0 + (7>>1) = 3      -> pred 3,  idx 0
+    //  n=7:  diff = 0 + 7 + 3 + 1 = 11  -> pred 14, idx 0+8 = 8
+    //  n=15: step 16: diff = 2+16+8+4 = 30, sign -> pred 14-30 = -16,
+    //        idx 8+8 = 16
+    val got = Multimodal.decodeImaNibbles(0, 0, Array(0, 2, 7, 15))
+    assert(got.toSeq === Seq[Short](0, 0, 3, 14, -16))
+    // clamping: from +32767 at the table top, a max positive code
+    // stays clamped at 32767
+    val hi = Multimodal.decodeImaNibbles(32767, 88, Array(7))
+    assert(hi.toSeq === Seq[Short](32767, 32767))
+    // container round-trip: encode the vector, parse, stats match
+    val wav = Multimodal.encodeAdpcmWav(8000, 0, 0, Array(0, 2, 7, 15))
+    val m = Multimodal.parseAdpcmWav(5L, wav)
+    assert(m === Multimodal.WavMeta(5L, 8000L, 1L, 4L, 5L, 16L,
+      0L + 0 + 3 + 14 + 16))
+    // PCM parser rejects the ADPCM container and vice versa
+    intercept[IllegalArgumentException] { Multimodal.parseWav(5L, wav) }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAdpcmWav(5L, Multimodal.encodeWav(8000, 1,
+        Array[Short](1, 2)))
+    }
+  }
+
+  test("adpcm fixtures decode distributed and deterministically") {
+    val ss = spark
+    import ss.implicits._
+    val ids = ss.createDataset(Seq(0L, 1L, 7L, 88L, 100L)).toDF("doc_id")
+    val a = Multimodal.decodeAdpcmFixtures(ss, ids).collect()
+      .sortBy(_.doc_id)
+    val b = Multimodal.decodeAdpcmFixtures(ss, ids).collect()
+      .sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(m => m.n_samples === 41L && m.bits === 4L &&
+      m.channels === 1L && m.sample_rate === 8000L))
+    // cross-check one id against a direct local decode
+    val local = Multimodal.parseAdpcmWav(7L, Multimodal.adpcmFixture(7L))
+    assert(a.find(_.doc_id == 7L).get === local)
+  }
+
   test("jpeg: platform-codec roundtrip — dims exact, means near, encode stable") {
     for (id <- Seq(0L, 3L)) {
       val bytes = Multimodal.jpegFixture(id)
