@@ -1091,6 +1091,33 @@ object ExtraAnalogs {
     // and the integer F1 form 2tp*10^4 // (2tp+fp+fn); the oracle
     // composes the SHARED langid-NB prediction CTE with the confusion
     // arithmetic, so the metric can never drift from the classifier.
+    // Model-artifact persistence in the loop: train the NB on the
+    // seed, SAVE it (graft.sources.ModelStore — parquet frames +
+    // schema-checked params), LOAD it back, and score the full table
+    // from the LOADED artifact. Output is identical to
+    // text_langid_nb by the round-trip law (ModelStoreSpec), so the
+    // same shared oracle CTE verifies that shipping the model
+    // through disk changes nothing — the artifact a deployment
+    // trains once and scores everywhere.
+    Q("model_store_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = graft.operators.LangId.train(
+          docs.filter(col("doc_id") % 5 === 0))
+        val dir = s"target/models/langid_nb_${math.abs(d.hashCode)}"
+        graft.sources.ModelStore.saveNb(m, dir)
+        val loaded = graft.sources.ModelStore.loadNb(s, dir)
+        graft.operators.LangId.predict(docs, loaded)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            col("score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dLangidNbCte
+        |SELECT doc_id, true_lang AS lang, lang AS pred_lang,
+        |  CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
     Q("eval_langid_prf",
       (s, d) => graft.operators.Evaluation.classPrf(
         langidNbPredictions(s, d)

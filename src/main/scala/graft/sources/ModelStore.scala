@@ -1,0 +1,175 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Trained-model persistence: every model the pipeline trains
+  * (BPE merge tables, the naive-Bayes language-ID, the DSIR bucket
+  * model, the perplexity bigram LM, IVF centroids) saves as plain
+  * parquet under a model directory and loads back SCHEMA-CHECKED —
+  * so pipelines ship trained artifacts between sessions instead of
+  * recomputing them per run, and a stale/foreign directory fails
+  * loudly at load instead of silently scoring garbage.
+  *
+  * Layout: one subdirectory per frame, plus a one-row `params`
+  * frame carrying the integer hyper-parameters that must travel with
+  * the weights (the NbModel/LmModel in-memory contract — a model
+  * built at B buckets but scored at another silently drops every
+  * lookup — extended to disk). Everything is model-sized: saves are
+  * tiny parquet writes, loads are broadcast-ready frames; the only
+  * driver-side materialization is for models whose in-memory form is
+  * already a driver-side array (DSIR, IVF centroids — both bounded
+  * by construction).
+  *
+  * Round-trip law (ModelStoreSpec, one per model kind):
+  * `load(save(train(x))) == train(x)` — frames compared row-exact,
+  * params exactly.
+  */
+object ModelStore {
+
+  /** Nullability (incl. array containsNull) is normalized away: the
+    * parquet writer/reader round-trip does not preserve it, and the
+    * check guards against WRONG frames, not wider nullability.
+    */
+  private def norm(t: DataType): DataType = t match {
+    case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+    case other => other
+  }
+
+  private def checkSchema(df: DataFrame, expected: Seq[(String, DataType)],
+      what: String): DataFrame = {
+    val got = df.schema.map(f => (f.name, norm(f.dataType)))
+    val want = expected.map { case (n, t) => (n, norm(t)) }
+    require(got == want,
+      s"$what: schema mismatch — expected $want, found $got")
+    df
+  }
+
+  private def saveParams(spark: SparkSession, dir: String,
+      params: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    params.toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def loadParams(spark: SparkSession, dir: String,
+      keys: Seq[String]): Map[String, Long] = {
+    val df = checkSchema(spark.read.parquet(s"$dir/params"),
+      Seq("k" -> StringType, "v" -> LongType), s"$dir/params")
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach(k => require(m.contains(k),
+      s"$dir/params: missing parameter '$k' (have ${m.keys.toSeq.sorted})"))
+    m
+  }
+
+  // ---- naive-Bayes language ID --------------------------------------
+
+  private val NbDeltaSchema = Seq("lang" -> StringType, "b" -> LongType,
+    "delta" -> LongType)
+  private val NbStatsSchema = Seq("lang" -> StringType,
+    "prior" -> LongType, "floor" -> LongType)
+
+  def saveNb(m: graft.operators.LangId.NbModel, dir: String): Unit = {
+    val spark = m.delta.sparkSession
+    checkSchema(m.delta, NbDeltaSchema, "NbModel.delta")
+      .write.mode("overwrite").parquet(s"$dir/delta")
+    checkSchema(m.langStats, NbStatsSchema, "NbModel.langStats")
+      .write.mode("overwrite").parquet(s"$dir/lang_stats")
+    saveParams(spark, dir,
+      Seq("buckets" -> m.buckets.toLong, "n" -> m.n.toLong))
+  }
+
+  def loadNb(spark: SparkSession, dir: String)
+      : graft.operators.LangId.NbModel = {
+    val p = loadParams(spark, dir, Seq("buckets", "n"))
+    graft.operators.LangId.NbModel(
+      checkSchema(spark.read.parquet(s"$dir/delta"), NbDeltaSchema,
+        s"$dir/delta"),
+      checkSchema(spark.read.parquet(s"$dir/lang_stats"), NbStatsSchema,
+        s"$dir/lang_stats"),
+      p("buckets").toInt, p("n").toInt)
+  }
+
+  // ---- perplexity bigram LM -----------------------------------------
+
+  private val LmPairSchema = Seq("bp" -> LongType, "bn" -> LongType,
+    "lp" -> LongType)
+  private val LmCtxSchema = Seq("bp" -> LongType, "lp_ctx" -> LongType)
+
+  def saveLm(m: graft.operators.Perplexity.LmModel, dir: String): Unit = {
+    val spark = m.pairLp.sparkSession
+    checkSchema(m.pairLp, LmPairSchema, "LmModel.pairLp")
+      .write.mode("overwrite").parquet(s"$dir/pair_lp")
+    checkSchema(m.ctxLp, LmCtxSchema, "LmModel.ctxLp")
+      .write.mode("overwrite").parquet(s"$dir/ctx_lp")
+    saveParams(spark, dir, Seq("buckets" -> m.buckets.toLong))
+  }
+
+  def loadLm(spark: SparkSession, dir: String)
+      : graft.operators.Perplexity.LmModel = {
+    val p = loadParams(spark, dir, Seq("buckets"))
+    graft.operators.Perplexity.LmModel(
+      checkSchema(spark.read.parquet(s"$dir/pair_lp"), LmPairSchema,
+        s"$dir/pair_lp"),
+      checkSchema(spark.read.parquet(s"$dir/ctx_lp"), LmCtxSchema,
+        s"$dir/ctx_lp"),
+      p("buckets").toInt)
+  }
+
+  // ---- BPE merge table ----------------------------------------------
+
+  private val BpeSchema = Seq("rank" -> LongType, "left" -> StringType,
+    "right" -> StringType, "merged" -> StringType, "cnt" -> LongType)
+
+  def saveBpe(merges: DataFrame, dir: String): Unit =
+    checkSchema(merges, BpeSchema, "BPE merges")
+      .write.mode("overwrite").parquet(s"$dir/merges")
+
+  def loadBpe(spark: SparkSession, dir: String): DataFrame =
+    checkSchema(spark.read.parquet(s"$dir/merges"), BpeSchema,
+      s"$dir/merges")
+
+  // ---- DSIR dense bucket model --------------------------------------
+
+  def saveDsir(model: Array[Long], dir: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.toSeq.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("i", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/dsir")
+  }
+
+  def loadDsir(spark: SparkSession, dir: String): Array[Long] = {
+    val rows = checkSchema(spark.read.parquet(s"$dir/dsir"),
+      Seq("i" -> LongType, "w" -> LongType), s"$dir/dsir")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(rows.nonEmpty &&
+      rows.map(_._1).toSeq == (0L until rows.length.toLong),
+      s"$dir/dsir: bucket indexes must be exactly 0..n-1")
+    rows.map(_._2)
+  }
+
+  // ---- IVF centroids ------------------------------------------------
+
+  def saveIvf(cents: Seq[Array[Long]], dir: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
+      .toDF("cent_id", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def loadIvf(spark: SparkSession, dir: String): Seq[Array[Long]] = {
+    val rows = checkSchema(spark.read.parquet(s"$dir/centroids"),
+      Seq("cent_id" -> LongType,
+        "cv" -> ArrayType(LongType, containsNull = false)),
+      s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty &&
+      rows.map(_._1).toSeq == (0L until rows.length.toLong),
+      s"$dir/centroids: cent_id must be exactly 0..k-1")
+    rows.map(_._2).toSeq
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Round-trip law per persisted model kind:
+  * `load(save(train(x))) == train(x)` — frames row-exact, params and
+  * driver-side arrays exact — plus the loud-failure contract on a
+  * wrong directory.
+  */
+class ModelStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_models").toString
+
+  private def docs =
+    spark.createDataFrame(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en"),
+      (1L, "el rapido zorro marron salta sobre el perro", "es"),
+      (2L, "der schnelle braune fuchs springt hoch", "de"),
+      (3L, "the dog sleeps while the fox runs", "en"),
+      (4L, "un perro y un zorro corren juntos", "es")))
+      .toDF("doc_id", "text", "lang")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("NbModel round-trip: frames, params, and predictions survive") {
+    val dir = tmp()
+    val m = graft.operators.LangId.train(docs, buckets = 64)
+    ModelStore.saveNb(m, dir)
+    val back = ModelStore.loadNb(spark, dir)
+    assert(back.buckets === m.buckets && back.n === m.n)
+    assert(rows(back.delta) === rows(m.delta))
+    assert(rows(back.langStats) === rows(m.langStats))
+    val fresh = rows(graft.operators.LangId.predict(docs, m))
+    assert(rows(graft.operators.LangId.predict(docs, back)) === fresh)
+  }
+
+  test("LmModel round-trip") {
+    val dir = tmp()
+    val m = graft.operators.Perplexity.model(docs, buckets = 128)
+    ModelStore.saveLm(m, dir)
+    val back = ModelStore.loadLm(spark, dir)
+    assert(back.buckets === m.buckets)
+    assert(rows(back.pairLp) === rows(m.pairLp))
+    assert(rows(back.ctxLp) === rows(m.ctxLp))
+  }
+
+  test("BPE merge-table round-trip") {
+    val dir = tmp()
+    val merges = graft.operators.BpeTrain.learnMerges(docs, nMerges = 6)
+    ModelStore.saveBpe(merges, dir)
+    assert(rows(ModelStore.loadBpe(spark, dir)) === rows(merges))
+  }
+
+  test("DSIR dense-model round-trip, order preserved") {
+    val dir = tmp()
+    val m = graft.operators.Curation.dsirModel(
+      docs, docs.filter(col("doc_id") < 2), buckets = 256)
+    ModelStore.saveDsir(m, dir, spark)
+    assert(ModelStore.loadDsir(spark, dir).toSeq === m.toSeq)
+  }
+
+  test("IVF centroid round-trip, cell order preserved") {
+    val dir = tmp()
+    val embs = spark.createDataFrame(
+      (0 until 12).map(i => (i.toLong,
+        Seq.tabulate(4)(j => ((i * 7 + j) % 5 - 2).toFloat / 2f))))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity.trainIvfCentroids(embs,
+      nCells = 3)
+    ModelStore.saveIvf(cents, dir, spark)
+    val back = ModelStore.loadIvf(spark, dir)
+    assert(back.length === cents.length)
+    back.zip(cents).foreach { case (b, c) => assert(b.toSeq === c.toSeq) }
+  }
+
+  test("wrong directory fails loudly at load, names the mismatch") {
+    val dir = tmp()
+    // an LM saved where an NB is expected: schema check trips before
+    // any scoring can run
+    ModelStore.saveLm(
+      graft.operators.Perplexity.model(docs, buckets = 64), dir)
+    val e = intercept[Exception] { ModelStore.loadNb(spark, dir) }
+    assert(e.getMessage.contains("schema mismatch") ||
+      e.getMessage.contains("missing parameter") ||
+      e.getMessage.contains("PATH_NOT_FOUND"))
+    // and a frame-level mismatch also trips: point loadLm at the NB
+    // layout (delta where pair_lp is expected is absent -> loud)
+    val dir2 = tmp()
+    ModelStore.saveNb(
+      graft.operators.LangId.train(docs, buckets = 32), dir2)
+    intercept[Exception] { ModelStore.loadLm(spark, dir2) }
+  }
+}
