@@ -49,11 +49,12 @@ object Multimodal {
 
   /** Partition-local batched "decode": the shape a real codec UDF takes
     * — iterate a partition, decode each payload, emit typed metadata.
-    * The pixel decode is STUBBED (deterministic fake derived from the
-    * payload bytes; a real deployment swaps `fakeDecode` for an actual
-    * image/audio library call). `mapPartitions` keeps per-partition
-    * library initialization (codec contexts, model handles) amortized —
-    * the pattern `mapInPandas` serves in PySpark.
+    * This path is the SYNTHETIC-metadata stub ([[stubEntropyDecode]] —
+    * not a codec; see its scaladoc for which formats still route here
+    * and why). The REAL decoders live below: [[parsePpm]], [[parseWav]],
+    * [[parseAdpcmWav]], [[parsePng]], [[parseJpeg]]. `mapPartitions`
+    * keeps per-partition library initialization (codec contexts, model
+    * handles) amortized — the pattern `mapInPandas` serves in PySpark.
     */
   def decodePartitions(spark: SparkSession, withPayload: DataFrame): Dataset[AssetMeta] = {
     import spark.implicits._
@@ -61,7 +62,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real codec init would happen once per partition, here
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        it.map { case (id, bytes) => stubEntropyDecode(id, bytes) }
       }
   }
 
@@ -1039,13 +1040,17 @@ object Multimodal {
       .toDF("doc_id", "width", "height")
   }
 
-  /** STUB codec: deterministic metadata from raw bytes (kept for the
-    * formats that DO still need an external library — video/audio
-    * entropy codecs like MP3/H.264; PNG, JPEG-via-platform, PPM and
-    * WAV have real codecs above). Mirrors [[extractMeta]]'s
+  /** NOT a codec — a deterministic SYNTHETIC-metadata stub, named so
+    * it cannot be mistaken for the real decode paths above. Its only
+    * remaining consumers are formats whose entropy decode genuinely
+    * requires an external library absent from this environment
+    * (MP3's MDCT/Huffman layers, H.264's CABAC — no pure-JDK API
+    * exists; the environment bound is recorded in TESTDATA.md). PPM,
+    * PCM WAV, IMA-ADPCM WAV, and PNG have REAL pure-JDK decoders
+    * above, JPEG rides the platform codec. Mirrors [[extractMeta]]'s
     * arithmetic so the two paths cross-check in tests.
     */
-  private def fakeDecode(id: Long, bytes: Array[Byte]): AssetMeta = {
+  private def stubEntropyDecode(id: Long, bytes: Array[Byte]): AssetMeta = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hx = md.digest(bytes).map("%02x".format(_)).mkString
     val magic = bytes.take(4).map("%02X".format(_)).mkString
