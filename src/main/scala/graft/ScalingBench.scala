@@ -88,6 +88,43 @@ object ScalingBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Zipfian-vocabulary k× corpus: every token of every doc (and of
+    * every replica) is rewritten to `w<rank>` with rank drawn
+    * Zipf(1)-distributed over a SHARED `vocab`-word vocabulary —
+    * rank = ⌊V^u⌋ for u uniform (inverse-CDF of p(r) ∝ 1/r), u from
+    * xxhash64(doc_id, position, replica). This is the regime the
+    * base corpus can't produce (TESTDATA: ~31 words, every term in
+    * ~78% of docs — every query term matches nearly every doc and
+    * BM25's matched-pairs set degenerates to the cross product): a
+    * realistic corpus keeps its vocabulary as it grows, stop-word df
+    * grows ∝ N and trips the probe's df cap, while the Zipf tail
+    * keeps per-term fan-out sublinear. Token COUNT per doc is
+    * preserved (lengths, adl unchanged); only identity changes.
+    */
+  def scaleDocumentsZipf(docs: DataFrame, k: Int,
+      vocab: Int = 10000): DataFrame =
+    (0 until k).map { r =>
+      val zipfWord = (i: org.apache.spark.sql.Column) => {
+        val u = pmod(xxhash64(col("doc_id"), i, lit(r)), lit(1000000L))
+          .cast("double") / 1e6
+        concat(lit("w"), least(lit(vocab.toLong), greatest(lit(1L),
+          floor(pow(lit(vocab.toDouble), u)).cast("long"))))
+      }
+      val rewritten = array_join(
+        transform(split(col("text"), " "), (_, i) => zipfWord(i)), " ")
+      docs.select(
+        (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
+        rewritten.as("text"),
+        col("lang"),
+        concat(col("source"), lit(if (r == 0) "" else s"~$r")).as("source"),
+        length(rewritten).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+
+  def synthesizeZipf(spark: SparkSession, baseDir: String,
+      outDir: String, k: Int): Unit =
+    scaleDocumentsZipf(Tables.documents(spark, baseDir), k)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
   /** The operators under test. Registry entries are reused verbatim
     * (they read documents/embeddings via Tables from the passed dir);
     * `dedup_ngram_fixedsrc` additionally measures the ngram miner's
@@ -144,6 +181,17 @@ object ScalingBench {
       "dedup_embcos_t06" -> embCos06)
   }
 
+  /** Subjects measured on the ZIPFIAN corpora (see
+    * [[scaleDocumentsZipf]]) — the BM25 probe's REALISTIC regime:
+    * the df cap drops the Zipf head, the tail bounds per-term
+    * fan-out, so this is the curve that backs the operator's 100×
+    * claim (the dense-31-word base corpus can only measure its
+    * degenerate worst case).
+    */
+  private def zipfSubjects: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("bm25_zipf" -> Registry.all.find(_.name == "text_bm25_topk")
+      .getOrElse(sys.error("not registered: text_bm25_topk")).fn)
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outRoot = args.drop(1).headOption.getOrElse("target/scaling")
@@ -159,28 +207,38 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // every subject carries its corpus family's dir prefix: the main
+    // fleet runs on the salted-replica corpora (x$k), the zipf
+    // subjects on the shared-vocabulary Zipfian ones (zipf/x$k)
+    val allSubjects =
+      subjects.map { case (n, f) => (n, f, "x") } ++
+        zipfSubjects.map { case (n, f) => (n, f, "zipf/x") }
+    val active = if (only.isEmpty) allSubjects
+      else allSubjects.filter { case (n, _, _) => only(n) }
+
+    val prefixes = active.map(_._3).distinct
     scales.foreach { k =>
-      val dir = s"$outRoot/x$k"
-      // marker written LAST, recording the base corpus: a dir from a
-      // different base (or a run killed mid-synthesis, which never
-      // wrote the marker) is re-synthesized instead of silently timed
-      val marker = new java.io.File(s"$dir/_BASE")
-      val markerOk = marker.isFile &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          java.nio.charset.StandardCharsets.UTF_8) == baseDir
-      if (!markerOk) {
-        System.err.println(s"synthesizing $dir ...")
-        synthesize(spark, baseDir, dir, k)
-        java.nio.file.Files.write(marker.toPath,
-          baseDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      prefixes.foreach { p =>
+        val dir = s"$outRoot/$p$k"
+        // marker written LAST, recording the base corpus: a dir from a
+        // different base (or a run killed mid-synthesis, which never
+        // wrote the marker) is re-synthesized instead of silently timed
+        val marker = new java.io.File(s"$dir/_BASE")
+        val markerOk = marker.isFile &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            java.nio.charset.StandardCharsets.UTF_8) == baseDir
+        if (!markerOk) {
+          System.err.println(s"synthesizing $dir ...")
+          if (p == "zipf/x") synthesizeZipf(spark, baseDir, dir, k)
+          else synthesize(spark, baseDir, dir, k)
+          java.nio.file.Files.write(marker.toPath,
+            baseDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       }
     }
 
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-
-    val active = if (only.isEmpty) subjects
-      else subjects.filter { case (n, _) => only(n) }
 
     // warmup at 1× pays JIT/codegen outside every measurement. TWO
     // passes by default (SPARK_GRAFT_SCALING_WARMUPS): one execution
@@ -191,8 +249,8 @@ object ScalingBench {
     val warmups = math.max(1, sys.env.get("SPARK_GRAFT_SCALING_WARMUPS")
       .flatMap(_.toIntOption).getOrElse(2))
     (1 to warmups).foreach { _ =>
-      active.foreach { case (_, fn) =>
-        try exec(fn(spark, s"$outRoot/x${scales.head}"))
+      active.foreach { case (_, fn, p) =>
+        try exec(fn(spark, s"$outRoot/$p${scales.head}"))
         catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
@@ -200,8 +258,8 @@ object ScalingBench {
 
     // rows: one untimed count per cell — the pair miners' output
     // growth (linear, not quadratic) is itself scaling evidence
-    val cells = for ((name, fn) <- active; k <- scales) yield {
-      val dir = s"$outRoot/x$k"
+    val cells = for ((name, fn, p) <- active; k <- scales) yield {
+      val dir = s"$outRoot/$p$k"
       val times = (1 to runs).map { _ =>
         // per RUN, not per cell (the Bench.scala lesson): the miners
         // persist derived frames internally and CacheManager matches
@@ -229,7 +287,7 @@ object ScalingBench {
     // (last two scales — the best proxy for the asymptotic exponent)
     // exponents are undefined for a single (or duplicate) scale —
     // carry them as Option so the JSON gets null, not NaN
-    val summary = active.map { case (name, _) =>
+    val summary = active.map { case (name, _, _) =>
       val m = byName(name).map(c => c._2 -> (c._3, c._4)).toMap
       val exp = if (maxK == sorted.head) None
         else Some(math.log(m(maxK)._1 / m(sorted.head)._1) /
