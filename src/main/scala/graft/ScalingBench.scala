@@ -183,14 +183,30 @@ object ScalingBench {
 
   /** Subjects measured on the ZIPFIAN corpora (see
     * [[scaleDocumentsZipf]]) — the BM25 probe's REALISTIC regime:
-    * the df cap drops the Zipf head, the tail bounds per-term
-    * fan-out, so this is the curve that backs the operator's 100×
+    * the df cap drops the Zipf head and the tail bounds per-term
+    * fan-out, so this is the curve that backs the operator's scale
     * claim (the dense-31-word base corpus can only measure its
     * degenerate worst case).
+    *
+    * The QUERY set is held FIXED (the base replica's doc_id%100
+    * slice) while the corpus grows — the deployment regime: a
+    * bounded eval-prompt/citation set probes an arriving corpus. The
+    * registry query's own probe slice grows WITH the corpus, which
+    * measures Θ(queries × corpus) = k² work by construction — a
+    * harness artifact, not an operator property (first measured
+    * round 11: growing-queries tail ~1.9 on both corpus families;
+    * fixed-queries is the curve with meaning).
     */
-  private def zipfSubjects: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("bm25_zipf" -> Registry.all.find(_.name == "text_bm25_topk")
-      .getOrElse(sys.error("not registered: text_bm25_topk")).fn)
+  private def zipfSubjects: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val fixedQueries: (SparkSession, String) => DataFrame = (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Retrieval.bm25TopK(
+        docs.filter(col("doc_id") % 100 === 0 &&
+          col("doc_id") < IdOffset),
+        docs.filter(col("doc_id") % 100 =!= 0))
+    }
+    Seq("bm25_zipf" -> fixedQueries)
+  }
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
