@@ -70,17 +70,22 @@ object ExtraAnalogs {
 
   /** The Spark half of [[dLangidNbCte]] — ONE shared chain for
     * text_langid_nb + eval_langid_prf: train the char-trigram NB on
-    * the doc_id%5 seed, PERSIST the model frames
-    * (LangId.NbModel.persisted — without it every consuming subtree
-    * re-runs the seed gram walk: the eval query's plan carried the
-    * training aggregations twice, 29 exchanges for |classes| rows of
-    * output), predict over the full table, ride true `lang` along.
+    * the doc_id%5 seed, predict over the full table, ride true
+    * `lang` along. The model frames are left UNPERSISTED here:
+    * within one query plan Catalyst's ReusedExchange dedups the
+    * repeated model-sized training subtrees, and an eager
+    * `NbModel.persisted()` (two materialization actions) measured
+    * strictly slower at bench scale — `persisted()` is for callers
+    * composing MULTIPLE queries over one model (its scaladoc
+    * contract); the eval query's single-corpus-scan guarantee comes
+    * from Evaluation.classPrf's persisted confusion aggregation, not
+    * from model persistence.
     */
   private def langidNbPredictions(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     val m = graft.operators.LangId.train(
-      docs.filter(col("doc_id") % 5 === 0)).persisted()
+      docs.filter(col("doc_id") % 5 === 0))
     graft.operators.LangId.predict(docs, m)
       .join(docs.select("doc_id", "lang"), "doc_id")
   }

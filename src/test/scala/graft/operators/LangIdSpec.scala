@@ -32,6 +32,21 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     assert(pred === Map(100L -> "A", 101L -> "B"))
   }
 
+  test("persisted() model predicts identically (the composition contract)") {
+    val seed = docs(
+      (0L, "aaabbbaaabbb", "A"), (5L, "aaabbbaaaabb", "A"),
+      (10L, "zzzyyyzzzyyy", "B"), (15L, "zzzyyyzzzzyy", "B"))
+    val test = docs((100L, "aaabbbaab", "?"), (101L, "zzzyyyzzy", "?"))
+    val m = LangId.train(seed)
+    val p = m.persisted()
+    try {
+      assert(p.buckets === m.buckets && p.n === m.n)
+      val a = LangId.predict(test, m).collect().map(_.toString).sorted
+      val b = LangId.predict(test, p).collect().map(_.toString).sorted
+      assert(a.toSeq === b.toSeq)
+    } finally { p.delta.unpersist(); p.langStats.unpersist() }
+  }
+
   test("scores: prior + G*floor + sum(delta) with exact integers") {
     val seed = docs((0L, "abcabc", "A"), (1L, "abcabc", "B"))
     val m = LangId.train(seed)
