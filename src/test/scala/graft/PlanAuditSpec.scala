@@ -59,6 +59,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       plans("decontam_hits").take(800))
   }
 
+  test("bm25: query terms broadcast against the postings index, no corpus-side broadcast") {
+    // the probe side (distinct query unigrams) is the small side —
+    // the scored postings index must STREAM through the join: a plan
+    // broadcasting the corpus-sized index would OOM at deployment
+    Seq("text_bm25_topk", "stream_bm25_screen").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q: expected the probe to broadcast\n${plans(q).take(800)}")
+    }
+  }
+
+  test("layout codes are single-exchange plans (codegen arithmetic + output sort only)") {
+    Seq("layout_zorder", "layout_hilbert").foreach { q =>
+      val p = plans(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q: layout coding must not join\n${p.take(800)}")
+      // exactly the output-sort exchange, nothing else shuffles
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"$q: expected exactly one exchange\n${p.take(800)}")
+      // (codegen-ability of HilbertIndex is exercised end-to-end in
+      // ZorderSpec's collect; AQE plan strings don't print codegen
+      // spans before execution, so it is not asserted here)
+    }
+  }
+
+  test("loaded-artifact scoring drops the training subtrees") {
+    // model_store_langid reads the trained model from parquet: its
+    // plan must contain NO aggregation over the seed slice beyond the
+    // scorer's own per-doc groupBy — text_langid_nb (which trains
+    // in-plan) carries strictly more exchanges
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).length
+    assert(exchanges(plans("model_store_langid")) <
+      exchanges(plans("text_langid_nb")),
+      "loading the model should simplify the plan vs in-plan training")
+  }
+
   test("pack's row-level running sum never serializes a whole source") {
     // the two-level prefix sum: any window ORDERED BY doc_id (i.e.
     // running over the full row stream) must partition by source AND
