@@ -158,7 +158,11 @@ object ScalingBench {
       // layout_zorder reads ORDERS, which the scaled corpora don't
       // replicate (documents/embeddings only) — and its shape is
       // map-only arithmetic + one range shuffle, nothing to curve
-      "eval_langid_prf", "corpus_patch")
+      "eval_langid_prf", "corpus_patch",
+      // round 11 (layout_hilbert shares layout_zorder's exclusion
+      // rationale: map-only arithmetic + one range shuffle over
+      // orders, which the scaled corpora don't replicate)
+      "mm_decode_adpcm", "model_store_langid")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
@@ -205,7 +209,16 @@ object ScalingBench {
           col("doc_id") < IdOffset),
         docs.filter(col("doc_id") % 100 =!= 0))
     }
-    Seq("bm25_zipf" -> fixedQueries)
+    val fixedScreen: (SparkSession, String) => DataFrame = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = graft.operators.Retrieval.bm25Index(
+        docs.filter(col("doc_id") % 100 =!= 0))
+      graft.streaming.DocStreams.bm25Screen(
+        docs.filter(col("doc_id") % 100 === 0 &&
+          col("doc_id") < IdOffset), idx)
+    }
+    Seq("bm25_zipf" -> fixedQueries,
+      "bm25_screen_zipf" -> fixedScreen)
   }
 
   def main(args: Array[String]): Unit = {
