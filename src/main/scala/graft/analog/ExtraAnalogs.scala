@@ -1758,6 +1758,82 @@ object ExtraAnalogs {
           |FROM st WHERE j = 40 ORDER BY doc_id""".stripMargin
       }),
 
+    // REAL compressed-audio ENCODE + decode round trip: each doc gets
+    // a closed-form 41-sample PCM waveform s_j = ((id·13+7j) mod
+    // 4001) − 2000, the IMA encoder quantizes it (successive-
+    // approximation nibbles against step/2/4 thresholds, decoder-
+    // lockstep state update), the bytes ride a real container, and
+    // parseAdpcmWav decodes them back. The oracle replays the FUSED
+    // encoder+decoder state machine per sample — a recursive CTE
+    // whose reconstruction cascade (b4/b2/b1 threshold subtraction,
+    // rec sum, clamp, index walk) must match the published algorithm
+    // on every one of the 40 steps or the stats hash-fail. This is
+    // the full codec symmetry: mm_decode_adpcm proves decode,
+    // this proves quantize→pack→parse→decode end to end.
+    Q("mm_adpcm_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val pcm = Array.tabulate[Short](41)(j =>
+              (((id * 13 + 7 * j) % 4001) - 2000).toShort)
+            Multimodal.adpcmRoundTrip(id, 8000, pcm)
+          }).toDF().orderBy("doc_id")
+      },
+      Some {
+        val steps = graft.operators.Multimodal.ImaSteps
+          .mkString("[", ", ", "]")
+        s"""WITH RECURSIVE st AS (
+          |  SELECT doc_id, 0 AS j,
+          |    CAST((doc_id * 13) % 4001 - 2000 AS BIGINT) AS pred,
+          |    CAST(0 AS BIGINT) AS idx,
+          |    CAST(abs((doc_id * 13) % 4001 - 2000) AS BIGINT) AS sabs,
+          |    CAST(abs((doc_id * 13) % 4001 - 2000) AS BIGINT) AS peak
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, j + 1, np AS pred,
+          |    greatest(0, least(88, idx +
+          |      CASE nm WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+          |        WHEN 7 THEN 8 ELSE -1 END)) AS idx,
+          |    sabs + abs(np) AS sabs, greatest(peak, abs(np)) AS peak
+          |  FROM (
+          |    SELECT doc_id, j, idx, sabs, peak,
+          |      greatest(-32768, least(32767, pred +
+          |        CASE WHEN neg = 1 THEN -rec ELSE rec END)) AS np,
+          |      4 * b4 + 2 * b2 + b1 AS nm
+          |    FROM (
+          |      SELECT *,
+          |        (stp // 8) + b4 * stp + b2 * (stp // 2)
+          |          + b1 * (stp // 4) AS rec
+          |      FROM (
+          |        SELECT *,
+          |          CASE WHEN ad2 - b2 * (stp // 2) >= stp // 4
+          |            THEN 1 ELSE 0 END AS b1
+          |        FROM (
+          |          SELECT *,
+          |            CASE WHEN ad2 >= stp // 2 THEN 1 ELSE 0 END AS b2
+          |          FROM (
+          |            SELECT *, ad - b4 * stp AS ad2
+          |            FROM (
+          |              SELECT *,
+          |                CASE WHEN ad >= stp THEN 1 ELSE 0 END AS b4
+          |              FROM (
+          |                SELECT doc_id, j, idx, sabs, peak, pred,
+          |                  CASE WHEN sm - pred < 0 THEN 1 ELSE 0 END
+          |                    AS neg,
+          |                  abs(sm - pred) AS ad,
+          |                  ($steps)[CAST(idx + 1 AS INTEGER)] AS stp
+          |                FROM (
+          |                  SELECT *, CAST((doc_id * 13 + 7 * (j + 1))
+          |                    % 4001 - 2000 AS BIGINT) AS sm
+          |                  FROM st WHERE j < 40)))))))))
+          |SELECT doc_id, 8000::BIGINT AS sample_rate,
+          |  1::BIGINT AS channels, 4::BIGINT AS bits,
+          |  41::BIGINT AS n_samples, CAST(peak AS BIGINT) AS peak,
+          |  CAST(sabs AS BIGINT) AS sum_abs
+          |FROM st WHERE j = 40 ORDER BY doc_id""".stripMargin
+      }),
+
     // REAL compressed-image decode, pure JDK: each doc gets a VALID
     // PNG payload (Multimodal.pngFixture — dims/color-type functions
     // of doc_id, pixel byte j = (doc_id·7+3j) mod 256, scanline

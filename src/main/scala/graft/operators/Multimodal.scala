@@ -348,6 +348,56 @@ object Multimodal {
     out
   }
 
+  /** The IMA ENCODER's nibble quantizer: the standard successive-
+    * approximation against step/2/4 thresholds (sign bit 8, then
+    * magnitude bits 4/2/1), followed by the SAME state update the
+    * decoder applies — encoder and decoder predictors stay in
+    * lockstep by construction, which is what bounds reconstruction
+    * error to one quantization step on smooth signals. Returns the
+    * nibble stream for samples AFTER the initial predictor
+    * `samples(0)` (which rides in the block header verbatim).
+    */
+  def encodeImaNibbles(samples: Array[Short]): Array[Int] = {
+    require(samples.nonEmpty, "need at least the header sample")
+    var pred: Int = samples(0)
+    var idx = 0
+    val out = new Array[Int](samples.length - 1)
+    var j = 1
+    while (j < samples.length) {
+      val step = ImaSteps(idx)
+      var diff = samples(j) - pred
+      var n = 0
+      if (diff < 0) { n = 8; diff = -diff }
+      if (diff >= step) { n |= 4; diff -= step }
+      if (diff >= (step >> 1)) { n |= 2; diff -= step >> 1 }
+      if (diff >= (step >> 2)) n |= 1
+      // decoder-identical reconstruction keeps the states in lockstep
+      var rec = step >> 3
+      if ((n & 4) != 0) rec += step
+      if ((n & 2) != 0) rec += step >> 1
+      if ((n & 1) != 0) rec += step >> 2
+      if ((n & 8) != 0) rec = -rec
+      pred = math.max(-32768, math.min(32767, pred + rec))
+      idx = math.max(0, math.min(88, idx + ImaIndexAdj(n & 7)))
+      out(j - 1) = n
+      j += 1
+    }
+    out
+  }
+
+  /** Full PCM→ADPCM→PCM round trip of a mono 16-bit sample array:
+    * encode with [[encodeImaNibbles]] into a real container, decode
+    * with [[parseAdpcmWav]], return the container's decoded stats.
+    * The 4:1-compressed reconstruction is lossy by design; what IS
+    * exact — and what the mm_adpcm_roundtrip oracle replays
+    * bit-for-bit — is the deterministic encoder+decoder state
+    * machine over the published tables.
+    */
+  def adpcmRoundTrip(id: Long, sampleRate: Int,
+      samples: Array[Short]): WavMeta =
+    parseAdpcmWav(id, encodeAdpcmWav(sampleRate, samples(0), 0,
+      encodeImaNibbles(samples)))
+
   /** Encode a mono IMA-ADPCM WAV container (format tag 0x11), one
     * block: fmt with the cbSize=2 samplesPerBlock extension, the
     * spec-required fact chunk (total sample count), data = the 4-byte
@@ -405,6 +455,7 @@ object Multimodal {
       s"doc $id: not a wav")
     var pos = 12
     var rate = 0L; var ch = 0L; var blockAlign = 0
+    var samplesPerBlock = -1
     var dataOff = -1; var dataLen = 0
     while (pos + 8 <= bytes.length) {
       val t = tag(pos); val len = u32(pos + 4)
@@ -416,6 +467,11 @@ object Multimodal {
         rate = u32(pos + 12)
         blockAlign = u16(pos + 20)
         require(u16(pos + 22) == 4, s"doc $id: ADPCM bits != 4")
+        // the cbSize=2 extension: samples per block — authoritative
+        // for how many of the block's nibbles are REAL (an odd
+        // sample count leaves a pad nibble in the last byte, which
+        // must not decode as a phantom sample)
+        if (len >= 20) samplesPerBlock = u16(pos + 26)
       } else if (t == "data") { dataOff = pos + 8; dataLen = len.toInt }
       pos += 8 + len.toInt + (len.toInt & 1)
     }
@@ -431,12 +487,15 @@ object Multimodal {
       val pred0 = if (u >= 32768) u - 65536 else u
       val idx0 = u8(o + 2)
       require(idx0 <= 88, s"doc $id: step index $idx0 out of table")
-      val nibbles = new Array[Int](2 * (bl - 4))
+      val rawNibbles = 2 * (bl - 4)
+      val nReal =
+        if (samplesPerBlock > 0) math.min(rawNibbles, samplesPerBlock - 1)
+        else rawNibbles
+      val nibbles = new Array[Int](nReal)
       var j = 0
-      while (j < bl - 4) {
-        val b = u8(o + 4 + j)
-        nibbles(2 * j) = b & 15
-        nibbles(2 * j + 1) = b >>> 4
+      while (j < nReal) {
+        val b = u8(o + 4 + j / 2)
+        nibbles(j) = if (j % 2 == 0) b & 15 else b >>> 4
         j += 1
       }
       val samples = decodeImaNibbles(pred0, idx0, nibbles)

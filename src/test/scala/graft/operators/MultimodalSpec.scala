@@ -355,6 +355,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ima adpcm encoder: lockstep with the decoder, tracks smooth signals") {
+    // constant signal: zero diff quantizes to nibble 0, reconstruction
+    // is exact forever
+    val const = Array.fill[Short](20)(1000)
+    val constDec = Multimodal.decodeImaNibbles(1000, 0,
+      Multimodal.encodeImaNibbles(const))
+    assert(constDec.toSeq === const.toSeq)
+    // gentle ramp: reconstruction follows within a few quantization
+    // steps (idx stays near the table bottom, step ~7-10)
+    val ramp = Array.tabulate[Short](50)(j => (1000 + 2 * j).toShort)
+    val rampDec = Multimodal.decodeImaNibbles(ramp(0), 0,
+      Multimodal.encodeImaNibbles(ramp))
+    val maxErr = ramp.zip(rampDec).map { case (a, b) =>
+      math.abs(a - b) }.max
+    assert(maxErr <= 16, s"ramp tracking error $maxErr")
+    // full container round trip agrees with the raw lockstep decode
+    val m = Multimodal.adpcmRoundTrip(3L, 8000, ramp)
+    assert(m.n_samples === 50L)
+    assert(m.peak === rampDec.map(s => math.abs(s.toLong)).max)
+    assert(m.sum_abs === rampDec.map(s => math.abs(s.toLong)).sum)
+    // a big jump saturates the 4-bit code and recovers over steps
+    // (the step index walks up); decoder never diverges from encoder
+    val jump = (Array.fill[Short](5)(0) ++ Array.fill[Short](40)(20000))
+    val jumpDec = Multimodal.decodeImaNibbles(0, 0,
+      Multimodal.encodeImaNibbles(jump))
+    assert(math.abs(jumpDec.last - 20000) <= 100,
+      s"jump not recovered: ${jumpDec.last}")
+  }
+
   test("adpcm fixtures decode distributed and deterministically") {
     val ss = spark
     import ss.implicits._
