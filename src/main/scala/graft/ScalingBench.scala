@@ -162,7 +162,7 @@ object ScalingBench {
       // round 11 (layout_hilbert shares layout_zorder's exclusion
       // rationale: map-only arithmetic + one range shuffle over
       // orders, which the scaled corpora don't replicate)
-      "mm_decode_adpcm", "model_store_langid")
+      "mm_decode_adpcm", "model_store_langid", "mm_adpcm_roundtrip")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
