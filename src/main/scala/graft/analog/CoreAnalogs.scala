@@ -476,6 +476,37 @@ object CoreAnalogs {
         |) ORDER BY "column"""".stripMargin
       }),
 
+    // MERGEABLE sharded profiling (the incremental-corpus-stats
+    // contract): each source shard profiles itself ONCE
+    // (Profile.shardProfile — counts, numeric min/max, and an HLL
+    // sketch per column), then Profile.mergeProfile folds the
+    // shard-count-sized stats frame into the whole-corpus profile
+    // without rescanning the corpus — counts sum, min/max fold, HLL
+    // registers max-union. The hash gate covers the EXACTLY-mergeable
+    // columns; the sketch-union distinct estimate is engine-specific
+    // (DataSketches HLL) and is law-tested against the exact count in
+    // ProfileMergeSpec instead.
+    Q("profile_merge",
+      (s, d) => graft.operators.Profile.mergeProfile(
+        graft.operators.Profile.shardProfile(
+          Tables.documents(s, d), "source"))
+        .select("column", "n_rows", "n_nonnull", "min_num", "max_num"),
+      Some {
+        val numeric = Set("doc_id", "n_chars")
+        val rows = Seq("doc_id", "text", "lang", "n_chars").map { c =>
+          val (mn, mx) =
+            if (numeric(c)) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+          s"""SELECT '$c' AS "column", t.n_rows, count($c) AS n_nonnull,
+             |  $mn AS min_num, $mx AS max_num
+             |FROM documents, t GROUP BY t.n_rows""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT count(*) AS n_rows FROM documents)
+        |SELECT * FROM (
+        |$rows
+        |) ORDER BY "column"""".stripMargin
+      }),
+
     // Exact quantiles (sorted interpolation — identical definition in
     // both engines; no sketches, so values hash-match).
     Q("stats_quantiles",

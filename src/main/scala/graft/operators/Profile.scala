@@ -69,6 +69,65 @@ object Profile {
   def approxProfile(df: DataFrame, rsd: Double = 0.05): DataFrame =
     profileWith(df, c => approx_count_distinct(c, rsd))
 
+  /** MERGEABLE per-shard profile: one wide row per `shardCol` value
+    * carrying, for every column, the stats whose merge is exact
+    * (row/non-null counts → sum, numeric min/max → min/max) plus a
+    * DataSketches HLL sketch (`hll_sketch_agg`) for the distinct
+    * count — the one statistic a finished number CANNOT merge (two
+    * shards' distinct counts don't add), which is exactly why the
+    * sketch state, not the estimate, is what a shard publishes.
+    *
+    * This is the incremental-corpus-stats contract at 100 TB: each
+    * arriving batch profiles ITSELF (one aggregation over the batch),
+    * appends its row to a tiny stats table, and [[mergeProfile]]
+    * folds any subset of shards into a full-corpus profile without
+    * rescanning a byte of the corpus.
+    */
+  def shardProfile(df: DataFrame, shardCol: String): DataFrame = {
+    val cols = df.schema.fields.filter(_.name != shardCol)
+    val aggs: Seq[Column] = cols.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx) = f.dataType match {
+        case _: NumericType =>
+          (min(c).cast("double"), max(c).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      Seq(count(c).as(s"nn_${f.name}"),
+        hll_sketch_agg(c.cast("string")).as(s"sk_${f.name}"),
+        mn.as(s"mn_${f.name}"), mx.as(s"mx_${f.name}"))
+    }.toSeq
+    df.groupBy(col(shardCol).as("_shard"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Fold shard rows from [[shardProfile]] into the [[profile]] long
+    * shape: counts sum, min/max fold, distincts via `hll_union_agg`
+    * + estimate (`n_distinct_approx` — the union of register states,
+    * so the estimate is the sketch of the WHOLE corpus, not a sum of
+    * shard estimates). One aggregation over the shard-count-sized
+    * stats frame; the corpus is never touched.
+    */
+  def mergeProfile(shards: DataFrame): DataFrame = {
+    val names = shards.schema.fieldNames
+      .collect { case n if n.startsWith("nn_") => n.stripPrefix("nn_") }
+    val aggs: Seq[Column] = names.flatMap { n =>
+      Seq(sum(col(s"nn_$n")).as(s"nn_$n"),
+        hll_sketch_estimate(hll_union_agg(col(s"sk_$n")))
+          .as(s"nd_$n"),
+        min(col(s"mn_$n")).as(s"mn_$n"),
+        max(col(s"mx_$n")).as(s"mx_$n"))
+    }.toSeq
+    val one = shards.agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
+    val stackExpr = names.map(n =>
+        s"'$n', `nn_$n`, `nd_$n`, `mn_$n`, `mx_$n`")
+      .mkString(s"stack(${names.length}, ", ", ",
+        ") as (column, n_nonnull, n_distinct_approx, min_num, max_num)")
+    one.select(col("n_rows"), expr(stackExpr))
+      .select("column", "n_rows", "n_nonnull", "n_distinct_approx",
+        "min_num", "max_num")
+      .orderBy("column")
+  }
+
   private def profileWith(df: DataFrame,
       distinctAgg: Column => Column): DataFrame = {
     val cols = df.schema.fields
