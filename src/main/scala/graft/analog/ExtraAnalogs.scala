@@ -423,6 +423,81 @@ object ExtraAnalogs {
        |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk = 1
        |)""".stripMargin
 
+  /** One PQ Lloyd round against centroid table `ct`: unranked distance
+    * table `{name}0` (exact integer squared-L2 per (vec, sub, cent) —
+    * the same Σ(x−c)² the Scala trainer folds), ranked `{name}`
+    * (argmin ties to the lower cent_id).
+    */
+  private def dPqAsg(name: String, ct: String) =
+    s"""${name}0 AS (
+       |  SELECT sl.vec_id, sl.sub, c.cent_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(
+       |      range(1, ${Similarity.PqSubDim + 1}),
+       |      i -> (sl.vs[i]-c.cv[i])*(sl.vs[i]-c.cv[i]))), (x,y) -> x+y)
+       |      AS dist
+       |  FROM sl JOIN $ct c USING (sub)
+       |), $name AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id, sub ORDER BY dist, cent_id) AS rk
+       |  FROM ${name}0
+       |)""".stripMargin
+
+  /** PQ centroid recompute from ranked assignment `a`: per-dim integer
+    * sums + counts of rk=1 members, round-half-away mean via
+    * (|s|·2+n)//(2n) — Similarity.rndDiv term-for-term; an empty cell
+    * keeps its previous centroid (COALESCE), as the Scala trainer does.
+    */
+  private def dPqRecent(a: String, prev: String, out: String) =
+    s"""${out}s AS (
+       |  SELECT x.sub, x.cent_id AS cell, t.j AS dim,
+       |         CAST(sum(sl.vs[t.j]) AS BIGINT) AS s,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM $a x JOIN sl ON sl.vec_id = x.vec_id AND sl.sub = x.sub,
+       |       range(1, ${Similarity.PqSubDim + 1}) t(j)
+       |  WHERE x.rk = 1 GROUP BY 1, 2, 3
+       |), ${out}r AS (
+       |  SELECT sub, cell AS cent_id,
+       |         list(CASE WHEN s < 0 THEN -(((-s)*2 + n) // (2*n))
+       |                   ELSE (s*2 + n) // (2*n) END ORDER BY dim) AS cv
+       |  FROM ${out}s GROUP BY 1, 2
+       |), $out AS (
+       |  SELECT p.sub, p.cent_id, COALESCE(r.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN ${out}r r
+       |    ON r.sub = p.sub AND r.cent_id = p.cent_id
+       |)""".stripMargin
+
+  /** WITH-body prefix replicating Similarity.pqTrain + pqEncodedArr
+    * exactly (2 Lloyd rounds of per-subspace integer-L2 k-means, seeds
+    * = the PqK md5-ranked vectors sliced per subspace, cent_id = rank
+    * position): ends with the final assignment ranked in `pqa3` /
+    * unranked in `pqa30` against the trained codebook `pqc2`. `sl` is
+    * MATERIALIZED — DuckDB inlines CTEs by default and the round chain
+    * references it 2× per round (the text_bpe_train 2^n lesson).
+    * Shared by sim_pq_codes + sim_pq_topk so the oracles cannot drift.
+    */
+  private val dPqCte: String = {
+    val sd = Similarity.PqSubDim
+    s"""v2 AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(round(x*1000000.0) AS BIGINT)) AS vi FROM embeddings),
+       |sl AS MATERIALIZED (
+       |  SELECT vec_id, t.s AS sub,
+       |         list_slice(vi, t.s*$sd+1, t.s*$sd+$sd) AS vs
+       |  FROM v2, range(0, ${Similarity.PqSub}) t(s)),
+       |sdv AS (SELECT row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ck, vi
+       |  FROM v2),
+       |pqc0 AS (
+       |  SELECT t.s AS sub, ck AS cent_id,
+       |         list_slice(vi, t.s*$sd+1, t.s*$sd+$sd) AS cv
+       |  FROM sdv, range(0, ${Similarity.PqSub}) t(s)
+       |  WHERE ck < ${Similarity.PqK}),
+       |${dPqAsg("pqa1", "pqc0")},
+       |${dPqRecent("pqa1", "pqc0", "pqc1")},
+       |${dPqAsg("pqa2", "pqc1")},
+       |${dPqRecent("pqa2", "pqc1", "pqc2")},
+       |${dPqAsg("pqa3", "pqc2")}""".stripMargin
+  }
+
   private[analog] val stopEn = TextFunctions.langMarkers.head._2
 
   // ---- queries -----------------------------------------------------------
@@ -993,6 +1068,53 @@ object ExtraAnalogs {
         |  FROM p
         |)
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // Product-quantization corpus encoding: per-subspace integer-L2
+    // k-means codebook (4 subspaces x 8 centroids, trained like the
+    // IVF cells but under true L2 with rounded-mean updates), each
+    // vector compressed to 4 code bytes + an exact integer
+    // reconstruction-error certificate. The 100 TB story: the float
+    // corpus is read ONCE at encode time; everything downstream
+    // (sim_pq_topk) scans 4 bytes/vector.
+    Q("sim_pq_codes",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.pqEncode(e, Similarity.pqTrain(e))
+      },
+      Some(s"""WITH $dPqCte
+        |SELECT vec_id,
+        |  array_to_string(list(CAST(cent_id AS VARCHAR) ORDER BY sub), ' ')
+        |    AS codes,
+        |  CAST(sum(dist) AS BIGINT) AS recon
+        |FROM pqa3 WHERE rk = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // PQ asymmetric-distance top-3: queries precompute their 4x8
+    // distance LUT; the corpus is scanned in compressed domain (4
+    // lookups + adds per pair), top-k per query via the bounded-heap
+    // TopKAgg (map-side combine — the shuffle carries <= k rows per
+    // query per partition, not the n x nq score stream).
+    Q("sim_pq_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.pqTopK(e, Similarity.pqTrain(e))
+      },
+      Some(s"""WITH $dPqCte,
+        |cds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |         CAST(sum(q.dist) AS BIGINT) AS adc
+        |  FROM pqa30 q JOIN cds x
+        |    ON x.sub = q.sub AND x.cent_id = q.cent_id
+        |  WHERE q.vec_id < 50 AND q.vec_id <> x.vec_id
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |  FROM adc
+        |)
+        |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
     // SemDeDup: k-means the embedding space (the same deterministic
