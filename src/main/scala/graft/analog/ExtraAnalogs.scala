@@ -1956,6 +1956,66 @@ object ExtraAnalogs {
           |FROM st WHERE j = 40 ORDER BY doc_id""".stripMargin
       }),
 
+    // REAL telephony codecs, both laws of ITU-T G.711: each doc's
+    // closed-form full-range waveform s_j = ((id·29+11j) mod 65535) −
+    // 32767 rides mu-law (bias-132, ones-complement wire bytes) and
+    // A-law (13-bit segments, XOR 0x55) encode→decode; the row pins
+    // decoded peak/Σ|y|/max-quant-error AND the code-byte sums (the
+    // wire layout — complement + XOR — which decode∘encode alone
+    // wouldn't pin). Companding is stateless, so the oracle is plain
+    // per-sample CASE/shift arithmetic — no recursion needed, every
+    // segment boundary and mantissa bit checked on 64 samples × every
+    // doc.
+    Q("mm_g711_roundtrip",
+      (s, d) => Multimodal.g711Fixtures(
+        s, Tables.documents(s, d).select("doc_id"))
+        .toDF().orderBy("doc_id"),
+      Some("""WITH sv AS (
+        |  SELECT doc_id, t.j AS j,
+        |    CAST((doc_id*29 + 11*t.j) % 65535 - 32767 AS BIGINT) AS x
+        |  FROM documents, range(0, 64) t(j)),
+        |u1 AS (SELECT doc_id, j, x, least(abs(x), 32635) + 132 AS um
+        |  FROM sv),
+        |u2 AS (SELECT *, CASE WHEN um >= 16384 THEN 7
+        |  WHEN um >= 8192 THEN 6 WHEN um >= 4096 THEN 5
+        |  WHEN um >= 2048 THEN 4 WHEN um >= 1024 THEN 3
+        |  WHEN um >= 512 THEN 2 WHEN um >= 256 THEN 1 ELSE 0 END AS ue
+        |  FROM u1),
+        |u3 AS (SELECT *, (um >> (ue + 3)) & 15 AS umant FROM u2),
+        |uu AS (SELECT doc_id, j, x,
+        |  CASE WHEN x < 0 THEN -(((umant*8 + 132) << ue) - 132)
+        |       ELSE ((umant*8 + 132) << ue) - 132 END AS uy,
+        |  255 - ((CASE WHEN x < 0 THEN 128 ELSE 0 END) + ue*16 + umant)
+        |    AS ucode
+        |  FROM u3),
+        |a1 AS (SELECT doc_id, j, x, least(abs(x), 32767) >> 3 AS am
+        |  FROM sv),
+        |a2 AS (SELECT *, CASE WHEN am >= 2048 THEN 7
+        |  WHEN am >= 1024 THEN 6 WHEN am >= 512 THEN 5
+        |  WHEN am >= 256 THEN 4 WHEN am >= 128 THEN 3
+        |  WHEN am >= 64 THEN 2 WHEN am >= 32 THEN 1 ELSE 0 END AS ae
+        |  FROM a1),
+        |a3 AS (SELECT *, CASE WHEN ae = 0 THEN am >> 1
+        |  ELSE (am >> ae) & 15 END AS amant FROM a2),
+        |aa AS (SELECT doc_id, j, x,
+        |  ((CASE WHEN ae = 0 THEN amant*2 + 1
+        |        ELSE ((16 + amant) << ae) + (1 << (ae - 1)) END) << 3)
+        |    * (CASE WHEN x >= 0 THEN 1 ELSE -1 END) AS ay,
+        |  xor((CASE WHEN x >= 0 THEN 128 ELSE 0 END) + ae*16 + amant, 85)
+        |    AS acode
+        |  FROM a3)
+        |SELECT u.doc_id, 64::BIGINT AS n_samples,
+        |  CAST(max(abs(u.uy)) AS BIGINT) AS ulaw_peak,
+        |  CAST(sum(abs(u.uy)) AS BIGINT) AS ulaw_sum_abs,
+        |  CAST(max(abs(u.uy - u.x)) AS BIGINT) AS ulaw_max_err,
+        |  CAST(sum(u.ucode) AS BIGINT) AS ulaw_code_sum,
+        |  CAST(max(abs(a.ay)) AS BIGINT) AS alaw_peak,
+        |  CAST(sum(abs(a.ay)) AS BIGINT) AS alaw_sum_abs,
+        |  CAST(max(abs(a.ay - a.x)) AS BIGINT) AS alaw_max_err,
+        |  CAST(sum(a.acode) AS BIGINT) AS alaw_code_sum
+        |FROM uu u JOIN aa a ON a.doc_id = u.doc_id AND a.j = u.j
+        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin)),
+
     // REAL compressed-image decode, pure JDK: each doc gets a VALID
     // PNG payload (Multimodal.pngFixture — dims/color-type functions
     // of doc_id, pixel byte j = (doc_id·7+3j) mod 256, scanline

@@ -530,6 +530,103 @@ object Multimodal {
       .mapPartitions(_.map(id => parseAdpcmWav(id, adpcmFixture(id))))
   }
 
+  // ---- REAL telephony codecs: G.711 mu-law + A-law ----------------------
+  // Stateless logarithmic companding (ITU-T G.711) — unlike ADPCM there
+  // is no per-sample state, so the oracle mirrors both laws as plain
+  // per-sample CASE/shift arithmetic (no recursion). 16-bit PCM domain;
+  // the standard bias-132 mu-law formulation and the 13-bit-magnitude
+  // A-law segment layout (sign bit 1 = positive, code XOR 0x55).
+
+  /** mu-law encode of a 16-bit sample → code byte 0..255: clamp |s| at
+    * 32635, add bias 132, segment e = floor(log2(m)) − 7 ∈ [0,7],
+    * 4-bit mantissa below the leading bit, ones-complemented.
+    */
+  def ulawEncode(s: Int): Int = {
+    val sign = if (s < 0) 0x80 else 0
+    val m = math.min(math.abs(s), 32635) + 132
+    val e = 31 - Integer.numberOfLeadingZeros(m) - 7
+    val mant = (m >> (e + 3)) & 0xF
+    ~(sign | (e << 4) | mant) & 0xFF
+  }
+
+  /** mu-law decode: magnitude ((mant·8 + 132) << e) − 132, sign from
+    * the complemented top bit. Max output 32124.
+    */
+  def ulawDecode(c: Int): Int = {
+    val u = ~c & 0xFF
+    val e = (u >> 4) & 7
+    val mag = (((u & 0xF) * 8 + 132) << e) - 132
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** A-law encode: 13-bit magnitude (|s| >> 3), segment e ∈ [0,7]
+    * (e = 0 below 32), mantissa = m >> 1 (e = 0) or the 4 bits below
+    * the leading bit, sign bit 0x80 = POSITIVE, code XOR 0x55.
+    */
+  def alawEncode(s: Int): Int = {
+    val sign = if (s >= 0) 0x80 else 0
+    val m = math.min(math.abs(s), 32767) >> 3
+    val e = if (m < 32) 0 else 31 - Integer.numberOfLeadingZeros(m) - 4
+    val mant = if (e == 0) m >> 1 else (m >> e) & 0xF
+    (sign | (e << 4) | mant) ^ 0x55
+  }
+
+  /** A-law decode: 13-bit midpoint ((mant·2 + 1) at e = 0, else
+    * ((16 + mant) << e) + 2^(e−1)), restored to 16-bit by << 3.
+    */
+  def alawDecode(c: Int): Int = {
+    val a = c ^ 0x55
+    val e = (a >> 4) & 7
+    val mant = a & 0xF
+    val m13 = if (e == 0) mant * 2 + 1 else ((16 + mant) << e) + (1 << (e - 1))
+    if ((a & 0x80) != 0) m13 << 3 else -(m13 << 3)
+  }
+
+  /** Per-doc G.711 round-trip statistics over a sample array: decoded
+    * peak / sum|y| / max quantization error per law, plus the code-byte
+    * sums that pin the WIRE representation (complement layout, XOR
+    * 0x55) — decode∘encode alone would only pin the composition.
+    */
+  final case class G711Stats(
+      doc_id: Long, n_samples: Long,
+      ulaw_peak: Long, ulaw_sum_abs: Long, ulaw_max_err: Long,
+      ulaw_code_sum: Long,
+      alaw_peak: Long, alaw_sum_abs: Long, alaw_max_err: Long,
+      alaw_code_sum: Long)
+
+  def g711RoundTrip(id: Long, samples: Array[Int]): G711Stats = {
+    var uPeak, uSum, uErr, uCode, aPeak, aSum, aErr, aCode = 0L
+    samples.foreach { x =>
+      val uc = ulawEncode(x)
+      val uy = ulawDecode(uc)
+      uPeak = math.max(uPeak, math.abs(uy))
+      uSum += math.abs(uy)
+      uErr = math.max(uErr, math.abs(uy - x))
+      uCode += uc
+      val ac = alawEncode(x)
+      val ay = alawDecode(ac)
+      aPeak = math.max(aPeak, math.abs(ay))
+      aSum += math.abs(ay)
+      aErr = math.max(aErr, math.abs(ay - x))
+      aCode += ac
+    }
+    G711Stats(id, samples.length, uPeak, uSum, uErr, uCode,
+      aPeak, aSum, aErr, aCode)
+  }
+
+  /** Partition-local G.711 round trip of the closed-form fixture
+    * waveform s_j = ((id·29 + 11j) mod 65535) − 32767, j < 64 — full
+    * 16-bit range, both signs; the mm_g711_roundtrip oracle replays
+    * the identical stateless arithmetic per sample.
+    */
+  def g711Fixtures(spark: SparkSession, ids: DataFrame)
+      : Dataset[G711Stats] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => g711RoundTrip(id,
+        Array.tabulate(64)(j => (((id * 29 + 11 * j) % 65535) - 32767).toInt))))
+  }
+
   /** Partition-local REAL decode of P6 payloads (the
     * [[decodePartitions]] shape with an actual parser). */
   def decodePpm(spark: SparkSession, withPayload: DataFrame)

@@ -440,4 +440,55 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert((m.mean_r, m.mean_g, m.mean_b) === ((mean(0), mean(1), mean(2))))
     }
   }
+
+  test("G.711 mu-law: published hand vectors and round-trip error bound") {
+    // canonical wire bytes: 0 -> 0xFF, -1 -> 0x7F, max+ -> 0x80
+    assert(Multimodal.ulawEncode(0) === 0xFF)
+    assert(Multimodal.ulawDecode(0xFF) === 0)
+    assert(Multimodal.ulawEncode(-1) === 0x7F)
+    assert(Multimodal.ulawEncode(32767) === 0x80)
+    assert(Multimodal.ulawDecode(0x80) === 32124) // top-segment midpoint
+    // every code decodes and re-encodes to itself — except 0x7F, the
+    // standard's "negative zero" (decodes to 0, which re-encodes as
+    // the canonical positive-zero code 0xFF)
+    (0 until 256).foreach { c =>
+      val want = if (c == 0x7F) 0xFF else c
+      assert(Multimodal.ulawEncode(Multimodal.ulawDecode(c)) === want, s"c=$c")
+    }
+    // quantization error bounded by half the widest step (+ clip zone)
+    (-32768 to 32767 by 17).foreach { x =>
+      val err = math.abs(Multimodal.ulawDecode(Multimodal.ulawEncode(x)) - x)
+      assert(err <= 700, s"x=$x err=$err")
+    }
+  }
+
+  test("G.711 A-law: published hand vectors and round-trip error bound") {
+    assert(Multimodal.alawEncode(0) === 0xD5)  // 0x80 ^ 0x55
+    assert(Multimodal.alawDecode(0xD5) === 8)  // A-law has no zero output
+    assert(Multimodal.alawEncode(-8) === 0x55)
+    assert(Multimodal.alawDecode(0x55) === -8)
+    assert(Multimodal.alawDecode(Multimodal.alawEncode(32767)) === 32256)
+    (0 until 256).foreach { c =>
+      assert(Multimodal.alawEncode(Multimodal.alawDecode(c)) === c, s"c=$c")
+    }
+    (-32768 to 32767 by 17).foreach { x =>
+      val err = math.abs(Multimodal.alawDecode(Multimodal.alawEncode(x)) - x)
+      assert(err <= 520, s"x=$x err=$err")
+    }
+  }
+
+  test("g711Fixtures runs distributed and matches the scalar mirror") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 1L, 7L).toDF("doc_id")
+    val got = Multimodal.g711Fixtures(spark, ids).collect().sortBy(_.doc_id)
+    got.foreach { st =>
+      val id = st.doc_id
+      val xs = Array.tabulate(64)(j =>
+        (((id * 29 + 11 * j) % 65535) - 32767).toInt)
+      val want = Multimodal.g711RoundTrip(id, xs)
+      assert(st === want)
+      assert(st.n_samples === 64)
+      assert(st.ulaw_max_err <= 700 && st.alaw_max_err <= 520)
+    }
+  }
 }
