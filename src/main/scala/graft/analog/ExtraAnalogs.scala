@@ -1117,6 +1117,41 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // IVF-PQ top-3 — the composed billion-scale ANN shape (FAISS
+    // IVFx,PQy): corpus rows live in their IVF cell's inverted list
+    // carrying only the 4-byte PQ code; queries route to nprobe=2
+    // cells via the cosine IVF router and ADC-score those lists in
+    // compressed domain. The oracle composes the two shared training
+    // prefixes (dKmCellsCte + dPqCte — CTE namespaces are disjoint)
+    // so router, codebook, and scoring cannot drift from the
+    // standalone sim_ivf_topk / sim_pq_topk oracles.
+    Q("sim_ivfpq_topk",
+      (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d)),
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |$dPqCte,
+        |cds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |cor AS (SELECT c.vec_id, c.cell, x.sub, x.cent_id
+        |        FROM cells c JOIN cds x USING (vec_id)),
+        |qp AS (SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |       FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
+        |qd AS (SELECT vec_id AS query_id, sub, cent_id, dist
+        |       FROM pqa30 WHERE vec_id < 50),
+        |adc AS (
+        |  SELECT qp.query_id, cor.vec_id AS neighbor_id,
+        |         CAST(sum(qd.dist) AS BIGINT) AS adc
+        |  FROM qp JOIN cor ON cor.cell = qp.cell
+        |    AND cor.vec_id <> qp.query_id
+        |  JOIN qd ON qd.query_id = qp.query_id AND qd.sub = cor.sub
+        |    AND qd.cent_id = cor.cent_id
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |  FROM adc
+        |)
+        |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
     // SemDeDup: k-means the embedding space (the same deterministic
     // 2-round integer-scaled Lloyd as sim_ivf_topk but with k sized
     // from the corpus — ceil(n/64), Similarity.chooseCells, so cells

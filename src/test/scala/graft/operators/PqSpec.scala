@@ -93,6 +93,28 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("ivfPqTopK: adc values obey the LUT law, ranks contiguous asc") {
+    val byId = raw.map { case (id, v, _) => id -> ints(v) }.toMap
+    val codes = byId.map { case (id, v) => id -> encodeOne(v, model)._1 }
+    def adcOf(q: Long, x: Long): Long =
+      (0 until M).map { s =>
+        val qs = byId(q).slice(s * SD, (s + 1) * SD)
+        sqDist(qs, model(s)(codes(x)(s)))
+      }.sum
+    val rows = Similarity.ivfPqTopK(embs, nQueries = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, adc, _) =>
+      assert(n != q)
+      assert(adc === adcOf(q, n), s"pair ($q,$n)")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to rs.length).toSeq, s"q=$q")
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq, s"q=$q")
+    }
+  }
+
   test("ADC top-1 is a near neighbor under exact L2") {
     // sanity (not a tight recall gate): for each query the ADC-top-1's
     // exact distance is within the top half of all exact distances
