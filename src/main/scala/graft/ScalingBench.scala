@@ -162,7 +162,8 @@ object ScalingBench {
       // round 11 (layout_hilbert shares layout_zorder's exclusion
       // rationale: map-only arithmetic + one range shuffle over
       // orders, which the scaled corpora don't replicate)
-      "mm_decode_adpcm", "model_store_langid", "mm_adpcm_roundtrip")
+      "mm_decode_adpcm", "model_store_langid", "mm_adpcm_roundtrip",
+      "sim_pq_codes", "sim_pq_topk", "sim_ivfpq_topk", "mm_g711_roundtrip")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
