@@ -22,9 +22,12 @@ import graft.functions.TextFunctions.tokens
   *   - The tf normalization is ONE truncating integer division per
   *     (term, doc): with k1 = 6/5 and b = 3/4,
   *       term = idf · 220·tf ÷ (100·tf + 30 + dln)
-  *     where dln = (90000·len) div adl is the doc's pre-truncated
+  *     where dln = (9000·len) div adl is the doc's pre-truncated
   *     length penalty against the integer centi-token average doc
-  *     length adl = (100·ΣL) div N. (Pre-truncating the len/adl ratio
+  *     length adl = (100·ΣL) div N — adl carries the factor-100
+  *     centi-token scale, so 90·len/avgdl = 9000·len/adl, and at
+  *     len = avgdl the whole term reduces to exactly idf at tf = 1
+  *     (220/(100+30+90)). (Pre-truncating the len/adl ratio
   *     — instead of multiplying the whole fraction through by adl —
   *     keeps every intermediate bounded by idf·220·tf, NOT by
   *     tf·adl·idf, which at corpus scale quietly wrapped int64 for
@@ -33,8 +36,8 @@ import graft.functions.TextFunctions.tokens
   *     tf anyway (at 2²⁵ the term is within 1e-5 of its asymptote for
   *     any real dln), and the clamp is what makes the int64 headroom
   *     unconditional — idf ≤ 2.8e7 (N = 10¹²) × 220 × 2²⁵ ≈ 2.1e17.
-  *     The one remaining documented bound: dln needs 90000·len within
-  *     int64, i.e. documents under ~10¹⁴ tokens.
+  *     The one remaining documented bound: dln needs 9000·len within
+  *     int64, i.e. documents under ~10¹⁵ tokens.
   *   - score(q, d) = Σ over shared terms — a sum of integers.
   *
   * Scale shape: postings = one fused gram explode over the corpus
@@ -83,7 +86,7 @@ object Retrieval {
 
   /** The SCORED postings index: (h, doc_id, tf, dln, idf) — postings
     * with the grid-rounded idf attached and the doc length penalty
-    * dln = (90000·len) div adl pre-truncated, df-capped (terms in
+    * dln = (9000·len) div adl pre-truncated, df-capped (terms in
     * more than `maxDfPermille`‰ of documents are dropped — idf ≈ 0,
     * unbounded fan-out; see class doc). This is the static artifact a
     * deployment builds once over the accepted corpus and probes from
@@ -112,7 +115,7 @@ object Retrieval {
         col("adl"))
     post.join(idf, Seq("h"))
       .select(col("h"), col("doc_id"), col("tf"),
-        expr("(90000 * len) div adl").as("dln"), col("idf"))
+        expr("(9000 * len) div adl").as("dln"), col("idf"))
   }
 
   /** (query_id, h): DISTINCT unigram hashes per query — the probe
