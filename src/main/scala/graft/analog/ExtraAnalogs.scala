@@ -96,7 +96,7 @@ object ExtraAnalogs {
     * (terms in > 900‰ of docs dropped), distinct query unigrams
     * (doc_id % 100 = 0), ending in `hits` — one row per (query, doc,
     * shared term) with the integer score contribution c mirroring
-    * Retrieval.termScore: tf clamped at 2^25, dln = (90000·len)//adl
+    * Retrieval.termScore: tf clamped at 2^25, dln = (9000·len)//adl
     * pre-truncated. Built as string concatenation AFTER stripMargin
     * (the dWordHash60 interpolations are margin-safe, but the
     * convention keeps the `||`-eats-a-pipe trap out).
@@ -128,7 +128,7 @@ object ExtraAnalogs {
         |  SELECT qt.query_id, post.doc_id, h,
         |    (idf.idf * 220 * least(post.tf, 33554432)) //
         |      (100 * least(post.tf, 33554432) + 30
-        |        + (90000 * post.len) // st.adl) AS c
+        |        + (9000 * post.len) // st.adl) AS c
         |  FROM qt JOIN post USING (h) JOIN idf USING (h), st)""".stripMargin
 
   /** Shared unrolled BPE-training chain (text_bpe_train +
@@ -984,7 +984,10 @@ object ExtraAnalogs {
     // micro-nats (the Perplexity ln discipline), the Okapi tf
     // normalization as ONE truncating integer division per (term,
     // doc) with k1=6/5, b=3/4, the pre-truncated length penalty dln
-    // = (90000·len)//adl against the centi-token integer avgdl, tf
+    // = (9000·len)//adl against the centi-token integer avgdl (the
+    // adl already carries the ×100 scale, so 90·len/avgdl =
+    // 9000·len/adl and the term reduces to exactly idf at tf=1,
+    // len=avgdl: 220/(100+30+90)), tf
     // clamped at 2^25 (saturation + unconditional int64 headroom),
     // and the score a plain integer sum — both engines rank
     // identically. Probe terms in > 900‰ of documents are dropped

@@ -78,6 +78,32 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(summed === ranked)
   }
 
+  test("bm25: pinned closed-form scores — term == idf at tf=1, len=avgdl") {
+    // Corpus engineered so avgdl is exact: lengths 3+6+2+1 = 12 over
+    // N = 4 docs -> adl = (100*12) div 4 = 300 centi-tokens. 'cat'
+    // appears once in d1 (len 3 = avgdl) and d2 (len 6 = 2*avgdl);
+    // df = 2 survives the 900-permille cap (2000 <= 3600).
+    //   idf(cat) = round(1e6*(ln(2*4+2) - ln(2*2+1)))
+    //            = round(1e6*ln 2) = 693147
+    //   d1: dln = (9000*3) div 300 = 90
+    //       score = (693147*220*1) div (100*1 + 30 + 90)
+    //             = 152492340 div 220 = 693147  — exactly idf: the
+    //       documented Okapi identity at tf=1, len=avgdl. Any drift
+    //       in the dln constant (e.g. the round-12 90000 regression,
+    //       dln=900 -> 148050) fails this law in-repo, not only at
+    //       the oracle gate.
+    //   d2: dln = (9000*6) div 300 = 180
+    //       score = 152492340 div 310 = 491910 (trunc)
+    val corpus = df(
+      (1L, "cat aa bb"),
+      (2L, "cat aa bb cc dd ee"),
+      (3L, "xx yy"),
+      (4L, "zz"))
+    val got = Retrieval.bm25TopK(df((100L, "cat")), corpus, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 693147L, 1L), (2L, 491910L, 2L)))
+  }
+
   test("bm25: per-query isolation — each query ranks its own matches") {
     val corpus = df((1L, "alpha beta"), (2L, "gamma delta"))
     val q = df((10L, "alpha"), (20L, "gamma"))
