@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokens
@@ -45,9 +44,13 @@ import graft.functions.TextFunctions.tokens
   * scalars are one aggregation each; query terms (distinct per query)
   * equi-join the scored postings index on the 8-byte term hash — the
   * inverted-index probe — then one (query, doc) aggregation and a
-  * per-query top-k window over the MATCHED docs only (never the full
-  * corpus). Queries are expected to be few relative to the corpus;
-  * the postings side streams, nothing corpus-sized is broadcast.
+  * per-query bounded-heap top-k ([[graft.expressions.TopKAgg]]) over
+  * the MATCHED docs only (never the full corpus): each map task
+  * reduces its slice to a k-element heap, so the final shuffle
+  * carries ≤ k rows per query per partition instead of the full
+  * matched-doc stream a window sort would move. Queries are expected
+  * to be few relative to the corpus; the postings side streams,
+  * nothing corpus-sized is broadcast.
   *
   * The df cap (`maxDfPermille`) is what makes the probe scale-safe on
   * REAL text: term frequencies are Zipfian, so a query containing
@@ -136,20 +139,38 @@ object Retrieval {
     * integer micro-nat-scaled, rank 1..k per query by (score DESC,
     * doc_id). Only documents sharing ≥ 1 sub-cap term with the query
     * appear (classic BM25: no match, no score).
+    *
+    * Ranking runs through the bounded-heap
+    * [[graft.expressions.TopKAgg]] (the [[Similarity.pqTopK]] shape),
+    * NOT a row_number window: the window had to shuffle and sort the
+    * whole matched-pair frame per query, while the heap gets map-side
+    * partial aggregation — ≤ k rows per (query, partition) cross the
+    * wire. The double heap score is exact: a per-term contribution is
+    * ≤ 2.2·idf ≤ 6.2e7 micro-nats (idf caps at ~2.8e7 for N = 10¹²),
+    * so integer scores stay below 2⁵³ for any query under ~10⁸
+    * distinct terms. The heap tie-breaks (score DESC, label ASC) with
+    * label the zero-padded doc_id, identical to the window's
+    * (score DESC, doc_id) order for the non-negative doc_ids the
+    * engine mints (the pqTopK label convention).
     */
   def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
       maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val idx = bm25Index(corpus, maxDfPermille)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
     queryTerms(queries)
       .join(idx, Seq("h"))
       .select(col("query_id"), col("doc_id"), termScore.as("c"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c").as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(
+        col("score").cast("double"), format_string("%012d", col("doc_id")),
+        k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"),
+        col("t.label").cast("long").as("doc_id"),
+        col("t.score").cast("long").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 }

@@ -69,6 +69,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bm25 top-k ranks through the bounded heap, not a window sort") {
+    // the round-12 row_number ranking shuffled and sorted the whole
+    // matched-pair frame per query; TopKAgg's map-side heaps carry
+    // <= k rows per (query, partition). ObjectHashAggregate is the
+    // TypedImperativeAggregate's physical operator.
+    val p = plans("text_bm25_topk")
+    assert(!p.contains("Window"), s"window rank survived:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the top_k heap aggregate:\n${p.take(800)}")
+  }
+
   test("layout codes are single-exchange plans (codegen arithmetic + output sort only)") {
     Seq("layout_zorder", "layout_hilbert").foreach { q =>
       val p = plans(q)
