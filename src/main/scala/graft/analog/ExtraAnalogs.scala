@@ -1155,6 +1155,50 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // IVF-PQ artifact persistence in the loop: train the router
+    // centroids AND the PQ codebook, SAVE both (ModelStore.saveIvf +
+    // savePq — the complete deployment artifact of the composed ANN
+    // index), LOAD them back, and score ivfPqTopKWith from the LOADED
+    // pair. Output is identical to sim_ivfpq_topk by the round-trip
+    // law (ModelStoreSpec), so the same composed oracle verifies that
+    // shipping both models through disk changes nothing — a static
+    // 100 TB index is built once and probed everywhere.
+    Q("model_store_pq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = s"target/models/ivfpq_${math.abs(d.hashCode)}"
+        graft.sources.ModelStore.savePq(Similarity.pqTrain(e), s"$dir/pq", s)
+        graft.sources.ModelStore.saveIvf(
+          Similarity.trainIvfCentroids(e), s"$dir/ivf", s)
+        Similarity.ivfPqTopKWith(e,
+          graft.sources.ModelStore.loadPq(s, s"$dir/pq"),
+          graft.sources.ModelStore.loadIvf(s, s"$dir/ivf"))
+      },
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |$dPqCte,
+        |cds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |cor AS (SELECT c.vec_id, c.cell, x.sub, x.cent_id
+        |        FROM cells c JOIN cds x USING (vec_id)),
+        |qp AS (SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |       FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
+        |qd AS (SELECT vec_id AS query_id, sub, cent_id, dist
+        |       FROM pqa30 WHERE vec_id < 50),
+        |adc AS (
+        |  SELECT qp.query_id, cor.vec_id AS neighbor_id,
+        |         CAST(sum(qd.dist) AS BIGINT) AS adc
+        |  FROM qp JOIN cor ON cor.cell = qp.cell
+        |    AND cor.vec_id <> qp.query_id
+        |  JOIN qd ON qd.query_id = qp.query_id AND qd.sub = cor.sub
+        |    AND qd.cent_id = cor.cent_id
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |  FROM adc
+        |)
+        |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
     // SemDeDup: k-means the embedding space (the same deterministic
     // 2-round integer-scaled Lloyd as sim_ivf_topk but with k sized
     // from the corpus — ceil(n/64), Similarity.chooseCells, so cells
@@ -1313,7 +1357,51 @@ object ExtraAnalogs {
         |    AS BIGINT) AS f1_pm
         |FROM j ORDER BY cls""".stripMargin)),
 
-
+    // Deployment-shaped evaluation: the SAME P/R/F1 metric computed
+    // from the LOADED NB artifact (ModelStore round-trip) instead of
+    // the in-plan-trained model — the plan drops the training
+    // subtrees entirely (model_store_langid precedent; PlanAuditSpec
+    // pins strictly fewer exchanges than eval_langid_prf). Output is
+    // identical by the round-trip law, so the shared oracle verifies
+    // that evaluating a shipped artifact changes no metric.
+    Q("eval_langid_prf_loaded",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = graft.operators.LangId.train(
+          docs.filter(col("doc_id") % 5 === 0))
+        val dir = s"target/models/langid_nb_eval_${math.abs(d.hashCode)}"
+        graft.sources.ModelStore.saveNb(m, dir)
+        val loaded = graft.sources.ModelStore.loadNb(s, dir)
+        graft.operators.Evaluation.classPrf(
+          graft.operators.LangId.predict(docs, loaded)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select(col("lang").as("label"), col("pred_lang").as("pred")))
+      },
+      Some(s"""WITH $dLangidNbCte,
+        |prd AS (SELECT true_lang AS label, lang AS pred
+        |        FROM rk WHERE rk = 1),
+        |bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_label,
+        |         CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS tp
+        |       FROM prd GROUP BY 1),
+        |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM prd GROUP BY 1),
+        |j AS (SELECT COALESCE(bl.cls, bp.cls) AS cls,
+        |        COALESCE(tp, 0) AS tp,
+        |        COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+        |        COALESCE(n_label, 0) - COALESCE(tp, 0) AS fn
+        |      FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls)
+        |SELECT cls, tp, fp, fn,
+        |  CAST(CASE WHEN tp + fp > 0
+        |    THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT)
+        |    AS precision_pm,
+        |  CAST(CASE WHEN tp + fn > 0
+        |    THEN tp * 10000 // (tp + fn) ELSE 0 END AS BIGINT)
+        |    AS recall_pm,
+        |  CAST(CASE WHEN 2*tp + fp + fn > 0
+        |    THEN 2 * tp * 10000 // (2*tp + fp + fn) ELSE 0 END
+        |    AS BIGINT) AS f1_pm
+        |FROM j ORDER BY cls""".stripMargin)),
 
     // Per-doc quality metrics + composite score.
     //

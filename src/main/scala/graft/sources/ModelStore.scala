@@ -172,4 +172,53 @@ object ModelStore {
       s"$dir/centroids: cent_id must be exactly 0..k-1")
     rows.map(_._2).toSeq
   }
+
+  // ---- PQ codebook ----------------------------------------------------
+
+  /** Persist a product-quantization codebook
+    * ([[graft.operators.Similarity.pqTrain]]'s m × ksub × subDim
+    * integer centroids) as one (sub, cent_id, cv) frame — the same
+    * model-sized row layout the trainer broadcasts in-plan. Together
+    * with [[saveIvf]] this is the complete IVF-PQ deployment
+    * artifact: router centroids + codebook travel as two parquet
+    * dirs, and a 100 TB corpus is encoded/scored without ever
+    * re-running training.
+    */
+  def savePq(model: Seq[Seq[Array[Long]]], dir: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    (for ((subs, s) <- model.zipWithIndex; (cv, c) <- subs.zipWithIndex)
+      yield (s.toLong, c.toLong, cv.toSeq))
+      .toDF("sub", "cent_id", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  /** Load a PQ codebook saved by [[savePq]], shape-checked: subspace
+    * ids exactly 0..m−1, every subspace the same full 0..ksub−1
+    * centroid set, every centroid the same dimension — a partial or
+    * foreign codebook fails loudly instead of mis-encoding.
+    */
+  def loadPq(spark: SparkSession, dir: String): Seq[Seq[Array[Long]]] = {
+    val rows = checkSchema(spark.read.parquet(s"$dir/codebook"),
+      Seq("sub" -> LongType, "cent_id" -> LongType,
+        "cv" -> ArrayType(LongType, containsNull = false)),
+      s"$dir/codebook")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    require(rows.nonEmpty, s"$dir/codebook: empty codebook")
+    val bySub = rows.groupBy(_._1)
+    val m = bySub.size
+    require(bySub.keySet == (0L until m.toLong).toSet,
+      s"$dir/codebook: sub ids must be exactly 0..${m - 1}")
+    val ksub = bySub(0L).length
+    val subDim = rows.head._3.length
+    require(rows.forall(_._3.length == subDim),
+      s"$dir/codebook: centroids must share one dimension ($subDim)")
+    (0 until m).map { s0 =>
+      val cents = bySub(s0.toLong).sortBy(_._2)
+      require(cents.map(_._2).toSeq == (0L until ksub.toLong),
+        s"$dir/codebook: sub $s0 cent_id must be exactly 0..${ksub - 1}")
+      cents.map(_._3).toSeq
+    }
+  }
 }

@@ -103,6 +103,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges(plans("model_store_langid")) <
       exchanges(plans("text_langid_nb")),
       "loading the model should simplify the plan vs in-plan training")
+    // same law for the metric leg: evaluating the loaded artifact
+    // must drop the training subtrees the in-plan variant carries
+    assert(exchanges(plans("eval_langid_prf_loaded")) <
+      exchanges(plans("eval_langid_prf")),
+      "loaded-artifact eval should simplify the plan vs in-plan training")
   }
 
   test("pack's row-level running sum never serializes a whole source") {

@@ -78,6 +78,45 @@ class ModelStoreSpec extends AnyFunSuite with SparkSpec {
     back.zip(cents).foreach { case (b, c) => assert(b.toSeq === c.toSeq) }
   }
 
+  test("PQ codebook round-trip: subspace and centroid order preserved") {
+    val dir = tmp()
+    val embs = spark.createDataFrame(
+      (0 until 24).map(i => (i.toLong,
+        Seq.tabulate(graft.operators.Similarity.MaxDim)(j =>
+          ((i * 13 + j * 5) % 9 - 4).toFloat / 4f))))
+      .toDF("vec_id", "embedding")
+    val m = graft.operators.Similarity.pqTrain(embs)
+    ModelStore.savePq(m, dir, spark)
+    val back = ModelStore.loadPq(spark, dir)
+    assert(back.length === m.length)
+    back.zip(m).foreach { case (bs, ms) =>
+      assert(bs.length === ms.length)
+      bs.zip(ms).foreach { case (b, c) => assert(b.toSeq === c.toSeq) }
+    }
+    // and the loaded pair scores identically to in-plan training
+    val cents = graft.operators.Similarity.trainIvfCentroids(embs,
+      nCells = 3)
+    ModelStore.saveIvf(cents, s"$dir/ivf", spark)
+    val trained = graft.operators.Similarity.ivfPqTopKWith(
+      embs, m, cents, nQueries = 4, k = 2).collect().toSeq
+    val loaded = graft.operators.Similarity.ivfPqTopKWith(
+      embs, back, ModelStore.loadIvf(spark, s"$dir/ivf"),
+      nQueries = 4, k = 2).collect().toSeq
+    assert(loaded === trained)
+  }
+
+  test("partial PQ codebook fails loudly at load") {
+    val dir = tmp()
+    // sub 1 missing centroid 1: not a full 0..ksub-1 set
+    spark.createDataFrame(
+      Seq((0L, 0L, Seq(1L, 2L)), (0L, 1L, Seq(3L, 4L)),
+        (1L, 0L, Seq(5L, 6L))))
+      .toDF("sub", "cent_id", "cv")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val e = intercept[Exception] { ModelStore.loadPq(spark, dir) }
+    assert(e.getMessage.contains("cent_id must be exactly"))
+  }
+
   test("wrong directory fails loudly at load, names the mismatch") {
     val dir = tmp()
     // an LM saved where an NB is expected: schema check trips before
