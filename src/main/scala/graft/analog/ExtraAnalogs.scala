@@ -2142,6 +2142,51 @@ object ExtraAnalogs {
         |FROM uu u JOIN aa a ON a.doc_id = u.doc_id AND a.j = u.j
         |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin)),
 
+    // G.711 INSIDE the WAV container (format tags 6/7 — the standard
+    // telephony WAV): each doc's closed-form code bytes c_j =
+    // (id·13 + 7j) mod 256 ride one A-law and one µ-law RIFF
+    // container (Multimodal.encodeG711Wav), and parseWav's chunk walk
+    // routes the tag through alawDecode/ulawDecode (the ADPCM-tag
+    // precedent) — so the container dispatch, not just the bare
+    // companding math (mm_g711_roundtrip), is hash-gated. The oracle
+    // replays both stateless decode laws per WIRE byte: a parser that
+    // misreads the 18-byte non-PCM fmt, swaps the laws, or decodes
+    // the pad byte diverges.
+    Q("mm_decode_g711_wav",
+      (s, d) => Multimodal.decodeG711WavFixtures(
+        s, Tables.documents(s, d).select("doc_id"))
+        .orderBy("doc_id", "law"),
+      Some("""WITH cv AS (
+        |  SELECT doc_id, t.j AS j,
+        |    CAST((doc_id*13 + 7*t.j) % 256 AS BIGINT) AS c
+        |  FROM documents, range(0, 48) t(j)),
+        |uy AS (SELECT doc_id, j,
+        |  CASE WHEN ((255 - c) & 128) != 0
+        |    THEN -(((((255 - c) & 15)*8 + 132) << (((255 - c) >> 4) & 7))
+        |      - 132)
+        |    ELSE ((((255 - c) & 15)*8 + 132) << (((255 - c) >> 4) & 7))
+        |      - 132 END AS y
+        |  FROM cv),
+        |ad AS (SELECT doc_id, j, xor(c, 85) AS a FROM cv),
+        |ay AS (SELECT doc_id, j,
+        |  ((CASE WHEN ((a >> 4) & 7) = 0 THEN (a & 15)*2 + 1
+        |        ELSE ((16 + (a & 15)) << ((a >> 4) & 7))
+        |          + (1 << (((a >> 4) & 7) - 1)) END) << 3)
+        |    * (CASE WHEN (a & 128) != 0 THEN 1 ELSE -1 END) AS y
+        |  FROM ad),
+        |lw AS (
+        |  SELECT doc_id, 'alaw' AS law, CAST(max(abs(y)) AS BIGINT) AS peak,
+        |         CAST(sum(abs(y)) AS BIGINT) AS sum_abs
+        |  FROM ay GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 'ulaw' AS law, CAST(max(abs(y)) AS BIGINT) AS peak,
+        |         CAST(sum(abs(y)) AS BIGINT) AS sum_abs
+        |  FROM uy GROUP BY doc_id)
+        |SELECT doc_id, law, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS channels, 8::BIGINT AS bits,
+        |  48::BIGINT AS n_samples, peak, sum_abs
+        |FROM lw ORDER BY doc_id, law""".stripMargin)),
+
     // REAL compressed-image decode, pure JDK: each doc gets a VALID
     // PNG payload (Multimodal.pngFixture — dims/color-type functions
     // of doc_id, pixel byte j = (doc_id·7+3j) mod 256, scanline
@@ -2540,6 +2585,65 @@ object ExtraAnalogs {
         |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
         |         '%Y-%m-%d %H:%M:%S') AS hour,
         |       vec_id, cand, sim, rnk AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
+    // Batch twin of the COMPRESSED-DOMAIN streaming screen
+    // (graft.streaming.VecStreams.pqScreen): every 20th vector
+    // arrives (one minute per vec_id), routes to its 2 best IVF cells
+    // per row AND precomputes its ADC lookup table from the
+    // driver-held PQ codebook; the stream-static join probes the
+    // non-arriving corpus's inverted lists, which carry ONLY the
+    // 4-byte PQ codes — the static side of a streaming 100 TB index
+    // is codes, not floats. Router, codebook, and ADC all share the
+    // sim_ivfpq_topk oracle's training CTEs, so the streaming screen
+    // cannot drift from the batch ranker.
+    Q("stream_pq_screen",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val model = Similarity.pqTrain(embs)
+        val cents = Similarity.trainIvfCentroids(embs)
+        val arrivals = embs.filter(col("vec_id") % 20 === 0)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+          .select("vec_id", "embedding", "ts")
+        val lists = Similarity.ivfPqLists(
+          embs.filter(col("vec_id") % 20 =!= 0), model, cents)
+        graft.streaming.VecStreams.pqScreen(arrivals, lists, cents, model)
+          .select(col("hour"), col("vec_id"),
+            posexplode(col("matches")).as(Seq("pos", "m")))
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("vec_id"), col("m.label").cast("long").as("cand"),
+            (-col("m.score")).cast("long").as("adc"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |$dPqCte,
+        |cds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |cor AS (SELECT c.vec_id, c.cell, x.sub, x.cent_id
+        |        FROM cells c JOIN cds x USING (vec_id)
+        |        WHERE c.vec_id % 20 <> 0),
+        |qp AS (SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |       FROM a3 a WHERE a.rk <= 2 AND a.vec_id % 20 = 0),
+        |qd AS (SELECT vec_id AS query_id, sub, cent_id, dist
+        |       FROM pqa30 WHERE vec_id % 20 = 0),
+        |adc AS (
+        |  SELECT qp.query_id, cor.vec_id AS neighbor_id,
+        |         CAST(sum(qd.dist) AS BIGINT) AS adc
+        |  FROM qp JOIN cor ON cor.cell = qp.cell
+        |  JOIN qd ON qd.query_id = qp.query_id AND qd.sub = cor.sub
+        |    AND qd.cent_id = cor.cent_id
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |  FROM adc
+        |)
+        |SELECT strftime(date_trunc('hour',
+        |         timestamp '2024-01-01 00:00:00' + to_minutes(query_id)),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |       query_id AS vec_id, neighbor_id AS cand, adc, rnk AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
 
     // THE COMPOSED INGEST SCREEN (batch twin of

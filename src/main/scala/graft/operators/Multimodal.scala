@@ -170,10 +170,17 @@ object Multimodal {
       sr / n, sg / n, sb / n)
   }
 
-  /** Parse a PCM WAV payload: RIFF/WAVE magic, then a real chunk walk
-    * (fmt / data in any order, other chunks skipped by their declared
-    * size) — 16-bit little-endian samples; `peak` = max |s|,
-    * `sum_abs` = Σ |s| (integer-exact).
+  /** Parse a PCM or G.711 WAV payload: RIFF/WAVE magic, then a real
+    * chunk walk (fmt / data in any order, other chunks skipped by
+    * their declared size). Format tag 1 is 16-bit little-endian PCM;
+    * tags 6 (A-law) and 7 (µ-law) carry one G.711 code byte per
+    * sample, routed through [[alawDecode]]/[[ulawDecode]] on the walk
+    * (ITU-T G.711 inside the container — the standard telephony WAV;
+    * the ADPCM tag 0x11 lives in [[parseAdpcmWav]]). `peak` = max
+    * |s|, `sum_abs` = Σ |s| over the DECODED 16-bit samples
+    * (integer-exact); `bits` reports the container's declared code
+    * width (16 for PCM, 8 for G.711 — the parseAdpcmWav bits = 4
+    * convention).
     */
   def parseWav(id: Long, bytes: Array[Byte]): WavMeta = {
     def u8(i: Int) = bytes(i) & 255
@@ -183,6 +190,7 @@ object Multimodal {
     def tag(i: Int) = new String(bytes.slice(i, i + 4), "US-ASCII")
     require(tag(0) == "RIFF" && tag(8) == "WAVE", s"doc $id: not a wav")
     var pos = 12
+    var fmtTag = -1
     var rate = 0L; var ch = 0L; var bits = 0L
     var dataOff = -1; var dataLen = 0L
     while (pos + 8 <= bytes.length) {
@@ -192,25 +200,45 @@ object Multimodal {
       require(len >= 0 && pos + 8 + len <= bytes.length,
         s"doc $id: chunk '$t' declares $len bytes past the buffer")
       if (t == "fmt ") {
-        require(u16(pos + 8) == 1, s"doc $id: not PCM")
+        fmtTag = u16(pos + 8)
+        require(fmtTag == 1 || fmtTag == 6 || fmtTag == 7,
+          s"doc $id: unsupported format tag $fmtTag " +
+            "(PCM=1, A-law=6, mu-law=7; ADPCM 0x11 -> parseAdpcmWav)")
         ch = u16(pos + 10).toLong
         rate = u32(pos + 12)
         bits = u16(pos + 22).toLong
       } else if (t == "data") { dataOff = pos + 8; dataLen = len }
       pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
-    require(dataOff >= 0 && bits == 16, s"doc $id: no 16-bit data chunk")
-    val n = dataLen / 2
+    require(dataOff >= 0 && fmtTag > 0, s"doc $id: no data/fmt chunk")
     var peak = 0L; var sum = 0L
-    var i = 0L
-    while (i < n) {
-      val u = u16(dataOff + 2 * i.toInt)
-      val s = if (u >= 32768) u - 65536 else u
-      val a = math.abs(s).toLong
-      if (a > peak) peak = a
-      sum += a
-      i += 1
-    }
+    val n =
+      if (fmtTag == 1) {
+        require(bits == 16, s"doc $id: PCM bits $bits != 16")
+        val n = dataLen / 2
+        var i = 0L
+        while (i < n) {
+          val u = u16(dataOff + 2 * i.toInt)
+          val s = if (u >= 32768) u - 65536 else u
+          val a = math.abs(s).toLong
+          if (a > peak) peak = a
+          sum += a
+          i += 1
+        }
+        n
+      } else {
+        require(bits == 8, s"doc $id: G.711 bits $bits != 8")
+        var i = 0L
+        while (i < dataLen) {
+          val c = u8(dataOff + i.toInt)
+          val s = if (fmtTag == 6) alawDecode(c) else ulawDecode(c)
+          val a = math.abs(s).toLong
+          if (a > peak) peak = a
+          sum += a
+          i += 1
+        }
+        dataLen
+      }
     WavMeta(id, rate, ch, bits, n, peak, sum)
   }
 
@@ -248,6 +276,10 @@ object Multimodal {
   def resampleWavBytes(bytes: Array[Byte], outRate: Int): Array[Byte] = {
     require(outRate > 0, s"bad target rate $outRate")
     val meta = parseWav(0L, bytes)
+    // the frame walk below reads 2-byte samples: a G.711 container
+    // (bits = 8) must decode first, not be resampled on code bytes
+    require(meta.bits == 16, s"resample needs 16-bit PCM, got " +
+      s"${meta.bits}-bit codes — decode G.711 before resampling")
     val ch = meta.channels.toInt
     val inRate = meta.sample_rate
     val inFrames = meta.n_samples / ch
@@ -612,6 +644,56 @@ object Multimodal {
     }
     G711Stats(id, samples.length, uPeak, uSum, uErr, uCode,
       aPeak, aSum, aErr, aCode)
+  }
+
+  /** Encode G.711 code bytes in a canonical RIFF/WAVE container
+    * (format tag 6 = A-law, 7 = µ-law): the spec-correct 18-byte
+    * non-PCM fmt chunk (cbSize = 0), one code byte per sample, data
+    * word-aligned. Deterministic bytes by construction; the read side
+    * is [[parseWav]]'s tag-6/7 path.
+    */
+  def encodeG711Wav(sampleRate: Int, channels: Int, law: Int,
+      codes: Array[Byte]): Array[Byte] = {
+    require(law == 6 || law == 7, s"G.711 format tag must be 6|7, got $law")
+    require(sampleRate > 0 && channels > 0, "bad wav params")
+    require(codes.length % channels == 0,
+      s"${codes.length} codes not a multiple of $channels channels")
+    val pad = codes.length & 1
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 +
+      codes.length + pad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 8 + 18 + 8 + codes.length + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(law.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels) // 1 byte per sample per channel
+      .putShort(channels.toShort).putShort(8).putShort(0) // cbSize = 0
+    out.put("data".getBytes("US-ASCII")).putInt(codes.length).put(codes)
+    out.array()
+  }
+
+  /** Partition-local decode of G.711-in-WAV fixtures: for each id,
+    * one A-law (tag 6) and one µ-law (tag 7) container over the SAME
+    * closed-form code bytes c_j = (id·13 + 7j) mod 256, j < 48 — so
+    * both laws' container routing is exercised on every document and
+    * the per-law rows differ exactly by the companding arithmetic.
+    * 8 kHz mono; the mm_decode_g711_wav oracle replays both stateless
+    * decode laws per code byte.
+    */
+  def decodeG711WavFixtures(spark: SparkSession, ids: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val codes = Array.tabulate(48)(j => ((id * 13 + 7 * j) % 256).toByte)
+        Seq("alaw" -> 6, "ulaw" -> 7).map { case (law, t) =>
+          val m = parseWav(id, encodeG711Wav(8000, 1, t, codes))
+          (id, law, m.sample_rate, m.channels, m.bits, m.n_samples,
+            m.peak, m.sum_abs)
+        }
+      })
+      .toDF("doc_id", "law", "sample_rate", "channels", "bits",
+        "n_samples", "peak", "sum_abs")
   }
 
   /** Partition-local G.711 round trip of the closed-form fixture

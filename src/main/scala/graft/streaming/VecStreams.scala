@@ -57,26 +57,38 @@ object VecStreams {
     * construction. Tail identical to [[annScreen]]: watermark, 1-hour
     * window, bounded-heap top-k.
     */
+  /** Per-row router: the arriving vector's `nprobe` best IVF cells as
+    * an explode over the driver-held k×d centroid literal (the
+    * dsirScreen dense-model pattern — a window-rank over a streaming
+    * frame isn't available). Sort key: ascending (−sim) == batch's
+    * sim DESC for every real cosine; a NaN sim (zero-norm centroid)
+    * must ALSO agree — Spark sorts NaN largest, so batch DESC puts it
+    * FIRST, and −NaN is still NaN (last ascending): map it to −∞ so
+    * it leads here too. Expects a `norm` column; reproduces the batch
+    * `assignRanked` probe set exactly. Shared by [[ivfScreen]] and
+    * [[pqScreen]].
+    */
+  private def probeCells(cents: Seq[Array[Long]], nprobe: Int)
+      : org.apache.spark.sql.Column = {
+    val centLit = typedLit(Similarity.centroidModel(cents))
+    def negSim(s: org.apache.spark.sql.Column) =
+      when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
+    explode(transform(
+      slice(array_sort(transform(centLit, c => struct(
+        negSim(round(vecDot(col("embedding"), c.getField("_2")) /
+          (col("norm") * c.getField("_3")), 6)).as("ns"),
+        c.getField("_1").as("cid")))), 1, nprobe),
+      t => t.getField("cid")))
+  }
+
   def ivfScreen(streamEmbs: DataFrame, cells: DataFrame,
       cents: Seq[Array[Long]], k: Int = 3, nprobe: Int = 2): DataFrame = {
     require(cents.nonEmpty, "cents must be non-empty")
     require(nprobe >= 1 && nprobe <= cents.size,
       s"nprobe must be in [1, ${cents.size}], got $nprobe")
-    val centLit = typedLit(Similarity.centroidModel(cents))
-    // sort key: ascending (−sim) == batch's sim DESC for every real
-    // cosine; a NaN sim (zero-norm centroid) must ALSO agree — Spark
-    // sorts NaN largest, so batch DESC puts it FIRST, and −NaN is
-    // still NaN (last ascending): map it to −∞ so it leads here too
-    def negSim(s: org.apache.spark.sql.Column) =
-      when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
     val q = streamEmbs
       .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
-      .withColumn("cell", explode(transform(
-        slice(array_sort(transform(centLit, c => struct(
-          negSim(round(vecDot(col("embedding"), c.getField("_2")) /
-            (col("norm") * c.getField("_3")), 6)).as("ns"),
-          c.getField("_1").as("cid")))), 1, nprobe),
-        t => t.getField("cid"))))
+      .withColumn("cell", probeCells(cents, nprobe))
       .withWatermark("ts", "1 hour")
     val c = cells.select(col("cell"), col("vec_id").as("cand_id"),
       col("embedding").as("cand_emb"), col("norm").as("cand_norm"))
@@ -87,6 +99,45 @@ object VecStreams {
         col("cand_id").cast("string").as("cand"))
       .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
       .agg(TopKAgg.topK(col("sim"), col("cand"), k).as("matches"))
+      .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
+  }
+
+  /** COMPRESSED-DOMAIN streaming screen — the IVF-PQ counterpart of
+    * [[ivfScreen]]: each arriving vector routes to its `nprobe` best
+    * cells ([[probeCells]], the same per-row router) and precomputes
+    * its m×ksub ADC lookup table from the driver-held codebook
+    * ([[graft.operators.Similarity.pqLut]] — the SAME builder the
+    * batch ranker uses, so stream and batch scores cannot drift); the
+    * stream-static join probes [[graft.operators.Similarity
+    * .ivfPqLists]]'s inverted lists, which carry only the m-byte PQ
+    * codes — the static side of a 100 TB index is codes, not floats.
+    * Per (window, query) state is one k-element heap; score = −adc
+    * (exact integers in double), label = zero-padded cand id so the
+    * heap's tie order equals the batch (adc ASC, vec_id ASC).
+    */
+  def pqScreen(streamEmbs: DataFrame, lists: DataFrame,
+      cents: Seq[Array[Long]], model: Seq[Seq[Array[Long]]],
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    require(cents.nonEmpty, "cents must be non-empty")
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe must be in [1, ${cents.size}], got $nprobe")
+    val m = model.size
+    val ksub = model.head.size
+    val q = streamEmbs
+      .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .withColumn("cell", probeCells(cents, nprobe))
+      .withColumn("lut", Similarity.pqLut(Similarity.pqVd(
+        col("embedding")), model))
+      .withWatermark("ts", "1 hour")
+    val c = lists.select(col("cell"), col("vec_id").as("cand_id"),
+      col("codes"))
+    q.join(c, Seq("cell"))
+      .select(col("ts"), col("vec_id"),
+        (-Similarity.pqAdc(col("lut"), col("codes"), m, ksub))
+          .cast("double").as("score"),
+        format_string("%012d", col("cand_id")).as("cand"))
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .agg(TopKAgg.topK(col("score"), col("cand"), k).as("matches"))
       .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
   }
 }

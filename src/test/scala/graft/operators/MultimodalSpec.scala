@@ -491,4 +491,47 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(st.ulaw_max_err <= 700 && st.alaw_max_err <= 520)
     }
   }
+
+  test("G.711 in the WAV container: tags 6/7 decode, hand vectors") {
+    // mu-law (tag 7), ODD code count so the container pads data to a
+    // word boundary — the pad byte must NOT decode as a phantom
+    // sample: 0xFF -> 0, 0x80 -> +32124, 0x00 -> -32124
+    val uw = Multimodal.encodeG711Wav(8000, 1, 7,
+      Array(0xFF, 0x80, 0x00).map(_.toByte))
+    assert(uw.length % 2 === 0) // word-aligned container
+    val um = Multimodal.parseWav(1L, uw)
+    assert(um === Multimodal.WavMeta(1L, 8000L, 1L, 8L, 3L,
+      32124L, 64248L))
+    // A-law (tag 6): 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256,
+    // 0xAA -> +32256, 0x55 -> -8
+    val aw = Multimodal.encodeG711Wav(8000, 1, 6,
+      Array(0x55, 0xD5, 0x2A, 0xAA, 0x55).map(_.toByte))
+    val am = Multimodal.parseWav(2L, aw)
+    assert(am === Multimodal.WavMeta(2L, 8000L, 1L, 8L, 5L,
+      32256L, 64536L))
+    // and plain PCM still parses through the same walk (regression)
+    val pm = Multimodal.parseWav(3L,
+      Multimodal.encodeWav(8000, 1, Array[Short](5, -5)))
+    assert((pm.bits, pm.n_samples, pm.peak) === ((16L, 2L, 5L)))
+  }
+
+  test("G.711/ADPCM/PCM containers mutually reject by format tag") {
+    val g711 = Multimodal.encodeG711Wav(8000, 1, 7,
+      Array.tabulate(8)(_.toByte))
+    // ADPCM container (tag 0x11) refused by parseWav, by name
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.parseWav(1L, Multimodal.adpcmFixture(5L))
+    }
+    assert(e1.getMessage.contains("unsupported format tag"))
+    // G.711 container refused by the ADPCM parser
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.parseAdpcmWav(2L, g711)
+    }
+    assert(e2.getMessage.contains("not IMA ADPCM"))
+    // and the PCM frame resampler refuses 8-bit code streams
+    val e3 = intercept[IllegalArgumentException] {
+      Multimodal.resampleWavBytes(g711, 4000)
+    }
+    assert(e3.getMessage.contains("decode G.711"))
+  }
 }

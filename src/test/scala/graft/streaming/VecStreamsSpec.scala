@@ -88,4 +88,40 @@ class VecStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(matches.forall(m => m.toLong % 2 == 0))
     } finally query.stop()
   }
+
+  test("PQ screen: compressed-domain stream equals the batch IVF-PQ ranker") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    def emb(i: Long) = Seq.tabulate(Similarity.MaxDim)(j =>
+      ((i * 13 + j * 5) % 9 - 4).toFloat / 4f)
+    val corpus = spark.createDataFrame((0L until 24L).map(i => (i, emb(i))))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(corpus)
+    val cents = Similarity.trainIvfCentroids(corpus, nCells = 3)
+    // batch truth: vector 0 as the query, itself excluded
+    val batch = Similarity.ivfPqTopKWith(corpus, model, cents,
+      nQueries = 1, k = 2, nprobe = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // stream: the SAME embedding arrives under a fresh id against the
+    // lists of everything but vector 0 — identical candidate set
+    val lists = Similarity.ivfPqLists(
+      corpus.filter("vec_id <> 0"), model, cents)
+    val mem = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val query = VecStreams.pqScreen(
+      mem.toDF().toDF("vec_id", "embedding", "ts"), lists, cents, model,
+      k = 2)
+      .writeStream.format("memory").queryName("pq_screen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1000L, emb(0L), Timestamp.valueOf("2023-01-01 10:30:00")))
+      query.processAllAvailable()
+      mem.addData((1001L, emb(1L), Timestamp.valueOf("2023-01-01 14:30:00")))
+      query.processAllAvailable()
+      val rows = spark.table("pq_screen").filter("vec_id = 1000").collect()
+      assert(rows.length === 1)
+      val matches = rows.head.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getString(1).toLong, (-r.getDouble(0)).toLong))
+      assert(matches === batch)
+    } finally query.stop()
+  }
 }
