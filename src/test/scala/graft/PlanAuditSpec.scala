@@ -80,6 +80,55 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"expected the top_k heap aggregate:\n${p.take(800)}")
   }
 
+  test("PQ family: compressed-domain scans, heap top-k, broadcast cell routing") {
+    // flat ADC (sim_pq_topk): the LUT side broadcasts against the
+    // code table and top-k runs through the heap aggregate — a window
+    // sort over the n x nq score stream would be the scale-killer
+    val flat = plans("sim_pq_topk")
+    assert(flat.contains("ObjectHashAggregate"), flat.take(800))
+    assert(!flat.contains("Window"),
+      s"window rank in flat ADC:\n${flat.take(800)}")
+    // encoding (sim_pq_codes) is per-row codebook-literal arithmetic:
+    // no joins at all, only the output sort shuffles
+    val codes = plans("sim_pq_codes")
+    assert(!codes.contains("Join"), codes.take(800))
+    assert("Exchange (\\w+)".r.findAllMatchIn(codes).map(_.group(1))
+      .forall(_ == "rangepartitioning"), codes.take(800))
+    // routed scoring (in-plan, loaded-artifact, and streaming twin):
+    // the query side broadcasts into the inverted lists on the cell
+    // key; ADC top-k through the heap; never a corpus-keyed shuffle
+    Seq("sim_ivfpq_topk", "model_store_pq", "stream_pq_screen").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q: cell join must broadcast\n${plans(q).take(800)}")
+      assert(plans(q).contains("ObjectHashAggregate"),
+        s"$q: expected the top_k heap\n${plans(q).take(800)}")
+      assert(!plans(q).contains("SortMergeJoin"),
+        s"$q: cell join degraded to a shuffle join")
+    }
+  }
+
+  test("codec fixture queries are map-only up to the output sort") {
+    // pure-JVM codecs run per-row in mapPartitions: the ONLY exchange
+    // each plan may carry is the deterministic output orderBy
+    Seq("mm_adpcm_roundtrip", "mm_g711_roundtrip",
+        "mm_decode_g711_wav").foreach { q =>
+      val exchanges = "Exchange (\\w+)".r
+        .findAllMatchIn(plans(q)).map(_.group(1)).toList
+      assert(exchanges.forall(_ == "rangepartitioning"),
+        s"$q: non-sort exchange in a map-only codec: $exchanges\n" +
+          plans(q).take(800))
+    }
+  }
+
+  test("profile_merge scans the corpus once (mergeable shard stats)") {
+    // each shard profiles itself in ONE pass; the merge folds the
+    // shard-count-sized stats frame — a second corpus scan would
+    // defeat the incremental contract
+    val scans = "Scan parquet".r.findAllIn(plans("profile_merge")).length
+    assert(scans == 1,
+      s"expected 1 corpus scan, found $scans\n${plans("profile_merge").take(800)}")
+  }
+
   test("layout codes are single-exchange plans (codegen arithmetic + output sort only)") {
     Seq("layout_zorder", "layout_hilbert").foreach { q =>
       val p = plans(q)

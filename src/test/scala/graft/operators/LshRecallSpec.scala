@@ -83,6 +83,70 @@ class LshRecallSpec extends AnyFunSuite with SparkSpec {
     embs.unpersist()
   }
 
+  test("PQ/IVF-PQ recall vs exact L2: quantization and routing losses bounded (sf0.1)") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir).cache()
+    val nQ = 50
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth in the ADC metric (integer squared L2 on the
+    // scaled image — the space PQ actually approximates; cosine truth
+    // would conflate metric mismatch with quantization loss)
+    val v = embs.select(col("vec_id"), Similarity.pqVd(col("embedding")).as("vd"))
+    val q = v.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("vd").as("qd"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+    val exact = pairs(broadcast(q)
+      .join(v.select(col("vec_id").as("neighbor_id"), col("vd")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qd"), col("vd"),
+          (a, b) => (a - b) * (a - b)), lit(0d), _ + _).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id"))
+    // the oracle-gated geometry (4 subspaces x 8 centroids = 12
+    // bits/vector) is deliberately tiny so DuckDB can replay training
+    // — its recall is expectedly poor; the OPERATOR law under test is
+    // that recall grows with codebook capacity and that IVF routing
+    // loses boundedly more on top of quantization
+    val toy = Similarity.pqTrain(embs)
+    val fine = Similarity.pqTrain(embs, m = 8, ksub = 16) // 32 bits/vec
+    val cents = Similarity.trainIvfCentroids(embs)
+    val rToy = {
+      val p = pairs(Similarity.pqTopK(embs, toy, nQ, k))
+      (p intersect exact).size.toDouble / exact.size
+    }
+    val rFine = {
+      val p = pairs(Similarity.pqTopK(embs, fine, nQ, k))
+      (p intersect exact).size.toDouble / exact.size
+    }
+    val r1 = {
+      val p = pairs(Similarity.ivfPqTopKWith(embs, fine, cents,
+        nQ, k, nprobe = 1))
+      (p intersect exact).size.toDouble / exact.size
+    }
+    val r2 = {
+      val p = pairs(Similarity.ivfPqTopKWith(embs, fine, cents,
+        nQ, k, nprobe = 2))
+      (p intersect exact).size.toDouble / exact.size
+    }
+    info(f"recall@$k flat 4x8=$rToy%.3f flat 8x16=$rFine%.3f " +
+      f"ivfpq 8x16 nprobe=1: $r1%.3f nprobe=2: $r2%.3f")
+    // capacity law: 32 bits/vector must beat 12 bits/vector
+    assert(rFine > rToy,
+      f"finer codebook did not raise recall: $rFine%.3f <= $rToy%.3f")
+    // routing grows monotonically toward the flat scan with nprobe
+    assert(r2 >= r1)
+    // at nprobe=2 (a quarter of the cells) routing must not give up
+    // more than half the flat scan's recall — the compounded-loss
+    // bound the flat/routed pair is designed around
+    assert(r2 >= rFine / 2, f"routing loss too steep: $r2%.3f vs $rFine%.3f")
+    embs.unpersist()
+  }
+
   test("IVF seeding survives adversarial id ordering (clustered appends)") {
     // 8 well-separated clusters × 32 vectors, vec_id SORTED by
     // cluster — the ordering that degenerates id-prefix seeding (all
