@@ -163,7 +163,10 @@ object ScalingBench {
       // rationale: map-only arithmetic + one range shuffle over
       // orders, which the scaled corpora don't replicate)
       "mm_decode_adpcm", "model_store_langid", "mm_adpcm_roundtrip",
-      "sim_pq_codes", "sim_pq_topk", "sim_ivfpq_topk", "mm_g711_roundtrip")
+      "sim_pq_codes", "sim_pq_topk", "sim_ivfpq_topk", "mm_g711_roundtrip",
+      // round 13
+      "profile_merge", "mm_decode_g711_wav", "stream_pq_screen",
+      "model_store_pq", "eval_langid_prf_loaded")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -930,6 +930,39 @@ object ExtraAnalogs {
            |FROM m ORDER BY o_orderkey""".stripMargin
       }),
 
+    // n-D Z-order layout codes (round 13): the Morton interleave over
+    // THREE 10-bit key projections — the full Delta OPTIMIZE ZORDER
+    // BY (c1..ck) arity; bit i of key j lands at position 3i+j, so
+    // every key contributes equally at every granularity and files
+    // cover 3-D boxes. o_totalprice enters through floor() in BOTH
+    // engines (Spark's double->long cast truncates, DuckDB's rounds —
+    // floor first makes them agree).
+    Q("layout_zorder_nd",
+      (s, d) => Tables.orders(s, d).select(
+          col("o_orderkey"),
+          pmod(col("o_custkey"), lit(1024L)).as("a"),
+          pmod(col("o_orderkey"), lit(1024L)).as("b"),
+          pmod(floor(col("o_totalprice")).cast("long"), lit(1024L)).as("c"))
+        .withColumn("zcode", graft.sources.Zorder.mortonN(
+          Seq(col("a"), col("b"), col("c")), bits = 10))
+        .orderBy("o_orderkey"),
+      Some {
+        val z = (0 until 10).map(i =>
+          s"(((a >> $i) & 1) << ${3 * i}) | " +
+            s"(((b >> $i) & 1) << ${3 * i + 1}) | " +
+            s"(((c >> $i) & 1) << ${3 * i + 2})")
+          .mkString(" | ")
+        s"""WITH m AS (
+           |  SELECT o_orderkey, o_custkey % 1024 AS a,
+           |    o_orderkey % 1024 AS b,
+           |    CAST(floor(o_totalprice) AS BIGINT) % 1024 AS c
+           |  FROM orders)
+           |SELECT o_orderkey, CAST(a AS BIGINT) AS a,
+           |  CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+           |  CAST($z AS BIGINT) AS zcode
+           |FROM m ORDER BY o_orderkey""".stripMargin
+      }),
+
     // Hilbert-curve layout codes over the same key projection — the
     // locality-STRICT layout option (continuous curve, no Z seams;
     // ZorderSpec measures its box pruning ≤ Z-order's on the same

@@ -25,11 +25,28 @@ object Zorder {
     */
   def morton(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    mortonN(Seq(a, b), bits)
+  }
+
+  /** Morton interleave of k ≥ 2 key columns — the full Delta
+    * `OPTIMIZE ZORDER BY (c1, …, ck)` arity (round 13; the 2-column
+    * [[morton]] delegates here). Bit i of column j lands at position
+    * i·k + j, so the code cycles through the columns bit by bit and
+    * every column contributes equally at every granularity — files
+    * cover k-dimensional boxes of the key space. k·bits ≤ 62 keeps
+    * the code a signed int64, the same bit budget Delta spends
+    * (range-code each key into [0, 2^bits) first, as the layout
+    * queries do with `pmod`). Still pure unrolled column arithmetic:
+    * k·bits codegen'd shift/mask terms, no UDF.
+    */
+  def mortonN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"mortonN needs >= 2 key columns, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"k*bits must be in [1,62] to fit int64, got $k x $bits")
+    (for (i <- 0 until bits; (c, j) <- cols.zipWithIndex)
+      yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Hilbert-curve index of (`a`, `b`) on the 2^bits grid — the
@@ -64,6 +81,13 @@ object Zorder {
   def writeZordered(df: DataFrame, path: String, a: Column, b: Column,
       nFiles: Int, bits: Int = 16): Unit =
     writeOrderedBy(df, path, morton(a, b, bits), nFiles)
+
+  /** [[writeZordered]] over k keys ([[mortonN]]) — the n-column
+    * ZORDER BY layout job.
+    */
+  def writeZorderedN(df: DataFrame, path: String, cols: Seq[Column],
+      nFiles: Int, bits: Int): Unit =
+    writeOrderedBy(df, path, mortonN(cols, bits), nFiles)
 
   /** [[writeZordered]] with the Hilbert code — same one-shuffle
     * layout job, strictly better box locality (see [[hilbert]]).

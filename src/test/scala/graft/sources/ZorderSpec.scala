@@ -20,6 +20,38 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
       (5L, 2L, 25L)))
   }
 
+  test("mortonN: 3-key hand interleave, 2-key delegation, int64 budget") {
+    val s = spark; import s.implicits._
+    // bit i of key j lands at 3i+j: (1,1,1) -> 0b111 = 7;
+    // (3,0,0) -> bits 0,3 = 9; (0,0,2) -> bit 1 of c -> 3*1+2 = 0b100000
+    val got = Seq((1L, 1L, 1L), (3L, 0L, 0L), (0L, 0L, 2L), (2L, 1L, 4L))
+      .toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Zorder.mortonN(Seq(col("a"), col("b"), col("c")), bits = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // (2,1,4): a bit1->pos3, b bit0->pos1, c bit2->pos8 = 256+8+2
+    assert(got === Set((1L, 1L, 1L, 7L), (3L, 0L, 0L, 9L),
+      (0L, 0L, 2L, 32L), (2L, 1L, 4L, 266L)))
+    // bijectivity on the 8x8x8 grid: codes are exactly 0..511
+    val grid = (for (a <- 0 until 8; b <- 0 until 8; c <- 0 until 8)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    val codes = grid.select(Zorder.mortonN(
+        Seq(col("a"), col("b"), col("c")), bits = 3))
+      .collect().map(_.getLong(0)).sorted
+    assert(codes.toSeq === (0L until 512L))
+    // the 2-key morton IS mortonN at k=2 (one definition)
+    val two = Seq((5L, 2L)).toDF("a", "b")
+    assert(two.select(Zorder.morton(col("a"), col("b"))).head.getLong(0)
+      === two.select(Zorder.mortonN(Seq(col("a"), col("b")), 16))
+        .head.getLong(0))
+    // int64 budget enforced: 7 keys x 9 bits = 63 > 62 must refuse
+    intercept[IllegalArgumentException] {
+      Zorder.mortonN(Seq.fill(7)(col("a")), bits = 9)
+    }
+    intercept[IllegalArgumentException] { Zorder.mortonN(Seq(col("a")), 4) }
+  }
+
   test("hilbert: bijective over the grid, CONTINUOUS (adjacent codes are grid neighbors)") {
     val s = spark; import s.implicits._
     val bits = 4 // 16x16 = 256 cells
