@@ -963,6 +963,80 @@ object ExtraAnalogs {
            |FROM m ORDER BY o_orderkey""".stripMargin
       }),
 
+    // n-D Hilbert layout codes (round 13 — Skilling's transform,
+    // lifting the 2-D bound): three 8-bit keys through the
+    // axes->transpose invert/exchange walk (one chained-CTE stage per
+    // bit plane, i-steps nested inside — x0 mutates within a stage),
+    // Gray encode, the unrolled t-fold, and the MSB-first transpose
+    // interleave. A decoder that misorders the i-walk, drops the
+    // Gray step, or interleaves LSB-first diverges on the first row.
+    Q("layout_hilbert_nd",
+      (s, d) => Tables.orders(s, d).select(
+          col("o_orderkey"),
+          pmod(col("o_custkey"), lit(256L)).as("a"),
+          pmod(col("o_orderkey"), lit(256L)).as("b"),
+          pmod(floor(col("o_totalprice")).cast("long"), lit(256L)).as("c"))
+        .withColumn("hcode", graft.sources.Zorder.hilbertN(
+          Seq(col("a"), col("b"), col("c")), bits = 8))
+        .orderBy("o_orderkey"),
+      Some {
+        val bits = 8
+        // one stage per bit plane q = 2^(bits-1) .. 2; inside a stage
+        // the i = 0, 1, 2 steps nest (step i reads step i-1's x0)
+        val stages = (0 until bits - 1).map { si =>
+          val q = 1L << (bits - 1 - si)
+          val p = q - 1
+          def step(i: Int, inner: String): String =
+            if (i == 0)
+              s"""    SELECT o_orderkey, a, b, c,
+                 |      CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p)
+                 |           ELSE x0 END AS x0, x1, x2
+                 |    FROM ($inner)""".stripMargin
+            else
+              s"""    SELECT o_orderkey, a, b, c,
+                 |      CASE WHEN (x$i & $q) != 0 THEN xor(x0, $p)
+                 |           ELSE xor(x0, xor(x0, x$i) & $p) END AS x0,
+                 |      ${if (i == 1) s"CASE WHEN (x1 & $q) != 0 THEN x1 ELSE xor(x1, xor(x0, x1) & $p) END AS x1, x2"
+                    else s"x1, CASE WHEN (x2 & $q) != 0 THEN x2 ELSE xor(x2, xor(x0, x2) & $p) END AS x2"}
+                 |    FROM ($inner)""".stripMargin
+          s"""s${si + 1} AS (
+             |${step(2, step(1, step(0, s"SELECT * FROM s$si")))}
+             |)""".stripMargin
+        }.mkString(",\n")
+        // t-fold over q = 2^(bits-1) .. 2 on the Gray-encoded last axis
+        val tFold = (0 until bits - 1)
+          .map { si =>
+            val q = 1L << (bits - 1 - si)
+            s"CASE WHEN (g2 & $q) != 0 THEN ${q - 1} ELSE 0 END"
+          }
+          .reduce((x, y) => s"xor($x, $y)")
+        // MSB-first interleave: bit j of axis i at position 3j+(2-i)
+        val d = (for (j <- 0 until bits; i <- 0 until 3)
+          yield s"(((f$i >> $j) & 1) << ${3 * j + (2 - i)})")
+          .mkString(" | ")
+        s"""WITH s0 AS (
+           |  SELECT o_orderkey, o_custkey % 256 AS a,
+           |    o_orderkey % 256 AS b,
+           |    CAST(floor(o_totalprice) AS BIGINT) % 256 AS c,
+           |    o_custkey % 256 AS x0, o_orderkey % 256 AS x1,
+           |    CAST(floor(o_totalprice) AS BIGINT) % 256 AS x2
+           |  FROM orders),
+           |$stages,
+           |gr AS (
+           |  SELECT o_orderkey, a, b, c, x0, xor(x1, x0) AS g1,
+           |    xor(x2, xor(x1, x0)) AS g2
+           |  FROM s${bits - 1}),
+           |tf AS (SELECT *, $tFold AS t FROM gr),
+           |fin AS (
+           |  SELECT o_orderkey, a, b, c, xor(x0, t) AS f0,
+           |    xor(g1, t) AS f1, xor(g2, t) AS f2
+           |  FROM tf)
+           |SELECT o_orderkey, CAST(a AS BIGINT) AS a,
+           |  CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+           |  CAST($d AS BIGINT) AS hcode
+           |FROM fin ORDER BY o_orderkey""".stripMargin
+      }),
+
     // Hilbert-curve layout codes over the same key projection — the
     // locality-STRICT layout option (continuous curve, no Z seams;
     // ZorderSpec measures its box pruning ≤ Z-order's on the same

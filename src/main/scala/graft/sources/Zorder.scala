@@ -62,6 +62,16 @@ object Zorder {
   def hilbert(a: Column, b: Column, bits: Int = 16): Column =
     graft.expressions.LayoutExpressions.hilbertIndex(a, b, bits)
 
+  /** Hilbert index over k ≥ 2 keys (round 13 — Skilling's n-D
+    * transform, [[graft.expressions.HilbertIndexN]]): the continuous
+    * curve at [[mortonN]]'s full ZORDER BY arity. k·bits ≤ 62, inputs
+    * masked to their low `bits` bits. (The 2-key [[hilbert]] keeps
+    * its own classic xy walk — both are valid Hilbert curves but
+    * orient differently, and its 16-stage oracle is already pinned.)
+    */
+  def hilbertN(cols: Seq[Column], bits: Int): Column =
+    graft.expressions.LayoutExpressions.hilbertIndexN(cols, bits)
+
   private def writeOrderedBy(df: DataFrame, path: String, code: Column,
       nFiles: Int): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
@@ -95,4 +105,9 @@ object Zorder {
   def writeHilbertOrdered(df: DataFrame, path: String, a: Column,
       b: Column, nFiles: Int, bits: Int = 16): Unit =
     writeOrderedBy(df, path, hilbert(a, b, bits), nFiles)
+
+  /** [[writeHilbertOrdered]] over k keys ([[hilbertN]]). */
+  def writeHilbertOrderedN(df: DataFrame, path: String,
+      cols: Seq[Column], nFiles: Int, bits: Int): Unit =
+    writeOrderedBy(df, path, hilbertN(cols, bits), nFiles)
 }

@@ -130,7 +130,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("layout codes are single-exchange plans (codegen arithmetic + output sort only)") {
-    Seq("layout_zorder", "layout_zorder_nd", "layout_hilbert").foreach { q =>
+    Seq("layout_zorder", "layout_zorder_nd", "layout_hilbert",
+        "layout_hilbert_nd").foreach { q =>
       val p = plans(q)
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
         s"$q: layout coding must not join\n${p.take(800)}")

@@ -79,6 +79,47 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
         .maxBy(p => graft.expressions.HilbertCurve.index(p._1, p._2, bits))))
   }
 
+  test("hilbertN: Skilling n-D — bijective AND continuous on the 3-D grid") {
+    val s = spark; import s.implicits._
+    val grid = (for (a <- 0 until 8; b <- 0 until 8; c <- 0 until 8)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    val got = grid.select(col("a"), col("b"), col("c"),
+        Zorder.hilbertN(Seq(col("a"), col("b"), col("c")), bits = 3).as("h"))
+      .collect()
+      .map(r => (r.getLong(3), (r.getLong(0), r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    // bijection over the 8x8x8 grid: codes exactly 0..511
+    assert(got.map(_._1).toSeq === (0L until 512L))
+    // continuity — THE Hilbert property, in 3-D: consecutive codes
+    // are Manhattan-distance-1 neighbors, every single step
+    got.sliding(2).foreach {
+      case Array((_, (x1, y1, z1)), (_, (x2, y2, z2))) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) +
+          math.abs(z1 - z2) === 1L)
+      case _ => ()
+    }
+    // and at n=2 Skilling is also a proper Hilbert curve (it orients
+    // differently from the classic 2-D walk, so no code equality)
+    val grid2 = (for (a <- 0 until 16; b <- 0 until 16)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val got2 = grid2.select(
+        Zorder.hilbertN(Seq(col("a"), col("b")), bits = 4).as("h"),
+        col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    assert(got2.map(_._1).toSeq === (0L until 256L))
+    got2.sliding(2).foreach {
+      case Array((_, (x1, y1)), (_, (x2, y2))) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+      case _ => ()
+    }
+    // int64 budget + arity enforced at plan build
+    intercept[IllegalArgumentException] { Zorder.hilbertN(Seq(col("a")), 4) }
+    intercept[IllegalArgumentException] {
+      Zorder.hilbertN(Seq.fill(7)(col("a")), bits = 9)
+    }
+  }
+
   test("hilbert layout prunes box queries at least as well as z-order") {
     val s = spark; import s.implicits._
     val grid = (0 until 64).flatMap(a => (0 until 64).map(b =>
