@@ -1306,6 +1306,71 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // HYBRID retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    // 2009) of two metric-incompatible ANN backends — the cosine IVF
+    // router's top-10 and the compressed-domain flat-ADC (integer L2)
+    // top-10 — fused per (query, neighbor) as Σ 10^6 // (60 + rank),
+    // top-3 by (rrf DESC, neighbor ASC). Rank-based, so the lists'
+    // scores never compare across backends; the truncating division
+    // keeps fusion engine-exact. The oracle composes the two shared
+    // training prefixes (dKmCellsCte + dPqCte) with fresh tail names,
+    // so both backend lists are byte-identical to the standalone
+    // sim_ivf_topk / sim_pq_topk chains.
+    Q("sim_rrf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Retrieval.rrfFuse(Seq(
+          Similarity.ivfTopK(e, 50, 10, nprobe = 2),
+          Similarity.pqTopK(e, Similarity.pqTrain(e), 50, 10)), k = 3)
+      },
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |$dPqCte,
+        |iq AS (
+        |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
+        |  FROM a3 a JOIN v USING (vec_id)
+        |  WHERE a.rk <= 2 AND v.vec_id < 50
+        |),
+        |ip AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+        |           AS sim
+        |  FROM iq q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |), ir AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM ip
+        |),
+        |pcds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |padc AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |         CAST(sum(q.dist) AS BIGINT) AS adc
+        |  FROM pqa30 q JOIN pcds x
+        |    ON x.sub = q.sub AND x.cent_id = q.cent_id
+        |  WHERE q.vec_id < 50 AND q.vec_id <> x.vec_id
+        |  GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |  FROM padc
+        |),
+        |contrib AS (
+        |  SELECT query_id, neighbor_id, 1000000 // (60 + rnk) AS c
+        |  FROM ir WHERE rnk <= 10
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id, 1000000 // (60 + rnk) AS c
+        |  FROM pr WHERE rnk <= 10
+        |),
+        |fused AS (
+        |  SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf
+        |  FROM contrib GROUP BY 1, 2
+        |), fr AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk
+        |  FROM fused
+        |)
+        |SELECT query_id, neighbor_id, rrf, CAST(rnk AS BIGINT) AS rank
+        |FROM fr WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
     // SemDeDup: k-means the embedding space (the same deterministic
     // 2-round integer-scaled Lloyd as sim_ivf_topk but with k sized
     // from the corpus — ceil(n/64), Similarity.chooseCells, so cells

@@ -153,6 +153,44 @@ object Retrieval {
     * (score DESC, doc_id) order for the non-negative doc_ids the
     * engine mints (the pqTopK label convention).
     */
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of N rankings — the standard hybrid-retrieval combiner: each
+    * list contributes 10⁶ div (kRrf + rank) integer micro-units per
+    * (query, neighbor), fused score = the sum, top-k per query by
+    * (score DESC, neighbor ASC). Rank-based, so METRIC-INCOMPATIBLE
+    * backends fuse soundly (a cosine ANN list and a compressed-domain
+    * L2 list, or BM25 against either — scores never compare across
+    * lists, only ranks do); the truncating integer division keeps the
+    * fusion engine-exact. Inputs need (query_id, neighbor_id, rank);
+    * extra columns are ignored.
+    *
+    * Scale shape: per query each input list is k' rows (the backends
+    * already bounded their own top-k), so the union, the per-pair
+    * sum, and the [[graft.expressions.TopKAgg]] heap all run on
+    * N·k'-row groups — nothing corpus-sized moves.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 3,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && kRrf >= 0, s"bad k=$k / kRrf=$kRrf")
+    rankings
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        expr(s"1000000 div ($kRrf + rank)").as("c")))
+      .reduce(_ unionByName _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("c").as("rrf"))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(
+        col("rrf").cast("double"),
+        format_string("%012d", col("neighbor_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"),
+        col("t.label").cast("long").as("neighbor_id"),
+        col("t.score").cast("long").as("rrf"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
       maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

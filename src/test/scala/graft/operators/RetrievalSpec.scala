@@ -104,6 +104,26 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1L, 693147L, 1L), (2L, 491910L, 2L)))
   }
 
+  test("rrfFuse: hand-computed fusion, integer-exact, ties to lower neighbor") {
+    def ranks(rows: (Long, Long, Long)*) =
+      spark.createDataFrame(rows).toDF("query_id", "neighbor_id", "rank")
+    // contributions at kRrf=60: rank1 -> 10^6//61 = 16393,
+    // rank2 -> 16129, rank3 -> 15873
+    val a = ranks((10L, 1L, 1L), (10L, 2L, 2L), (10L, 3L, 3L))
+    val b = ranks((10L, 2L, 1L), (10L, 1L, 2L), (10L, 4L, 3L))
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // n1 = n2 = 16393 + 16129 = 32522 (cross-list tie -> neighbor asc);
+    // n3 = n4 = 15873 single-list (tie again; n3 takes rank 3, n4 cut)
+    assert(got.toSeq === Seq(
+      (10L, 1L, 32522L, 1L), (10L, 2L, 32522L, 2L), (10L, 3L, 15873L, 3L)))
+    // per-query isolation: a second query fuses independently
+    val c = ranks((10L, 1L, 1L), (20L, 7L, 1L))
+    val two = Retrieval.rrfFuse(Seq(c), k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(two.toSeq === Seq((10L, 1L, 16393L), (20L, 7L, 16393L)))
+  }
+
   test("bm25: per-query isolation — each query ranks its own matches") {
     val corpus = df((1L, "alpha beta"), (2L, "gamma delta"))
     val q = df((10L, "alpha"), (20L, "gamma"))
