@@ -1371,6 +1371,66 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, rrf, CAST(rnk AS BIGINT) AS rank
         |FROM fr WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // LEXICAL + DENSE hybrid retrieval — the flagship hybrid-search
+    // shape (BM25 over the text, exact cosine over the aligned
+    // embedding table — doc_id ≡ vec_id in the testdata, the usual
+    // one-row-per-document dual index), fused by RRF. The same %100
+    // query/corpus split on both sides; the oracle composes the
+    // SHARED dBm25Cte chain (byte-identical to text_bm25_topk's) with
+    // a fresh-named dense chain and the same integer RRF arithmetic,
+    // so neither backend nor the fusion can drift.
+    Q("text_hybrid_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val embs = Tables.embeddings(s, d)
+        val lex = graft.operators.Retrieval.bm25TopK(
+          docs.filter(col("doc_id") % 100 === 0),
+          docs.filter(col("doc_id") % 100 =!= 0), k = 10)
+          .withColumnRenamed("doc_id", "neighbor_id")
+        val den = Similarity.cosineTopKBetween(
+          embs.filter(col("vec_id") % 100 === 0),
+          embs.filter(col("vec_id") % 100 =!= 0), k = 10)
+        graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = 5)
+      },
+      Some(s"""WITH $dBm25Cte,
+        |lsc AS (
+        |  SELECT query_id, doc_id AS neighbor_id,
+        |    CAST(sum(c) AS BIGINT) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |lr AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+        |    AS rnk
+        |  FROM lsc),
+        |de0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |de AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm
+        |       FROM de0),
+        |dp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+        |           AS sim
+        |  FROM de q JOIN de c
+        |    ON q.vec_id % 100 = 0 AND c.vec_id % 100 <> 0),
+        |dr AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM dp),
+        |contrib AS (
+        |  SELECT query_id, neighbor_id, 1000000 // (60 + rnk) AS cc
+        |  FROM lr WHERE rnk <= 10
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id, 1000000 // (60 + rnk) AS cc
+        |  FROM dr WHERE rnk <= 10),
+        |fused AS (
+        |  SELECT query_id, neighbor_id, CAST(sum(cc) AS BIGINT) AS rrf
+        |  FROM contrib GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk
+        |  FROM fused)
+        |SELECT query_id, neighbor_id, rrf, CAST(rnk AS BIGINT) AS rank
+        |FROM fr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
     // SemDeDup: k-means the embedding space (the same deterministic
     // 2-round integer-scaled Lloyd as sim_ivf_topk but with k sized
     // from the corpus — ceil(n/64), Similarity.chooseCells, so cells

@@ -33,6 +33,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1L, 1.0, 1L), (2L, 0.0, 2L), (3L, -1.0, 3L)))
   }
 
+  test("cosineTopKBetween: split form equals bruteForceTopK on the prefix split") {
+    import org.apache.spark.sql.functions.col
+    val whole = Similarity.bruteForceTopK(embs, nQueries = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val split = Similarity.cosineTopKBetween(
+      embs.filter(col("vec_id") < 2), embs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(split === whole)
+  }
+
   test("sign bucket: in range, collision for identical, flip for opposite") {
     val buckets = embs
       .select(col("vec_id"), Similarity.signBucket(col("embedding")).as("b"))
