@@ -1371,6 +1371,47 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, rrf, CAST(rnk AS BIGINT) AS rank
         |FROM fr WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // HARD-NEGATIVE mining (the DPR/contrastive training recipe):
+    // per query doc, the top BM25 candidates that do NOT share any
+    // MinHash band with the query — lexically hard, but never an
+    // actual near-duplicate (a false negative would poison the
+    // contrastive loss). Composes the SHARED dBm25Cte chain with the
+    // SHARED minhash banding chain (dBm25Cte's tok satisfies shCte's
+    // contract), over-fetches 2k, screens, re-ranks — so candidates,
+    // signatures, and the screen are all byte-identical to their
+    // standalone oracles.
+    Q("text_hard_negatives",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Retrieval.hardNegatives(
+          docs.filter(col("doc_id") % 100 === 0),
+          docs.filter(col("doc_id") % 100 =!= 0), k = 5)
+      },
+      Some(s"""WITH $dBm25Cte, $shCte, $hsCte,
+        |sig AS (SELECT doc_id, ${(0 until 4).map(b =>
+          s"${dBand("hs", b)} AS band$b").mkString(", ")} FROM hsc),
+        |sc AS (
+        |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score
+        |  FROM hits GROUP BY 1, 2),
+        |cr AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        |  FROM sc),
+        |neg AS (
+        |  SELECT c.query_id, c.doc_id AS neighbor_id, c.score
+        |  FROM cr c JOIN sig q ON q.doc_id = c.query_id
+        |            JOIN sig n ON n.doc_id = c.doc_id
+        |  WHERE c.rnk <= 10 AND NOT (q.band0 = n.band0
+        |    OR q.band1 = n.band1 OR q.band2 = n.band2
+        |    OR q.band3 = n.band3)),
+        |nr AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+        |    AS rnk
+        |  FROM neg)
+        |SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rank
+        |FROM nr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
     // LEXICAL + DENSE hybrid retrieval — the flagship hybrid-search
     // shape (BM25 over the text, exact cosine over the aligned
     // embedding table — doc_id ≡ vec_id in the testdata, the usual

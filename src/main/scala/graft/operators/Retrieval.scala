@@ -191,6 +191,51 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for retrieval training (the DPR/contrastive
+    * recipe): per query, the top lexical BM25 candidates that are NOT
+    * near-duplicates of the query — lexically close enough to be hard,
+    * screened so an actual duplicate (a false negative that would
+    * poison the contrastive loss) never ships as a negative. The
+    * near-dup screen is the MinHash band collision ([[Dedup]]'s LSH
+    * banding — any shared band ⇒ candidate duplicate ⇒ dropped).
+    *
+    * Shape: BM25 over-fetches k·`overfetch` candidates (bounded,
+    * query-sized), the candidate frame joins its own and the corpus
+    * signatures — candidates BROADCAST, the corpus signature side
+    * streams — and survivors re-rank through the bounded-heap
+    * [[graft.expressions.TopKAgg]]. Nothing corpus-sized shuffles
+    * beyond the signature scan.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      overfetch: Int = 2,
+      maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
+    require(k >= 1 && overfetch >= 1, s"bad k=$k / overfetch=$overfetch")
+    val cands = bm25TopK(queries, corpus, k * overfetch, maxDfPermille)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("score"))
+    val qs = Dedup.minhashSignatures(queries.select("doc_id", "text"))
+      .select(col("doc_id").as("query_id") +:
+        (0 until 4).map(b => col(s"band$b").as(s"qb$b")): _*)
+    val cs = Dedup.minhashSignatures(corpus.select("doc_id", "text"))
+      .select(col("doc_id").as("neighbor_id") +:
+        (0 until 4).map(b => col(s"band$b").as(s"cb$b")): _*)
+    val dup = (0 until 4).map(b => col(s"qb$b") === col(s"cb$b"))
+      .reduce(_ || _)
+    cs.join(broadcast(cands.join(qs, Seq("query_id"))),
+        Seq("neighbor_id"))
+      .filter(!dup)
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(
+        col("score").cast("double"),
+        format_string("%012d", col("neighbor_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"),
+        col("t.label").cast("long").as("neighbor_id"),
+        col("t.score").cast("long").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
       maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -124,6 +124,28 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(two.toSeq === Seq((10L, 1L, 16393L), (20L, 7L, 16393L)))
   }
 
+  test("hardNegatives: near-duplicate candidates never ship as negatives") {
+    // query 100 is byte-identical to doc 1 -> identical minhash
+    // signature -> every band collides -> doc 1 is screened even
+    // though it is the top BM25 hit; docs 2/3 are lexically close
+    // (hard) but distinct
+    val corpus = df(
+      (1L, "cat sat on the mat today"),
+      (2L, "cat sat near a mat"),
+      (3L, "dog sat on grass"))
+    val q = df((100L, "cat sat on the mat today"))
+    val got = Retrieval.hardNegatives(q, corpus, k = 3).collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(!got.contains(1L), s"duplicate shipped as negative: $got")
+    assert(got.nonEmpty, "screen dropped every candidate")
+    // and with no duplicate in the corpus the screen passes BM25's
+    // ranking through unchanged
+    val clean = Retrieval.hardNegatives(df((200L, "zebra runs")), corpus
+      .union(df((4L, "zebra walks"))), k = 3).collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(clean === Seq(4L))
+  }
+
   test("bm25: per-query isolation — each query ranks its own matches") {
     val corpus = df((1L, "alpha beta"), (2L, "gamma delta"))
     val q = df((10L, "alpha"), (20L, "gamma"))
