@@ -166,7 +166,12 @@ object ScalingBench {
       "sim_pq_codes", "sim_pq_topk", "sim_ivfpq_topk", "mm_g711_roundtrip",
       // round 13
       "profile_merge", "mm_decode_g711_wav", "stream_pq_screen",
-      "model_store_pq", "eval_langid_prf_loaded")
+      "model_store_pq", "eval_langid_prf_loaded",
+      // round 13 retrieval family (sim_rrf_topk's query set is fixed
+      // at vec_id < 50; the text queries' %100 probe slice grows
+      // WITH the corpus — the documented k^2-by-construction harness
+      // artifact, same as text_bm25_topk)
+      "sim_rrf_topk", "text_hybrid_topk", "text_hard_negatives")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
