@@ -213,6 +213,31 @@ object DecontamAnalogs {
         |      % 4 + 1) * 0.25 * 1000000 AS BIGINT)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // A-ES, round 13): inclusion probability ∝ weight (n_chars here —
+    // the quality-weighted subsample), selection = the 100 smallest
+    // integer priorities (m·10^6)//w with m = grid-rounded micro-nat
+    // −ln of the md5-60 uniform (the DSIR transcendental discipline;
+    // positive division, so trunc == floor in both engines). One map
+    // + one bounded global heap on the Spark side; the oracle replays
+    // the identical arithmetic per row.
+    Q("curation_weighted_sample",
+      (s, d) => graft.operators.Curation.sampleWeighted(
+        Tables.documents(s, d), col("n_chars"), n = 100),
+      Some("""WITH wt AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(round(-1e6 * ln(
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |        + 1) / 1152921504606846976.0)) AS BIGINT) AS m
+        |  FROM documents WHERE n_chars > 0),
+        |pr AS (SELECT doc_id, (m * 1000000) // w AS pr FROM wt),
+        |r AS (
+        |  SELECT doc_id, pr, row_number() OVER (ORDER BY pr, doc_id)
+        |    AS rnk
+        |  FROM pr)
+        |SELECT doc_id, pr AS priority, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 100 ORDER BY rank""".stripMargin)),
+
     // Full mixture apply with upsampling: weights in halves
     // (0.5/1.0/1.5/2.0 by source index — exactly representable), docs
     // replicated floor(w) times plus a fractional md5-decided extra.

@@ -321,6 +321,40 @@ object Curation {
     * operates on the k-row source frame (k = distinct sources), whose
     * single-partition windows are bounded by k, never the corpus.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, the A-ES one-pass scheme): each row draws the
+    * deterministic uniform u = (md5₆₀(doc_id) + 1) / 2⁶⁰ ∈ (0, 1]
+    * and keeps the n BEST keys u^(1/w) — equivalently the n smallest
+    * integer priorities pr = (m·10⁶) div w with m = round(−10⁶·ln u)
+    * grid-rounded micro-nats (the DSIR transcendental discipline;
+    * m ≤ 41.6·10⁶ so m·10⁶ is double-exact, and the division stays
+    * on POSITIVE integers — truncation == floor in both engines).
+    * Inclusion probability scales with weight (the quality-weighted
+    * corpus subsample), selection is deterministic, and the whole
+    * pass is one map + one bounded global heap
+    * ([[graft.expressions.TopKAgg]], map-side combine — ≤ n rows per
+    * partition cross the wire; no sort, no window). Rows with
+    * non-positive weight are excluded (zero mass cannot be drawn).
+    */
+  def sampleWeighted(docs: DataFrame, weight: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    docs.select(col("doc_id"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("m", round(lit(-1e6) * log(
+        (wordHash60(col("doc_id").cast("string")) + lit(1L))
+          .cast("double") / lit(1.152921504606846976e18))).cast("long"))
+      .select(col("doc_id"), expr("(m * 1000000) div w").as("pr"))
+      .groupBy()
+      .agg(graft.expressions.TopKAgg.topK(
+        -col("pr").cast("double"),
+        format_string("%012d", col("doc_id")), n).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.label").cast("long").as("doc_id"),
+        (-col("t.score")).cast("long").as("priority"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("rank")
+  }
+
   def unimaxAlloc(docs: DataFrame, budgetTokens: Long,
       maxEpochs: Int = 4): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")

@@ -84,6 +84,42 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(kept("od") - 1500L) < 100, s"od=${kept("od")}")
   }
 
+  test("sampleWeighted: without replacement, weight-dominant, deterministic") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val s = spark; import s.implicits._
+    val frame = (0L until 50L).map(i => (i, 10L)).toDF("doc_id", "wt")
+    // doc 7 carries astronomically more mass: its priority
+    // (m*10^6) div w collapses toward 0, so it MUST be drawn
+    val skewed = frame.withColumn("wt",
+      when(col("doc_id") === 7L, lit(1000000000000L)).otherwise(col("wt")))
+    val got = Curation.sampleWeighted(skewed, col("wt"), n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 5)
+    assert(got.map(_._1).distinct.length === 5) // without replacement
+    assert(got.map(_._1).contains(7L), s"heavy doc missing: ${got.toSeq}")
+    // priorities ascend with rank (rank 1 = smallest key)
+    assert(got.sortBy(_._3).map(_._2).toSeq ==
+      got.map(_._2).sorted.toSeq)
+    // deterministic: a second run is identical
+    val again = Curation.sampleWeighted(skewed, col("wt"), n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === got.toSeq)
+    // equal weights reduce to the pure md5-uniform draw: the sample
+    // is the n smallest m — independent of the (constant) weight
+    val eq1 = Curation.sampleWeighted(frame, col("wt"), n = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val eq2 = Curation.sampleWeighted(
+      frame.withColumn("wt", lit(1000L)), col("wt"), n = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(eq1 === eq2)
+    // zero/negative mass is never drawn
+    val zeroed = Curation.sampleWeighted(
+      frame.withColumn("wt",
+        when(col("doc_id") < 45L, lit(0L)).otherwise(col("wt"))),
+      col("wt"), n = 10).collect().map(_.getLong(0))
+    assert(zeroed.forall(_ >= 45L) && zeroed.length === 5)
+  }
+
   test("resampleStratified: whole weights replicate, fractional extends sampler") {
     val s = spark; import s.implicits._
     val twoSrc = Seq(
