@@ -238,6 +238,43 @@ object DecontamAnalogs {
         |SELECT doc_id, pr AS priority, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 100 ORDER BY rank""".stripMargin)),
 
+    // Batch twin of the STREAMING per-window weighted sample
+    // (DocStreams.sampleScreen): docs arrive one minute apart, and
+    // each 1-hour window draws its 10-row A-ES sample — the SHARED
+    // aesPriority builder plus the watermarked TopKAgg heap, so the
+    // continuous ingest subsample is the batch draw per window, and
+    // the oracle replays the identical per-row arithmetic hour by
+    // hour.
+    Q("stream_sample_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(doc_id as int),0)"))
+          .select(col("doc_id"), col("n_chars").as("w"), col("ts"))
+        graft.streaming.DocStreams.sampleScreen(docs, n = 10)
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("doc_id"), col("priority"), col("rank"))
+          .orderBy("hour", "rank")
+      },
+      Some("""WITH wt AS (
+        |  SELECT doc_id,
+        |    strftime(date_trunc('hour',
+        |      timestamp '2024-01-01 00:00:00' + to_minutes(doc_id)),
+        |      '%Y-%m-%d %H:%M:%S') AS hour,
+        |    CAST(n_chars AS BIGINT) AS w,
+        |    CAST(round(-1e6 * ln(
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |        + 1) / 1152921504606846976.0)) AS BIGINT) AS m
+        |  FROM documents WHERE n_chars > 0),
+        |pr AS (SELECT doc_id, hour, (m * 1000000) // w AS pr FROM wt),
+        |r AS (
+        |  SELECT hour, doc_id, pr, row_number() OVER
+        |    (PARTITION BY hour ORDER BY pr, doc_id) AS rnk
+        |  FROM pr)
+        |SELECT hour, doc_id, pr AS priority, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 10 ORDER BY hour, rank""".stripMargin)),
+
     // Full mixture apply with upsampling: weights in halves
     // (0.5/1.0/1.5/2.0 by source index — exactly representable), docs
     // replicated floor(w) times plus a fractional md5-decided extra.

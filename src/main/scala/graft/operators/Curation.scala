@@ -336,14 +336,24 @@ object Curation {
     * partition cross the wire; no sort, no window). Rows with
     * non-positive weight are excluded (zero mass cannot be drawn).
     */
+  /** The A-ES integer priority of (id, weight) — ONE builder shared
+    * by [[sampleWeighted]] and the streaming screen
+    * ([[graft.streaming.DocStreams.sampleScreen]]), so batch and
+    * stream draws cannot drift. Smaller = more likely drawn.
+    */
+  private[graft] def aesPriority(id: Column, w: Column): Column = {
+    val m = round(lit(-1e6) * log(
+      (wordHash60(id.cast("string")) + lit(1L))
+        .cast("double") / lit(1.152921504606846976e18))).cast("long")
+    call_function("div", m * lit(1000000L), w)
+  }
+
   def sampleWeighted(docs: DataFrame, weight: Column, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     docs.select(col("doc_id"), weight.cast("long").as("w"))
       .filter(col("w") > 0)
-      .withColumn("m", round(lit(-1e6) * log(
-        (wordHash60(col("doc_id").cast("string")) + lit(1L))
-          .cast("double") / lit(1.152921504606846976e18))).cast("long"))
-      .select(col("doc_id"), expr("(m * 1000000) div w").as("pr"))
+      .select(col("doc_id"),
+        aesPriority(col("doc_id"), col("w")).as("pr"))
       .groupBy()
       .agg(graft.expressions.TopKAgg.topK(
         -col("pr").cast("double"),

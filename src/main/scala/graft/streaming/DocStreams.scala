@@ -136,6 +136,36 @@ object DocStreams {
     * micro-batch maps through with zero state, zero joins, and no
     * watermark; downstream routes on `pass`/`reason`.
     */
+  /** Per-window weighted sample of an ARRIVING corpus — A-ES
+    * (Efraimidis–Spirakis) is one-pass by construction, so the
+    * streaming form is just the batch draw's priority (the SHARED
+    * [[graft.operators.Curation.aesPriority]] builder — batch and
+    * stream draws cannot drift) under a watermarked event-time
+    * window + the bounded [[graft.expressions.TopKAgg]] heap: state
+    * per window is n entries, evicted by the watermark. The
+    * quality-weighted ingest subsample a training pipeline draws
+    * continuously. Expects (doc_id, w, ts); non-positive mass never
+    * draws.
+    */
+  def sampleScreen(streamDocs: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    streamDocs
+      .filter(col("w") > 0)
+      .select(col("ts"), col("doc_id"),
+        graft.operators.Curation.aesPriority(col("doc_id"), col("w"))
+          .as("pr"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.expressions.TopKAgg.topK(
+        -col("pr").cast("double"),
+        format_string("%012d", col("doc_id")), n).as("top"))
+      .select(col("window.start").as("hour"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("hour"), col("t.label").cast("long").as("doc_id"),
+        (-col("t.score")).cast("long").as("priority"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   def qualityScreen(streamDocs: DataFrame,
       reqStops: Seq[String] = graft.operators.QualityFilters.RequiredStopwords)
       : DataFrame =

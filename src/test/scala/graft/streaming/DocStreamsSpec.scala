@@ -129,6 +129,39 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally { query.stop(); index.unpersist() }
   }
 
+  test("sampleScreen: per-window weighted draw equals the batch call") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    import java.sql.Timestamp
+    // window 10:00 holds docs 1..6 (varying mass, one zero); a late
+    // event at 14:30 advances the watermark past the window
+    val rows = (1L to 6L).map(i =>
+      (i, if (i == 4) 0L else i * 100L,
+        Timestamp.valueOf(f"2023-01-01 10:0$i:00")))
+    val batch = DocStreams.sampleScreen(
+      spark.createDataFrame(rows).toDF("doc_id", "w", "ts"), n = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3).toSeq
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val query = DocStreams.sampleScreen(
+      mem.toDF().toDF("doc_id", "w", "ts"), n = 3)
+      .writeStream.format("memory").queryName("sample_screen")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      mem.addData((999L, 10L, Timestamp.valueOf("2023-01-01 14:30:00")))
+      query.processAllAvailable()
+      val streamed = spark.table("sample_screen")
+        .filter("doc_id <> 999")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._3).toSeq
+      assert(streamed === batch)
+      assert(batch.length === 3)
+      assert(!batch.map(_._1).contains(4L)) // zero mass never draws
+    } finally query.stop()
+  }
+
   test("stream-static substring screen emits anchor alignments") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
