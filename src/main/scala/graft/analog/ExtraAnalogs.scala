@@ -1371,6 +1371,74 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, rrf, CAST(rnk AS BIGINT) AS rank
         |FROM fr WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // MMR diversified rerank (Carbonell & Goldstein 1998): top-8
+    // cosine candidates per query (vec_id < 20 vs the rest), greedily
+    // re-selected to 4 so each pick maximizes rel − max-redundancy
+    // against the picked set, both in micro-unit cosine. The Spark
+    // side runs the native MmrSelect walk over each query's bounded
+    // candidate array; the oracle replays the greedy as 4 unrolled
+    // argmax stages (pick t joins picks 1..t−1 for the greatest()
+    // redundancy term) — a walk that misorders ties, drops the first
+    // pick's rel objective, or mis-scales the cosine diverges.
+    Q("sim_mmr_rerank",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.mmrRerank(e.filter(col("vec_id") < 20),
+          e.filter(col("vec_id") >= 20))
+      },
+      Some {
+        def sim(c: String, p: String) =
+          s"CAST(round(1e6 * ${dDot(s"$c.vec", s"$p.vec")} / " +
+            s"($c.norm * $p.norm)) AS BIGINT)"
+        val stages = (2 to 4).map { t =>
+          val prev = 1 until t
+          val red =
+            if (t == 2) sim("c", "p1")
+            else s"greatest(${prev.map(j => sim("c", s"p$j")).mkString(", ")})"
+          s"""m$t AS (
+             |  SELECT c.query_id, c.id, c.vec, c.norm,
+             |    c.rel - $red AS obj
+             |  FROM cand c ${prev.map(j =>
+                 s"JOIN p$j ON p$j.query_id = c.query_id").mkString(" ")}
+             |  WHERE ${prev.map(j => s"c.id <> p$j.id").mkString(" AND ")}
+             |), p$t AS (
+             |  SELECT query_id, id, vec, norm, obj AS mmr FROM (
+             |    SELECT *, row_number() OVER
+             |      (PARTITION BY query_id ORDER BY obj DESC, id) AS rn
+             |    FROM m$t) WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH me AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+           |  FROM embeddings),
+           |men AS (SELECT vec_id, vec,
+           |  sqrt(${dDot("vec", "vec")}) AS norm FROM me),
+           |mc0 AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+           |    CAST(round(round(${dDot("q.vec", "c.vec")} /
+           |      (q.norm * c.norm), 6) * 1e6) AS BIGINT) AS rel,
+           |    c.vec AS vec, c.norm AS norm
+           |  FROM men q JOIN men c ON q.vec_id < 20 AND c.vec_id >= 20),
+           |cand AS MATERIALIZED (
+           |  SELECT query_id, id, rel, vec, norm FROM (
+           |    SELECT *, row_number() OVER
+           |      (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+           |    FROM mc0) WHERE rn <= 8),
+           |p1 AS (
+           |  SELECT query_id, id, vec, norm, rel AS mmr FROM (
+           |    SELECT *, row_number() OVER
+           |      (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+           |    FROM cand) WHERE rn = 1
+           |),
+           |$stages
+           |SELECT query_id, id AS neighbor_id, mmr,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM (
+           |${(1 to 4).map(t =>
+               s"  SELECT query_id, id, mmr, $t AS rank FROM p$t")
+               .mkString("\n  UNION ALL\n")}
+           |) ORDER BY query_id, rank""".stripMargin
+      }),
+
     // HARD-NEGATIVE mining (the DPR/contrastive training recipe):
     // per query doc, the top BM25 candidates that do NOT share any
     // MinHash band with the query — lexically hard, but never an

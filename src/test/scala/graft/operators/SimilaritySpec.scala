@@ -45,6 +45,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(split === whole)
   }
 
+  test("mmrRerank: redundant near-duplicate demoted below a diverse pick") {
+    import org.apache.spark.sql.functions.col
+    // q = x-axis; c2 (smallest tilt) is the best match; c1 has HIGHER
+    // relevance than c3 but is a near-duplicate of the pick
+    // (redundancy ~0.99995), while c3 tilts the other way
+    // (redundancy ~0.93) — pure top-k ranks c1 second, MMR must rank
+    // c3 second
+    val q = spark.createDataFrame(Seq(
+      (100L, Seq(1f, 0f, 0f, 0f), 0))).toDF("vec_id", "embedding", "label")
+    val corpus = spark.createDataFrame(Seq(
+      (1L, Seq(1f, 0.2f, 0f, 0f), 0),
+      (2L, Seq(1f, 0.19f, 0f, 0f), 0),
+      (3L, Seq(1f, -0.2f, 0f, 0f), 0))).toDF("vec_id", "embedding", "label")
+    val plain = Similarity.cosineTopKBetween(q, corpus, k = 3).collect()
+      .map(_.getLong(1)).toSeq
+    assert(plain === Seq(2L, 1L, 3L)) // relevance order
+    val mmr = Similarity.mmrRerank(q, corpus, kCand = 3, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(mmr.map(_._1).toSeq === Seq(2L, 3L, 1L),
+      s"diversity did not demote the near-dup: ${mmr.toSeq}")
+    // pick 1's objective is its pure relevance; later objectives are
+    // rel minus redundancy, so they strictly drop here
+    assert(mmr.map(_._2).toSeq === mmr.map(_._2).sortBy(-_).toSeq)
+    // determinism across runs (collect_list order independence)
+    val again = Similarity.mmrRerank(q, corpus, kCand = 3, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === mmr.toSeq)
+  }
+
   test("sign bucket: in range, collision for identical, flip for opposite") {
     val buckets = embs
       .select(col("vec_id"), Similarity.signBucket(col("embedding")).as("b"))
