@@ -171,7 +171,11 @@ object ScalingBench {
       // at vec_id < 50; the text queries' %100 probe slice grows
       // WITH the corpus — the documented k^2-by-construction harness
       // artifact, same as text_bm25_topk)
-      "sim_rrf_topk", "text_hybrid_topk", "text_hard_negatives")
+      "sim_rrf_topk", "text_hybrid_topk", "text_hard_negatives",
+      // round 13 late additions (sim_mmr_rerank queries fixed at
+      // vec_id < 20; the sampling pair scans every doc once and keeps
+      // bounded heaps)
+      "sim_mmr_rerank", "curation_weighted_sample", "stream_sample_screen")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -112,5 +112,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKAgg(args.head, args(1), k).toAggregateExpression()
       }))
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(
+        classOf[graft.expressions.HilbertIndex].getName, "hilbert_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "hilbert_index(a, b, bits) takes two bigints and a literal width")
+        graft.expressions.HilbertIndex(args.head, args(1),
+          intLit(args(2), "hilbert_index's bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index_n"),
+      new ExpressionInfo(
+        classOf[graft.expressions.HilbertIndexN].getName, "hilbert_index_n"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "hilbert_index_n(coords, dims, bits) takes an array<bigint> and " +
+            "two literal ints")
+        graft.expressions.HilbertIndexN(args.head,
+          intLit(args(1), "hilbert_index_n's dims"),
+          intLit(args(2), "hilbert_index_n's bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mmr_select"),
+      new ExpressionInfo(
+        classOf[graft.expressions.MmrSelect].getName, "mmr_select"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "mmr_select(candidates, k) takes a struct array and a literal k")
+        graft.expressions.MmrSelect(args.head,
+          intLit(args(1), "mmr_select's k"))
+      }))
   }
 }

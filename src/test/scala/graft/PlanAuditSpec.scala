@@ -107,6 +107,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sampling and rerank stay on bounded heaps, no corpus sort") {
+    // A-ES sampling: one map + the global top_k heap — the only
+    // exchanges are the single-partition final-merge and output sort;
+    // a Window/Sort over the corpus would be the anti-pattern
+    Seq("curation_weighted_sample", "stream_sample_screen").foreach { q =>
+      assert(!plans(q).contains("Window"),
+        s"$q: window sort in a heap sample\n${plans(q).take(800)}")
+      assert(plans(q).contains("ObjectHashAggregate"),
+        s"$q: expected the top_k heap\n${plans(q).take(800)}")
+    }
+    // MMR: candidate generation + per-query array walk — never a
+    // corpus-keyed shuffle join
+    assert(!plans("sim_mmr_rerank").contains("SortMergeJoin"),
+      plans("sim_mmr_rerank").take(800))
+    assert(plans("sim_mmr_rerank").contains("ObjectHashAggregate"),
+      plans("sim_mmr_rerank").take(800))
+  }
+
   test("codec fixture queries are map-only up to the output sort") {
     // pure-JVM codecs run per-row in mapPartitions: the ONLY exchange
     // each plan may carry is the deterministic output orderBy

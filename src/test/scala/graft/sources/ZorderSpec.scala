@@ -120,6 +120,24 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hilbert_index / hilbert_index_n / mmr_select registered for SQL") {
+    val s = spark; import s.implicits._
+    Seq((3L, 5L)).toDF("a", "b").createOrReplaceTempView("hn")
+    val r = spark.sql(
+      "SELECT hilbert_index(a, b, 4) AS h2, " +
+        "hilbert_index_n(array(a, b, 2L), 3, 4) AS h3 FROM hn")
+      .collect().head
+    assert(r.getLong(0) ===
+      graft.expressions.HilbertCurve.index(3L, 5L, 4))
+    assert(r.getLong(1) ===
+      graft.expressions.HilbertCurveN.index(Array(3L, 5L, 2L), 4))
+    val m = spark.sql(
+      "SELECT mmr_select(array(struct(1L, 10L, array(1.0D)), " +
+        "struct(2L, 9L, array(1.0D))), 1) AS p")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(m.map(_.getLong(0)) === Seq(1L)) // highest rel picked first
+  }
+
   test("hilbert layout prunes box queries at least as well as z-order") {
     val s = spark; import s.implicits._
     val grid = (0 until 64).flatMap(a => (0 until 64).map(b =>
