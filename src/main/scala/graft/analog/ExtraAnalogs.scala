@@ -1744,6 +1744,74 @@ object ExtraAnalogs {
         |    AS BIGINT) AS f1_pm
         |FROM j ORDER BY cls""".stripMargin)),
 
+    // Retrieval ranking metrics — the measurement leg for the ANN
+    // rankers: the LSH top-10 graded against the exact brute-force
+    // top-10 as binary qrels, per query: hits@10, truncating
+    // per-myriad recall, reciprocal rank in micro-units, and nDCG@10
+    // whose log2 discount table is MODEL CONSTANTS computed once on
+    // the driver and inlined into BOTH engines as literals — the
+    // whole metric is integer-exact, so the approximate ranker's
+    // quality is itself hash-gated, not just eyeballed.
+    Q("eval_retrieval_metrics",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Evaluation.retrievalMetrics(
+          Similarity.lshTopK(e, 50, 10),
+          Similarity.bruteForceTopK(e, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some {
+        val disc = graft.operators.Evaluation.ndcgDiscounts(10)
+        val idcg = disc.scanLeft(0L)(_ + _).tail
+        val dl = disc.mkString("[", ", ", "]")
+        val il = idcg.mkString("[", ", ", "]")
+        s"""WITH $dLshPrefix,
+          |${dProbes("qp", " AND q.vec_id < 50")},
+          |lp AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+          |           AS sim
+          |  FROM qp q JOIN bkt c
+          |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          |), lrk AS (
+          |  SELECT query_id, neighbor_id, row_number() OVER
+          |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          |  FROM lp
+          |),
+          |bq AS (SELECT vec_id, emb, norm FROM e WHERE vec_id < 50),
+          |bp AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+          |           AS sim
+          |  FROM bq q JOIN e c ON q.vec_id <> c.vec_id
+          |), br AS (
+          |  SELECT query_id, neighbor_id, row_number() OVER
+          |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          |  FROM bp
+          |), truth AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 10),
+          |tn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+          |       FROM truth GROUP BY 1),
+          |mh AS (
+          |  SELECT l.query_id, CAST(count(*) AS BIGINT) AS hits,
+          |    CAST(min(l.rnk) AS BIGINT) AS first_rank,
+          |    CAST(sum(($dl)[CAST(l.rnk AS INTEGER)]) AS BIGINT) AS dcg
+          |  FROM (SELECT * FROM lrk WHERE rnk <= 10) l
+          |  JOIN truth t ON t.query_id = l.query_id
+          |    AND t.neighbor_id = l.neighbor_id
+          |  GROUP BY 1)
+          |SELECT tn.query_id,
+          |  COALESCE(hits, 0) AS hits,
+          |  (COALESCE(hits, 0) * 10000) // n_rel AS recall_pm,
+          |  COALESCE(1000000 // first_rank, 0) AS rr_micro,
+          |  CASE WHEN COALESCE(dcg, 0) > 0
+          |    THEN (dcg * 10000) //
+          |      (($il)[CAST(least(n_rel, 10) AS INTEGER)])
+          |    ELSE 0 END AS ndcg_pm
+          |FROM tn LEFT JOIN mh ON mh.query_id = tn.query_id
+          |ORDER BY tn.query_id""".stripMargin
+      }),
+
     // Per-doc quality metrics + composite score.
     //
     // Three-step select: the token pipelines are interpreted higher-

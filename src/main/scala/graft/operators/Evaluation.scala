@@ -23,6 +23,60 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** The nDCG log2 discount table for ranks 1..k — MODEL CONSTANTS:
+    * disc(r) = round(10⁶ / log2(r + 1)) computed ONCE on the driver
+    * and inlined as literals into both the Spark plan and the DuckDB
+    * oracle, so no per-row transcendental ever crosses engines (the
+    * DSIR grid discipline taken to its limit).
+    */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Retrieval ranking metrics under binary relevance — the
+    * measurement leg for the ANN/BM25/hybrid rankers, per query:
+    * hits@k, recall@k (per-myriad, truncating), reciprocal rank
+    * (10⁶ div first matched rank; 0 when nothing matched), and
+    * nDCG@k (per-myriad: Σ disc(matched ranks) ÷ the ideal prefix sum
+    * over min(|truth|, k) — [[ndcgDiscounts]] constants, so the whole
+    * metric is integer-exact). `ranked` needs (query_id, neighbor_id,
+    * rank); `truth` is the relevant (query_id, neighbor_id) set —
+    * typically the exact top-k ([[Similarity.bruteForceTopK]]) when
+    * grading an approximate ranker. Queries carrying truth but absent
+    * from the ranking score 0s; ranked queries WITHOUT truth rows are
+    * dropped (no qrels, no grade).
+    *
+    * Scale shape: both inputs are already per-query bounded lists, so
+    * the matched join, the per-query aggregate, and the truth-size
+    * join all move ≤ k rows per query — nothing corpus-sized.
+    */
+  def retrievalMetrics(ranked: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val disc = ndcgDiscounts(k)
+    val idcg = disc.scanLeft(0L)(_ + _).tail // ideal prefix sums
+    val tn = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val matched = ranked.filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min("rank").as("first_rank"),
+        sum(element_at(array(disc.map(lit): _*),
+          col("rank").cast("int"))).as("dcg"))
+    tn.join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        call_function("div",
+          coalesce(col("hits"), lit(0L)) * lit(10000L), col("n_rel"))
+          .as("recall_pm"),
+        coalesce(call_function("div", lit(1000000L), col("first_rank")),
+          lit(0L)).as("rr_micro"),
+        when(coalesce(col("dcg"), lit(0L)) > 0,
+          call_function("div", col("dcg") * lit(10000L),
+            element_at(array(idcg.map(lit): _*),
+              least(col("n_rel"), lit(k.toLong)).cast("int"))))
+          .otherwise(0L).as("ndcg_pm"))
+      .orderBy("query_id")
+  }
+
   /** (label, pred, n): the confusion matrix — one corpus scan. */
   def confusion(scored: DataFrame, labelCol: String = "label",
       predCol: String = "pred"): DataFrame =

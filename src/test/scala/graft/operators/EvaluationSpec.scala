@@ -20,6 +20,31 @@ class EvaluationSpec extends AnyFunSuite with SparkSpec {
     assert(got("B") === ((1L, 1L, 1L, 5000L, 5000L, 5000L)))
   }
 
+  test("retrievalMetrics: hand-computed recall/RR/nDCG, edge rows") {
+    val s = spark; import s.implicits._
+    // q1 truth {1,2,3}; ranked: miss, hit@2, miss, hit@4 (k = 4)
+    // q2 truth {7}, never ranked -> all-zero row
+    // q3 ranked but NO truth -> dropped (no qrels, no grade)
+    val ranked = Seq(
+      (1L, 5L, 1L), (1L, 1L, 2L), (1L, 9L, 3L), (1L, 3L, 4L),
+      (3L, 8L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val truth = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 7L))
+      .toDF("query_id", "neighbor_id")
+    val got = Evaluation.retrievalMetrics(ranked, truth, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val d = Evaluation.ndcgDiscounts(4)
+    // hits 2 of 3 -> recall 6666; first hit rank 2 -> RR 500000;
+    // dcg = disc(2)+disc(4), ideal = disc(1..3) (min(3, 4) relevant)
+    val ndcg = (d(1) + d(3)) * 10000L / (d(0) + d(1) + d(2))
+    assert(got(1L) === ((2L, 6666L, 500000L, ndcg)))
+    assert(got(2L) === ((0L, 0L, 0L, 0L)))
+    assert(!got.contains(3L))
+    // discount constants are the pinned grid values
+    assert(d === Seq(1000000L, 630930L, 500000L, 430677L))
+  }
+
   test("classPrf: never-predicted and hallucinated classes get rows") {
     val s = spark; import s.implicits._
     val scored = Seq(
