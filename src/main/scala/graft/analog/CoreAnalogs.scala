@@ -507,6 +507,63 @@ object CoreAnalogs {
         |) ORDER BY "column"""".stripMargin
       }),
 
+    // Count-Min heavy hitters — the FREQUENCY leg of the mergeable-
+    // sketch contract (profile_merge's HLL covers distincts): the
+    // corpus token stream folds into a 4×512 grid of order-independent
+    // cell sums (hash-exact under any plan), then a bounded candidate
+    // vocabulary (every 100th doc's distinct tokens — the deployment
+    // shape: candidates come from a sample/query set, never the full
+    // vocabulary) probes the broadcast sketch for min-over-rows
+    // estimates. The exact count rides along as the sketch's own
+    // accuracy gate — est >= exact by construction (collisions only
+    // add), and the hash gate pins both engines to identical
+    // overestimates, not just identical truths. At 100 TB the sketch
+    // path shuffles <= 2048 partial cells per task where the exact
+    // path shuffles the whole vocabulary.
+    Q("profile_cm_heavy",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(
+          explode(split(col("text"), " ")).as("token"))
+        val sketch = graft.operators.Profile.cmSketch(toks, 4, 512)
+        val cands = docs.filter(col("doc_id") % 100 === 0)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .distinct()
+        val exact = toks.groupBy("token")
+          .agg(count(lit(1)).as("n_exact"))
+        graft.operators.Profile.cmEstimate(sketch, cands, 4, 512)
+          .join(exact, Seq("token"))
+          .select("token", "est", "n_exact")
+          .orderBy(col("est").desc, col("token")).limit(20)
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tt AS (SELECT unnest(w) AS t FROM tok),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 15))
+        |      ::BIGINT % 512 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM tt CROSS JOIN js GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT unnest(w) AS token FROM tok
+        |         WHERE doc_id % 100 = 0),
+        |lu AS (
+        |  SELECT token, j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+        |      ::BIGINT % 512 AS bucket
+        |  FROM cand CROSS JOIN js),
+        |est AS (
+        |  SELECT token, CAST(min(COALESCE(c, 0)) AS BIGINT) AS est
+        |  FROM lu LEFT JOIN cells
+        |    ON cells.j = lu.j AND cells.bucket = lu.bucket
+        |  GROUP BY 1),
+        |ex AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS n_exact
+        |       FROM tt GROUP BY 1)
+        |SELECT e.token, e.est, x.n_exact
+        |FROM est e JOIN ex x USING (token)
+        |ORDER BY est DESC, token LIMIT 20""".stripMargin)),
+
     // Exact quantiles (sorted interpolation — identical definition in
     // both engines; no sketches, so values hash-match).
     Q("stats_quantiles",

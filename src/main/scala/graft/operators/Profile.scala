@@ -128,6 +128,77 @@ object Profile {
       .orderBy("column")
   }
 
+  /** One (row, bucket) cell coordinate per hash row for a token: the
+    * j-th row's hash is the shared 60-bit md5 word hash of the
+    * row-salted token (`"j:" || token`) — d independent-enough hash
+    * functions from ONE portable primitive, reproducible bit-for-bit
+    * in the oracle (`('0x'||substr(md5(j||':'||t),1,15))::BIGINT % w`).
+    * The 60-bit value is strictly positive, so `%` agrees across
+    * engines (no floor-vs-truncate divergence on negatives).
+    */
+  private def cmBucket(t: Column, j: Int, width: Int): Column =
+    graft.functions.TextFunctions.wordHash60(concat(lit(s"$j:"), t)) %
+      lit(width.toLong)
+
+  private def cmCells(t: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(j => struct(lit(j.toLong).as("rw"),
+      cmBucket(t, j, width).as("bucket"))): _*)
+
+  /** Count-Min sketch of a token stream (Cormode & Muthukrishnan,
+    * J.Alg 2005): a depth×width grid where cell (j, h_j(t)) counts
+    * every occurrence whose j-th salted hash lands there. Returned
+    * sparse as (rw, bucket, c) rows — at most depth·width of them,
+    * whatever the corpus size.
+    *
+    * This is the frequency counterpart of [[shardProfile]]'s HLL leg:
+    * every cell is a SUM, so the sketch is order-independent (hash-
+    * exact under any plan) and mergeable — shard sketches fold by
+    * cell-wise addition ([[cmMerge]]) without rescanning a byte. At
+    * 100 TB the plan is one scan with map-side partial aggregation
+    * onto ≤ depth·width keys per task, then a shuffle of sketch-sized
+    * (not corpus-sized) partials; exact per-token counts by contrast
+    * shuffle the whole vocabulary.
+    *
+    * `toks` carries one row per token OCCURRENCE in `token`.
+    */
+  def cmSketch(toks: DataFrame, depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1, width >= 2, got $depth/$width")
+    toks.select(explode(cmCells(col("token"), depth, width)).as("cell"))
+      .groupBy(col("cell.rw").as("rw"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Cell-wise fold of shard sketches from [[cmSketch]] (sparse union
+    * in, sparse sum out) — the merge leg of the mergeable-sketch
+    * contract: sketch(A ⊎ B) == cmMerge(sketch(A) ∪ sketch(B)),
+    * law-tested in ProfileSpec.
+    */
+  def cmMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("rw", "bucket").agg(sum("c").as("c"))
+
+  /** Point-estimate candidate token frequencies from a [[cmSketch]]:
+    * est(t) = min over rows j of cell(j, h_j(t)) — ≥ the true count
+    * always (collisions only ADD), ≤ true + ε·N with probability
+    * 1 − δ at depth ⌈ln 1/δ⌉, width ⌈e/ε⌉. A missing sparse cell is a
+    * zero counter, so the coalesce happens BEFORE the min (a candidate
+    * that misses any row was never seen).
+    *
+    * Scale shape: the sketch broadcasts (≤ depth·width rows); the
+    * candidate frame fans out depth rows each, probes the broadcast
+    * map-side, and folds back per token — nothing corpus-sized moves.
+    */
+  def cmEstimate(sketch: DataFrame, cands: DataFrame, depth: Int = 4,
+      width: Int = 512): DataFrame =
+    cands.select(col("token"),
+        explode(cmCells(col("token"), depth, width)).as("cell"))
+      .select(col("token"), col("cell.rw").as("rw"),
+        col("cell.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("rw", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
   private def profileWith(df: DataFrame,
       distinctAgg: Column => Column): DataFrame = {
     val cols = df.schema.fields
