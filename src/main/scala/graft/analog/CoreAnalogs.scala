@@ -564,6 +564,42 @@ object CoreAnalogs {
         |FROM est e JOIN ex x USING (token)
         |ORDER BY est DESC, token LIMIT 20""".stripMargin)),
 
+    // Batch twin of the streaming Count-Min shard screen
+    // (graft.streaming.DocStreams.cmScreen): every 5th doc "arrives"
+    // (one minute per doc_id) and each event-time hour folds its token
+    // stream into a 4×64 sketch shard — the stream publishes SKETCH
+    // STATE, not estimates, so any window range folds with cmMerge and
+    // point-queries with cmEstimate without replaying the stream.
+    // Cells are sums: the per-window shard is hash-identical under any
+    // micro-batch boundary (streaming-vs-batch equality is law-tested
+    // in DocStreamsSpec; the hash gate here pins the cell VALUES).
+    Q("stream_cm_screen",
+      (s, d) => {
+        val arrivals = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0)
+          .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + " +
+            "make_interval(0,0,0,0,0,cast(doc_id as int),0)"))
+          .select("text", "ts")
+        graft.streaming.DocStreams.cmScreen(arrivals, 4, 64)
+          .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"), col("rw"), col("bucket"), col("c"))
+          .orderBy("hour", "rw", "bucket")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |tt AS (SELECT doc_id, unnest(w) AS t FROM tok),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j)
+        |SELECT strftime(date_trunc('hour',
+        |    timestamp '2024-01-01 00:00:00' + to_minutes(doc_id)),
+        |    '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(j AS BIGINT) AS rw,
+        |  ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 15))
+        |    ::BIGINT % 64 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS c
+        |FROM tt CROSS JOIN js GROUP BY 1, 2, 3
+        |ORDER BY hour, rw, bucket""".stripMargin)),
+
     // Exact quantiles (sorted interpolation — identical definition in
     // both engines; no sketches, so values hash-match).
     Q("stats_quantiles",

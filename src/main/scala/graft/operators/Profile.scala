@@ -140,7 +140,7 @@ object Profile {
     graft.functions.TextFunctions.wordHash60(concat(lit(s"$j:"), t)) %
       lit(width.toLong)
 
-  private def cmCells(t: Column, depth: Int, width: Int): Column =
+  private[graft] def cmCells(t: Column, depth: Int, width: Int): Column =
     array((0 until depth).map(j => struct(lit(j.toLong).as("rw"),
       cmBucket(t, j, width).as("bucket"))): _*)
 

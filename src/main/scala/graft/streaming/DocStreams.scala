@@ -166,6 +166,34 @@ object DocStreams {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Count-Min sketch shards at ingest: each event-time window folds
+    * its arriving token stream into the depth×width grid of
+    * [[graft.operators.Profile.cmSketch]] cells — the streaming leg
+    * publishes SKETCH STATE, not estimates (the [[graft.operators
+    * .Profile.shardProfile]] contract): any reader folds a window
+    * range with [[graft.operators.Profile.cmMerge]] and point-queries
+    * it via [[graft.operators.Profile.cmEstimate]], without replaying
+    * a byte of the stream. State per window is bounded by the grid
+    * (≤ depth·width counters) whatever the arrival rate, and cells
+    * are sums, so the per-window shard is hash-identical to the batch
+    * twin under any micro-batch boundary. Expects (text, ts).
+    */
+  def cmScreen(streamDocs: DataFrame, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1, width >= 2, got $depth/$width")
+    streamDocs
+      .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+      .select(col("ts"), explode(graft.operators.Profile.cmCells(
+        col("token"), depth, width)).as("cell"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"),
+        col("cell.rw").as("rw"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("hour"), col("rw"), col("bucket"),
+        col("c"))
+  }
+
   def qualityScreen(streamDocs: DataFrame,
       reqStops: Seq[String] = graft.operators.QualityFilters.RequiredStopwords)
       : DataFrame =

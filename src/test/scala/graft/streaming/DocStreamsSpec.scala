@@ -162,6 +162,57 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("cmScreen: window sketch shards survive any micro-batch split") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    // one 10:00 window, docs split across TWO micro-batches — cells
+    // are sums, so the shard must equal the single-batch twin
+    val rows = Seq(
+      (1L, "alpha beta alpha", Timestamp.valueOf("2023-01-01 10:01:00")),
+      (2L, "beta gamma delta", Timestamp.valueOf("2023-01-01 10:02:00")),
+      (3L, "alpha epsilon", Timestamp.valueOf("2023-01-01 10:03:00")))
+    val batch = DocStreams.cmScreen(
+      spark.createDataFrame(rows).toDF("doc_id", "text", "ts"), 3, 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val query = DocStreams.cmScreen(
+      mem.toDF().toDF("doc_id", "text", "ts"), 3, 8)
+      .writeStream.format("memory").queryName("cm_screen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      // late arrival advances the watermark past the 10:00 window
+      mem.addData((9L, "flush", Timestamp.valueOf("2023-01-01 14:30:00")))
+      query.processAllAvailable()
+      val streamed = spark.table("cm_screen")
+        .filter(col("hour") < Timestamp.valueOf("2023-01-01 12:00:00"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      assert(streamed === batch)
+      // the emitted shard folds into the batch whole-stream sketch
+      val folded = graft.operators.Profile.cmMerge(
+        spark.table("cm_screen")
+          .filter(col("hour") < Timestamp.valueOf("2023-01-01 12:00:00"))
+          .select("rw", "bucket", "c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val whole = graft.operators.Profile.cmSketch(
+        spark.createDataFrame(rows).toDF("doc_id", "text", "ts")
+          .select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(col("text"), " "))
+            .as("token")), 3, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(folded === whole)
+    } finally query.stop()
+  }
+
   test("stream-static substring screen emits anchor alignments") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
