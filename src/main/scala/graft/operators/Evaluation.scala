@@ -55,13 +55,18 @@ object Evaluation {
     val disc = ndcgDiscounts(k)
     val idcg = disc.scanLeft(0L)(_ + _).tail // ideal prefix sums
     val tn = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // both join sides are metric-sized (≤ k rows per query) by the
+    // input contract, but they share lineage with the corpus-sized
+    // ranker plans, so Catalyst can't see that — hint the broadcasts
+    // (qrels probe-side, per-query aggregate build-side) or both
+    // joins fall back to corpus-lineage sort-merges.
     val matched = ranked.filter(col("rank") <= k)
-      .join(truth, Seq("query_id", "neighbor_id"))
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("hits"), min("rank").as("first_rank"),
         sum(element_at(array(disc.map(lit): _*),
           col("rank").cast("int"))).as("dcg"))
-    tn.join(matched, Seq("query_id"), "left")
+    tn.join(broadcast(matched), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         call_function("div",

@@ -125,6 +125,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       plans("sim_mmr_rerank").take(800))
   }
 
+  test("count-min: sketch probes broadcast; stream shard is join-free") {
+    // the estimate leg probes the <= depth*width-row sketch and the
+    // exact gate as broadcasts — a sort-merge here would shuffle the
+    // candidate fan-out on corpus lineage
+    val hh = plans("profile_cm_heavy")
+    assert(hh.contains("BroadcastHashJoin"), hh.take(800))
+    assert(!hh.contains("SortMergeJoin"), hh.take(800))
+    assert(hh.contains("TakeOrderedAndProject"), hh.take(800))
+    // the streaming shard twin folds cells with no join at all
+    assert(!plans("stream_cm_screen").contains("Join"),
+      plans("stream_cm_screen").take(800))
+  }
+
+  test("retrieval metrics: metric-sized joins broadcast (no corpus-lineage sort-merge)") {
+    // tn/matched are <= k rows per query by contract but share
+    // lineage with the rankers — the hints in retrievalMetrics keep
+    // them off SortMergeJoin (7 -> 4 exchanges when caught)
+    assert(!plans("eval_retrieval_metrics").contains("SortMergeJoin"),
+      plans("eval_retrieval_metrics").take(800))
+  }
+
   test("codec fixture queries are map-only up to the output sort") {
     // pure-JVM codecs run per-row in mapPartitions: the ONLY exchange
     // each plan may carry is the deterministic output orderBy
