@@ -175,7 +175,14 @@ object ScalingBench {
       // round 13 late additions (sim_mmr_rerank queries fixed at
       // vec_id < 20; the sampling pair scans every doc once and keeps
       // bounded heaps)
-      "sim_mmr_rerank", "curation_weighted_sample", "stream_sample_screen")
+      "sim_mmr_rerank", "curation_weighted_sample", "stream_sample_screen",
+      // round 13 latest: the CM pair should be ~linear (one scan onto
+      // a fixed grid; profile_cm_heavy's exact-count gate leg is the
+      // vocabulary groupBy it exists to avoid — the pair's DELTA is
+      // the evidence); eval_retrieval_metrics' queries are fixed at
+      // vec_id < 50 (replica 0) while its brute-force truth leg scans
+      // the growing corpus per query
+      "profile_cm_heavy", "stream_cm_screen", "eval_retrieval_metrics")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
