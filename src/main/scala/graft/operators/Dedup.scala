@@ -55,6 +55,29 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies", "text_hash")
 
+  /** Band-geometry selection for MinHash LSH — the S-curve tuner
+    * (Leskovec/Rajaraman/Ullman, MMDS ch. 3): with b bands of r rows
+    * (b·r = n hashes), P(candidate | Jaccard = s) = 1 − (1 − s^r)^b,
+    * whose inflection threshold sits at ≈ (1/b)^(1/r). Returns the
+    * divisor pair (bands, rowsPerBand) whose threshold lands closest
+    * to the target, tie-broken toward MORE bands (banding errs toward
+    * recall: a false candidate costs one verify, a false negative is
+    * an undetected duplicate forever). A MODEL CONSTANT computed once
+    * on the driver — the shipped 4×2 geometry is exactly
+    * `tuneBands(8, 0.5)`, pinned in DedupSpec so signature width and
+    * default threshold can't drift apart silently.
+    */
+  def tuneBands(nHashes: Int, threshold: Double): (Int, Int) = {
+    require(nHashes >= 1, s"nHashes must be >= 1, got $nHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    (1 to nHashes).filter(nHashes % _ == 0)
+      .map(b => (b, nHashes / b))
+      .minBy { case (b, r) =>
+        (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+      }
+  }
+
   /** Per-doc MinHash band keys (k=8 signature, 4 bands × 2 rows) over
     * word-2-gram shingles. This is the map-side half of LSH dedup; it's
     * also a useful artifact on its own (signatures can be stored and

@@ -119,4 +119,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sigs.values.flatten.forall(b =>
       b >= 0 && b < 1000000007L * 1000003L + 1000000007L))
   }
+
+  test("tuneBands: S-curve optimum pins the shipped 4x2 geometry") {
+    // (1/b)^(1/r) at n=8: (1,8)=1.00 (2,4)=.84 (4,2)=.50 (8,1)=.125
+    assert(Dedup.tuneBands(8, 0.5) === ((4, 2)))
+    assert(Dedup.tuneBands(8, 0.8) === ((2, 4)))
+    assert(Dedup.tuneBands(8, 0.12) === ((8, 1)))
+    // geometry laws: b·r == n; target↑ never ADDS bands (monotone
+    // trade of recall for precision); equidistant ties take more bands
+    for (n <- Seq(8, 12, 16, 64); t <- 1 to 19) {
+      val (b, r) = Dedup.tuneBands(n, t / 20.0)
+      assert(b * r === n, s"n=$n t=$t")
+    }
+    val bandsAt = (1 to 19).map(t => Dedup.tuneBands(16, t / 20.0)._1)
+    assert(bandsAt === bandsAt.sorted.reverse, s"non-monotone: $bandsAt")
+    intercept[IllegalArgumentException](Dedup.tuneBands(8, 0.0))
+    intercept[IllegalArgumentException](Dedup.tuneBands(0, 0.5))
+  }
 }
