@@ -182,6 +182,53 @@ object ExtraAnalogs {
     */
   private def dWordHash60(w: String) = s"('0x' || substr(md5($w),1,15))::BIGINT"
 
+  /** Shared metric tail of the retrieval graders
+    * (Evaluation.retrievalMetrics at k=10): expects `e(vec_id, emb,
+    * norm)` and an approx-ranked CTE `approx(query_id, neighbor_id,
+    * rnk)` already defined upstream; appends the brute-force cosine
+    * truth (top-10 per query over `e`, vec_id < 50) and the
+    * integer-exact hits/recall/RR/nDCG select — discount and ideal-DCG
+    * tables are the driver-computed `ndcgDiscounts` MODEL CONSTANTS
+    * inlined as literals, identical to the Spark side's.
+    */
+  private def dMetricsTail(approx: String): String = {
+    val disc = graft.operators.Evaluation.ndcgDiscounts(10)
+    val idcg = disc.scanLeft(0L)(_ + _).tail
+    val dl = disc.mkString("[", ", ", "]")
+    val il = idcg.mkString("[", ", ", "]")
+    s"""bq AS (SELECT vec_id, emb, norm FROM e WHERE vec_id < 50),
+      |bp AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+      |           AS sim
+      |  FROM bq q JOIN e c ON q.vec_id <> c.vec_id
+      |), br AS (
+      |  SELECT query_id, neighbor_id, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM bp
+      |), truth AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 10),
+      |tn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      |       FROM truth GROUP BY 1),
+      |mh AS (
+      |  SELECT l.query_id, CAST(count(*) AS BIGINT) AS hits,
+      |    CAST(min(l.rnk) AS BIGINT) AS first_rank,
+      |    CAST(sum(($dl)[CAST(l.rnk AS INTEGER)]) AS BIGINT) AS dcg
+      |  FROM (SELECT * FROM $approx WHERE rnk <= 10) l
+      |  JOIN truth t ON t.query_id = l.query_id
+      |    AND t.neighbor_id = l.neighbor_id
+      |  GROUP BY 1)
+      |SELECT tn.query_id,
+      |  COALESCE(hits, 0) AS hits,
+      |  (COALESCE(hits, 0) * 10000) // n_rel AS recall_pm,
+      |  COALESCE(1000000 // first_rank, 0) AS rr_micro,
+      |  CASE WHEN COALESCE(dcg, 0) > 0
+      |    THEN (dcg * 10000) //
+      |      (($il)[CAST(least(n_rel, 10) AS INTEGER)])
+      |    ELSE 0 END AS ndcg_pm
+      |FROM tn LEFT JOIN mh ON mh.query_id = tn.query_id
+      |ORDER BY tn.query_id""".stripMargin
+  }
+
   /** Per-bit majority CASE chain — the SimhashFold semantics at the
     * 60-bit width (bit b set iff strictly more hashes carry it).
     */
@@ -1761,56 +1808,62 @@ object ExtraAnalogs {
             .select("query_id", "neighbor_id"),
           k = 10)
       },
-      Some {
-        val disc = graft.operators.Evaluation.ndcgDiscounts(10)
-        val idcg = disc.scanLeft(0L)(_ + _).tail
-        val dl = disc.mkString("[", ", ", "]")
-        val il = idcg.mkString("[", ", ", "]")
-        s"""WITH $dLshPrefix,
-          |${dProbes("qp", " AND q.vec_id < 50")},
-          |lp AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
-          |           AS sim
-          |  FROM qp q JOIN bkt c
-          |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-          |), lrk AS (
-          |  SELECT query_id, neighbor_id, row_number() OVER
-          |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-          |  FROM lp
-          |),
-          |bq AS (SELECT vec_id, emb, norm FROM e WHERE vec_id < 50),
-          |bp AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
-          |           AS sim
-          |  FROM bq q JOIN e c ON q.vec_id <> c.vec_id
-          |), br AS (
-          |  SELECT query_id, neighbor_id, row_number() OVER
-          |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-          |  FROM bp
-          |), truth AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 10),
-          |tn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
-          |       FROM truth GROUP BY 1),
-          |mh AS (
-          |  SELECT l.query_id, CAST(count(*) AS BIGINT) AS hits,
-          |    CAST(min(l.rnk) AS BIGINT) AS first_rank,
-          |    CAST(sum(($dl)[CAST(l.rnk AS INTEGER)]) AS BIGINT) AS dcg
-          |  FROM (SELECT * FROM lrk WHERE rnk <= 10) l
-          |  JOIN truth t ON t.query_id = l.query_id
-          |    AND t.neighbor_id = l.neighbor_id
-          |  GROUP BY 1)
-          |SELECT tn.query_id,
-          |  COALESCE(hits, 0) AS hits,
-          |  (COALESCE(hits, 0) * 10000) // n_rel AS recall_pm,
-          |  COALESCE(1000000 // first_rank, 0) AS rr_micro,
-          |  CASE WHEN COALESCE(dcg, 0) > 0
-          |    THEN (dcg * 10000) //
-          |      (($il)[CAST(least(n_rel, 10) AS INTEGER)])
-          |    ELSE 0 END AS ndcg_pm
-          |FROM tn LEFT JOIN mh ON mh.query_id = tn.query_id
-          |ORDER BY tn.query_id""".stripMargin
-      }),
+      Some(s"""WITH $dLshPrefix,
+        |${dProbes("qp", " AND q.vec_id < 50")},
+        |lp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+        |           AS sim
+        |  FROM qp q JOIN bkt c
+        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |), lrk AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM lp
+        |),
+        |${dMetricsTail("lrk")}""".stripMargin)),
+
+    // The same grader pointed at the COMPRESSED-DOMAIN ranker: the
+    // IVF-PQ top-10 (routing loss × quantization loss — exactly the
+    // compounding the recall gate exists for) against the exact
+    // brute-force truth, through the identical integer metric tail —
+    // so the scale-path ANN's quality is hash-gated end-to-end, not
+    // only law-tested (LshRecallSpec) or argued from plan shape. The
+    // oracle reuses the sim_ivfpq_topk training chain verbatim
+    // (dKmCellsCte + dPqCte), so the graded ranking is byte-identical
+    // to the standalone ranker's.
+    Q("eval_ivfpq_metrics",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Evaluation.retrievalMetrics(
+          Similarity.ivfPqTopK(e, 50, 10),
+          Similarity.bruteForceTopK(e, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |$dPqCte,
+        |cds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |cor AS (SELECT c.vec_id, c.cell, x.sub, x.cent_id
+        |        FROM cells c JOIN cds x USING (vec_id)),
+        |qp AS (SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |       FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
+        |qd AS (SELECT vec_id AS query_id, sub, cent_id, dist
+        |       FROM pqa30 WHERE vec_id < 50),
+        |adc AS (
+        |  SELECT qp.query_id, cor.vec_id AS neighbor_id,
+        |         CAST(sum(qd.dist) AS BIGINT) AS adc
+        |  FROM qp JOIN cor ON cor.cell = qp.cell
+        |    AND cor.vec_id <> qp.query_id
+        |  JOIN qd ON qd.query_id = qp.query_id AND qd.sub = cor.sub
+        |    AND qd.cent_id = cor.cent_id
+        |  GROUP BY 1, 2
+        |), ar AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |  FROM adc
+        |),
+        |${dMetricsTail("ar")}""".stripMargin)),
 
     // Per-doc quality metrics + composite score.
     //
