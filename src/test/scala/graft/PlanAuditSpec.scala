@@ -142,8 +142,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // tn/matched are <= k rows per query by contract but share
     // lineage with the rankers — the hints in retrievalMetrics keep
     // them off SortMergeJoin (7 -> 4 exchanges when caught)
-    assert(!plans("eval_retrieval_metrics").contains("SortMergeJoin"),
-      plans("eval_retrieval_metrics").take(800))
+    Seq("eval_retrieval_metrics", "eval_ivfpq_metrics").foreach { q =>
+      assert(!plans(q).contains("SortMergeJoin"),
+        s"$q:\n${plans(q).take(800)}")
+    }
   }
 
   test("codec fixture queries are map-only up to the output sort") {
