@@ -2305,6 +2305,71 @@ object ExtraAnalogs {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Leakage-safe split: assignment by NEAR-DUP CLUSTER, not by doc —
+    // every member of a minhash connected component follows its
+    // canonical representative's content hash, so a near-dup pair can
+    // never straddle train/test (pipeline_split's per-doc hash lets
+    // ~10% of every dup pair leak the benchmark side's answer into
+    // training). Oracle composes the dedup_clusters RECURSIVE
+    // reachability chain with the pipeline_split bucket arithmetic
+    // applied to the REPRESENTATIVE's text.
+    Q("pipeline_split_leakfree",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.splitLeakFree(docs,
+          Dedup.clusters(docs, Dedup.minhashPairs(docs)))
+      },
+      Some {
+        val bandJoin = (0 until 4).map { b =>
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM sig a JOIN sig b
+             |  ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
+        }.mkString("\n  UNION\n")
+        val bandCols = (0 until 4)
+          .map(b => s"${dBand("hs", b)} AS band$b").mkString(", ")
+        s"""WITH RECURSIVE $tokCte, $shCte, $hsCte,
+        |sig AS (SELECT doc_id, $bandCols FROM hsc),
+        |cand AS (
+        |  $bandJoin
+        |),
+        |verified AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT c.doc_a, c.doc_b,
+        |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+        |             AS jaccard
+        |    FROM cand c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b
+        |  ) WHERE jaccard >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM verified
+        |  UNION ALL SELECT doc_b, doc_a FROM verified
+        |),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e
+        |    ON e.src = reach.doc_id
+        |),
+        |cl AS (
+        |  SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY 1
+        |),
+        |rb AS (
+        |  SELECT doc_id AS cluster_id,
+        |    ('0x' || substr(md5(text),1,8))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT cl.doc_id, cl.cluster_id, rb.bucket,
+        |  CASE WHEN rb.bucket < 90 THEN 'train'
+        |       WHEN rb.bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM cl JOIN rb USING (cluster_id)
+        |ORDER BY cl.doc_id""".stripMargin
+      }),
+
     // Multimodal metadata extraction over a binary payload column
     // (payload synthesized as utf8 bytes of text; the plumbing — binary
     // schema, magic sniffing, hash-derived dims — is what's exercised).

@@ -461,6 +461,32 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe split: assignment by NEAR-DUP CLUSTER, not by doc.
+    * [[split]]'s per-doc content hash puts two near-duplicate (but not
+    * byte-identical) docs in independent buckets — ~10% of every dup
+    * pair straddles train/test, and the benchmark answer is in the
+    * training set. Here every member of a connected component follows
+    * its canonical representative's content hash ([[graft.operators
+    * .Dedup.clusters]]' min-doc_id survivor), so a near-dup pair can
+    * never split across sides — the contamination-by-construction
+    * guard a benchmark-bearing corpus needs (law-pinned in
+    * CurationSpec: every cluster is split-homogeneous).
+    *
+    * Scale shape: the representative's bucket frame is one projection
+    * of the corpus joined to the cluster map on cluster_id — a single
+    * equi-join shuffle; no pairwise work beyond what the cluster map
+    * already paid.
+    */
+  def splitLeakFree(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val repBucket = docs.select(col("doc_id").as("cluster_id"),
+      (wordHash(col("text")) % 100).as("bucket"))
+    clusters.join(repBucket, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"),
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic training-order shuffle + shard assignment — the
     * last step before a training run reads the corpus: every doc gets
     * a pseudo-random but reproducible (shard, pos) coordinate, so 1000

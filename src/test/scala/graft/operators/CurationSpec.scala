@@ -267,6 +267,35 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(m(0L) === m(1L))
   }
 
+  test("splitLeakFree: clusters are split-homogeneous, singletons match split()") {
+    val s = spark; import s.implicits._
+    // 0-1-2 one near-dup chain, 3 a singleton, 4-5 byte-identical
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val frame = Seq(
+      (0L, base), (1L, base + " mu"), (2L, base + " nu"),
+      (3L, "completely different text with other words entirely here"),
+      (4L, "twin text payload"), (5L, "twin text payload"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.clusters(frame, Dedup.minhashPairs(frame))
+    val got = Curation.splitLeakFree(frame, clusters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    // law: every member of a cluster carries the cluster's split
+    assert(got.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1))
+    // dup chain stays together; twins stay together
+    assert(got(0L)._2 === got(1L)._2 && got(1L)._2 === got(2L)._2)
+    assert(got(4L)._2 === got(5L)._2)
+    // a singleton's assignment equals the plain per-doc split
+    val plain = Curation.split(frame).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(3L)._2 === plain(3L))
+    // order-insensitivity (content-hash determinism end to end)
+    val again = Curation.splitLeakFree(
+      frame.orderBy(org.apache.spark.sql.functions.rand(3)),
+      clusters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(again === got)
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged") {
     val old = spark.createDataFrame(Seq(
       (1L, "same text"), (2L, "will change"), (3L, "will vanish")))
