@@ -2080,6 +2080,36 @@ object ExtraAnalogs {
         """SELECT doc_id, n_tok AS bpe_tokens
         |FROM bpedoc ORDER BY doc_id""".stripMargin)),
 
+    // Tokenizer fertility per language — the standard tokenizer-eval
+    // metric (BPE tokens per whitespace word, per-myriad truncating):
+    // a vocabulary trained on one language mix tokenizes
+    // out-of-distribution languages into more, shorter pieces, and
+    // this is the aggregate that shows it. One corpus scan (the
+    // native BpeCount expression per doc) into a |lang|-row
+    // aggregate; the oracle composes the same recursive BPE CTE with
+    // the ratio arithmetic.
+    Q("text_bpe_fertility",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          graft.expressions.BpeExpressions.bpeCount(col("text"))
+            .as("n_tok"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"), sum("n_tok").as("n_tok"),
+          call_function("div", sum(col("n_tok")) * lit(10000L),
+            sum(col("n_words"))).as("fertility_pm"))
+        .orderBy("lang"),
+      Some(s"WITH RECURSIVE $dBpeCte\n" +
+        """SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+        |  CAST(sum(b.n_tok) AS BIGINT) AS n_tok,
+        |  (CAST(sum(b.n_tok) AS BIGINT) * 10000) //
+        |    CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+        |    AS fertility_pm
+        |FROM documents d JOIN bpedoc b USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // BPE merge TRAINING (Sennrich 2016 — the learn half of the BPE
     // story; text_bpe_count applies a fixed public table). The oracle
     // UNROLLS the 64 greedy iterations as chained CTEs (the Lloyd

@@ -44,4 +44,21 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     // rank 10 → [jo,in] → (jo,in) rank 11 → [join] → 1 token
     assert(got === Seq((0L, 5L), (1L, 0L), (2L, 2L)))
   }
+
+  test("fertility aggregate: per-myriad tokens-per-word, hand values") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // 'join join' -> 2 BPE tokens over 2 words (fertility 10000);
+    // 'vector orderkey' -> 5 tokens over 2 words (25000); one lang each
+    val got = Seq(("aa", "join join"), ("bb", "vector orderkey"))
+      .toDF("lang", "text")
+      .select($"lang", BpeExpressions.bpeCount($"text").as("n_tok"),
+        size(split($"text", " ")).cast("long").as("n_words"))
+      .groupBy("lang")
+      .agg(call_function("div", sum($"n_tok") * lit(10000L),
+        sum($"n_words")).as("fertility_pm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("aa" -> 10000L, "bb" -> 25000L))
+  }
 }
