@@ -1282,6 +1282,44 @@ object ExtraAnalogs {
     // prefixes (dKmCellsCte + dPqCte — CTE namespaces are disjoint)
     // so router, codebook, and scoring cannot drift from the
     // standalone sim_ivf_topk / sim_pq_topk oracles.
+    // Embedding-space health: the random-pair cosine distribution
+    // (collapse/anisotropy diagnostic — healthy unit embeddings pair
+    // near cos 0, sd ≈ 1/√d; a collapsed space piles mass high).
+    // One deterministic hash partner per vector (wordHash60 mod n) so
+    // the diagnostic is one equi-join, never pairwise; 10 fixed
+    // buckets over [−1, 1], integer-exact counts/means/shares (the
+    // mean divides the SHIFTED nonnegative sum — floor == truncate in
+    // both engines — then unshifts).
+    Q("emb_health",
+      (s, d) => Similarity.embHealth(Tables.embeddings(s, d)),
+      Some(s"""WITH e0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm
+        |      FROM e0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |pr AS (
+        |  SELECT a.vec_id AS aid,
+        |    ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % nn.n AS p
+        |  FROM e a, nn),
+        |sims AS (
+        |  SELECT CAST(round(round(${dDot("a.emb", "b.emb")}
+        |      / (a.norm * b.norm), 6) * 1000000) AS BIGINT) AS cmicro
+        |  FROM pr JOIN e a ON a.vec_id = pr.aid
+        |  JOIN e b ON b.vec_id = pr.p
+        |  WHERE pr.p <> pr.aid),
+        |pb AS (
+        |  SELECT CAST(least(9, (cmicro + 1000000) // 200000) AS BIGINT)
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    (CAST(sum(cmicro + 1000000) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT)) - 1000000 AS mean_cmicro
+        |  FROM sims GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM pb)
+        |SELECT bucket, n_pairs, mean_cmicro,
+        |  (n_pairs * 10000) // n_total AS share_pm
+        |FROM pb, tt ORDER BY bucket""".stripMargin)),
+
     Q("sim_ivfpq_topk",
       (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d)),
       Some(s"""WITH ${dKmCellsCte("8")},

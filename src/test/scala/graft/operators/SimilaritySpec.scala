@@ -15,6 +15,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     (3L, Seq(-1f, 0f, 0f, 0f), 1)))
     .toDF("vec_id", "embedding", "label")
 
+  test("embHealth: orthonormal corpus lands entirely in the cos-0 bucket") {
+    val s = spark; import s.implicits._
+    // 8 orthonormal basis vectors: every cross pair has cosine 0 —
+    // whatever partner the hash draws, the profile is ONE bucket-5
+    // row with mean 0 and full share
+    val ortho = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i) 1f else 0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.embHealth(ortho).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 1)
+    val (bucket, nPairs, mean, share) = got.head
+    assert(bucket === 5L && mean === 0L && share === 10000L)
+    assert(nPairs >= 1L && nPairs <= 8L) // self-partners dropped
+  }
+
+  test("embHealth: aligned/opposed corpus splits across the edge buckets") {
+    val s = spark; import s.implicits._
+    // only ±e0: every cross pair has cosine ±1 → buckets {0, 9} only,
+    // means exactly ∓10⁶, shares sum to ≤ 10000 (truncating div)
+    val polar = (0 until 10).map { i =>
+      (i.toLong, Seq(if (i % 2 == 0) 1f else -1f, 0f, 0f, 0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.embHealth(polar).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet.subsetOf(Set(0L, 9L)))
+    got.foreach { case (b, mean, _) =>
+      assert(mean === (if (b == 0L) -1000000L else 1000000L))
+    }
+    assert(got.map(_._3).sum <= 10000L)
+  }
+
   test("cosine: identical=1, orthogonal=0, opposite=-1") {
     val sims = embs.alias("a").crossJoin(embs.alias("b"))
       .filter(col("a.vec_id") === 0)
