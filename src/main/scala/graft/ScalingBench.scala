@@ -182,7 +182,11 @@ object ScalingBench {
       // the evidence); eval_retrieval_metrics' queries are fixed at
       // vec_id < 50 (replica 0) while its brute-force truth leg scans
       // the growing corpus per query
-      "profile_cm_heavy", "stream_cm_screen", "eval_retrieval_metrics")
+      "profile_cm_heavy", "stream_cm_screen", "eval_retrieval_metrics",
+      // round 13 closers: leak-free split = the clusters curve plus
+      // one rep-bucket equi-join; fertility and emb_health are one
+      // scan / one partner join — all expected ~linear
+      "pipeline_split_leakfree", "text_bpe_fertility", "emb_health")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

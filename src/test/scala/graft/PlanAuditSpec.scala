@@ -148,6 +148,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("round-13 closers: fertility join-free, split/health never sort-merge") {
+    assert(!plans("text_bpe_fertility").contains("Join"),
+      plans("text_bpe_fertility").take(800))
+    Seq("pipeline_split_leakfree", "emb_health").foreach { q =>
+      assert(!plans(q).contains("SortMergeJoin"),
+        s"$q:\n${plans(q).take(800)}")
+    }
+  }
+
   test("codec fixture queries are map-only up to the output sort") {
     // pure-JVM codecs run per-row in mapPartitions: the ONLY exchange
     // each plan may carry is the deterministic output orderBy
