@@ -186,7 +186,16 @@ object ScalingBench {
       // round 13 closers: leak-free split = the clusters curve plus
       // one rep-bucket equi-join; fertility and emb_health are one
       // scan / one partner join — all expected ~linear
-      "pipeline_split_leakfree", "text_bpe_fertility", "emb_health")
+      "pipeline_split_leakfree", "text_bpe_fertility", "emb_health",
+      // round 13 sketch closers: the per-source heap cap should be
+      // ~linear (one scan, map-side heaps, shuffle carries ≤ 40
+      // entries per source; source count grows with the corpus by
+      // construction, keeping the heap frame sketch-sized). The
+      // histogram pair (profile_hist_quantiles / stream_hist_screen)
+      // reads EVENTS, which the scaled corpora don't replicate —
+      // layout_zorder's exclusion rationale — and its shape is one
+      // scan onto a ≤ bins-cell grid, nothing to curve.
+      "curation_source_cap")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -600,6 +600,73 @@ object CoreAnalogs {
         |FROM tt CROSS JOIN js GROUP BY 1, 2, 3
         |ORDER BY hour, rw, bucket""".stripMargin)),
 
+    // Mergeable histogram quantiles — the RANK leg of the mergeable-
+    // sketch contract (profile_merge: distincts, profile_cm_heavy:
+    // frequencies): each half of the corpus folds into its own sparse
+    // equi-width grid (Profile.histSketch, ≤ 100 cells per event_type),
+    // histMerge adds the shards cell-wise, and histQuantiles resolves
+    // p50/p90/p99 to exact bin upper edges — always >= the true
+    // quantile, within one step of it, and INTEGER, so both engines
+    // agree on the estimate itself. stats_quantiles' exact path must
+    // globally sort the column; this is the one-scan sketch path a
+    // 100 TB latency dashboard actually runs (the oracle sketches the
+    // whole stream at once — cells are sums, so the two-shard merge is
+    // definitionally the same grid).
+    Q("profile_hist_quantiles",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val shard = (r: Long) => graft.operators.Profile.histSketch(
+          ev.filter(col("event_id") % 2 === r), "event_type", "value",
+          lo = 0L, step = 5L, bins = 100)
+        graft.operators.Profile.histQuantiles(
+          graft.operators.Profile.histMerge(shard(0L).union(shard(1L))),
+          lo = 0L, step = 5L,
+          Seq("p50" -> 5000, "p90" -> 9000, "p99" -> 9900))
+          .orderBy("key")
+      },
+      Some("""WITH h AS (
+        |  SELECT event_type AS key,
+        |    least(99, greatest(0, CAST(floor((value - 0.0) / 5.0) AS BIGINT)))
+        |      AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT key, sum(c) AS n FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT key, bin, c,
+        |    sum(c) OVER (PARTITION BY key ORDER BY bin) AS cum
+        |  FROM h)
+        |SELECT cum.key AS key, CAST(n.n AS BIGINT) AS n,
+        |  CAST((min(CASE WHEN cum >= (5000*n.n+9999)//10000 THEN bin END)+1)*5
+        |    AS BIGINT) AS p50,
+        |  CAST((min(CASE WHEN cum >= (9000*n.n+9999)//10000 THEN bin END)+1)*5
+        |    AS BIGINT) AS p90,
+        |  CAST((min(CASE WHEN cum >= (9900*n.n+9999)//10000 THEN bin END)+1)*5
+        |    AS BIGINT) AS p99
+        |FROM cum JOIN n USING (key)
+        |GROUP BY cum.key, n.n ORDER BY key""".stripMargin)),
+
+    // Batch twin of the streaming histogram screen
+    // (graft.streaming.EventStreams.histScreen): each event-time hour
+    // publishes its value-distribution SKETCH shard — (bin, c) cells
+    // over the shared Profile.histBin grid — so any window range folds
+    // with histMerge and resolves percentiles with histQuantiles
+    // without replaying the stream. Cells are sums: the shard is
+    // hash-identical under any micro-batch boundary (streaming-vs-
+    // batch equality law-tested in EventStreamsSpec; the hash gate
+    // here pins the cell VALUES).
+    Q("stream_hist_screen",
+      (s, d) => graft.streaming.EventStreams.histScreen(
+          Tables.events(s, d).select(col("ts"), col("value")))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("bin"), col("c"))
+        .orderBy("hour", "bin"),
+      Some("""SELECT strftime(date_trunc('hour', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS hour,
+        |  least(99, greatest(0, CAST(floor((value - 0.0) / 5.0) AS BIGINT)))
+        |    AS bin,
+        |  CAST(count(*) AS BIGINT) AS c
+        |FROM events GROUP BY 1, 2 ORDER BY hour, bin""".stripMargin)),
+
     // Exact quantiles (sorted interpolation — identical definition in
     // both engines; no sketches, so values hash-match).
     Q("stats_quantiles",

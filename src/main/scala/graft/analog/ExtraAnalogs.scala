@@ -547,6 +547,14 @@ object ExtraAnalogs {
 
   private[analog] val stopEn = TextFunctions.langMarkers.head._2
 
+  /** Curation.qualityExpr replayed over the tok CTE's `w` column —
+    * the one definition the curate/cap oracles share.
+    */
+  private[analog] lazy val dQuality: String =
+    "round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)" +
+      " + 0.3::DOUBLE * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT))" +
+      s" + 0.2::DOUBLE * (CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6)"
+
   // ---- queries -----------------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -2284,9 +2292,7 @@ object ExtraAnalogs {
       (s, d) => Curation.curate(Tables.documents(s, d))
         .repartition(1).sortWithinPartitions("doc_id"),
       Some {
-        val q = "round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)" +
-          " + 0.3::DOUBLE * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT))" +
-          s" + 0.2::DOUBLE * (CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6)"
+        val q = dQuality
         s"""WITH $tokCte, g AS (
         |  SELECT doc_id, text, w,
         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
@@ -2304,6 +2310,28 @@ object ExtraAnalogs {
         |FROM g ORDER BY doc_id""".stripMargin
       }),
 
+    // Per-source quota cap (the RefinedWeb/FineWeb over-represented-
+    // domain guard): the best 40 docs per source by the curate quality
+    // score, ranked through the bounded-heap top_k aggregate — map
+    // tasks reduce to 40-element heaps per source, the shuffle carries
+    // heap entries, never the corpus (the window row_number the oracle
+    // replays would sort every row of every source). Tie-break
+    // quality desc, doc_id asc — the heap's zero-padded-label order.
+    Q("curation_source_cap",
+      (s, d) => Curation.capPerSource(Tables.documents(s, d), 40)
+        .orderBy("source", "rank"),
+      Some {
+        s"""WITH $tokCte, q AS (
+        |  SELECT source, doc_id, $dQuality AS quality FROM tok),
+        |r AS (
+        |  SELECT source, doc_id, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS rank
+        |  FROM q)
+        |SELECT source, doc_id, quality, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 40 ORDER BY source, rank""".stripMargin
+      }),
+
     // The FULL curation pipeline composed into one verdict frame:
     // exact dedup + 3-gram benchmark decontamination (bench = every
     // 50th doc, train = the rest, as in decontam_hits) + quality +
@@ -2319,9 +2347,7 @@ object ExtraAnalogs {
           .repartition(1).sortWithinPartitions("doc_id")
       },
       Some {
-        val q = "round(0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 50.0::DOUBLE)" +
-          " + 0.3::DOUBLE * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT))" +
-          s" + 0.2::DOUBLE * (CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6)"
+        val q = dQuality
         val rep = "round(CASE WHEN len(w) - 1 > 0 THEN 1.0 - " +
           "CAST(len(list_distinct(list_transform(range(1, len(w)), " +
           "i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) " +

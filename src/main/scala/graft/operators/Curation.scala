@@ -502,6 +502,38 @@ object Curation {
     * Hash-of-id, so the permutation is stable across reruns, engines,
     * and upstream re-shards.
     */
+  /** Per-source quota cap — the over-represented-domain guard
+    * (RefinedWeb/FineWeb keep a bounded number of pages per domain so
+    * one crawl-heavy site cannot dominate the mixture): keep the
+    * `perSource` best documents of each source by the curation quality
+    * score, quality desc, doc_id asc on ties.
+    *
+    * Scale shape: a window row_number would shuffle AND SORT the whole
+    * corpus per source; the bounded-heap top_k aggregate gets map-side
+    * partial aggregation — each task reduces its slice to a
+    * perSource-element heap per source, the shuffle carries ≤ perSource
+    * entries per source per partition, and merge folds heaps. At
+    * 100 TB with a bounded source set that is the difference between
+    * shuffling the corpus and shuffling kilobytes. Labels are
+    * zero-padded doc_ids so the heap's lexicographic tie-break IS the
+    * numeric one ([[sampleWeighted]]'s convention).
+    */
+  def capPerSource(docs: DataFrame, perSource: Int): DataFrame = {
+    require(perSource >= 1, s"perSource must be >= 1, got $perSource")
+    docs
+      .withColumn("_w", tokens(col("text")))
+      .select(col("source"), col("doc_id"),
+        qualityExpr(col("_w")).as("quality"))
+      .groupBy("source")
+      .agg(graft.expressions.TopKAgg.topK(
+        col("quality"), format_string("%012d", col("doc_id")),
+        perSource).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.label").cast("long").as("doc_id"),
+        col("t.score").as("quality"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   def shardOrder(docs: DataFrame, nShards: Int = 16): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val h = wordHash60(col("doc_id").cast("string"))

@@ -199,6 +199,86 @@ object Profile {
       .groupBy("token")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
+  /** Equi-width bin index for one value: floor((v − lo)/step), clamped
+    * into [0, bins−1] so out-of-range values land in the edge bins
+    * instead of growing the grid. One double subtraction and division
+    * against integer literals — the identical IEEE ops replay
+    * bit-for-bit in the oracle, so bin assignment is engine-exact.
+    * Shared by the batch sketch and the streaming screen
+    * ([[graft.streaming.EventStreams.histScreen]]) so the two cannot
+    * drift.
+    */
+  private[graft] def histBin(v: Column, lo: Long, step: Long,
+      bins: Int): Column =
+    least(lit(bins - 1L), greatest(lit(0L),
+      floor((v.cast("double") - lit(lo.toDouble)) / lit(step.toDouble))
+        .cast("long")))
+
+  /** Mergeable equi-width histogram sketch of a numeric column, one
+    * grid per `key` value: sparse (key, bin, c) rows, at most
+    * `bins` per key whatever the corpus size.
+    *
+    * This is the RANK counterpart of [[cmSketch]]'s frequency leg and
+    * [[shardProfile]]'s HLL leg: every cell is a SUM, so the sketch is
+    * order-independent (hash-exact under any plan) and shard sketches
+    * fold by cell-wise addition ([[histMerge]]) without rescanning a
+    * byte. [[exactQuantiles]] needs a global per-group SORT — a full
+    * shuffle of the 100 TB column; the histogram path is one scan with
+    * map-side partial aggregation onto ≤ bins keys per group, then a
+    * shuffle of sketch-sized partials, at the cost of quantiles
+    * resolved to a bin edge (error ≤ step, one-sided — see
+    * [[histQuantiles]]).
+    */
+  def histSketch(df: DataFrame, key: String, value: String,
+      lo: Long, step: Long, bins: Int): DataFrame = {
+    require(step >= 1 && bins >= 2,
+      s"need step >= 1, bins >= 2, got $step/$bins")
+    df.select(col(key).as("key"),
+        histBin(col(value), lo, step, bins).as("bin"))
+      .groupBy("key", "bin").agg(count(lit(1)).as("c"))
+  }
+
+  /** Cell-wise fold of shard sketches from [[histSketch]] (sparse
+    * union in, sparse sum out) — the merge leg of the mergeable-sketch
+    * contract: hist(A ⊎ B) == histMerge(hist(A) ∪ hist(B)), law-tested
+    * in ProfileHistSpec.
+    */
+  def histMerge(shards: DataFrame): DataFrame =
+    shards.groupBy("key", "bin").agg(sum("c").as("c"))
+
+  /** Approximate quantiles from a [[histSketch]]: for rank fraction
+    * q (in permyriad), the estimate is the UPPER EDGE of the first bin
+    * whose cumulative count reaches rank ⌈q·n/10⁴⌉ — always ≥ the true
+    * type-1 (lower empirical) quantile, and within one `step` of it
+    * when the value range is covered, the histogram analogue of
+    * [[cmEstimate]]'s one-sided guarantee. All arithmetic integer
+    * (rank via positive `div`, edge = lo + (bin+1)·step), so both
+    * engines agree on the exact estimate, not just its error band.
+    *
+    * Scale shape: the cumulative window sorts the SKETCH (≤ |keys|·bins
+    * rows), never the corpus — the corpus was consumed by
+    * [[histSketch]]'s one aggregated scan.
+    */
+  def histQuantiles(sketch: DataFrame, lo: Long, step: Long,
+      qs: Seq[(String, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 1 && q <= 10000 },
+      "quantile ranks must be permyriad values in [1, 10000]")
+    val n = sketch.groupBy("key").agg(sum("c").as("n"))
+    val cum = sketch
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("key").orderBy("bin")))
+      .join(broadcast(n), "key")
+    val aggs = qs.map { case (name, q) =>
+      val rank = call_function("div",
+        lit(q.toLong) * col("n") + lit(9999L), lit(10000L))
+      ((min(when(col("cum") >= rank, col("bin"))) + lit(1L)) * lit(step) +
+        lit(lo)).as(name)
+    }
+    cum.groupBy("key")
+      .agg(max(col("n")).as("n"), aggs: _*)
+  }
+
   private def profileWith(df: DataFrame,
       distinctAgg: Column => Column): DataFrame = {
     val cols = df.schema.fields

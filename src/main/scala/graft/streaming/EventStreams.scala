@@ -50,6 +50,29 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-event-time-hour histogram shards of the `value` column: each
+    * window folds its arrivals into the sparse (bin, c) grid of
+    * [[graft.operators.Profile.histSketch]] — the stream publishes
+    * SKETCH STATE, not quantiles, so any window range folds with
+    * `histMerge` and resolves percentiles with `histQuantiles` without
+    * replaying the stream (the latency-percentile-dashboard shape).
+    * State is bounded by bins × (watermark horizon / 1h) rows whatever
+    * the arrival rate, and because cells are SUMS the emitted shard is
+    * hash-identical under any micro-batch boundary (law-tested in
+    * EventStreamsSpec). The bin builder is shared with the batch
+    * sketch, so screen and sketch cannot drift.
+    */
+  def histScreen(events: DataFrame, lo: Long = 0L, step: Long = 5L,
+      bins: Int = 100): DataFrame =
+    events
+      .select(col("ts"),
+        graft.operators.Profile.histBin(col("value"), lo, step, bins)
+          .as("bin"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("hour"), col("bin"), col("c"))
+
   /** Per-user sessions via the built-in `session_window` (30-min gap):
     * one row per closed session. Streaming-legal in append mode with
     * the watermark; in batch it enumerates all sessions exactly.

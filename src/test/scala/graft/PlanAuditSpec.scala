@@ -157,6 +157,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("histogram sketch: corpus never windowed; source cap ranks on the heap") {
+    // the cumulative window may sort only the SKETCH (post-aggregate);
+    // the corpus side contributes one hash aggregate, no Window before
+    // the first Aggregate, and the quantile tail never sort-merges
+    val hist = plans("profile_hist_quantiles")
+    assert(!hist.contains("SortMergeJoin"), hist.take(800))
+    // an aggregate sits BELOW the window (prints after it): the
+    // window's input is the sketch, not the raw scan
+    assert(hist.lastIndexOf("HashAggregate") > hist.indexOf("Window"),
+      hist.take(800))
+    // the per-source cap must rank through the bounded heap — no
+    // Window node anywhere (the window row_number shape it replaces)
+    val cap = plans("curation_source_cap")
+    assert(cap.contains("top_k"), cap.take(800))
+    assert(!cap.contains("Window"), cap.take(800))
+    // the streaming twin's batch plan is one aggregate, join-free
+    assert(!plans("stream_hist_screen").contains("Join"),
+      plans("stream_hist_screen").take(800))
+  }
+
   test("codec fixture queries are map-only up to the output sort") {
     // pure-JVM codecs run per-row in mapPartitions: the ONLY exchange
     // each plan may carry is the deterministic output orderBy

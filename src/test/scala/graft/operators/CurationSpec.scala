@@ -327,4 +327,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val want = neu.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rebuilt === want)
   }
+
+  test("capPerSource: heap top-N equals the window-ranked reference") {
+    val s = spark; import s.implicits._
+    // 8 docs across 2 sources with distinct quality profiles
+    val src = (0 until 8).map { i =>
+      val text =
+        if (i % 4 == 0) "tiny"
+        else ((1 to (10 * i + 5)).map(j => s"w${i}_$j") :+ "the").mkString(" ")
+      (i.toLong, text, if (i < 4) "a" else "b")
+    }.toDF("doc_id", "text", "source")
+    val got = Curation.capPerSource(src, 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    // window-ranked reference from curate's quality column
+    val q = Curation.curate(src.select("doc_id", "text"))
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = src.select("doc_id", "source").collect()
+      .map(r => (r.getString(1), r.getLong(0), q(r.getLong(0))))
+      .groupBy(_._1).toSeq.flatMap { case (srcName, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(2).zipWithIndex
+          .map { case ((sn, id, qv), i) => (sn, id, qv, i + 1L) }
+      }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq === want)
+    assert(got.count(_._1 == "a") === 2 && got.count(_._1 == "b") === 2)
+  }
+
+  test("capPerSource: quality ties break to the smaller doc_id") {
+    val s = spark; import s.implicits._
+    val twin = "the same text scored identically for both documents here"
+    val src = Seq((7L, twin, "a"), (3L, twin, "a"), (12L, twin, "a"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.capPerSource(src, 2).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(3L, 7L))
+  }
 }

@@ -160,4 +160,47 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(got === Seq((20L, 11L)))
   }
+
+  test("histScreen: window histogram shards survive any micro-batch split") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    import org.apache.spark.sql.functions.col
+    // one 10:00 window split across TWO micro-batches — cells are
+    // sums, so the emitted shard must equal the single-batch twin
+    val rows = Seq(
+      Event(1, ts(1), 1, "view", 2.0),
+      Event(2, ts(2), 1, "view", 7.5),
+      Event(3, ts(3), 2, "view", 7.9),
+      Event(4, ts(4), 2, "view", 999.0)) // clamps to the top bin
+    val batch = histScreen(rows.toDF())
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(batch === Map(0L -> 1L, 1L -> 2L, 99L -> 1L))
+    val mem = MemoryStream[Event]
+    val query = histScreen(mem.toDF())
+      .writeStream.format("memory").queryName("hist_screen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      // late arrival advances the watermark past the 10:00 window
+      mem.addData(Event(9, Timestamp.valueOf("2023-01-01 14:30:00"),
+        3, "view", 1.0))
+      query.processAllAvailable()
+      val streamed = spark.table("hist_screen")
+        .filter(col("hour") < Timestamp.valueOf("2023-01-01 12:00:00"))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      // the emitted shard folds into the batch whole-stream sketch
+      // and resolves quantiles without replaying the stream
+      val q = graft.operators.Profile.histQuantiles(
+        spark.table("hist_screen")
+          .filter(col("hour") < Timestamp.valueOf("2023-01-01 12:00:00"))
+          .select(org.apache.spark.sql.functions.lit("all").as("key"),
+            col("bin"), col("c")),
+        0L, 5L, Seq("p50" -> 5000)).collect().head
+      assert(q.getLong(1) === 4L && q.getLong(2) === 10L) // rank 2 → bin 1 edge
+    } finally query.stop()
+  }
 }
