@@ -275,6 +275,33 @@ object DecontamAnalogs {
         |SELECT hour, doc_id, pr AS priority, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 10 ORDER BY hour, rank""".stripMargin)),
 
+    // Batch twin of the STREAMING first-come per-source quota
+    // (DocStreams.quotaScreen): admit each source's docs until its
+    // running total hits the cap. On the finite frame the
+    // flatMapGroupsWithState function runs with empty initial state,
+    // so admission is the first 40 docs per source in doc_id order —
+    // the row_number oracle; DocStreamsSpec proves the two-batch
+    // streamed replay (state carried across batches) emits the same
+    // admissions. The arrival-order counterpart of the
+    // quality-ranked curation_source_cap.
+    Q("stream_quota_screen",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .as[graft.streaming.QuotaDoc]
+        graft.streaming.DocStreams.quotaScreen(docs, cap = 40)
+          .toDF()
+          .select(col("source"), col("doc_id"), col("rank"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 40 ORDER BY source, rank""".stripMargin)),
+
     // Full mixture apply with upsampling: weights in halves
     // (0.5/1.0/1.5/2.0 by source index — exactly representable), docs
     // replicated floor(w) times plus a fractional md5-decided extra.

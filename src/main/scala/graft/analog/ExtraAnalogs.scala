@@ -311,6 +311,57 @@ object ExtraAnalogs {
        |  GROUP BY i.doc_id)""".stripMargin
   }
 
+  /** WITH-fragment `tok…verified`: MinHash-LSH candidate pairs (any
+    * shared band over 4 bands × 2 rows) verified at Jaccard >= 0.5 —
+    * mirrors Dedup.minhashPairs. Yields `verified(doc_a, doc_b)`.
+    */
+  private lazy val dVerifiedPairsCte: String = {
+    val bandJoin = (0 until 4).map { b =>
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sig a JOIN sig b
+         |  ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    val bandCols = (0 until 4)
+      .map(b => s"${dBand("hs", b)} AS band$b").mkString(", ")
+    s"""$tokCte, $shCte, $hsCte,
+    |sig AS (SELECT doc_id, $bandCols FROM hsc),
+    |cand AS (
+    |  $bandJoin
+    |),
+    |verified AS (
+    |  SELECT doc_a, doc_b FROM (
+    |    SELECT c.doc_a, c.doc_b,
+    |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+    |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+    |             AS jaccard
+    |    FROM cand c
+    |    JOIN sh sa ON sa.doc_id = c.doc_a
+    |    JOIN sh sb ON sb.doc_id = c.doc_b
+    |  ) WHERE jaccard >= 0.5
+    |)""".stripMargin
+  }
+
+  /** Full connected-components oracle over [[dVerifiedPairsCte]]:
+    * recursive transitive closure, label = min reachable doc_id —
+    * shared verbatim by `dedup_clusters` (driver union-find path) and
+    * `dedup_clusters_distributed` (min-label propagation path), which
+    * therefore must agree with each other bit-for-bit.
+    */
+  private lazy val dClustersSql: String =
+    s"""WITH RECURSIVE $dVerifiedPairsCte,
+    |edges AS (
+    |  SELECT doc_a AS src, doc_b AS dst FROM verified
+    |  UNION ALL SELECT doc_b, doc_a FROM verified
+    |),
+    |reach AS (
+    |  SELECT doc_id, doc_id AS r FROM documents
+    |  UNION
+    |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e
+    |    ON e.src = reach.doc_id
+    |)
+    |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[analog] def dMarkerHits(markers: Seq[String]) =
     s"len(list_filter(w, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
 
@@ -660,48 +711,63 @@ object ExtraAnalogs {
 
     // Dedup completion: near-dup pairs → connected components → one
     // canonical survivor (min doc_id) per cluster, for every doc.
+    // At gate scale the pair list fits the driver, so this exercises
+    // Dedup.clusters' LOCAL union-find fast path.
     Q("dedup_clusters",
       (s, d) => {
         val docs = Tables.documents(s, d)
         Dedup.clusters(docs, Dedup.minhashPairs(docs))
       },
-      Some {
-        val bandJoin = (0 until 4).map { b =>
-          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |FROM sig a JOIN sig b
-             |  ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
-        }.mkString("\n  UNION\n")
-        val bandCols = (0 until 4)
-          .map(b => s"${dBand("hs", b)} AS band$b").mkString(", ")
-        s"""WITH RECURSIVE $tokCte, $shCte, $hsCte,
-        |sig AS (SELECT doc_id, $bandCols FROM hsc),
-        |cand AS (
-        |  $bandJoin
+      Some(dClustersSql)),
+
+    // The SAME completion forced down the DISTRIBUTED path
+    // (localThreshold = 0 disables the driver union-find): the
+    // iterative min-label propagation loop — the shape that actually
+    // runs at 100 TB — through the identical transitive-closure
+    // oracle. Labels are min reachable doc_id either way, so the two
+    // queries must hash identically; this pins the loop itself (its
+    // convergence check, the edge-subgraph restriction, the untouched
+    // anti-join union) at the gate instead of only in specs.
+    Q("dedup_clusters_distributed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.clusters(docs, Dedup.minhashPairs(docs), localThreshold = 0)
+      },
+      Some(dClustersSql)),
+
+    // Cross-source near-dup overlap matrix: verified pairs tagged with
+    // both docs' sources (unordered; diagonal = within-source), pair
+    // and distinct-doc counts per source pair — the mixture-weighting
+    // diagnostic (two crawls sharing near-dup mass are one source).
+    Q("dedup_source_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.sourceOverlap(docs, Dedup.minhashPairs(docs))
+      },
+      Some(s"""WITH $dVerifiedPairsCte,
+        |tagged AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b,
+        |         v.doc_a, v.doc_b
+        |  FROM verified v
+        |  JOIN documents da ON da.doc_id = v.doc_a
+        |  JOIN documents db ON db.doc_id = v.doc_b
         |),
-        |verified AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT c.doc_a, c.doc_b,
-        |           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
-        |             AS jaccard
-        |    FROM cand c
-        |    JOIN sh sa ON sa.doc_id = c.doc_a
-        |    JOIN sh sb ON sb.doc_id = c.doc_b
-        |  ) WHERE jaccard >= 0.5
+        |np AS (
+        |  SELECT source_a, source_b, count(*) AS n_pairs
+        |  FROM tagged GROUP BY 1, 2
         |),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM verified
-        |  UNION ALL SELECT doc_b, doc_a FROM verified
-        |),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e
-        |    ON e.src = reach.doc_id
+        |nd AS (
+        |  SELECT source_a, source_b, count(*) AS n_docs FROM (
+        |    SELECT DISTINCT source_a, source_b, unnest([doc_a, doc_b]) AS d
+        |    FROM tagged)
+        |  GROUP BY 1, 2
         |)
-        |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
-      }),
+        |SELECT source_a, source_b,
+        |       CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(n_docs AS BIGINT) AS n_docs
+        |FROM np JOIN nd USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin)),
 
     // Blocked pairwise word-set Jaccard within (lang, source).
     Q("dedup_ngram_jaccard",
@@ -1156,6 +1222,23 @@ object ExtraAnalogs {
     // from the index (the Zipfian stop-word cap — idf≈0, unbounded
     // fan-out at scale); on this corpus no term crosses 90% so the
     // cap executes without changing the result.
+    // Exact phrase search: top-10 docs by whitespace-token phrase
+    // occurrence count (overlapping starts counted), tie-break
+    // doc_id. Map-only HOF scan + TakeOrderedAndProject — see
+    // Retrieval.phraseCounts for why this beats an index probe for
+    // an ad-hoc phrase.
+    Q("text_phrase_topk",
+      (s, d) => graft.operators.Retrieval.phraseTopK(
+        Tables.documents(s, d), Seq("batch", "window", "spark"), 10),
+      Some(s"""WITH $tokCte, occ AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN len(list_filter(range(1, len(w) - 1),
+        |      i -> w[i] = 'batch' AND w[i+1] = 'window' AND w[i+2] = 'spark'))
+        |    ELSE 0 END AS n_occ
+        |  FROM tok)
+        |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ FROM occ
+        |WHERE n_occ > 0 ORDER BY n_occ DESC, doc_id LIMIT 10""".stripMargin)),
+
     Q("text_bm25_topk",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -624,6 +624,44 @@ object Dedup {
     new Managed(out, Seq(anchors))
   }
 
+  /** (source_a, source_b, n_pairs, n_docs): the cross-source overlap
+    * matrix of a near-dup pair list — how many verified pairs link
+    * each unordered source pair (source_a <= source_b; the diagonal
+    * is within-source duplication) and how many distinct documents
+    * those pairs touch. The mixture diagnostic a curation stack reads
+    * before weighting sources: two "independent" crawls sharing a
+    * large near-dup mass are one source for mixture purposes, and an
+    * eval-derived source overlapping train sources is leakage.
+    *
+    * Scale shape: the corpus projects to its (doc_id, source) pair —
+    * text never moves — and the PAIR list (a vanishing fraction of
+    * the corpus) is what shuffles through two equi-joins and two
+    * aggregations, both keyed on the |sources|²-bounded pair key. The
+    * distinct-doc count dedups (source pair, doc) BEFORE counting, so
+    * no per-group collection ever materializes.
+    */
+  def sourceOverlap(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val tagged = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("doc_a"), col("doc_b"))
+    val nPairs = tagged.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tagged
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Dedup completion: collapse near-dup PAIRS into clusters and pick
     * one canonical survivor (min doc_id) per cluster — what a real
     * pipeline keeps. Iterative min-label propagation over the pair

@@ -236,6 +236,52 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** (doc_id, n_occ): exact whitespace-token phrase occurrence counts
+    * per document, zero rows for non-matching docs. One map-only
+    * corpus scan — the phrase test is a native higher-order filter
+    * over the token array (`size(filter(sequence..))`), so no token
+    * explode, no join and no shuffle happen at all until the caller
+    * aggregates. For an ad-hoc phrase over a raw 100 TB corpus this
+    * beats any inverted-index probe that does not already exist: a
+    * positional-postings join would explode and shuffle every
+    * occurrence of the phrase's individual words (Zipf-huge for
+    * common words) to then discard all non-adjacent ones, while this
+    * plan reads each document once and emits at most one row.
+    * Occurrences may overlap (count at every start position), the
+    * standard convention and the one a positional index replays.
+    */
+  def phraseCounts(corpus: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(c =>
+      c == ' ' || c == '\'' || c == '\\')),
+      s"phrase tokens must be non-empty, space/quote/backslash-free: $phrase")
+    val k = phrase.length
+    val matchAt = phrase.zipWithIndex.map { case (t, i) =>
+      s"element_at(w, cast(i + $i as int)) = '$t'"
+    }.mkString(" AND ")
+    corpus
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= k,
+          expr(s"size(filter(sequence(1L, size(w) - ${k - 1}L), i -> $matchAt))"))
+          .otherwise(lit(0)).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+  }
+
+  /** Top-k documents by exact phrase occurrence count (ties broken by
+    * doc_id asc). Single global top-k over the map-only
+    * [[phraseCounts]] scan — Catalyst turns the sort+limit into
+    * `TakeOrderedAndProject`, so each task keeps a k-row heap and the
+    * driver merges ≤ k rows per partition; the corpus never sorts.
+    */
+  def phraseTopK(corpus: DataFrame, phrase: Seq[String], k: Int = 10)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    phraseCounts(corpus, phrase)
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
       maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

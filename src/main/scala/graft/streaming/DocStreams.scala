@@ -351,4 +351,70 @@ object DocStreams {
   def assetScreen(streamAssets: DataFrame): DataFrame =
     graft.operators.Multimodal.pngVerdicts(
       streamAssets.sparkSession, streamAssets)
+
+  /** First-come per-source admission quota at ingest: admit documents
+    * from each source until its running total reaches `cap`, then
+    * reject the rest — the arrival-order counterpart of the
+    * quality-ranked batch cap ([[graft.operators.Curation
+    * .capPerSource]]), for the deployment that must bound a
+    * crawler's source mix BEFORE the corpus exists to rank. Running
+    * per-source admission counts are the cross-batch state
+    * (`flatMapGroupsWithState`, the [[graft.streaming.EventStreams
+    * .sessionize]] shape); within a micro-batch, arrivals admit in
+    * doc_id order so replays are deterministic. Emitted rank is the
+    * source's cumulative admission index (1-based).
+    *
+    * Scale shape: state per source is ONE long; each micro-batch
+    * group reduces through a bounded size-≤cap heap (memory O(cap)
+    * per source regardless of batch size, the [[graft.expressions
+    * .TopKAgg]] argument), and a source already at quota drains its
+    * iterator without buffering anything. On a FINITE frame the same
+    * function runs as a batch aggregation with empty initial state,
+    * so the batch twin — first `cap` docs per source in doc_id
+    * order — is the oracle the gate hash-verifies.
+    */
+  def quotaScreen(docs: org.apache.spark.sql.Dataset[QuotaDoc], cap: Int)
+      : org.apache.spark.sql.Dataset[QuotaAdmit] = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[QuotaDoc],
+            state: GroupState[QuotaState]) =>
+          val already = state.getOption.map(_.admitted).getOrElse(0L)
+          val room = math.max(cap - already, 0L).toInt
+          if (room == 0) {
+            it.foreach(_ => ()) // drain: source is at quota
+            Iterator.empty
+          } else {
+            // bounded selection: keep the `room` smallest doc_ids in a
+            // max-heap — O(room) memory however large the micro-batch
+            val heap = scala.collection.mutable.PriorityQueue.empty[Long]
+            it.foreach { d =>
+              if (heap.size < room) heap.enqueue(d.doc_id)
+              else if (d.doc_id < heap.head) {
+                heap.dequeue(); heap.enqueue(d.doc_id)
+              }
+            }
+            val ids = heap.dequeueAll.reverse // ascending doc_id
+            state.update(QuotaState(already + ids.size))
+            ids.iterator.zipWithIndex.map { case (id, i) =>
+              QuotaAdmit(source, id, already + i + 1)
+            }
+          }
+      }
+  }
 }
+
+/** Input row of [[DocStreams.quotaScreen]]. */
+final case class QuotaDoc(doc_id: Long, source: String)
+
+/** Admission verdict of [[DocStreams.quotaScreen]]: `rank` is the
+  * source's cumulative 1-based admission index across micro-batches.
+  */
+final case class QuotaAdmit(source: String, doc_id: Long, rank: Long)
+
+/** Cross-batch state of [[DocStreams.quotaScreen]]: admissions so far. */
+private[streaming] final case class QuotaState(admitted: Long)

@@ -110,6 +110,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("sourceOverlap: unordered source pairs, pair and distinct-doc counts") {
+    val d = spark.createDataFrame(Seq(
+      (0L, "srcA"), (1L, "srcB"), (2L, "srcA"), (3L, "srcB"), (4L, "srcA")))
+      .toDF("doc_id", "source")
+    val pairs = spark.createDataFrame(Seq(
+      (0L, 1L), (0L, 3L), (2L, 4L), (1L, 3L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.sourceOverlap(d, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // (A,B) from pairs (0,1),(0,3) touching docs {0,1,3}; the diagonal
+    // rows count within-source duplication
+    assert(got === Seq(
+      ("srcA", "srcA", 1L, 2L),
+      ("srcA", "srcB", 2L, 3L),
+      ("srcB", "srcB", 1L, 2L)))
+    // orientation-invariant: flipping every pair changes nothing
+    val flipped = Dedup.sourceOverlap(d, pairs.select(
+      pairs("doc_b").as("doc_a"), pairs("doc_a").as("doc_b"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(flipped === got)
+  }
+
   test("minhash signatures are stable and identical for identical docs") {
     val sigs = Dedup.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap

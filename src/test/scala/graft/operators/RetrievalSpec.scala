@@ -153,4 +153,40 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((10L, 1L), (20L, 2L)))
   }
+
+  test("phrase: counts every start position, overlaps included") {
+    val corpus = df(
+      (1L, "a b a b a"), // "a b a" occurs at pos 1 and 3 (overlapping)
+      (2L, "a b c a b a"), // once, at pos 4
+      (3L, "b a b a b"), // once, at pos 2
+      (4L, "a a a"), // zero — 'b' never in the middle
+      (5L, "a b")) // shorter than the phrase: guard path, zero
+    val got = Retrieval.phraseCounts(corpus, Seq("a", "b", "a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("phrase: single-token phrase counts plain term frequency") {
+    val got = Retrieval
+      .phraseCounts(df((1L, "x y x"), (2L, "y")), Seq("x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L))
+  }
+
+  test("phraseTopK: ordered by count desc then doc_id, limit honored") {
+    val corpus = df(
+      (9L, "p q p q"), // 1 occurrence of "p q p"... no: pos1 only
+      (2L, "p q p q p"), // pos 1 and 3 -> 2
+      (5L, "p q p")) // 1
+    val got = Retrieval.phraseTopK(corpus, Seq("p", "q", "p"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 2L), (5L, 1L)))
+    // rejects malformed phrase tokens before touching the plan
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseCounts(corpus, Seq("p q"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseCounts(corpus, Seq.empty)
+    }
+  }
 }

@@ -38,6 +38,39 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("quotaScreen: cross-batch state caps each source; stream equals batch twin") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.quotaScreen(
+      mem.toDF().toDF("doc_id", "source").as[QuotaDoc], cap = 3)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode(OutputMode.Append).start()
+    val b1 = Seq((1L, "sa"), (2L, "sa"), (10L, "sb"))
+    val b2 = Seq((20L, "sa"), (21L, "sa"), (22L, "sa"), (23L, "sb"))
+    val b3 = Seq((30L, "sa")) // sa already at quota: drain, emit nothing
+    try {
+      mem.addData(b1: _*); query.processAllAvailable()
+      mem.addData(b2: _*); query.processAllAvailable()
+      mem.addData(b3: _*); query.processAllAvailable()
+      val got = spark.table("quota").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      // sa: 1,2 from batch 1 (ranks 1,2), then ONE more from batch 2 —
+      // the smallest arriving id, rank continuing at 3; batch 3 rejected.
+      assert(got === Seq(
+        ("sa", 1L, 1L), ("sa", 2L, 2L), ("sa", 20L, 3L),
+        ("sb", 10L, 1L), ("sb", 23L, 2L)))
+      // batches arrived in doc_id order, so the finite-frame twin (the
+      // gate's oracle shape) admits the identical set with equal ranks
+      val batch = DocStreams.quotaScreen(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "source").as[QuotaDoc], cap = 3)
+        .collect().map(q => (q.source, q.doc_id, q.rank))
+        .sortBy(t => (t._1, t._3)).toSeq
+      assert(batch === got)
+    } finally query.stop()
+  }
+
   test("asset screen: streamed verdicts equal the batch twin, corrupt flagged") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
