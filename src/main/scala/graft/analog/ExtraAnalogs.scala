@@ -2590,6 +2590,56 @@ object ExtraAnalogs {
         |    + (doc_id*7+33)%256) // 4 AS BIGINT) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Perceptual image dedup: per-id 9×8 grayscale P6 fixtures (ids
+    // 2k/2k+1 near-twins differing in ONE pixel) decoded through the
+    // real parser into 64-bit dHashes, then near-dup pairs within
+    // hamming 3 via Manku block blocking (4×16-bit blocks — exact
+    // recall at the threshold) + XOR-popcount verify. The oracle
+    // replays the closed-form pixel law, assembles the hash in
+    // HUGEINT (DuckDB's BIGINT << 63 overflows; two's-complement
+    // fold-back matches Java's wrapping Long), and mines the same
+    // blocks.
+    Q("mm_dhash_pairs",
+      (s, d) => Multimodal.dhashPairs(
+        Multimodal.dhashFixtures(s, Tables.documents(s, d)).toDF()),
+      Some("""WITH g AS (
+        |  SELECT doc_id, unnest(range(0, 8)) AS y FROM documents),
+        |px AS (SELECT doc_id, y, unnest(range(0, 9)) AS x FROM g),
+        |pv AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN doc_id % 2 = 1 AND x = 0 AND y = 0
+        |      THEN ((((doc_id//2)*73 + x*151 + y*179 + 17)
+        |             * ((doc_id//2)*73 + x*151 + y*179 + 17) // 7) % 256
+        |            + 128) % 256
+        |      ELSE (((doc_id//2)*73 + x*151 + y*179 + 17)
+        |            * ((doc_id//2)*73 + x*151 + y*179 + 17) // 7) % 256
+        |    END AS v
+        |  FROM px),
+        |bits AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN b.v > a.v THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+        |  FROM pv a JOIN pv b
+        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hu AS (SELECT doc_id, sum(bit * (1::HUGEINT << (y*8 + x))) AS h
+        |       FROM bits GROUP BY doc_id),
+        |hs AS (SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS dhash FROM hu),
+        |blk AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS blk FROM hs),
+        |bb AS (SELECT doc_id, dhash, blk,
+        |  (dhash >> (64 - (blk + 1) * 16)) & 65535 AS bval FROM blk),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.dhash AS ha, b.dhash AS hb
+        |  FROM bb a JOIN bb b
+        |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // REAL PCM-WAV decode: a valid 44-byte RIFF/fmt/data header (8 kHz
     // mono s16le) + 8 samples u_i = (doc_id·13+5i) mod 65536 stored
     // little-endian; Multimodal.parseWav chunk-walks the container and

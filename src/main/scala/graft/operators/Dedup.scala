@@ -640,7 +640,14 @@ object Dedup {
     * distinct-doc count dedups (source pair, doc) BEFORE counting, so
     * no per-group collection ever materializes.
     */
-  def sourceOverlap(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def sourceOverlap(docs: DataFrame, pairs: DataFrame): DataFrame =
+    sourceOverlapManaged(docs, pairs).df
+
+  /** [[sourceOverlap]] with its internal persist exposed ([[Managed]]):
+    * the tagged pair frame feeds BOTH aggregations, and without the
+    * persist each would re-run the (expensive) pair miner upstream.
+    */
+  def sourceOverlapManaged(docs: DataFrame, pairs: DataFrame): Managed = {
     val src = docs.select(col("doc_id"), col("source"))
     val tagged = pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
@@ -650,6 +657,7 @@ object Dedup {
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"),
         col("doc_a"), col("doc_b"))
+      .cache()
     val nPairs = tagged.groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
     val nDocs = tagged
@@ -658,8 +666,8 @@ object Dedup {
       .distinct()
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_docs"))
-    nPairs.join(nDocs, Seq("source_a", "source_b"))
-      .orderBy("source_a", "source_b")
+    new Managed(nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .orderBy("source_a", "source_b"), Seq(tagged))
   }
 
   /** Dedup completion: collapse near-dup PAIRS into clusters and pick
@@ -753,7 +761,15 @@ object Dedup {
       converged = next.filter(col("cluster_id") < col("old")).isEmpty
       if (cached != null) cached.unpersist()
       cached = next
-      labels = next.select("doc_id", "cluster_id")
+      // lineage barrier: labels references `next` TWICE per iteration
+      // (its own row + the neighbor join), so carrying the logical
+      // plan forward doubles it every round — Catalyst analysis cost
+      // goes exponential in the iteration count even though the
+      // convergence check materializes each round into the cache.
+      // Re-rooting the next iteration on the cached result's RDD
+      // keeps the plan constant-size (the data never moves).
+      val pruned = next.select("doc_id", "cluster_id")
+      labels = docs.sparkSession.createDataFrame(pruned.rdd, pruned.schema)
       i += 1
     }
     val untouched = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))

@@ -125,7 +125,13 @@ object Multimodal {
     * form — the parser must read the dims and stride the pixel array
     * correctly or the channel means diverge.
     */
-  def parsePpm(id: Long, bytes: Array[Byte]): PpmMeta = {
+  /** The shared P6 header walk: magic, whitespace/comment-aware ints
+    * (width, height, maxval), the single post-maxval whitespace byte.
+    * Returns (width, height, maxval, pixelOffset) with the 8-bit and
+    * length preconditions already enforced — both [[parsePpm]] and
+    * [[dhash64]] stride the pixel array from here.
+    */
+  private def ppmHeader(id: Long, bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       s"doc $id: not a P6 ppm")
     var pos = 2
@@ -159,6 +165,12 @@ object Multimodal {
     require(bytes.length - pos >= n * 3,
       s"doc $id: truncated ppm — need ${n * 3} pixel bytes, " +
         s"have ${bytes.length - pos}")
+    (w, h, mx, pos)
+  }
+
+  def parsePpm(id: Long, bytes: Array[Byte]): PpmMeta = {
+    val (w, h, mx, pos) = ppmHeader(id, bytes)
+    val n = w.toLong * h
     var (sr, sg, sb) = (0L, 0L, 0L)
     var i = pos; var k = 0L
     while (k < n) {
@@ -168,6 +180,122 @@ object Multimodal {
     }
     PpmMeta(id, w, h, mx, bytes.length.toLong - pos,
       sr / n, sg / n, sb / n)
+  }
+
+  // ---- Perceptual image dedup: dHash over decoded pixels ----------------
+  // The difference hash (dHash) is the standard cheap perceptual image
+  // fingerprint: compare horizontally adjacent pixels of a reduced
+  // grayscale image and pack the comparisons into a 64-bit word —
+  // near-identical images (recompression, slight noise, small edits)
+  // land within a few bits, unrelated images ~32 apart. Pairs mine
+  // through the SAME Manku block-permutation blocking as the text
+  // SimHash miner: nBlocks = maxHamming + 1 over 64 bits guarantees
+  // every pair within the threshold shares at least one identical
+  // block — exact recall, no probabilistic miss.
+
+  /** Deterministic per-id pixel law for the dHash fixture corpus (the
+    * adpcmFixture convention — the image libs aren't in this
+    * container, so the corpus is synthesized, the PLUMBING real):
+    * gray(id, x, y) = (t² div 7) mod 256 with
+    * t = (id div 2)·73 + x·151 + y·179 + 17, and ids 2k/2k+1 are
+    * near-twins — the odd id perturbs ONLY pixel (0,0) by +128, so a
+    * twin pair lands within hamming 1 while distinct k are ≥ ~13
+    * apart (SQL-closed-form, so the oracle replays it exactly).
+    */
+  private[operators] def dhashPixel(id: Long, x: Int, y: Int): Int = {
+    val t = (id / 2) * 73 + x * 151 + y * 179 + 17
+    val base = ((t * t / 7) % 256).toInt
+    if (id % 2 == 1 && x == 0 && y == 0) (base + 128) % 256 else base
+  }
+
+  /** 9×8 grayscale P6 payload under [[dhashPixel]] (9 columns → 8
+    * horizontal comparisons per row → a full 64-bit hash, no resize
+    * step — the resize path is covered by mm_resize).
+    */
+  def dhashFixture(id: Long): Array[Byte] = {
+    val header = "P6\n9 8\n255\n".getBytes("US-ASCII")
+    val buf = new Array[Byte](header.length + 9 * 8 * 3)
+    System.arraycopy(header, 0, buf, 0, header.length)
+    var o = header.length
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val v = dhashPixel(id, x, y).toByte
+        buf(o) = v; buf(o + 1) = v; buf(o + 2) = v
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    buf
+  }
+
+  /** dHash of a P6 payload: real header walk ([[ppmHeader]]), then
+    * bit (y·8 + x) = 1 iff gray(x+1, y) > gray(x, y) over the RED
+    * channel (the fixtures are gray, r == g == b). Requires exactly
+    * 9×8 — the caller resizes first for anything larger.
+    */
+  def dhash64(id: Long, bytes: Array[Byte]): Long = {
+    val (w, h, _, pos) = ppmHeader(id, bytes)
+    require(w == 9 && h == 8, s"doc $id: dhash64 wants 9x8, got ${w}x$h")
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val a = bytes(pos + (y * 9 + x) * 3) & 255
+        val b = bytes(pos + (y * 9 + x + 1) * 3) & 255
+        if (b > a) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** One row per fixture image: (doc_id, dhash). */
+  final case class DHashRow(doc_id: Long, dhash: Long)
+
+  /** Decode the per-id fixture payloads through the REAL parser and
+    * hash them — partition-local, zero shuffle; at deployment scale
+    * the payload column arrives from storage instead of the fixture.
+    */
+  def dhashFixtures(spark: SparkSession, ids: DataFrame): Dataset[DHashRow] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => DHashRow(id, dhash64(id, dhashFixture(id)))))
+  }
+
+  /** Near-dup image pairs within `maxHamming` bits: Manku block
+    * blocking over the 64-bit hashes (exactly [[Dedup.simhashPairs]]'
+    * shape at 64 bits — nBlocks = maxHamming + 1 equal blocks, any
+    * pair within the threshold MUST agree on one whole block), then
+    * the XOR-popcount verify inside codegen per candidate. Survivors
+    * dedup (a pair agreeing on k blocks appears k times) and
+    * single-partition sort for the export tail — only the vanishing
+    * pair list crosses the single-task exchange.
+    */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(64 % nBlocks == 0,
+      s"maxHamming must be one of 1, 3, 7 (equal 64-bit blocks), got $maxHamming")
+    val blockBits = 64 / nBlocks
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
+    val blocks = hashes.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until nBlocks).map(i =>
+        shiftright(col("dhash"), 64 - (i + 1) * blockBits)
+          .bitwiseAND(lit(mask))): _*)).as(Seq("blk", "bval")))
+    val a = blocks.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_a"), col("dhash").as("hash_a"))
+    val b = blocks.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_b"), col("dhash").as("hash_b"))
+    a.join(b, Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** Parse a PCM or G.711 WAV payload: RIFF/WAVE magic, then a real

@@ -177,6 +177,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       plans("stream_hist_screen").take(800))
   }
 
+  test("phrase scan is map-only top-k; quota screen is window-free") {
+    // phraseTopK: the HOF occurrence count runs inside the scan
+    // stage — no join, no Window, no full sort; the only reduction
+    // is the distributed TakeOrderedAndProject heap
+    val phrase = plans("text_phrase_topk")
+    assert(phrase.contains("TakeOrderedAndProject"), phrase.take(800))
+    assert(!phrase.contains("Join"), phrase.take(800))
+    assert(!phrase.contains("Window"), phrase.take(800))
+    // quotaScreen's batch twin: one groupByKey exchange into the
+    // state function (batch execution lowers flatMapGroupsWithState
+    // to MapGroups), never a row_number window over the corpus
+    val quota = plans("stream_quota_screen")
+    assert(quota.contains("MapGroups"), quota.take(800))
+    assert(!quota.contains("Window"), quota.take(800))
+    // the source-overlap matrix aggregates the PAIR list (the
+    // upstream miner reads text, the overlap join does not): the
+    // source lookup scans project exactly (doc_id, source), and the
+    // matrix is hash-aggregated, never windowed
+    val ov = plans("dedup_source_overlap")
+    assert(ov.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      ov.take(1200))
+    assert(!ov.contains("Window"), ov.take(800))
+  }
+
   test("codec fixture queries are map-only up to the output sort") {
     // pure-JVM codecs run per-row in mapPartitions: the ONLY exchange
     // each plan may carry is the deterministic output orderBy

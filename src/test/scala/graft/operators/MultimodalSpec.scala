@@ -534,4 +534,60 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e3.getMessage.contains("decode G.711"))
   }
+
+  test("dhash64: hand image — row gradients set exactly the rising bits") {
+    // row y: pixels alternate 10, 20, 10, 20, ... -> comparison at even
+    // x rises (bit set), odd x falls (clear) => per-row bit pattern
+    // 01010101 = 0x55
+    val header = "P6\n9 8\n255\n".getBytes("US-ASCII")
+    val buf = new Array[Byte](header.length + 9 * 8 * 3)
+    System.arraycopy(header, 0, buf, 0, header.length)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = (if (x % 2 == 0) 10 else 20).toByte
+      val o = header.length + (y * 9 + x) * 3
+      buf(o) = v; buf(o + 1) = v; buf(o + 2) = v
+    }
+    val h = Multimodal.dhash64(0L, buf)
+    val expected = (0 until 8).map(y => 0x55L << (y * 8)).reduce(_ | _)
+    assert(h === expected)
+    // dimension guard: the 2x2 ppm from the decode fixtures is refused
+    val tiny = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(7.toByte)
+    val e = intercept[IllegalArgumentException](Multimodal.dhash64(1L, tiny))
+    assert(e.getMessage.contains("9x8"))
+  }
+
+  test("dhash fixtures: twins within hamming 1, distinct images far apart") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hs = (0L until 40L)
+      .map(id => id -> Multimodal.dhash64(id, Multimodal.dhashFixture(id)))
+      .toMap
+    for (k <- 0 until 20)
+      assert(ham(hs(2L * k), hs(2L * k + 1)) <= 1, s"twin $k drifted")
+    for (i <- 0 until 20; j <- (i + 1) until 20)
+      assert(ham(hs(2L * i), hs(2L * j)) > 3, s"cross $i/$j too close")
+  }
+
+  test("dhashPairs: block blocking is EXACT at the threshold, verify filters") {
+    // adversarial pair at hamming exactly 3 with the flipped bits
+    // spread over three DIFFERENT blocks — only the fourth block
+    // matches, which the Manku guarantee requires; plus a pair at
+    // hamming 4 (over threshold, sharing a block) that verify drops
+    val base = 0x0123456789ABCDEFL
+    val at3 = base ^ (1L << 63) ^ (1L << 40) ^ (1L << 20) // blocks 0,1,2
+    val at4 = base ^ 0xFL // 4 bits, all in the low block
+    val hashes = spark.createDataFrame(Seq((1L, base), (2L, at3), (3L, at4)))
+      .toDF("doc_id", "dhash")
+    val got = Multimodal.dhashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 3L)))
+    // twins from the fixture corpus surface; the miner is deterministic
+    val mined = Multimodal.dhashPairs(
+      Multimodal.dhashFixtures(spark,
+        spark.range(20).select(col("id").as("doc_id"))).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (k <- 0 until 10)
+      assert(mined.contains((2L * k, 2L * k + 1)), s"twin $k unmined")
+    assert(Multimodal.dhashPairs(hashes).collect().toSeq ===
+      Multimodal.dhashPairs(hashes).collect().toSeq)
+  }
 }
