@@ -311,6 +311,42 @@ object ExtraAnalogs {
        |  GROUP BY i.doc_id)""".stripMargin
   }
 
+  /** WITH-fragment `g…bb`: the dHash fixture law replayed to 64-bit
+    * hashes (HUGEINT assembly, two's-complement fold-back to the JVM's
+    * wrapping Long) and their 4×16-bit Manku block keys — mirrors
+    * Multimodal.dhashPixel/dhash64/dhashBlocks. Yields
+    * `bb(doc_id, dhash, blk, bval)`.
+    */
+  private lazy val dDhashCte: String =
+    """g AS (
+    |  SELECT doc_id, unnest(range(0, 8)) AS y FROM documents),
+    |px AS (SELECT doc_id, y, unnest(range(0, 9)) AS x FROM g),
+    |pv AS (
+    |  SELECT doc_id, y, x,
+    |    CASE WHEN doc_id % 2 = 1 AND x = 0 AND y = 0
+    |      THEN ((((doc_id//2)*73 + x*151 + y*179 + 17)
+    |             * ((doc_id//2)*73 + x*151 + y*179 + 17) // 7) % 256
+    |            + 128) % 256
+    |      ELSE (((doc_id//2)*73 + x*151 + y*179 + 17)
+    |            * ((doc_id//2)*73 + x*151 + y*179 + 17) // 7) % 256
+    |    END AS v
+    |  FROM px),
+    |bits AS (
+    |  SELECT a.doc_id, a.y, a.x,
+    |    CASE WHEN b.v > a.v THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+    |  FROM pv a JOIN pv b
+    |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+    |  WHERE a.x < 8),
+    |hu AS (SELECT doc_id, sum(bit * (1::HUGEINT << (y*8 + x))) AS h
+    |       FROM bits GROUP BY doc_id),
+    |hs2 AS (SELECT doc_id,
+    |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+    |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+    |    AS dhash FROM hu),
+    |blk AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS blk FROM hs2),
+    |bb AS (SELECT doc_id, dhash, blk,
+    |  (dhash >> (64 - (blk + 1) * 16)) & 65535 AS bval FROM blk)""".stripMargin
+
   /** WITH-fragment `tok…verified`: MinHash-LSH candidate pairs (any
     * shared band over 4 bands × 2 rows) verified at Jaccard >= 0.5 —
     * mirrors Dedup.minhashPairs. Yields `verified(doc_a, doc_b)`.
@@ -2602,34 +2638,7 @@ object ExtraAnalogs {
     Q("mm_dhash_pairs",
       (s, d) => Multimodal.dhashPairs(
         Multimodal.dhashFixtures(s, Tables.documents(s, d)).toDF()),
-      Some("""WITH g AS (
-        |  SELECT doc_id, unnest(range(0, 8)) AS y FROM documents),
-        |px AS (SELECT doc_id, y, unnest(range(0, 9)) AS x FROM g),
-        |pv AS (
-        |  SELECT doc_id, y, x,
-        |    CASE WHEN doc_id % 2 = 1 AND x = 0 AND y = 0
-        |      THEN ((((doc_id//2)*73 + x*151 + y*179 + 17)
-        |             * ((doc_id//2)*73 + x*151 + y*179 + 17) // 7) % 256
-        |            + 128) % 256
-        |      ELSE (((doc_id//2)*73 + x*151 + y*179 + 17)
-        |            * ((doc_id//2)*73 + x*151 + y*179 + 17) // 7) % 256
-        |    END AS v
-        |  FROM px),
-        |bits AS (
-        |  SELECT a.doc_id, a.y, a.x,
-        |    CASE WHEN b.v > a.v THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
-        |  FROM pv a JOIN pv b
-        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
-        |  WHERE a.x < 8),
-        |hu AS (SELECT doc_id, sum(bit * (1::HUGEINT << (y*8 + x))) AS h
-        |       FROM bits GROUP BY doc_id),
-        |hs AS (SELECT doc_id,
-        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
-        |    AS dhash FROM hu),
-        |blk AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS blk FROM hs),
-        |bb AS (SELECT doc_id, dhash, blk,
-        |  (dhash >> (64 - (blk + 1) * 16)) & 65535 AS bval FROM blk),
+      Some(s"""WITH $dDhashCte,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         a.dhash AS ha, b.dhash AS hb
@@ -2639,6 +2648,31 @@ object ExtraAnalogs {
         |       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Batch twin of the STREAMING image near-dup screen
+    // (DocStreams.dhashScreen): every 10th image "arrives" and its
+    // dHash blocks probe the static index of the rest — one row per
+    // (arrival, corpus image, colliding block) within hamming 3, the
+    // nearDupScreen shape. Shares dhashBlocks with the pair miner.
+    Q("stream_dhash_screen",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+        val arr = Multimodal.dhashFixtures(
+          s, ids.filter(col("doc_id") % 10 === 0)).toDF()
+        val corp = Multimodal.dhashFixtures(
+          s, ids.filter(col("doc_id") % 10 =!= 0)).toDF()
+        graft.streaming.DocStreams.dhashScreen(
+          arr, graft.streaming.DocStreams.dhashIndex(corp))
+          .orderBy("doc_id", "matched_id", "block_pos")
+      },
+      Some(s"""WITH $dDhashCte
+        |SELECT a.doc_id, c.doc_id AS matched_id,
+        |       CAST(a.blk AS BIGINT) AS block_pos,
+        |       CAST(bit_count(xor(a.dhash, c.dhash)) AS BIGINT) AS hamming
+        |FROM bb a JOIN bb c ON a.blk = c.blk AND a.bval = c.bval
+        |WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  AND bit_count(xor(a.dhash, c.dhash)) <= 3
+        |ORDER BY a.doc_id, matched_id, block_pos""".stripMargin)),
 
     // REAL PCM-WAV decode: a valid 44-byte RIFF/fmt/data header (8 kHz
     // mono s16le) + 8 samples u_i = (doc_id·13+5i) mod 65536 stored

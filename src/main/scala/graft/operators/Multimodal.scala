@@ -275,16 +275,25 @@ object Multimodal {
     * single-partition sort for the export tail — only the vanishing
     * pair list crosses the single-task exchange.
     */
-  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** (doc_id, dhash, blk, bval): the exploded Manku block keys —
+    * shared by the batch pair miner and the streaming ingest screen
+    * ([[graft.streaming.DocStreams.dhashScreen]]), so the two cannot
+    * drift on block geometry.
+    */
+  def dhashBlocks(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     require(64 % nBlocks == 0,
       s"maxHamming must be one of 1, 3, 7 (equal 64-bit blocks), got $maxHamming")
     val blockBits = 64 / nBlocks
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-    val blocks = hashes.select(col("doc_id"), col("dhash"),
+    hashes.select(col("doc_id"), col("dhash"),
       posexplode(array((0 until nBlocks).map(i =>
         shiftright(col("dhash"), 64 - (i + 1) * blockBits)
           .bitwiseAND(lit(mask))): _*)).as(Seq("blk", "bval")))
+  }
+
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = dhashBlocks(hashes, maxHamming)
     val a = blocks.select(col("blk"), col("bval"),
       col("doc_id").as("doc_a"), col("dhash").as("hash_a"))
     val b = blocks.select(col("blk"), col("bval"),

@@ -352,6 +352,37 @@ object DocStreams {
     graft.operators.Multimodal.pngVerdicts(
       streamAssets.sparkSession, streamAssets)
 
+  /** Static side of the streaming image near-dup screen: the accepted
+    * corpus's dHashes exploded to their Manku block keys
+    * ([[graft.operators.Multimodal.dhashBlocks]] — the SAME builder
+    * the batch pair miner uses, so screen and miner cannot drift).
+    * Refresh periodically as the corpus grows, like [[bandRows]].
+    */
+  def dhashIndex(corpusHashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.Multimodal.dhashBlocks(corpusHashes, maxHamming)
+      .select(col("blk"), col("bval"),
+        col("doc_id").as("matched_id"), col("dhash").as("hash_b"))
+
+  /** Perceptual image near-dup screen at ingest: arriving images'
+    * dHashes stream-static join the corpus block index on their
+    * block keys, then the XOR-popcount verify keeps collisions within
+    * `maxHamming` bits. STATELESS per micro-batch (the [[nearDupScreen]]
+    * shape — one row per colliding block, no distinct, no watermark),
+    * so the identical plan runs on a finite frame as the batch twin.
+    * Decode+hash ([[graft.operators.Multimodal.dhash64]]) happens
+    * upstream, partition-local on the stream's own parallelism.
+    */
+  def dhashScreen(streamHashes: DataFrame, index: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Multimodal.dhashBlocks(streamHashes, maxHamming)
+      .join(index, Seq("blk", "bval"))
+      .filter(col("doc_id") =!= col("matched_id"))
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("hash_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("matched_id"),
+        col("blk").cast("long").as("block_pos"), col("hamming"))
+
   /** First-come per-source admission quota at ingest: admit documents
     * from each source until its running total reaches `cap`, then
     * reject the rest — the arrival-order counterpart of the

@@ -191,6 +191,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val quota = plans("stream_quota_screen")
     assert(quota.contains("MapGroups"), quota.take(800))
     assert(!quota.contains("Window"), quota.take(800))
+    // the streaming image screen's batch twin: block-key equi-join
+    // (broadcast at this scale), codegen popcount verify, no window
+    val dhs = plans("stream_dhash_screen")
+    assert(dhs.contains("BroadcastHashJoin"), dhs.take(800))
+    assert(!dhs.contains("Window"), dhs.take(800))
     // the source-overlap matrix aggregates the PAIR list (the
     // upstream miner reads text, the overlap join does not): the
     // source lookup scans project exactly (doc_id, source), and the

@@ -38,6 +38,40 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("dhashScreen: streamed image hashes probe the block index like the batch twin") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    import graft.operators.Multimodal
+    def hash(id: Long) = Multimodal.dhash64(id, Multimodal.dhashFixture(id))
+    // corpus = odd ids (the twins of the arrivals) + unrelated evens
+    val corpusIds = Seq(1L, 3L, 5L, 40L)
+    val corpus = corpusIds.map(id => (id, hash(id))).toDF("doc_id", "dhash")
+    val index = DocStreams.dhashIndex(corpus)
+    val mem = MemoryStream[(Long, Long)]
+    val query = DocStreams.dhashScreen(
+      mem.toDF().toDF("doc_id", "dhash"), index)
+      .writeStream.format("memory").queryName("dhashscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((0L, hash(0L)), (2L, hash(2L)), (100L, hash(100L)))
+      query.processAllAvailable()
+      val got = spark.table("dhashscreen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      // batch twin on the same finite frames
+      val arrivals = Seq(0L, 2L, 100L).map(id => (id, hash(id)))
+        .toDF("doc_id", "dhash")
+      val batch = DocStreams.dhashScreen(arrivals, index).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(got === batch)
+      // each arriving twin matches its odd partner, nothing else
+      assert(got.map(t => (t._1, t._2)).distinct ===
+        Seq((0L, 1L), (2L, 3L)))
+      assert(got.forall(_._4 <= 3))
+    } finally query.stop()
+  }
+
   test("quotaScreen: cross-batch state caps each source; stream equals batch twin") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
