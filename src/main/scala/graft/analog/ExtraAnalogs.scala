@@ -2740,6 +2740,105 @@ object ExtraAnalogs {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
         |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio feature extraction: the mm_decode_wav fixture (8
+    // s16le samples u_i = (doc_id·13+5i) mod 65536 in a valid RIFF
+    // container) framed at 4 samples/frame -> integer-exact features
+    // per frame: energy = Σs², zcr = within-frame sign flips,
+    // peak = max|s|, clipped = #{|s| >= 32767}. The oracle replays the
+    // sample law and the identical frame math (lag window for zcr), so
+    // a decoder or framing bug on ANY sample hash-fails. Scale shape:
+    // decode + frame features are partition-local map-only work — the
+    // 1 -> nFrames fan-out never crosses an exchange.
+    Q("mm_audio_features",
+      (s, d) => {
+        val header = "52494646" + "34000000" + "57415645" + "666D7420" +
+          "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+          "0200" + "1000" + "64617461" + "10000000"
+        val samples = (0 until 8).flatMap { i =>
+          val u = pmod(col("doc_id") * 13 + lit(5 * i), lit(65536))
+          Seq(lpad(hex(pmod(u, lit(256))), 2, "0"),
+            lpad(hex(shiftright(u.cast("int"), 8)), 2, "0"))
+        }
+        val withPayload = Tables.documents(s, d).select(col("doc_id"),
+          unhex(concat(lit(header) +: samples: _*)).as("payload"))
+        Multimodal.audioFeatures(s, withPayload, frameLen = 4)
+          .toDF().orderBy("doc_id", "frame_pos")
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id, unnest(range(0, 8)) AS i FROM documents),
+        |sv AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN (doc_id*13 + 5*i) % 65536 >= 32768
+        |      THEN (doc_id*13 + 5*i) % 65536 - 65536
+        |      ELSE (doc_id*13 + 5*i) % 65536 END AS v
+        |  FROM s),
+        |fv AS (
+        |  SELECT doc_id, i // 4 AS frame_pos, v,
+        |    lag(v) OVER (PARTITION BY doc_id, i // 4 ORDER BY i) AS pv
+        |  FROM sv)
+        |SELECT doc_id, CAST(frame_pos AS BIGINT) AS frame_pos,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN abs(v) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped
+        |FROM fv GROUP BY doc_id, frame_pos
+        |ORDER BY doc_id, frame_pos""".stripMargin)),
+
+    // Perceptual AUDIO near-dup pairs: each doc gets a 260-sample clip
+    // under the quadratic-scramble law v = ((t² div 7) mod 4096) − 2048,
+    // t = (id div 2)·73 + 151·i + 17 (odd ids perturb ONLY sample 0 —
+    // near-twins), the clip goes through the REAL container round
+    // (encodeWav -> wavSamples chunk walk), and the 64-bit envelope
+    // hash (bit k = E(k+1) > E(k) over 65 4-sample frame energies —
+    // dHash's sign-of-delta law on the time axis) mines through the
+    // SAME Manku block miner as image dHash (Multimodal.hammingPairs).
+    // The oracle replays sample law -> frame energies -> delta bits ->
+    // HUGEINT hash assembly with two's-complement fold-back -> the
+    // identical block mine-and-verify.
+    Q("mm_audio_fp_pairs",
+      (s, d) => Multimodal.audioFpPairs(
+        Multimodal.envelopeFixtures(s, Tables.documents(s, d))),
+      Some("""WITH s AS (
+        |  SELECT doc_id, unnest(range(0, 260)) AS i FROM documents),
+        |u AS (
+        |  SELECT doc_id, i,
+        |    ((((doc_id//2)*73 + 151*i + 17)
+        |      * ((doc_id//2)*73 + 151*i + 17)) // 7) % 4096 AS u0
+        |  FROM s),
+        |pv AS (
+        |  SELECT doc_id, i,
+        |    (CASE WHEN doc_id % 2 = 1 AND i = 0
+        |      THEN (u0 + 600) % 4096 ELSE u0 END) - 2048 AS v
+        |  FROM u),
+        |e AS (SELECT doc_id, i // 4 AS k,
+        |        sum(CAST(v AS BIGINT) * v) AS en
+        |      FROM pv GROUP BY doc_id, i // 4),
+        |b AS (SELECT a.doc_id, a.k,
+        |        CASE WHEN n.en > a.en THEN 1::HUGEINT
+        |          ELSE 0::HUGEINT END AS bit
+        |      FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.k = a.k + 1
+        |      WHERE a.k < 64),
+        |hu AS (SELECT doc_id, sum(bit * (1::HUGEINT << k)) AS h
+        |       FROM b GROUP BY doc_id),
+        |hs2 AS (SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fp FROM hu),
+        |blk AS (SELECT doc_id, fp, unnest(range(0, 4)) AS blk FROM hs2),
+        |bb AS (SELECT doc_id, fp, blk,
+        |  (fp >> (64 - (blk + 1) * 16)) & 65535 AS bval FROM blk),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.fp AS ha, b.fp AS hb
+        |  FROM bb a JOIN bb b
+        |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // REAL compressed-audio decode, pure JVM: each doc gets a valid
     // one-block mono IMA-ADPCM WAV (format tag 0x11 — Multimodal
     // .adpcmFixture: initial predictor (id·97 mod 2001)−1000, step

@@ -280,20 +280,39 @@ object Multimodal {
     * ([[graft.streaming.DocStreams.dhashScreen]]), so the two cannot
     * drift on block geometry.
     */
-  def dhashBlocks(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def dhashBlocks(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBlocks(hashes, "dhash", maxHamming)
+
+  /** The modality-generic half of the miner: any (doc_id, <hashCol>)
+    * frame of 64-bit fingerprints explodes to its Manku block keys —
+    * image dHash ([[dhashBlocks]]) and the audio envelope hash
+    * ([[audioFpPairs]]) share THIS builder, so every 64-bit
+    * perceptual family mines under one block geometry. The output
+    * hash column is normalized to `dhash` whatever the input name.
+    */
+  def hammingBlocks(hashes: DataFrame, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     require(64 % nBlocks == 0,
       s"maxHamming must be one of 1, 3, 7 (equal 64-bit blocks), got $maxHamming")
     val blockBits = 64 / nBlocks
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-    hashes.select(col("doc_id"), col("dhash"),
+    hashes.select(col("doc_id"), col(hashCol).as("dhash"),
       posexplode(array((0 until nBlocks).map(i =>
-        shiftright(col("dhash"), 64 - (i + 1) * blockBits)
+        shiftright(col(hashCol), 64 - (i + 1) * blockBits)
           .bitwiseAND(lit(mask))): _*)).as(Seq("blk", "bval")))
   }
 
-  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val blocks = dhashBlocks(hashes, maxHamming)
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(hashes, "dhash", maxHamming)
+
+  /** Near-dup pairs within `maxHamming` bits over ANY 64-bit
+    * fingerprint column — the generic mine-and-verify behind
+    * [[dhashPairs]] (images) and [[audioFpPairs]] (audio).
+    */
+  def hammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = hammingBlocks(hashes, hashCol, maxHamming)
     val a = blocks.select(col("blk"), col("bval"),
       col("doc_id").as("doc_a"), col("dhash").as("hash_a"))
     val b = blocks.select(col("blk"), col("bval"),
@@ -320,6 +339,32 @@ object Multimodal {
     * convention).
     */
   def parseWav(id: Long, bytes: Array[Byte]): WavMeta = {
+    val (rate, ch, bits, samples) = wavWalk(id, bytes)
+    var peak = 0L; var sum = 0L
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i).toInt).toLong
+      if (a > peak) peak = a
+      sum += a
+      i += 1
+    }
+    WavMeta(id, rate, ch, bits, samples.length.toLong, peak, sum)
+  }
+
+  /** Decoded 16-bit linear samples of a PCM or G.711 WAV payload —
+    * the sample-level sibling of [[parseWav]] (the SAME walk and the
+    * same container requires; G.711 code bytes come back through the
+    * companding decoders), for consumers that need the waveform
+    * itself: [[audioFeatures]], [[audioEnvelopeHash]].
+    */
+  def wavSamples(id: Long, bytes: Array[Byte]): Array[Short] =
+    wavWalk(id, bytes)._4
+
+  /** The one RIFF walk behind [[parseWav]] and [[wavSamples]]:
+    * (rate, channels, declared bits, decoded linear samples).
+    */
+  private def wavWalk(id: Long,
+      bytes: Array[Byte]): (Long, Long, Long, Array[Short]) = {
     def u8(i: Int) = bytes(i) & 255
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def u32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
@@ -348,35 +393,30 @@ object Multimodal {
       pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
     require(dataOff >= 0 && fmtTag > 0, s"doc $id: no data/fmt chunk")
-    var peak = 0L; var sum = 0L
-    val n =
+    val samples =
       if (fmtTag == 1) {
         require(bits == 16, s"doc $id: PCM bits $bits != 16")
-        val n = dataLen / 2
-        var i = 0L
+        val n = (dataLen / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
         while (i < n) {
-          val u = u16(dataOff + 2 * i.toInt)
-          val s = if (u >= 32768) u - 65536 else u
-          val a = math.abs(s).toLong
-          if (a > peak) peak = a
-          sum += a
+          out(i) = (u8(dataOff + 2 * i) | (u8(dataOff + 2 * i + 1) << 8)).toShort
           i += 1
         }
-        n
+        out
       } else {
         require(bits == 8, s"doc $id: G.711 bits $bits != 8")
-        var i = 0L
-        while (i < dataLen) {
-          val c = u8(dataOff + i.toInt)
-          val s = if (fmtTag == 6) alawDecode(c) else ulawDecode(c)
-          val a = math.abs(s).toLong
-          if (a > peak) peak = a
-          sum += a
+        val n = dataLen.toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val c = u8(dataOff + i)
+          out(i) = (if (fmtTag == 6) alawDecode(c) else ulawDecode(c)).toShort
           i += 1
         }
-        dataLen
+        out
       }
-    WavMeta(id, rate, ch, bits, n, peak, sum)
+    (rate, ch, bits, samples)
   }
 
   /** Encode 16-bit little-endian PCM frames as a canonical 44-byte
@@ -864,6 +904,142 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => parseWav(id, b) })
   }
+
+  // ---- Audio feature extraction: frame-level integer-exact stats --------
+  // The multimodal pipeline's feature-extract stage for audio. All
+  // four features are integer-exact over the DECODED linear samples
+  // (G.711 payloads come back through the companding decoders first),
+  // so an oracle that knows the sample law can hash-gate them:
+  //   energy  = Σ s²        (the classic VAD/loudness gate)
+  //   zcr     = zero crossings — sign flips between CONSECUTIVE
+  //             samples WITHIN the frame (a crude pitch/noisiness cue)
+  //   peak    = max |s|
+  //   clipped = #{|s| ≥ 32767} (both rails — saturation detector)
+
+  /** One frame of audio features; `frame_pos` is the 0-based frame
+    * index at `frameLen` samples per frame (trailing partial frames
+    * are dropped — features over a short tail would not be comparable
+    * across rows).
+    */
+  final case class AudioFrame(doc_id: Long, frame_pos: Long,
+      energy: Long, zcr: Long, peak: Long, clipped: Long)
+
+  private[operators] def frameFeatures(id: Long, samples: Array[Short],
+      frameLen: Int): Array[AudioFrame] = {
+    require(frameLen > 0, s"doc $id: frameLen must be positive, got $frameLen")
+    val nFrames = samples.length / frameLen
+    val out = new Array[AudioFrame](nFrames)
+    var k = 0
+    while (k < nFrames) {
+      var energy = 0L; var zcr = 0L; var peak = 0L; var clipped = 0L
+      var i = 0
+      while (i < frameLen) {
+        val s = samples(k * frameLen + i).toInt
+        val a = math.abs(s).toLong
+        energy += a * a
+        if (a > peak) peak = a
+        if (a >= 32767) clipped += 1
+        if (i > 0 && ((s < 0) != (samples(k * frameLen + i - 1) < 0))) zcr += 1
+        i += 1
+      }
+      out(k) = AudioFrame(id, k.toLong, energy, zcr, peak, clipped)
+      k += 1
+    }
+    out
+  }
+
+  /** Frame-level features for every WAV payload: decode (PCM or
+    * G.711) → fixed `frameLen`-sample frames → integer-exact
+    * energy/zcr/peak/clip per frame. Partition-local map-only work —
+    * the 1→nFrames fan-out never crosses an exchange, so the plan is
+    * a scan plus codegen whatever the corpus size; only the caller's
+    * output ordering shuffles.
+    */
+  def audioFeatures(spark: SparkSession, withPayload: DataFrame,
+      frameLen: Int = 4): Dataset[AudioFrame] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        frameFeatures(id, wavSamples(id, b), frameLen) })
+  }
+
+  // ---- Perceptual audio dedup: envelope hash over frame energies --------
+  // [[dhash64]]'s sign-of-delta law on the time axis: 65 consecutive
+  // frame energies give 64 comparisons, bit k = 1 iff E(k+1) > E(k).
+  // Re-encodes, gain-linear edits, and small local noise keep most
+  // delta signs, so near-duplicate clips land within a few bits while
+  // unrelated audio sits ~32 apart — and the SAME Manku block miner
+  // ([[hammingPairs]]) that serves text SimHash and image dHash mines
+  // the pairs with exact recall at hamming ≤ 3.
+
+  /** 64-bit envelope fingerprint over the first 65 `frameLen`-sample
+    * frames: bit k = 1 iff frame-energy E(k+1) > E(k).
+    */
+  def audioEnvelopeHash(id: Long, samples: Array[Short],
+      frameLen: Int = 4): Long = {
+    require(samples.length >= 65 * frameLen,
+      s"doc $id: envelope hash needs 65 frames = ${65 * frameLen} " +
+        s"samples, got ${samples.length}")
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      var sum = 0L; var i = 0
+      while (i < frameLen) {
+        val s = samples(k * frameLen + i).toLong
+        sum += s * s
+        i += 1
+      }
+      e(k) = sum; k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Deterministic per-id sample law for the envelope-hash fixture
+    * corpus (the [[dhashPixel]] quadratic-scramble convention — a
+    * LINEAR law would give every doc the same phase-shifted envelope
+    * and mine false twins): 260 samples
+    * u(i) = (t² div 7) mod 4096 with t = (id div 2)·73 + 151·i + 17,
+    * signed v = u − 2048; ids 2k/2k+1 are near-twins — the odd id
+    * perturbs ONLY sample 0 (+600 mod 4096), which can move frame
+    * energy E(0) alone, so a twin pair lands within hamming 1 while
+    * distinct k differ on ~half the delta signs. SQL-closed-form, so
+    * the oracle replays it exactly.
+    */
+  private[operators] def envelopeSample(id: Long, i: Int): Int = {
+    val t = (id / 2) * 73 + 151L * i + 17
+    val u = (t * t / 7) % 4096
+    val p = if (id % 2 == 1 && i == 0) (u + 600) % 4096 else u
+    p.toInt - 2048
+  }
+
+  /** One row per fixture clip: (doc_id, fp). The fixture samples go
+    * through the REAL container round ([[encodeWav]] → [[wavSamples]]'
+    * chunk walk) before hashing — the plumbing is real, the waveform
+    * synthesized (the [[dhashFixtures]] contract for audio).
+    */
+  def envelopeFixtures(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val samples = Array.tabulate(260)(i => envelopeSample(id, i).toShort)
+        val wav = encodeWav(8000, 1, samples)
+        (id, audioEnvelopeHash(id, wavSamples(id, wav)))
+      }).toDF("doc_id", "fp")
+  }
+
+  /** Near-dup audio pairs within `maxHamming` bits over the envelope
+    * fingerprints — [[hammingPairs]] on the `fp` column: the image
+    * miner's exact-recall block geometry, unchanged.
+    */
+  def audioFpPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(fps, "fp", maxHamming)
 
   /** REAL nearest-neighbor resize of a P6 payload: source pixel
     * (sx, sy) = (x·w ÷ outW, y·h ÷ outH) (floor), emitted as a fresh

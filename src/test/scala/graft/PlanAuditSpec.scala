@@ -208,15 +208,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("codec fixture queries are map-only up to the output sort") {
     // pure-JVM codecs run per-row in mapPartitions: the ONLY exchange
-    // each plan may carry is the deterministic output orderBy
+    // each plan may carry is the deterministic output orderBy — and
+    // the audio feature extractor's 1->nFrames fan-out stays inside
+    // the same map-only shape
     Seq("mm_adpcm_roundtrip", "mm_g711_roundtrip",
-        "mm_decode_g711_wav").foreach { q =>
+        "mm_decode_g711_wav", "mm_audio_features").foreach { q =>
       val exchanges = "Exchange (\\w+)".r
         .findAllMatchIn(plans(q)).map(_.group(1)).toList
       assert(exchanges.forall(_ == "rangepartitioning"),
         s"$q: non-sort exchange in a map-only codec: $exchanges\n" +
           plans(q).take(800))
     }
+  }
+
+  test("audio fp pairs mine through the image miner's block-join shape") {
+    // decode+hash is partition-local; the mine is the dHash block
+    // equi-join (broadcast at this scale) + codegen popcount verify —
+    // no window, no cartesian
+    val afp = plans("mm_audio_fp_pairs")
+    assert(afp.contains("BroadcastHashJoin") || afp.contains("SortMergeJoin"),
+      afp.take(800))
+    assert(!afp.contains("Window") && !afp.contains("Cartesian"),
+      afp.take(800))
   }
 
   test("profile_merge scans the corpus once (mergeable shard stats)") {

@@ -590,4 +590,75 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.dhashPairs(hashes).collect().toSeq ===
       Multimodal.dhashPairs(hashes).collect().toSeq)
   }
+
+  test("wavSamples: parseWav is exactly the fold of the decoded samples") {
+    val bytes = wav(Seq(100, -200, 32767, -32768, 0), junk = true)
+    val s = Multimodal.wavSamples(3L, bytes)
+    assert(s.toSeq === Seq[Short](100, -200, 32767, -32768, 0))
+    val m = Multimodal.parseWav(3L, bytes)
+    assert(m.peak === s.map(v => math.abs(v.toInt).toLong).max)
+    assert(m.sum_abs === s.map(v => math.abs(v.toInt).toLong).sum)
+    // G.711 containers come back companding-decoded, not as code bytes
+    val uw = Multimodal.encodeG711Wav(8000, 1, 7, Array[Byte](0x12, 0x7F))
+    assert(Multimodal.wavSamples(1L, uw).toSeq ===
+      Seq(Multimodal.ulawDecode(0x12).toShort,
+        Multimodal.ulawDecode(0x7F).toShort))
+  }
+
+  test("audio features: hand frame pins energy, zcr, peak, clipped") {
+    // frame 0: 100, -200, 32767, -32768 -> a sign flip at EVERY step
+    // (zcr 3), both clipping rails counted (|s| >= 32767), peak takes
+    // the negative rail's 32768
+    // frame 1: 0, 0, 5, 5 -> zero is non-negative, so zcr 0
+    // trailing partial frame (the lone 9) is dropped, not mis-framed
+    val bytes = wav(Seq(100, -200, 32767, -32768, 0, 0, 5, 5, 9),
+      junk = false)
+    val frames = Multimodal.frameFeatures(
+      1L, Multimodal.wavSamples(1L, bytes), 4)
+    assert(frames.length === 2)
+    val f0 = frames(0)
+    assert((f0.frame_pos, f0.energy, f0.zcr, f0.peak, f0.clipped) ===
+      ((0L, 100L * 100 + 200L * 200 + 32767L * 32767 + 32768L * 32768,
+        3L, 32768L, 2L)))
+    val f1 = frames(1)
+    assert((f1.frame_pos, f1.energy, f1.zcr, f1.peak, f1.clipped) ===
+      ((1L, 50L, 0L, 5L, 0L)))
+    // frameLen guard
+    val e = intercept[IllegalArgumentException](
+      Multimodal.frameFeatures(1L, Array[Short](1), 0))
+    assert(e.getMessage.contains("frameLen"))
+  }
+
+  test("audioEnvelopeHash: monotone envelopes pin the all-ones/zero words") {
+    // strictly rising per-frame energy -> every delta bit set -> -1L
+    val rising = Array.tabulate(260)(i => ((i / 4) + 1).toShort)
+    assert(Multimodal.audioEnvelopeHash(0L, rising) === -1L)
+    val falling = Array.tabulate(260)(i => (65 - i / 4).toShort)
+    assert(Multimodal.audioEnvelopeHash(0L, falling) === 0L)
+    // 65-frame dimension guard
+    val e = intercept[IllegalArgumentException](
+      Multimodal.audioEnvelopeHash(1L, new Array[Short](100)))
+    assert(e.getMessage.contains("65 frames"))
+  }
+
+  test("envelope fixtures: twins within hamming 1; the shared miner finds them") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def fp(id: Long): Long = {
+      val s = Array.tabulate(260)(i => Multimodal.envelopeSample(id, i).toShort)
+      Multimodal.audioEnvelopeHash(id,
+        Multimodal.wavSamples(id, Multimodal.encodeWav(8000, 1, s)))
+    }
+    val hs = (0L until 40L).map(id => id -> fp(id)).toMap
+    for (k <- 0 until 20)
+      assert(ham(hs(2L * k), hs(2L * k + 1)) <= 1, s"twin $k drifted")
+    for (i <- 0 until 20; j <- (i + 1) until 20)
+      assert(ham(hs(2L * i), hs(2L * j)) > 3, s"cross $i/$j too close")
+    // mined through the SAME Manku block geometry as image dHash
+    val mined = Multimodal.audioFpPairs(
+      Multimodal.envelopeFixtures(spark,
+        spark.range(20).select(col("id").as("doc_id"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (k <- 0 until 10)
+      assert(mined.contains((2L * k, 2L * k + 1)), s"twin $k unmined")
+  }
 }
