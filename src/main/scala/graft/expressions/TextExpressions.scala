@@ -689,6 +689,87 @@ object UnicodeNorm {
   * query. ASCII input short-circuits (identity) without leaving
   * UTF8String.
   */
+/** Runtime for [[ScriptCounts]]: one code-point walk classifying each
+  * character into a fixed script bucket. Buckets are contiguous
+  * codepoint ranges only — the whole classification is replayable in
+  * ANSI SQL as BETWEEN predicates over `unicode(ch)`, which is what
+  * the DuckDB oracle does. Bucket order is the tie-break order for
+  * the dominant-script argmax downstream.
+  */
+object ScriptCount {
+  /** Bucket names in index order:
+    * 0 latin (ASCII letters + Latin-1 Supplement/Extended-A/B letters)
+    * 1 digit (ASCII 0-9)
+    * 2 punct (ASCII space/punct/control-ws + General Punctuation)
+    * 3 cyrillic  4 greek  5 cjk (kana + unified ideographs)
+    * 6 arabic    7 hangul 8 other
+    */
+  val Buckets: Array[String] = Array("latin", "digit", "punct",
+    "cyrillic", "greek", "cjk", "arabic", "hangul", "other")
+
+  def classify(cp: Int): Int =
+    if (cp >= 'A' && cp <= 'Z' || cp >= 'a' && cp <= 'z' ||
+      cp >= 0xC0 && cp <= 0x24F) 0
+    else if (cp >= '0' && cp <= '9') 1
+    else if (cp >= 0x09 && cp <= 0x0D || cp >= 0x20 && cp <= 0x2F ||
+      cp >= 0x3A && cp <= 0x40 || cp >= 0x5B && cp <= 0x60 ||
+      cp >= 0x7B && cp <= 0x7E || cp >= 0x2000 && cp <= 0x206F) 2
+    else if (cp >= 0x400 && cp <= 0x4FF) 3
+    else if (cp >= 0x370 && cp <= 0x3FF) 4
+    else if (cp >= 0x3040 && cp <= 0x30FF || cp >= 0x4E00 && cp <= 0x9FFF) 5
+    else if (cp >= 0x600 && cp <= 0x6FF) 6
+    else if (cp >= 0xAC00 && cp <= 0xD7AF) 7
+    else 8
+
+  def counts(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val out = new Array[Long](9)
+    val s = text.toString
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(classify(cp)) += 1
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Per-document Unicode-script histogram: array<long> of 9 bucket
+  * counts ([[ScriptCount.Buckets]]) from ONE code-point walk inside
+  * whole-stage codegen. The language-routing / mojibake primitive: a
+  * document whose secondary script count is a large fraction of its
+  * primary is either genuinely multilingual or mis-decoded — both
+  * worth flagging before training. The composed alternative (one
+  * regexp_count per script class) re-walks the string per bucket and
+  * pins Spark's regex dialect into the contract; contiguous ranges
+  * keep the law engine-portable.
+  */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "script_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ScriptCount.counts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.ScriptCount.counts($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+}
+
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -766,6 +847,10 @@ object TextExpressions {
   /** Column-level Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfcNormalize(text: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+
+  /** Column-level script histogram (see [[ScriptCounts]]). */
+  def scriptCounts(text: Column): Column =
+    GraftBridge.column(ScriptCounts(GraftBridge.expression(text)))
 
   /** Column-level fused hashed char-n-gram buckets (see
     * [[CharGramBuckets]]).

@@ -260,4 +260,44 @@ object QualityFilters {
       (col("_c4_ok") && gWords && gLen && gSym && gAlpha && gStop)
         .cast("int").as("pass"))
   }
+
+  /** Unicode-script profile per document — the language-routing /
+    * mojibake quality signal: per-script character counts from ONE
+    * code-point walk (native [[graft.expressions.ScriptCounts]],
+    * whole-stage codegen), the dominant script (argmax over the seven
+    * SCRIPT buckets — digits and punctuation are script-neutral —
+    * first-max tie-break in bucket order), and `mixed_ppm` = the
+    * secondary script's count as parts-per-million of the primary's
+    * (integral `div`, so the contract stays FP-free). A high
+    * `mixed_ppm` is either genuine code-switching or a decode bug —
+    * both route the doc out of the monolingual pool. Map-only scalar
+    * work; composes with any upstream partitioning.
+    */
+  def scriptProfile(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    import graft.expressions.{ScriptCount, TextExpressions}
+    val names = ScriptCount.Buckets
+    val counted = docs.select(col("doc_id"),
+      TextExpressions.scriptCounts(col(textCol)).as("sc"))
+    val countCols = names.zipWithIndex.map { case (nm, i) =>
+      element_at(col("sc"), i + 1).as(s"n_$nm") }
+    // script buckets only (no digit/punct), in tie-break order
+    val scripts = Seq("latin", "cyrillic", "greek", "cjk", "arabic",
+      "hangul", "other")
+    val wide = counted.select(col("doc_id") +: countCols: _*)
+      .withColumn("_scripts",
+        array(scripts.map(nm => col(s"n_$nm")): _*))
+      .withColumn("_big", array_max(col("_scripts")))
+      .withColumn("_second",
+        element_at(array_sort(col("_scripts")), scripts.length - 1))
+    wide.select(
+      col("doc_id") +: names.map(nm => col(s"n_$nm")) :+
+        when(col("_big") === 0, "none")
+          .otherwise(element_at(
+            lit(scripts.toArray),
+            array_position(col("_scripts"), col("_big")).cast("int")))
+          .as("dominant_script") :+
+        expr("CASE WHEN _big = 0 THEN 0L " +
+          "ELSE (_second * 1000000L) div _big END").as("mixed_ppm"): _*)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{GramHashes, MinhashBands, ModalRunLength, NfcNormalize, SimhashFold, TopKAgg, VecDot, WinnowMins}
+import graft.expressions.{GramHashes, MinhashBands, ModalRunLength, NfcNormalize, ScriptCounts, SimhashFold, TopKAgg, VecDot, WinnowMins}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -91,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize(text) takes one string arg")
         NfcNormalize(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("script_counts"),
+      new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "script_counts(text) takes one string arg")
+        ScriptCounts(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("bpe_token_count"),

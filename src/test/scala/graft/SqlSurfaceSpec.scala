@@ -48,4 +48,12 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     // 'vector' folds to 1 token, 'orderkey' to 4 (BpeSpec)
     assert(got === 5L)
   }
+
+  test("script_counts is callable from SQL") {
+    // 'a' latin, '1' digit, 'д' cyrillic — bucket order latin, digit,
+    // punct, cyrillic, greek, cjk, arabic, hangul, other
+    val got = spark.sql("SELECT script_counts('a1д') AS c")
+      .head.getSeq[Long](0)
+    assert(got === Seq(1L, 1L, 0L, 1L, 0L, 0L, 0L, 0L, 0L))
+  }
 }

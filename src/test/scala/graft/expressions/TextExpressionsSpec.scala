@@ -257,4 +257,27 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(got.length === 3) // positional keeps the repeated "a b"
     assert(got(0) === got(2))
   }
+
+  test("script_counts: one walk hits every bucket; astral chars count once") {
+    // A b (latin)  space (punct)  é (Latin-1 letter -> latin)
+    // 1 (digit)  . — (ASCII punct + General Punctuation)
+    // д (cyrillic)  中 (cjk)  π (greek)  م (arabic)  한 (hangul)
+    // 😀 (astral smiley, surrogate PAIR -> one 'other' codepoint)
+    val text = "Ab é1 .—д中πم한" +
+      new String(Character.toChars(0x1F600))
+    val got = spark.createDataFrame(Seq(Tuple1(text))).toDF("t")
+      .select(TextExpressions.scriptCounts(col("t")).as("c"))
+      .head().getSeq[Long](0)
+    //              latin digit punct cyr greek cjk arabic hangul other
+    // punct = two spaces + '.' + the em dash
+    assert(got === Seq(3L, 1L, 4L, 1L, 1L, 1L, 1L, 1L, 1L))
+    // empty text: all zeros, not null
+    val empty = spark.createDataFrame(Seq(Tuple1(""))).toDF("t")
+      .select(TextExpressions.scriptCounts(col("t")).as("c"))
+      .head().getSeq[Long](0)
+    assert(empty === Seq.fill(9)(0L))
+    // null propagates
+    assert(spark.sql("SELECT script_counts(CAST(NULL AS STRING)) AS c")
+      .head().isNullAt(0))
+  }
 }

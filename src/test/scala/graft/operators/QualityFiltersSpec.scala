@@ -124,4 +124,27 @@ class QualityFiltersSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(4) === 0.0)
     assert(r.getInt(8) === 1) // pass
   }
+
+  test("scriptProfile: dominance, tie-break, mixed ratio, empty doc") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, "hello world"),   // pure latin, nothing secondary
+      (1L, "aaaa дд"), // latin 4, cyrillic 2 -> 500000 ppm
+      (2L, "ддд"), // pure cyrillic
+      (3L, "a д"),      // 1-1 tie -> bucket order picks latin
+      (4L, ""),              // no script chars at all
+      (5L, "123 ...")))      // digits/punct are script-neutral
+      .toDF("doc_id", "text")
+    val got = QualityFilters.scriptProfile(docs).orderBy("doc_id")
+      .select("doc_id", "dominant_script", "mixed_ppm")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (0L, "latin", 0L), (1L, "latin", 500000L), (2L, "cyrillic", 0L),
+      (3L, "latin", 1000000L), (4L, "none", 0L), (5L, "none", 0L)))
+    // count columns ride along exactly
+    val r1 = QualityFilters.scriptProfile(docs)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).head()
+    assert(r1.getAs[Long]("n_latin") === 4L)
+    assert(r1.getAs[Long]("n_cyrillic") === 2L)
+    assert(r1.getAs[Long]("n_punct") === 1L)
+  }
 }
