@@ -401,86 +401,123 @@ object QualityAnalogs {
     // engines; the classification itself is pure contiguous-range
     // codepoint math (native ScriptCounts <-> BETWEEN over unicode()).
     Q("text_script_profile",
-      (s, d) => {
-        val inj = Tables.documents(s, d).select(col("doc_id"), expr(
-          "text || " +
-            "CASE WHEN doc_id % 3 = 0 THEN ' ' || " +
-            "  repeat('дф', CAST(doc_id % 7 AS INT) + 1) ELSE '' END || " +
-            "CASE WHEN doc_id % 4 = 0 THEN ' ' || " +
-            "  repeat('中文', CAST(doc_id % 5 AS INT) + 1) ELSE '' END || " +
-            "CASE WHEN doc_id % 6 = 0 THEN ' πλ' ELSE '' END || " +
-            "CASE WHEN doc_id % 9 = 0 THEN ' مرحبا' ELSE '' END || " +
-            "CASE WHEN doc_id % 10 = 0 THEN ' 한글' ELSE '' END || " +
-            "CASE WHEN doc_id % 11 = 0 THEN ' ' || " +
-            "  repeat('д', CAST(length(text) AS INT)) ELSE '' END"
-        ).as("text"))
-        QualityFilters.scriptProfile(inj).orderBy("doc_id")
-      },
-      Some("""WITH inj AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' ' ||
-        |      repeat('дф', CAST(doc_id % 7 AS INT) + 1) ELSE '' END ||
-        |    CASE WHEN doc_id % 4 = 0 THEN ' ' ||
-        |      repeat('中文', CAST(doc_id % 5 AS INT) + 1) ELSE '' END ||
-        |    CASE WHEN doc_id % 6 = 0 THEN ' πλ' ELSE '' END ||
-        |    CASE WHEN doc_id % 9 = 0 THEN ' مرحبا' ELSE '' END ||
-        |    CASE WHEN doc_id % 10 = 0 THEN ' 한글' ELSE '' END ||
-        |    CASE WHEN doc_id % 11 = 0 THEN ' ' ||
-        |      repeat('д', CAST(length(text) AS INT)) ELSE '' END AS t
-        |  FROM documents),
-        |ch AS (
-        |  SELECT doc_id, unicode(substr(t, CAST(i AS INT), 1)) AS cp
-        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
-        |        FROM inj)),
-        |cls AS (
-        |  SELECT doc_id, CASE
-        |    WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
-        |      OR (cp BETWEEN 192 AND 591) THEN 0
-        |    WHEN cp BETWEEN 48 AND 57 THEN 1
-        |    WHEN (cp BETWEEN 9 AND 13) OR (cp BETWEEN 32 AND 47)
-        |      OR (cp BETWEEN 58 AND 64) OR (cp BETWEEN 91 AND 96)
-        |      OR (cp BETWEEN 123 AND 126)
-        |      OR (cp BETWEEN 8192 AND 8303) THEN 2
-        |    WHEN cp BETWEEN 1024 AND 1279 THEN 3
-        |    WHEN cp BETWEEN 880 AND 1023 THEN 4
-        |    WHEN (cp BETWEEN 12352 AND 12543)
-        |      OR (cp BETWEEN 19968 AND 40959) THEN 5
-        |    WHEN cp BETWEEN 1536 AND 1791 THEN 6
-        |    WHEN cp BETWEEN 44032 AND 55215 THEN 7
-        |    ELSE 8 END AS b
-        |  FROM ch),
-        |agg AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_latin,
-        |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
-        |    CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_punct,
-        |    CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_cyrillic,
-        |    CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_greek,
-        |    CAST(sum(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
-        |    CAST(sum(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_arabic,
-        |    CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_hangul,
-        |    CAST(sum(CASE WHEN b = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_other
-        |  FROM cls GROUP BY doc_id),
-        |fin AS (
-        |  SELECT *,
-        |    greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
-        |      n_hangul, n_other) AS big,
-        |    list_sort([n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
-        |      n_hangul, n_other])[6] AS sec
-        |  FROM agg)
+      (s, d) => QualityFilters.scriptProfile(injectedScripts(s, d))
+        .orderBy("doc_id"),
+      Some(s"""WITH $dScriptCte
         |SELECT doc_id, n_latin, n_digit, n_punct, n_cyrillic, n_greek,
-        |  n_cjk, n_arabic, n_hangul, n_other,
-        |  CASE WHEN big = 0 THEN 'none'
-        |    WHEN n_latin = big THEN 'latin'
-        |    WHEN n_cyrillic = big THEN 'cyrillic'
-        |    WHEN n_greek = big THEN 'greek'
-        |    WHEN n_cjk = big THEN 'cjk'
-        |    WHEN n_arabic = big THEN 'arabic'
-        |    WHEN n_hangul = big THEN 'hangul'
-        |    ELSE 'other' END AS dominant_script,
-        |  CAST(CASE WHEN big = 0 THEN 0
-        |    ELSE (sec * 1000000) // big END AS BIGINT) AS mixed_ppm
-        |FROM fin ORDER BY doc_id""".stripMargin))
+        |  n_cjk, n_arabic, n_hangul, n_other, dominant_script, mixed_ppm
+        |FROM prof ORDER BY doc_id""".stripMargin)),
+
+    // Batch twin of the STREAMING script-routing screen
+    // (DocStreams.scriptScreen): the same injected corpus "arrives"
+    // and routes — empty / mixed (secondary >= 10% of primary:
+    // code-switching or mojibake, quarantine) / keep (clean latin) /
+    // route:<script> (forward to that language pool). Stateless
+    // per-row scalar work, so the identical plan runs on the finite
+    // frame; the oracle appends only the verdict CASE to the shared
+    // profile CTE.
+    Q("stream_script_screen",
+      (s, d) => graft.streaming.DocStreams.scriptScreen(
+        injectedScripts(s, d)).orderBy("doc_id"),
+      Some(s"""WITH $dScriptCte
+        |SELECT doc_id, dominant_script, mixed_ppm,
+        |  CASE WHEN dominant_script = 'none' THEN 'empty'
+        |    WHEN mixed_ppm >= 100000 THEN 'mixed'
+        |    WHEN dominant_script = 'latin' THEN 'keep'
+        |    ELSE 'route:' || dominant_script END AS verdict
+        |FROM prof ORDER BY doc_id""".stripMargin))
   )
+
+  /** The doc_id-keyed multi-script injection both script queries feed
+    * (see text_script_profile's comment): ONE expression string, the
+    * DuckDB twin is textually identical inside [[dScriptCte]].
+    */
+  private def injectedScripts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), expr(
+      "text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' ' || " +
+        "  repeat('дф', CAST(doc_id % 7 AS INT) + 1) ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' ' || " +
+        "  repeat('中文', CAST(doc_id % 5 AS INT) + 1) ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 0 THEN ' πλ' ELSE '' END || " +
+        "CASE WHEN doc_id % 9 = 0 THEN ' مرحبا' ELSE '' END || " +
+        "CASE WHEN doc_id % 10 = 0 THEN ' 한글' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN ' ' || " +
+        "  repeat('д', CAST(length(text) AS INT)) ELSE '' END"
+    ).as("text"))
+
+  /** WITH-fragment `inj…prof`: the injected corpus, the 9-bucket
+    * contiguous-range classification (mirrors
+    * graft.expressions.ScriptCount.classify), and the profile columns
+    * incl. dominant script (bucket-order tie-break) and mixed_ppm.
+    * Yields `prof(doc_id, n_*, dominant_script, mixed_ppm)`.
+    */
+  private lazy val dScriptCte: String =
+    """inj AS (
+    |  SELECT doc_id, text ||
+    |    CASE WHEN doc_id % 3 = 0 THEN ' ' ||
+    |      repeat('дф', CAST(doc_id % 7 AS INT) + 1) ELSE '' END ||
+    |    CASE WHEN doc_id % 4 = 0 THEN ' ' ||
+    |      repeat('中文', CAST(doc_id % 5 AS INT) + 1) ELSE '' END ||
+    |    CASE WHEN doc_id % 6 = 0 THEN ' πλ' ELSE '' END ||
+    |    CASE WHEN doc_id % 9 = 0 THEN ' مرحبا' ELSE '' END ||
+    |    CASE WHEN doc_id % 10 = 0 THEN ' 한글' ELSE '' END ||
+    |    CASE WHEN doc_id % 11 = 0 THEN ' ' ||
+    |      repeat('д', CAST(length(text) AS INT)) ELSE '' END AS t
+    |  FROM documents),
+    |ch AS (
+    |  SELECT doc_id, unicode(substr(t, CAST(i AS INT), 1)) AS cp
+    |  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+    |        FROM inj)),
+    |cls AS (
+    |  SELECT doc_id, CASE
+    |    WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+    |      OR (cp BETWEEN 192 AND 591) THEN 0
+    |    WHEN cp BETWEEN 48 AND 57 THEN 1
+    |    WHEN (cp BETWEEN 9 AND 13) OR (cp BETWEEN 32 AND 47)
+    |      OR (cp BETWEEN 58 AND 64) OR (cp BETWEEN 91 AND 96)
+    |      OR (cp BETWEEN 123 AND 126)
+    |      OR (cp BETWEEN 8192 AND 8303) THEN 2
+    |    WHEN cp BETWEEN 1024 AND 1279 THEN 3
+    |    WHEN cp BETWEEN 880 AND 1023 THEN 4
+    |    WHEN (cp BETWEEN 12352 AND 12543)
+    |      OR (cp BETWEEN 19968 AND 40959) THEN 5
+    |    WHEN cp BETWEEN 1536 AND 1791 THEN 6
+    |    WHEN cp BETWEEN 44032 AND 55215 THEN 7
+    |    ELSE 8 END AS b
+    |  FROM ch),
+    |agg AS (
+    |  SELECT doc_id,
+    |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_latin,
+    |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+    |    CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_punct,
+    |    CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    |      AS n_cyrillic,
+    |    CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_greek,
+    |    CAST(sum(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
+    |    CAST(sum(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_arabic,
+    |    CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_hangul,
+    |    CAST(sum(CASE WHEN b = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+    |  FROM cls GROUP BY doc_id),
+    |fin AS (
+    |  SELECT *,
+    |    greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+    |      n_hangul, n_other) AS big,
+    |    list_sort([n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+    |      n_hangul, n_other])[6] AS sec
+    |  FROM agg),
+    |prof AS (
+    |  SELECT doc_id, n_latin, n_digit, n_punct, n_cyrillic, n_greek,
+    |    n_cjk, n_arabic, n_hangul, n_other,
+    |    CASE WHEN big = 0 THEN 'none'
+    |      WHEN n_latin = big THEN 'latin'
+    |      WHEN n_cyrillic = big THEN 'cyrillic'
+    |      WHEN n_greek = big THEN 'greek'
+    |      WHEN n_cjk = big THEN 'cjk'
+    |      WHEN n_arabic = big THEN 'arabic'
+    |      WHEN n_hangul = big THEN 'hangul'
+    |      ELSE 'other' END AS dominant_script,
+    |    CAST(CASE WHEN big = 0 THEN 0
+    |      ELSE (sec * 1000000) // big END AS BIGINT) AS mixed_ppm
+    |  FROM fin)""".stripMargin
 }

@@ -199,6 +199,27 @@ object DocStreams {
       : DataFrame =
     graft.operators.QualityFilters.screen(streamDocs, reqStops = reqStops)
 
+  /** Script-routing screen at ingest: arriving documents profile
+    * their script histogram (native one-walk
+    * [[graft.expressions.ScriptCounts]]) and route —
+    * `empty` (no script characters), `mixed` (secondary script ≥
+    * `maxMixedPpm` of the primary: code-switching or mojibake,
+    * quarantine), `keep` (clean `keepScript`), or `route:<script>`
+    * (clean other script — forward to that language pool). Pure
+    * per-row scalar work: no join, no state, no watermark —
+    * STATELESS per micro-batch, so the identical plan runs on a
+    * finite frame as the batch twin.
+    */
+  def scriptScreen(streamDocs: DataFrame, keepScript: String = "latin",
+      maxMixedPpm: Long = 100000L): DataFrame =
+    graft.operators.QualityFilters.scriptProfile(streamDocs)
+      .withColumn("verdict",
+        when(col("dominant_script") === "none", lit("empty"))
+          .when(col("mixed_ppm") >= maxMixedPpm, lit("mixed"))
+          .when(col("dominant_script") === keepScript, lit("keep"))
+          .otherwise(concat(lit("route:"), col("dominant_script"))))
+      .select("doc_id", "dominant_script", "mixed_ppm", "verdict")
+
   /** DSIR importance screen at ingest: arriving docs score
     * Σ ln(p_target/p_raw) against the DENSE bucket model collected by
     * [[graft.operators.Curation.dsirModel]] — a `buckets`-entry array

@@ -16,6 +16,38 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     (102L, "red green blue yellow purple orange")))
     .toDF("doc_id", "text")
 
+  test("scriptScreen: arriving docs route by script like the batch twin") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.scriptScreen(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scriptscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, "hello world"), // clean latin -> keep
+        (2L, "ддд"),         // clean cyrillic -> route
+        (3L, "aaaa дддд"),   // 4-4 tie: dominant latin, 100% mixed
+        (4L, ""))            // no script chars
+      query.processAllAvailable()
+      val got = spark.table("scriptscreen").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      assert(got === Seq(
+        (1L, "latin", 0L, "keep"),
+        (2L, "cyrillic", 0L, "route:cyrillic"),
+        (3L, "latin", 1000000L, "mixed"),
+        (4L, "none", 0L, "empty")))
+      // batch twin on the same finite frame: identical rows
+      val batch = DocStreams.scriptScreen(
+        Seq((1L, "hello world"), (2L, "ддд"), (3L, "aaaa дддд"),
+          (4L, "")).toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      assert(got === batch)
+    } finally query.stop()
+  }
+
   test("stream-static band join flags arriving near-dups of the corpus") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
