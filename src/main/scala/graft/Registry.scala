@@ -22,5 +22,6 @@ object Registry {
   lazy val all: Seq[Q] =
     graft.analog.CoreAnalogs.queries ++ graft.analog.ExtraAnalogs.queries ++
       graft.analog.DecontamAnalogs.queries ++
-      graft.analog.CorpusAnalogs.queries ++ graft.analog.QualityAnalogs.queries
+      graft.analog.CorpusAnalogs.queries ++
+      graft.analog.QualityAnalogs.queries ++ graft.analog.WebAnalogs.queries
 }

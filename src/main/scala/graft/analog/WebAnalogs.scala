@@ -1,0 +1,113 @@
+package graft.analog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.operators.Web
+import graft.sources.Tables
+
+/** Registry entries + DuckDB oracles for the web-corpus URL curation
+  * layer (graft.operators.Web). The corpus has no url column, so — the
+  * QualityAnalogs convention — each doc gets a deterministic
+  * doc_id-keyed URL exercising every canonicalization rule: mixed-case
+  * scheme/host, a WWW-case split, a multi-label public suffix in
+  * UPPERCASE (suffix matching must happen after lowering), an explicit
+  * port, tracking params sandwiching a real one, and a fragment.
+  * Parsing is shared regex text: the oracle runs the IDENTICAL
+  * patterns (both engines are RE2-compatible on this subset).
+  */
+object WebAnalogs {
+
+  /** The injected URL, one expression in both engines. */
+  private def injectedUrls(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), expr(
+      "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' || " +
+        "CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END || " +
+        "'Site' || CAST(doc_id % 37 AS STRING) || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.com' END || " +
+        "CASE WHEN doc_id % 8 = 0 THEN ':8080' ELSE '' END || " +
+        "'/a/' || CAST(doc_id % 5 AS STRING) || '/page' || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&x=' || " +
+        "  CAST(doc_id % 7 AS STRING) || '&utm_campaign=c' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END").as("url"))
+
+  /** DuckDB twin of [[injectedUrls]] + the urlProfile expressions.
+    * Yields `prof(doc_id, scheme, host, domain, path, n_params,
+    * clean_url)`.
+    */
+  private lazy val dUrlCte: String = {
+    val tracking = Web.TrackingParams
+      .map(p => s"'$p'").mkString("[", ", ", "]")
+    val suffixes = Web.MultiLabelSuffixes
+      .map(sx => s"'$sx'").mkString("[", ", ", "]")
+    s"""inj AS (
+    |  SELECT doc_id,
+    |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+    |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END ||
+    |    'Site' || CAST(doc_id % 37 AS VARCHAR) ||
+    |    CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.com' END ||
+    |    CASE WHEN doc_id % 8 = 0 THEN ':8080' ELSE '' END ||
+    |    '/a/' || CAST(doc_id % 5 AS VARCHAR) || '/page' ||
+    |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&x=' ||
+    |      CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=c' ELSE '' END ||
+    |    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+    |  FROM documents),
+    |parts AS (
+    |  SELECT doc_id,
+    |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+    |      AS scheme,
+    |    lower(regexp_extract(
+    |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+    |      '^([^:]*)', 1)) AS host,
+    |    regexp_extract(url,
+    |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    |    regexp_extract(url, '\\?([^#]*)', 1) AS q
+    |  FROM inj),
+    |arrs AS (
+    |  SELECT doc_id, scheme, host,
+    |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    |    list_filter(string_split(q, '&'), p -> p <> ''
+    |      AND NOT list_contains($tracking,
+    |        CASE WHEN instr(p, '=') = 0 THEN p
+    |          ELSE p[1:instr(p, '=') - 1] END)) AS params,
+    |    string_split(host, '.') AS labels
+    |  FROM parts),
+    |prof AS (
+    |  SELECT doc_id, scheme, host,
+    |    CASE WHEN len(labels) >= 3 AND list_contains($suffixes,
+    |        array_to_string(labels[len(labels)-1:], '.'))
+    |      THEN array_to_string(labels[len(labels)-2:], '.')
+    |      WHEN len(labels) >= 2
+    |      THEN array_to_string(labels[len(labels)-1:], '.')
+    |      ELSE host END AS domain,
+    |    path, CAST(len(params) AS BIGINT) AS n_params,
+    |    scheme || '://' || host || path ||
+    |      CASE WHEN array_to_string(params, '&') <> ''
+    |        THEN '?' || array_to_string(params, '&') ELSE '' END
+    |      AS clean_url
+    |  FROM arrs)""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("web_url_profile",
+      (s, d) => Web.urlProfile(injectedUrls(s, d)).orderBy("doc_id"),
+      Some(s"""WITH $dUrlCte
+        |SELECT doc_id, scheme, host, domain, path, n_params, clean_url
+        |FROM prof ORDER BY doc_id""".stripMargin)),
+
+    // Registrable-domain rollup: the frame per-domain quotas and
+    // URL-level dedup key on. Map-side combine keeps the exchange
+    // domain-count-sized; the oracle folds the same profile CTE.
+    Q("web_domain_stats",
+      (s, d) => Web.domainStats(Web.urlProfile(injectedUrls(s, d)))
+        .orderBy("domain"),
+      Some(s"""WITH $dUrlCte
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(count(DISTINCT clean_url) AS BIGINT) AS n_urls,
+        |  CAST(sum(n_params) AS BIGINT) AS sum_params
+        |FROM prof GROUP BY domain ORDER BY domain""".stripMargin))
+  )
+}

@@ -221,6 +221,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("url canonicalization is map-only; domain rollup shuffles stats only") {
+    // urlProfile is codegen regex + array work per row — no join, no
+    // agg; the only exchange is the output orderBy
+    val up = plans("web_url_profile")
+    val upx = "Exchange (\\w+)".r.findAllMatchIn(up).map(_.group(1)).toList
+    assert(upx.forall(_ == "rangepartitioning"), s"$upx\n${up.take(800)}")
+    // domainStats: partial/final HashAggregate around hash exchanges —
+    // what crosses the wire is (domain, stats), never the URLs
+    val ds = plans("web_domain_stats")
+    assert(ds.contains("HashAggregate"), ds.take(800))
+    assert(!ds.contains("Window") && !ds.contains("Cartesian"),
+      ds.take(800))
+  }
+
   test("audio fp pairs mine through the image miner's block-join shape") {
     // decode+hash is partition-local; the mine is the dHash block
     // equi-join (broadcast at this scale) + codegen popcount verify —
