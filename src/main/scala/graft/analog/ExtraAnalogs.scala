@@ -2674,6 +2674,59 @@ object ExtraAnalogs {
         |  AND bit_count(xor(a.dhash, c.dhash)) <= 3
         |ORDER BY a.doc_id, matched_id, block_pos""".stripMargin)),
 
+    // Video scene-cut detection: each doc is a 12-frame "video" under
+    // the videoPixel law (4-frame scenes: quadratic-scramble base per
+    // (id, scene), within-scene +f%4 jitter on ONLY pixel (0,0) — at
+    // most 1 dHash bit, recompression-grade), every frame decodes
+    // through the REAL P6 parser, and cuts fire where consecutive
+    // dHashes differ by > 3 bits (within-scene transitions are <= 1,
+    // boundaries >= 12 on the shipped corpus). The oracle replays
+    // pixel law -> per-frame dHash (HUGEINT assembly) -> the lag
+    // comparison, so a framing, decode, or window bug hash-fails.
+    Q("mm_scene_cuts",
+      (s, d) => Multimodal.sceneCuts(Multimodal.videoFrames(
+        s, Tables.documents(s, d).select("doc_id")))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH g AS (
+        |  SELECT doc_id, unnest(range(0, 12)) AS f FROM documents),
+        |gy AS (SELECT doc_id, f, unnest(range(0, 8)) AS y FROM g),
+        |px AS (SELECT doc_id, f, y, unnest(range(0, 9)) AS x FROM gy),
+        |pv AS (
+        |  SELECT doc_id, f, y, x,
+        |    CASE WHEN x = 0 AND y = 0
+        |      THEN (((doc_id*73 + (f//4)*1009 + x*151 + y*179 + 17)
+        |             * (doc_id*73 + (f//4)*1009 + x*151 + y*179 + 17)
+        |             // 7) % 256 + f % 4) % 256
+        |      ELSE ((doc_id*73 + (f//4)*1009 + x*151 + y*179 + 17)
+        |            * (doc_id*73 + (f//4)*1009 + x*151 + y*179 + 17)
+        |            // 7) % 256
+        |    END AS v
+        |  FROM px),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.y, a.x,
+        |    CASE WHEN b.v > a.v THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+        |  FROM pv a JOIN pv b
+        |    ON b.doc_id = a.doc_id AND b.f = a.f AND b.y = a.y
+        |      AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hu AS (SELECT doc_id, f, sum(bit * (1::HUGEINT << (y*8 + x))) AS h
+        |       FROM bits GROUP BY doc_id, f),
+        |tr AS (
+        |  SELECT a.doc_id, a.f AS frame_idx,
+        |    bit_count(xor(
+        |      CAST(CASE WHEN a.h >= 9223372036854775808::HUGEINT
+        |        THEN a.h - 18446744073709551616::HUGEINT ELSE a.h END
+        |        AS BIGINT),
+        |      CAST(CASE WHEN p.h >= 9223372036854775808::HUGEINT
+        |        THEN p.h - 18446744073709551616::HUGEINT ELSE p.h END
+        |        AS BIGINT))) AS hamming
+        |  FROM hu a JOIN hu p
+        |    ON p.doc_id = a.doc_id AND p.f = a.f - 1)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(hamming AS BIGINT) AS hamming,
+        |  CAST(CASE WHEN hamming > 3 THEN 1 ELSE 0 END AS INT) AS is_cut
+        |FROM tr ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // REAL PCM-WAV decode: a valid 44-byte RIFF/fmt/data header (8 kHz
     // mono s16le) + 8 samples u_i = (doc_id·13+5i) mod 65536 stored
     // little-endian; Multimodal.parseWav chunk-walks the container and

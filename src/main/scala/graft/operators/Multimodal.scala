@@ -1041,6 +1041,78 @@ object Multimodal {
   def audioFpPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs(fps, "fp", maxHamming)
 
+  // ---- Video scene-cut detection over sampled frames ---------------------
+  // The keyframe-extraction primitive for video training data: decode
+  // the sampled frames ([[frameSample]] is the byte-level sibling),
+  // dHash each frame, and call a cut wherever consecutive frames'
+  // hashes differ by more than the near-dup threshold — recompression
+  // noise moves a dHash a bit or two, a scene change rewrites it
+  // (~32 bits). One hash per frame, one lag comparison per transition.
+
+  /** Deterministic per-(video, frame) pixel law for the scene-cut
+    * fixture corpus: scenes are 4 frames long — the base image is the
+    * [[dhashPixel]]-style quadratic scramble of (id, scene), and
+    * within a scene each frame jitters ONLY pixel (0,0) by +frame%4
+    * (≤ 1 dHash bit — recompression-grade noise), so transitions
+    * within a scene sit at hamming ≤ 1 and scene boundaries at ~32.
+    */
+  private[operators] def videoPixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val t = id * 73 + (f / 4) * 1009L + x * 151 + y * 179 + 17
+    val base = ((t * t / 7) % 256).toInt
+    if (x == 0 && y == 0) (base + f % 4) % 256 else base
+  }
+
+  /** 9×8 grayscale P6 frame under [[videoPixel]]. */
+  def videoFrameFixture(id: Long, f: Int): Array[Byte] = {
+    val header = "P6\n9 8\n255\n".getBytes("US-ASCII")
+    val buf = new Array[Byte](header.length + 9 * 8 * 3)
+    System.arraycopy(header, 0, buf, 0, header.length)
+    var o = header.length
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val v = videoPixel(id, f, x, y).toByte
+        buf(o) = v; buf(o + 1) = v; buf(o + 2) = v
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    buf
+  }
+
+  /** One row per sampled frame: (doc_id, frame_idx, dhash), each frame
+    * decoded through the REAL parser ([[dhash64]]'s header walk) —
+    * partition-local, zero shuffle; at deployment scale the frames
+    * arrive from the decoder instead of the fixture.
+    */
+  def videoFrames(spark: SparkSession, ids: DataFrame,
+      nFrames: Int = 12): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap(id => (0 until nFrames).iterator.map(f =>
+        (id, f.toLong, dhash64(id, videoFrameFixture(id, f))))))
+      .toDF("doc_id", "frame_idx", "dhash")
+  }
+
+  /** Scene cuts from per-frame dHashes: lag window per video (the
+    * partition is ONE video's sampled frames — bounded by the sampling
+    * rate whatever the corpus size, so the sort is per-key tiny), XOR
+    * popcount against the previous frame, `is_cut` where the distance
+    * exceeds the near-dup threshold. One row per TRANSITION (frame 0
+    * has no predecessor).
+    */
+  def sceneCuts(frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames.withColumn("_prev", lag(col("dhash"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("_prev"))).cast("long"))
+      .select(col("doc_id"), col("frame_idx"), col("hamming"),
+        (col("hamming") > maxHamming).cast("int").as("is_cut"))
+  }
+
   /** REAL nearest-neighbor resize of a P6 payload: source pixel
     * (sx, sy) = (x·w ÷ outW, y·h ÷ outH) (floor), emitted as a fresh
     * P6 payload. Pure integer index arithmetic over the decoded

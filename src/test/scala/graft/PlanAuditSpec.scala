@@ -235,6 +235,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       ds.take(800))
   }
 
+  test("scene cuts: one bounded per-video window, no join") {
+    // the lag window partitions by doc_id — each partition is ONE
+    // video's sampled frames, bounded by the sampling rate; the only
+    // exchanges are the window's hash partitioning and the output sort
+    val sc = plans("mm_scene_cuts")
+    assert(sc.contains("Window"), sc.take(800))
+    assert(!sc.contains("Join") && !sc.contains("Cartesian"), sc.take(800))
+    val scx = "Exchange (\\w+)".r.findAllMatchIn(sc).map(_.group(1)).toList
+    assert(scx.forall(x => x == "rangepartitioning" || x == "hashpartitioning"),
+      s"$scx\n${sc.take(800)}")
+  }
+
   test("audio fp pairs mine through the image miner's block-join shape") {
     // decode+hash is partition-local; the mine is the dHash block
     // equi-join (broadcast at this scale) + codegen popcount verify —

@@ -661,4 +661,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     for (k <- 0 until 10)
       assert(mined.contains((2L * k, 2L * k + 1)), s"twin $k unmined")
   }
+
+  test("sceneCuts: hand hashes — jitter is not a cut, a rewrite is") {
+    val frames = spark.createDataFrame(Seq(
+      (1L, 0L, 0x00L), (1L, 1L, 0x01L),      // 1 bit: same scene
+      (1L, 2L, 0x0F0FL),                      // xor 0x0F0E = 7 bits: cut
+      (1L, 3L, 0x0F0FL),                      // identical: no cut
+      (2L, 0L, -1L), (2L, 1L, 0x0FFFFFFFFFFFFFFFL))) // 4 bits: cut
+      .toDF("doc_id", "frame_idx", "dhash")
+    val got = Multimodal.sceneCuts(frames)
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, 0), (1L, 2L, 7L, 1), (1L, 3L, 0L, 0),
+      (2L, 1L, 4L, 1)))
+  }
+
+  test("video fixtures: within-scene transitions tiny, boundaries far") {
+    val cuts = Multimodal.sceneCuts(Multimodal.videoFrames(
+      spark, spark.range(15).select(col("id").as("doc_id"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(cuts.length === 15 * 11)
+    cuts.foreach { case (id, f, ham, cut) =>
+      if (f % 4 == 0) { // scene boundary
+        assert(cut === 1 && ham > 3L, s"video $id frame $f: ham $ham")
+      } else {
+        assert(cut === 0 && ham <= 1L, s"video $id frame $f: ham $ham")
+      }
+    }
+  }
 }
