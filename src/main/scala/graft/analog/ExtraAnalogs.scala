@@ -347,6 +347,43 @@ object ExtraAnalogs {
     |bb AS (SELECT doc_id, dhash, blk,
     |  (dhash >> (64 - (blk + 1) * 16)) & 65535 AS bval FROM blk)""".stripMargin
 
+  /** WITH-fragment `s…abb`: the audio envelope-hash fixture law
+    * replayed to 64-bit fingerprints and their Manku block keys —
+    * mirrors Multimodal.envelopeSample/audioEnvelopeHash/hammingBlocks
+    * (the [[dDhashCte]] shape on the audio family). Yields
+    * `abb(doc_id, fp, blk, bval)`.
+    */
+  private lazy val dAudioFpCte: String =
+    """s AS (
+    |  SELECT doc_id, unnest(range(0, 260)) AS i FROM documents),
+    |u AS (
+    |  SELECT doc_id, i,
+    |    ((((doc_id//2)*73 + 151*i + 17)
+    |      * ((doc_id//2)*73 + 151*i + 17)) // 7) % 4096 AS u0
+    |  FROM s),
+    |apv AS (
+    |  SELECT doc_id, i,
+    |    (CASE WHEN doc_id % 2 = 1 AND i = 0
+    |      THEN (u0 + 600) % 4096 ELSE u0 END) - 2048 AS v
+    |  FROM u),
+    |e AS (SELECT doc_id, i // 4 AS k,
+    |        sum(CAST(v AS BIGINT) * v) AS en
+    |      FROM apv GROUP BY doc_id, i // 4),
+    |b AS (SELECT a.doc_id, a.k,
+    |        CASE WHEN n.en > a.en THEN 1::HUGEINT
+    |          ELSE 0::HUGEINT END AS bit
+    |      FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.k = a.k + 1
+    |      WHERE a.k < 64),
+    |ahu AS (SELECT doc_id, sum(bit * (1::HUGEINT << k)) AS h
+    |        FROM b GROUP BY doc_id),
+    |ahs AS (SELECT doc_id,
+    |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+    |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+    |    AS fp FROM ahu),
+    |ablk AS (SELECT doc_id, fp, unnest(range(0, 4)) AS blk FROM ahs),
+    |abb AS (SELECT doc_id, fp, blk,
+    |  (fp >> (64 - (blk + 1) * 16)) & 65535 AS bval FROM ablk)""".stripMargin
+
   /** WITH-fragment `tok…verified`: MinHash-LSH candidate pairs (any
     * shared band over 4 bands × 2 rows) verified at Jaccard >= 0.5 —
     * mirrors Dedup.minhashPairs. Yields `verified(doc_a, doc_b)`.
@@ -2853,44 +2890,81 @@ object ExtraAnalogs {
     Q("mm_audio_fp_pairs",
       (s, d) => Multimodal.audioFpPairs(
         Multimodal.envelopeFixtures(s, Tables.documents(s, d))),
-      Some("""WITH s AS (
-        |  SELECT doc_id, unnest(range(0, 260)) AS i FROM documents),
-        |u AS (
-        |  SELECT doc_id, i,
-        |    ((((doc_id//2)*73 + 151*i + 17)
-        |      * ((doc_id//2)*73 + 151*i + 17)) // 7) % 4096 AS u0
-        |  FROM s),
-        |pv AS (
-        |  SELECT doc_id, i,
-        |    (CASE WHEN doc_id % 2 = 1 AND i = 0
-        |      THEN (u0 + 600) % 4096 ELSE u0 END) - 2048 AS v
-        |  FROM u),
-        |e AS (SELECT doc_id, i // 4 AS k,
-        |        sum(CAST(v AS BIGINT) * v) AS en
-        |      FROM pv GROUP BY doc_id, i // 4),
-        |b AS (SELECT a.doc_id, a.k,
-        |        CASE WHEN n.en > a.en THEN 1::HUGEINT
-        |          ELSE 0::HUGEINT END AS bit
-        |      FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.k = a.k + 1
-        |      WHERE a.k < 64),
-        |hu AS (SELECT doc_id, sum(bit * (1::HUGEINT << k)) AS h
-        |       FROM b GROUP BY doc_id),
-        |hs2 AS (SELECT doc_id,
-        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
-        |    AS fp FROM hu),
-        |blk AS (SELECT doc_id, fp, unnest(range(0, 4)) AS blk FROM hs2),
-        |bb AS (SELECT doc_id, fp, blk,
-        |  (fp >> (64 - (blk + 1) * 16)) & 65535 AS bval FROM blk),
+      Some(s"""WITH $dAudioFpCte,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         a.fp AS ha, b.fp AS hb
-        |  FROM bb a JOIN bb b
+        |  FROM abb a JOIN abb b
         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
         |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Streaming AUDIO near-dup screen, batch twin: the generalized
+    // perceptual screen (DocStreams.dhashScreen with hashCol = "fp")
+    // probes the envelope-hash block index with every 10th clip — the
+    // stream_dhash_screen shape on the audio family, zero new
+    // streaming code because the block geometry is SHARED.
+    Q("stream_audiofp_screen",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+        val arr = Multimodal.envelopeFixtures(
+          s, ids.filter(col("doc_id") % 10 === 0))
+        val corp = Multimodal.envelopeFixtures(
+          s, ids.filter(col("doc_id") % 10 =!= 0))
+        graft.streaming.DocStreams.dhashScreen(
+          arr, graft.streaming.DocStreams.dhashIndex(corp, hashCol = "fp"),
+          hashCol = "fp")
+          .orderBy("doc_id", "matched_id", "block_pos")
+      },
+      Some(s"""WITH $dAudioFpCte
+        |SELECT a.doc_id, c.doc_id AS matched_id,
+        |       CAST(a.blk AS BIGINT) AS block_pos,
+        |       CAST(bit_count(xor(a.fp, c.fp)) AS BIGINT) AS hamming
+        |FROM abb a JOIN abb c ON a.blk = c.blk AND a.bval = c.bval
+        |WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  AND bit_count(xor(a.fp, c.fp)) <= 3
+        |ORDER BY a.doc_id, matched_id, block_pos""".stripMargin)),
+
+    // Perceptual dedup SURVIVORS: the image pair miner's output feeds
+    // the SAME connected-components completion the text MinHash family
+    // uses (Dedup.clusters — min doc_id per component), and the
+    // survivor per cluster is its representative. Cross-family
+    // composition: pairs from one modality, clustering from another
+    // operator, no new machinery. The oracle replays the dHash pair
+    // mine and the recursive transitive closure.
+    Q("mm_dhash_survivors",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id")
+        val pairs = Multimodal.dhashPairs(
+          Multimodal.dhashFixtures(s, docs).toDF())
+        Dedup.clusters(docs, pairs)
+          .withColumn("keep",
+            (col("doc_id") === col("cluster_id")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dDhashCte,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bb a JOIN bb b
+        |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e
+        |    ON e.src = reach.doc_id),
+        |lab AS (
+        |  SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY 1)
+        |SELECT doc_id, cluster_id,
+        |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT)
+        |    AS keep
+        |FROM lab ORDER BY doc_id""".stripMargin)),
 
     // REAL compressed-audio decode, pure JVM: each doc gets a valid
     // one-block mono IMA-ADPCM WAV (format tag 0x11 — Multimodal

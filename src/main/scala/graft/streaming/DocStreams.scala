@@ -373,29 +373,36 @@ object DocStreams {
     graft.operators.Multimodal.pngVerdicts(
       streamAssets.sparkSession, streamAssets)
 
-  /** Static side of the streaming image near-dup screen: the accepted
-    * corpus's dHashes exploded to their Manku block keys
-    * ([[graft.operators.Multimodal.dhashBlocks]] — the SAME builder
-    * the batch pair miner uses, so screen and miner cannot drift).
+  /** Static side of the streaming perceptual near-dup screen: the
+    * accepted corpus's 64-bit fingerprints exploded to their Manku
+    * block keys ([[graft.operators.Multimodal.hammingBlocks]] — the
+    * SAME builder the batch pair miners use, so screen and miner
+    * cannot drift). `hashCol` names the fingerprint column: image
+    * dHash (`dhash`, the default) and the audio envelope hash (`fp`)
+    * index identically.
     * Refresh periodically as the corpus grows, like [[bandRows]].
     */
-  def dhashIndex(corpusHashes: DataFrame, maxHamming: Int = 3): DataFrame =
-    graft.operators.Multimodal.dhashBlocks(corpusHashes, maxHamming)
+  def dhashIndex(corpusHashes: DataFrame, maxHamming: Int = 3,
+      hashCol: String = "dhash"): DataFrame =
+    graft.operators.Multimodal.hammingBlocks(corpusHashes, hashCol, maxHamming)
       .select(col("blk"), col("bval"),
         col("doc_id").as("matched_id"), col("dhash").as("hash_b"))
 
-  /** Perceptual image near-dup screen at ingest: arriving images'
-    * dHashes stream-static join the corpus block index on their
-    * block keys, then the XOR-popcount verify keeps collisions within
-    * `maxHamming` bits. STATELESS per micro-batch (the [[nearDupScreen]]
-    * shape — one row per colliding block, no distinct, no watermark),
-    * so the identical plan runs on a finite frame as the batch twin.
-    * Decode+hash ([[graft.operators.Multimodal.dhash64]]) happens
+  /** Perceptual near-dup screen at ingest: arriving 64-bit
+    * fingerprints (image dHash or audio envelope hash — any family
+    * the shared miner serves) stream-static join the corpus block
+    * index on their block keys, then the XOR-popcount verify keeps
+    * collisions within `maxHamming` bits. STATELESS per micro-batch
+    * (the [[nearDupScreen]] shape — one row per colliding block, no
+    * distinct, no watermark), so the identical plan runs on a finite
+    * frame as the batch twin. Decode+hash
+    * ([[graft.operators.Multimodal.dhash64]] /
+    * [[graft.operators.Multimodal.audioEnvelopeHash]]) happens
     * upstream, partition-local on the stream's own parallelism.
     */
   def dhashScreen(streamHashes: DataFrame, index: DataFrame,
-      maxHamming: Int = 3): DataFrame =
-    graft.operators.Multimodal.dhashBlocks(streamHashes, maxHamming)
+      maxHamming: Int = 3, hashCol: String = "dhash"): DataFrame =
+    graft.operators.Multimodal.hammingBlocks(streamHashes, hashCol, maxHamming)
       .join(index, Seq("blk", "bval"))
       .filter(col("doc_id") =!= col("matched_id"))
       .withColumn("hamming",

@@ -191,11 +191,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val quota = plans("stream_quota_screen")
     assert(quota.contains("MapGroups"), quota.take(800))
     assert(!quota.contains("Window"), quota.take(800))
-    // the streaming image screen's batch twin: block-key equi-join
-    // (broadcast at this scale), codegen popcount verify, no window
-    val dhs = plans("stream_dhash_screen")
-    assert(dhs.contains("BroadcastHashJoin"), dhs.take(800))
-    assert(!dhs.contains("Window"), dhs.take(800))
+    // the streaming perceptual screens' batch twins (image dHash and
+    // audio envelope share ONE screen): block-key equi-join (broadcast
+    // at this scale), codegen popcount verify, no window
+    Seq("stream_dhash_screen", "stream_audiofp_screen").foreach { q =>
+      val dhs = plans(q)
+      assert(dhs.contains("BroadcastHashJoin"), s"$q\n" + dhs.take(800))
+      assert(!dhs.contains("Window"), s"$q\n" + dhs.take(800))
+    }
+    // perceptual survivors: pair mine + clusters completion — never a
+    // window, never a cartesian
+    val sv = plans("mm_dhash_survivors")
+    assert(!sv.contains("Window") && !sv.contains("Cartesian"),
+      sv.take(800))
     // the source-overlap matrix aggregates the PAIR list (the
     // upstream miner reads text, the overlap join does not): the
     // source lookup scans project exactly (doc_id, source), and the

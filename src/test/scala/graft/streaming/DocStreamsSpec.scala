@@ -48,6 +48,31 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("dhashScreen generalizes to the audio envelope family (hashCol = fp)") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val fps = Multimodal.envelopeFixtures(ss,
+      ss.range(6).select(col("id").as("doc_id"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // corpus = the odd twins; arrivals = the even halves
+    val corpus = Seq(1L, 3L, 5L).map(id => (id, fps(id))).toDF("doc_id", "fp")
+    val index = DocStreams.dhashIndex(corpus, hashCol = "fp")
+    val mem = MemoryStream[(Long, Long)]
+    val query = DocStreams.dhashScreen(
+      mem.toDF().toDF("doc_id", "fp"), index, hashCol = "fp")
+      .writeStream.format("memory").queryName("audiofpscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((0L, fps(0L)), (2L, fps(2L)), (4L, fps(4L)))
+      query.processAllAvailable()
+      val got = spark.table("audiofpscreen").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+      assert(got === Seq((0L, 1L), (2L, 3L), (4L, 5L))) // twins only
+    } finally query.stop()
+  }
+
   test("stream-static band join flags arriving near-dups of the corpus") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
