@@ -565,6 +565,40 @@ object CorpusAnalogs {
         |    '${Scrub.EmailRe}', '<EMAIL>', 'g'),
         |    '${Scrub.PhoneRe}', '<PHONE>', 'g'),
         |    '${Scrub.Ipv4Re}', '<IP>', 'g') AS clean
-        |FROM inj ORDER BY doc_id""".stripMargin))
+        |FROM inj ORDER BY doc_id""".stripMargin)),
+
+    // Blocklist screening through the Aho-Corasick automaton: every
+    // (position, term) hit over a nested/overlapping term set drawn
+    // from the corpus vocabulary ('he' ends inside every 'the', 'an'
+    // inside 'scan', 'ta' inside 'table'/'data' — the suffix-output
+    // chain is load-bearing, not decorative). The oracle replays the
+    // law directly: count positions where substr(text, i, len(term))
+    // equals the term, per term, summed per doc. The automaton is the
+    // scale story — O(len) per row whatever the blocklist size; the
+    // regex-alternation route is O(terms) per position.
+    Q("text_blocklist_hits",
+      (s, d) => Scrub.blocklistHits(Tables.documents(s, d),
+        Seq("he", "the", "ta", "scan", "an", "win", "order", "merge"))
+        .orderBy("doc_id"),
+      // NOTE: positions unnest from documents ALONE, the term cross
+      // join comes after — a lateral unnest over an expression of both
+      // sides trips a DuckDB internal binder assertion
+      Some("""WITH terms AS (
+        |  SELECT unnest(['he', 'the', 'ta', 'scan', 'an', 'win',
+        |                 'order', 'merge']) AS t),
+        |pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n
+        |  FROM pos, terms
+        |  WHERE i + length(t) - 1 <= length(text)
+        |    AND substr(text, CAST(i AS INT), CAST(length(t) AS INT)) = t
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT)
+        |    AS flagged
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin))
   )
 }

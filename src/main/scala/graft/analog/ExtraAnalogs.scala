@@ -1301,12 +1301,15 @@ object ExtraAnalogs {
     // Retrieval.phraseCounts for why this beats an index probe for
     // an ad-hoc phrase.
     Q("text_phrase_topk",
+      // phrase chosen to occur at EVERY shipped SF (sf0.001 included —
+      // RegistrySmokeSpec's rows>0 law runs there; the round-13 phrase
+      // 'batch window spark' first appears at sf0.01)
       (s, d) => graft.operators.Retrieval.phraseTopK(
-        Tables.documents(s, d), Seq("batch", "window", "spark"), 10),
+        Tables.documents(s, d), Seq("join", "part", "filter"), 10),
       Some(s"""WITH $tokCte, occ AS (
         |  SELECT doc_id,
         |    CASE WHEN len(w) >= 3 THEN len(list_filter(range(1, len(w) - 1),
-        |      i -> w[i] = 'batch' AND w[i+1] = 'window' AND w[i+2] = 'spark'))
+        |      i -> w[i] = 'join' AND w[i+1] = 'part' AND w[i+2] = 'filter'))
         |    ELSE 0 END AS n_occ
         |  FROM tok)
         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ FROM occ

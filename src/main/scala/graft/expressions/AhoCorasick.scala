@@ -1,0 +1,147 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Aho–Corasick multi-pattern automaton (Aho & Corasick, CACM 1975) —
+  * the blocklist-screening primitive behind
+  * [[graft.operators.Scrub.blocklistHits]].
+  *
+  * Why this exists: the regex route (`regexp_count(text,
+  * "term1|term2|…")`) is linear in the PATTERN COUNT per position —
+  * a 100k-term contraband/PII/trademark blocklist over a 100 TB
+  * corpus is structurally infeasible that way. The automaton matches
+  * EVERY term in one pass per row: O(len) transitions whatever the
+  * blocklist size, built once on the driver and shipped to executors
+  * with the serialized expression (the [[BloomMightContain]]
+  * payload-rides-the-expression mechanism).
+  *
+  * Match semantics (what the oracle replays): a hit is every
+  * (position, term) pair where the term ends at that position —
+  * overlapping and nested matches all count ("aaa" vs "aa" → 2;
+  * "the" also ends an inner "he"). This is the automaton's natural
+  * output and the only order-free, engine-portable definition.
+  */
+object AhoCorasick {
+
+  /** Immutable matching automaton. Nodes are flat arrays (no per-node
+    * objects on the hot path); transitions are hash-mapped per node —
+    * blocklist alphabets are tiny relative to the corpus, and the
+    * BFS-computed fail links make the walk O(1) amortized per char.
+    */
+  final class Automaton private[AhoCorasick] (
+      private val next: Array[java.util.HashMap[Character, Integer]],
+      private val fail: Array[Int],
+      private val outCount: Array[Long]) extends Serializable {
+
+    /** Total (position, term) hits in one left-to-right pass. */
+    def countHits(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val s = text.toString
+      var state = 0
+      var hits = 0L
+      var i = 0
+      while (i < s.length) {
+        val c = Character.valueOf(s.charAt(i))
+        var t = next(state).get(c)
+        while (t == null && state != 0) {
+          state = fail(state)
+          t = next(state).get(c)
+        }
+        state = if (t == null) 0 else t.intValue()
+        hits += outCount(state)
+        i += 1
+      }
+      hits
+    }
+  }
+
+  /** Build the goto/fail/output automaton from the term list. Terms
+    * must be non-empty; duplicates each count their own hits (the
+    * oracle's per-(position, term) law needs multiplicity).
+    */
+  def build(terms: Seq[String]): Automaton = {
+    require(terms.nonEmpty, "empty blocklist")
+    terms.foreach(t => require(t.nonEmpty, "empty blocklist term"))
+    val next = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val ends = scala.collection.mutable.ArrayBuffer(0L)
+    terms.foreach { term =>
+      var state = 0
+      term.foreach { ch =>
+        val c = Character.valueOf(ch)
+        val t = next(state).get(c)
+        if (t == null) {
+          next += new java.util.HashMap[Character, Integer]()
+          ends += 0L
+          next(state).put(c, Integer.valueOf(next.length - 1))
+          state = next.length - 1
+        } else state = t.intValue()
+      }
+      ends(state) += 1L // multiplicity for duplicate terms
+    }
+    val n = next.length
+    val fail = new Array[Int](n)
+    val outCount = ends.toArray
+    // BFS: fail(child) = deepest proper suffix that is also a prefix;
+    // outCount accumulates along the fail chain so the walk never
+    // follows suffix links at match time
+    val queue = new java.util.ArrayDeque[Integer]()
+    next(0).forEach((_, s) => queue.add(s))
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      outCount(u) += outCount(fail(u))
+      next(u).forEach { (c, v) =>
+        var f = fail(u)
+        var t = next(f).get(c)
+        while (t == null && f != 0) { f = fail(f); t = next(f).get(c) }
+        fail(v) = if (t == null || t.intValue() == v.intValue()) 0
+          else t.intValue()
+        queue.add(v)
+      }
+    }
+    new Automaton(next.toArray, fail, outCount)
+  }
+}
+
+/** Per-row total blocklist hits (see [[AhoCorasick]]): LongType, one
+  * automaton walk inside whole-stage codegen via a reference object —
+  * no boxing beyond the transition map lookups, no regex engine.
+  */
+case class BlocklistHits(child: Expression,
+    automaton: AhoCorasick.Automaton) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "blocklist_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    automaton.countHits(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("aho", automaton,
+      classOf[AhoCorasick.Automaton].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.countHits($x);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BlocklistHits = copy(child = newChild)
+}
+
+object BlocklistExpressions {
+  /** Column-level blocklist hit count backed by the automaton. */
+  def blocklistHits(text: Column, terms: Seq[String]): Column =
+    GraftBridge.column(BlocklistHits(
+      GraftBridge.expression(text), AhoCorasick.build(terms)))
+}

@@ -129,4 +129,24 @@ object Scrub {
       .withColumn("n_tags", regexp_count(t, lit(TagRe)).cast("long"))
       .withColumn("clean_text", extractText(t))
   }
+
+  // ---- Blocklist screening (Aho-Corasick) --------------------------------
+
+  /** Per-doc blocklist hit count + flag over a term list of ANY size:
+    * one automaton pass per row (native
+    * [[graft.expressions.BlocklistHits]]) — O(len) per document
+    * whatever the blocklist size, where the regex-alternation route is
+    * O(terms) per position and structurally infeasible at the 100k-term
+    * contraband/PII/trademark lists real pipelines screen against.
+    * Hits count every (position, term) pair (overlaps and nested terms
+    * included — the automaton's natural, order-free output). Map-only
+    * scalar work; the automaton builds once on the driver and rides
+    * the serialized expression to every task.
+    */
+  def blocklistHits(docs: DataFrame, terms: Seq[String],
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.BlocklistExpressions
+        .blocklistHits(col(textCol), terms).as("n_hits"))
+      .withColumn("flagged", (col("n_hits") > 0).cast("int"))
 }

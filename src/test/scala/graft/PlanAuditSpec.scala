@@ -332,7 +332,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // partitioning — a hash exchange would mean the filter grew a
     // shuffle (aggregation/join) it doesn't need
     Seq("quality_gopher_rules", "quality_c4_clean",
-        "stream_quality_screen", "text_script_profile").foreach { q =>
+        "stream_quality_screen", "text_script_profile",
+        "text_blocklist_hits").foreach { q =>
       val exchanges = "Exchange (\\w+)".r
         .findAllMatchIn(plans(q)).map(_.group(1)).toList
       assert(exchanges.forall(_ == "rangepartitioning"),
