@@ -599,6 +599,21 @@ object CorpusAnalogs {
         |  CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT)
         |    AS flagged
         |FROM documents d LEFT JOIN hits h USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Blocklist REDACTION: leftmost-longest non-overlapping greedy
+    // (the FlashText discipline) through one trie walk per position —
+    // term-count-free per-row cost. The oracle replays it as a
+    // longest-first regex alternation: an earlier start always wins by
+    // position, and at the same start the longest alternative is tried
+    // first — the two disciplines coincide exactly.
+    Q("text_blocklist_scrub",
+      (s, d) => Scrub.blocklistScrub(Tables.documents(s, d),
+        Seq("he", "the", "ta", "scan", "an", "win", "order", "merge"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  regexp_replace(text, 'order|merge|scan|the|win|ta|he|an',
+        |    '<TERM>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

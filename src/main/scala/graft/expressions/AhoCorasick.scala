@@ -139,9 +139,111 @@ case class BlocklistHits(child: Expression,
       newChild: Expression): BlocklistHits = copy(child = newChild)
 }
 
+/** Leftmost-longest (FlashText-style) blocklist REDACTION: scan left
+  * to right, at each position take the LONGEST term starting there,
+  * emit the replacement, continue after the match — the greedy
+  * non-overlapping discipline every keyword redactor uses, and exactly
+  * what a regex alternation ordered longest-first produces (same
+  * start wins by position; same position wins by order), which is how
+  * the oracle replays it. A trie walk per position is O(len ·
+  * maxTermLen) worst case — maxTermLen is a blocklist property, small
+  * and fixed, while the term COUNT (the dimension that explodes) stays
+  * out of the per-position cost entirely.
+  */
+object BlocklistTrie {
+  final class Trie private[BlocklistTrie] (
+      private val next: Array[java.util.HashMap[Character, Integer]],
+      private val terminal: Array[Boolean],
+      val replacement: String) extends Serializable {
+
+    def scrub(text: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String = {
+      val s = text.toString
+      val out = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        var state = 0
+        var j = i
+        var bestEnd = -1
+        var cont = true
+        while (cont && j < s.length) {
+          val t = next(state).get(Character.valueOf(s.charAt(j)))
+          if (t == null) cont = false
+          else {
+            state = t.intValue()
+            j += 1
+            if (terminal(state)) bestEnd = j
+          }
+        }
+        if (bestEnd < 0) { out.append(s.charAt(i)); i += 1 }
+        else { out.append(replacement); i = bestEnd }
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+    }
+  }
+
+  def build(terms: Seq[String], replacement: String): Trie = {
+    require(terms.nonEmpty, "empty blocklist")
+    terms.foreach(t => require(t.nonEmpty, "empty blocklist term"))
+    val next = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val terminal = scala.collection.mutable.ArrayBuffer(false)
+    terms.foreach { term =>
+      var state = 0
+      term.foreach { ch =>
+        val c = Character.valueOf(ch)
+        val t = next(state).get(c)
+        if (t == null) {
+          next += new java.util.HashMap[Character, Integer]()
+          terminal += false
+          next(state).put(c, Integer.valueOf(next.length - 1))
+          state = next.length - 1
+        } else state = t.intValue()
+      }
+      terminal(state) = true
+    }
+    new Trie(next.toArray, terminal.toArray, replacement)
+  }
+}
+
+/** Per-row leftmost-longest blocklist redaction (see [[BlocklistTrie]]). */
+case class BlocklistScrub(child: Expression,
+    trie: BlocklistTrie.Trie) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "blocklist_scrub"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    trie.scrub(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trie", trie,
+      classOf[BlocklistTrie.Trie].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.scrub($x);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BlocklistScrub = copy(child = newChild)
+}
+
 object BlocklistExpressions {
   /** Column-level blocklist hit count backed by the automaton. */
   def blocklistHits(text: Column, terms: Seq[String]): Column =
     GraftBridge.column(BlocklistHits(
       GraftBridge.expression(text), AhoCorasick.build(terms)))
+
+  /** Column-level leftmost-longest redaction backed by the trie. */
+  def blocklistScrub(text: Column, terms: Seq[String],
+      replacement: String): Column =
+    GraftBridge.column(BlocklistScrub(
+      GraftBridge.expression(text), BlocklistTrie.build(terms, replacement)))
 }

@@ -149,4 +149,18 @@ object Scrub {
       graft.expressions.BlocklistExpressions
         .blocklistHits(col(textCol), terms).as("n_hits"))
       .withColumn("flagged", (col("n_hits") > 0).cast("int"))
+
+  /** Leftmost-longest blocklist redaction (the [[redact]] discipline
+    * for keyword lists instead of regexes): greedy non-overlapping
+    * replacement via one trie walk per position — term-count-free
+    * per-row cost, where the equivalent longest-first regex
+    * alternation (which the oracle uses to replay it) re-tries every
+    * alternative per position.
+    */
+  def blocklistScrub(docs: DataFrame, terms: Seq[String],
+      replacement: String = "<TERM>",
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.BlocklistExpressions
+        .blocklistScrub(col(textCol), terms, replacement).as("clean"))
 }

@@ -58,6 +58,33 @@ class AhoCorasickSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](AhoCorasick.build(Seq("")))
   }
 
+  private def scrub(terms: Seq[String], text: String): String =
+    BlocklistTrie.build(terms, "<T>")
+      .scrub(UTF8String.fromString(text)).toString
+
+  test("blocklist scrub: leftmost-longest greedy, non-overlapping") {
+    // same start: longest wins
+    assert(scrub(Seq("the", "theme"), "theme park") === "<T> park")
+    // earlier start wins even against a longer later match
+    assert(scrub(Seq("she", "hers"), "ushers") === "u<T>rs")
+    // consumed input never rematches (non-overlapping)
+    assert(scrub(Seq("aa"), "aaa") === "<T>a")
+    // no match: identity; unicode
+    assert(scrub(Seq("zz"), "abc") === "abc")
+    assert(scrub(Seq("дд"), "ддд") === "<T>д")
+  }
+
+  test("blocklist scrub equals the longest-first regex alternation") {
+    val terms = Seq("a", "ab", "ba", "abc", "cab", "bb", "aab")
+    val pattern = terms.sortBy(-_.length).mkString("|")
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(60))("abc"(rnd.nextInt(3))).mkString
+      assert(scrub(terms, text) === text.replaceAll(pattern, "<T>"),
+        s"text=$text")
+    }
+  }
+
   test("the column route runs inside a plan (codegen reference object)") {
     val got = spark.createDataFrame(Seq((1L, "the theme"), (2L, "no hit")))
       .toDF("doc_id", "text")
