@@ -195,7 +195,18 @@ object ScalingBench {
       // reads EVENTS, which the scaled corpora don't replicate —
       // layout_zorder's exclusion rationale — and its shape is one
       // scan onto a ≤ bins-cell grid, nothing to curve.
-      "curation_source_cap")
+      "curation_source_cap",
+      // round 13 session-4 additions, all documents-keyed. Expected
+      // ~linear: the perceptual fixtures (dhash/envelope/video) are
+      // partition-local decode+hash with block joins whose candidate
+      // lists grow with twin count; scriptProfile / blocklist are
+      // map-only scalar walks; web rollup shuffles domain-sized stats
+      // (domain count is doc_id%37 × suffix classes — fixed, so the
+      // rollup frame does NOT grow); scene cuts add one bounded
+      // per-video window
+      "mm_dhash_pairs", "mm_audio_fp_pairs", "mm_scene_cuts",
+      "text_script_profile", "text_blocklist_hits", "text_blocklist_scrub",
+      "web_url_profile", "web_domain_stats")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

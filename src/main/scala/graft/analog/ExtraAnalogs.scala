@@ -2476,6 +2476,37 @@ object ExtraAnalogs {
     // heap entries, never the corpus (the window row_number the oracle
     // replays would sort every row of every source). Tie-break
     // quality desc, doc_id asc — the heap's zero-padded-label order.
+    // Curriculum schedule: quality stages via exact rank quantiles
+    // over the per-score HISTOGRAM (score is integer ppm -> the
+    // boundary window runs over a <= 10^6-row frame whatever the
+    // corpus size — the selectBudget band trick), boundaries broadcast
+    // back as ONE row, within-stage order a portable hash sort KEY
+    // (never a corpus-wide row_number). The oracle replays histogram,
+    // cumulative rule, and boundary CASEs exactly.
+    Q("curation_curriculum",
+      (s, d) => Curation.curriculum(Tables.documents(s, d))
+        .orderBy("stage", "epoch_key", "doc_id"),
+      Some(s"""WITH $tokCte, sc AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_distinct(w)) AS BIGINT) * 1000000)
+        |      // CAST(len(w) AS BIGINT) AS score
+        |  FROM tok),
+        |hist AS (SELECT score, count(*) AS cnt FROM sc GROUP BY score),
+        |cum AS (SELECT score, sum(cnt) OVER (ORDER BY score) AS cum
+        |        FROM hist),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |bd AS (SELECT
+        |    min(CASE WHEN cum*4 >= 1*n THEN score END) AS b1,
+        |    min(CASE WHEN cum*4 >= 2*n THEN score END) AS b2,
+        |    min(CASE WHEN cum*4 >= 3*n THEN score END) AS b3
+        |  FROM cum, tot)
+        |SELECT doc_id, score,
+        |  CAST(1 + (score > b1)::INT + (score > b2)::INT
+        |    + (score > b3)::INT AS INT) AS stage,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS epoch_key
+        |FROM sc, bd ORDER BY stage, epoch_key, doc_id""".stripMargin)),
+
     Q("curation_source_cap",
       (s, d) => Curation.capPerSource(Tables.documents(s, d), 40)
         .orderBy("source", "rank"),

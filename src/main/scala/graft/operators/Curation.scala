@@ -610,4 +610,47 @@ object Curation {
       .select(col("doc_id"), col(stratumCol),
         explode(sequence(lit(1L), col("copies"))).as("copy"))
   }
+
+  /** Curriculum schedule: order training documents into quality
+    * STAGES (ascending — the standard easy/clean-first curriculum),
+    * shuffled deterministically within each stage.
+    *
+    * Scale shape — deliberately NO corpus-wide window: the stage
+    * boundaries are exact rank quantiles computed over the per-score
+    * HISTOGRAM (score is an integer ppm, so the frame is bounded by
+    * 10⁶ distinct values whatever the corpus size — the selectBudget
+    * band trick), broadcast back as one row. The within-stage shuffle
+    * is a portable hash SORT KEY (`epoch_key`), not a materialized
+    * ordinal — a row_number per stage would put n/nStages rows in one
+    * window partition at 100 TB. Writers emit in
+    * (stage, epoch_key, doc_id) order.
+    *
+    * `score` = type-token ratio in ppm, integer-exact:
+    * (distinct words · 10⁶) div words. Stage s ∈ [1, nStages]:
+    * the doc sits above s−1 boundaries, where boundary k is the
+    * smallest score whose cumulative count reaches ⌈k·n/nStages⌉.
+    */
+  def curriculum(docs: DataFrame, nStages: Int = 4): DataFrame = {
+    require(nStages >= 2, s"need >= 2 stages, got $nStages")
+    // functions.split is shadowed by this object's dataset splitter
+    val toks = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.split(col("text"), " ").as("w"))
+    val scored = toks.select(col("doc_id"),
+      expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) div " +
+        "CAST(size(w) AS BIGINT)").as("score"))
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val n = scored.count() // one tiny job; the boundary rule needs n
+    val bcols = (1 until nStages).map(k =>
+      min(when(col("cum") * nStages >= k * n, col("score"))).as(s"b$k"))
+    val bounds = cum.agg(bcols.head, bcols.tail: _*)
+    val staged = scored.crossJoin(broadcast(bounds))
+    val stage = (1 until nStages)
+      .map(k => (col("score") > col(s"b$k")).cast("int"))
+      .reduce(_ + _) + 1
+    staged.select(col("doc_id"), col("score"), stage.as("stage"),
+      wordHash60(col("doc_id").cast("string")).as("epoch_key"))
+  }
 }

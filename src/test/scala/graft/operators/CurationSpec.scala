@@ -364,4 +364,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(got === Seq(3L, 7L))
   }
+
+  test("curriculum: exact-rank quartiles, ascending-quality stages") {
+    val s = spark; import s.implicits._
+    // 8 docs with strictly ascending TTR ppm: stage = 2 docs each
+    val docs = (0 until 8).map { i =>
+      // i+1 distinct words out of 8 tokens -> score (i+1)*125000
+      val words = (0 to i).map(k => s"w$k") ++ Seq.fill(7 - i)("w0")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Curation.curriculum(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(_._2).toSeq ===
+      (1 to 8).map(i => i * 125000L)) // the score law
+    assert(got.map(_._3).toSeq === Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    // higher score never lands in a lower stage
+    got.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+    // all-tie corpus: one stage
+    val tied = (0 until 6).map(i => (i.toLong, "x y")).toDF("doc_id", "text")
+    assert(Curation.curriculum(tied).collect()
+      .forall(_.getInt(2) === 1))
+    // epoch_key is the portable doc_id hash: deterministic run to run
+    val k1 = Curation.curriculum(docs).orderBy("doc_id")
+      .collect().map(_.getLong(3)).toSeq
+    val k2 = Curation.curriculum(docs).orderBy("doc_id")
+      .collect().map(_.getLong(3)).toSeq
+    assert(k1 === k2)
+  }
 }
