@@ -607,6 +607,33 @@ object CorpusAnalogs {
     // longest-first regex alternation: an earlier start always wins by
     // position, and at the same start the longest alternative is tried
     // first — the two disciplines coincide exactly.
+    // Batch twin of the STREAMING blocklist screen
+    // (DocStreams.blocklistScreen): stateless per-row automaton work,
+    // so the identical plan runs on the finite frame — same oracle
+    // law as text_blocklist_hits.
+    Q("stream_blocklist_screen",
+      (s, d) => graft.streaming.DocStreams.blocklistScreen(
+        Tables.documents(s, d),
+        Seq("he", "the", "ta", "scan", "an", "win", "order", "merge"))
+        .orderBy("doc_id"),
+      Some("""WITH terms AS (
+        |  SELECT unnest(['he', 'the', 'ta', 'scan', 'an', 'win',
+        |                 'order', 'merge']) AS t),
+        |pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n
+        |  FROM pos, terms
+        |  WHERE i + length(t) - 1 <= length(text)
+        |    AND substr(text, CAST(i AS INT), CAST(length(t) AS INT)) = t
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT)
+        |    AS flagged
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     Q("text_blocklist_scrub",
       (s, d) => Scrub.blocklistScrub(Tables.documents(s, d),
         Seq("he", "the", "ta", "scan", "an", "win", "order", "merge"))

@@ -199,6 +199,19 @@ object DocStreams {
       : DataFrame =
     graft.operators.QualityFilters.screen(streamDocs, reqStops = reqStops)
 
+  /** Blocklist screen at ingest: arriving documents count their
+    * (position, term) blocklist hits through the Aho-Corasick
+    * automaton ([[graft.operators.Scrub.blocklistHits]] — driver-built
+    * once, rides the serialized expression to every micro-batch task)
+    * and flag. Pure per-row scalar work: no join, no state, no
+    * watermark — STATELESS per micro-batch, identical plan on a
+    * finite frame as the batch twin. The point at 100 TB/day ingest:
+    * per-row cost is O(len) whatever the blocklist size.
+    */
+  def blocklistScreen(streamDocs: DataFrame,
+      terms: Seq[String]): DataFrame =
+    graft.operators.Scrub.blocklistHits(streamDocs, terms)
+
   /** Script-routing screen at ingest: arriving documents profile
     * their script histogram (native one-walk
     * [[graft.expressions.ScriptCounts]]) and route —

@@ -16,6 +16,32 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     (102L, "red green blue yellow purple orange")))
     .toDF("doc_id", "text")
 
+  test("blocklistScreen: arriving docs count automaton hits like the batch twin") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val terms = Seq("the", "he", "spam")
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.blocklistScreen(
+      mem.toDF().toDF("doc_id", "text"), terms)
+      .writeStream.format("memory").queryName("blscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, "the theme"), (2L, "clean row"), (3L, "spam spam"))
+      query.processAllAvailable()
+      val got = spark.table("blscreen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(_._1).toSeq
+      // "the theme": the@1, he@1, the@5, he@5 -> 4
+      assert(got === Seq((1L, 4L, 1), (2L, 0L, 0), (3L, 2L, 1)))
+      val batch = DocStreams.blocklistScreen(
+        Seq((1L, "the theme"), (2L, "clean row"), (3L, "spam spam"))
+          .toDF("doc_id", "text"), terms).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(_._1).toSeq
+      assert(got === batch)
+    } finally query.stop()
+  }
+
   test("scriptScreen: arriving docs route by script like the batch twin") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
