@@ -243,6 +243,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       ds.take(800))
   }
 
+  test("curriculum: the only window runs over the bounded score histogram") {
+    // stage boundaries come from the per-score histogram (<= 1e6 rows
+    // whatever the corpus) and broadcast back as ONE row; the corpus
+    // itself is never window-partitioned or row_number'd
+    val cc = plans("curation_curriculum")
+    assert(cc.contains("Window"), cc.take(800))
+    assert(cc.contains("BroadcastNestedLoopJoin"), cc.take(800))
+    assert(!cc.contains("row_number"), cc.take(800))
+    // the window's child is the (score, cnt) aggregate, not the scan:
+    // a HashAggregate must appear between scan and window
+    assert(cc.contains("HashAggregate"), cc.take(800))
+  }
+
   test("scene cuts: one bounded per-video window, no join") {
     // the lag window partitions by doc_id — each partition is ONE
     // video's sampled frames, bounded by the sampling rate; the only
