@@ -108,6 +108,58 @@ object WebAnalogs {
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(count(DISTINCT clean_url) AS BIGINT) AS n_urls,
         |  CAST(sum(n_params) AS BIGINT) AS sum_params
-        |FROM prof GROUP BY domain ORDER BY domain""".stripMargin))
+        |FROM prof GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // URL-level dedup (the RefinedWeb first stage): one crawl per
+    // canonical clean_url — different tracking params / fragments /
+    // case on the same page collapse to one survivor (min doc_id).
+    // The injected URLs collide by construction: doc_ids sharing
+    // (parity, %37, %3, %5) produce the SAME clean_url whatever their
+    // %8 port and %7 utm payload differences.
+    Q("web_url_dedup",
+      (s, d) => Web.urlDedup(Web.urlProfile(injectedUrls(s, d)))
+        .orderBy("doc_id"),
+      Some(s"""WITH $dUrlCte,
+        |reps AS (
+        |  SELECT clean_url, min(doc_id) AS rep
+        |  FROM prof GROUP BY clean_url)
+        |SELECT p.doc_id, p.clean_url,
+        |  CAST(CASE WHEN p.doc_id = r.rep THEN 1 ELSE 0 END AS INT)
+        |    AS keep
+        |FROM prof p JOIN reps r USING (clean_url)
+        |ORDER BY p.doc_id""".stripMargin)),
+
+    // Per-DOMAIN quality quota: the web family keyed into the
+    // curation family's bounded-heap per-key top-k
+    // (Curation.capPerSource with source = registrable domain) —
+    // cross-family composition, map-side k-element heaps, the shuffle
+    // carries <= cap entries per domain whatever the crawl size.
+    Q("web_domain_cap",
+      (s, d) => {
+        val dom = Web.urlProfile(injectedUrls(s, d))
+          .select(col("doc_id"), col("domain"))
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+          .join(dom, Seq("doc_id"))
+          .select(col("domain").as("source"), col("doc_id"), col("text"))
+        graft.operators.Curation.capPerSource(docs, 5)
+          .withColumnRenamed("source", "domain")
+          .orderBy("domain", "rank")
+      },
+      Some(s"""WITH $dUrlCte,
+        |tok AS (
+        |  SELECT p.domain AS source, d.doc_id,
+        |    string_split(d.text, ' ') AS w
+        |  FROM documents d JOIN prof p USING (doc_id)),
+        |q AS (
+        |  SELECT source, doc_id, ${ExtraAnalogs.dQuality} AS quality
+        |  FROM tok),
+        |r AS (
+        |  SELECT source, doc_id, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS rank
+        |  FROM q)
+        |SELECT source AS domain, doc_id, quality,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY domain, rank""".stripMargin))
   )
 }

@@ -88,4 +88,19 @@ object Web {
       countDistinct(col("host")).as("n_hosts"),
       countDistinct(col("clean_url")).as("n_urls"),
       sum(col("n_params")).as("sum_params"))
+
+  /** URL-level dedup over the canonical key (the RefinedWeb first
+    * stage: one crawl of a page per `clean_url`, whatever tracking
+    * params or fragments the duplicates carried): survivor = min
+    * doc_id per clean_url — one partial/final min-aggregate, the
+    * [[Dedup.exact]] shape on the canonicalized key.
+    */
+  def urlDedup(profile: DataFrame): DataFrame = {
+    val reps = profile.groupBy("clean_url")
+      .agg(min(col("doc_id")).as("rep"))
+    profile.select(col("doc_id"), col("clean_url"))
+      .join(reps, Seq("clean_url"))
+      .select(col("doc_id"), col("clean_url"),
+        (col("doc_id") === col("rep")).cast("int").as("keep"))
+  }
 }

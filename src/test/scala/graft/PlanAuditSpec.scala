@@ -241,6 +241,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(ds.contains("HashAggregate"), ds.take(800))
     assert(!ds.contains("Window") && !ds.contains("Cartesian"),
       ds.take(800))
+    // url dedup is the exact-dedup shape on the canonical key: one
+    // min-aggregate + one equi-join, never a window
+    val ud = plans("web_url_dedup")
+    assert(!ud.contains("Window") && !ud.contains("Cartesian"),
+      ud.take(800))
+    // per-domain quota rides the bounded-heap TopKAgg, not row_number
+    val dc = plans("web_domain_cap")
+    assert(!dc.contains("Window"), dc.take(800))
+    assert(dc.contains("ObjectHashAggregate"), dc.take(800))
   }
 
   test("curriculum: the only window runs over the bounded score histogram") {

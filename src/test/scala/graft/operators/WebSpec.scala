@@ -44,6 +44,18 @@ class WebSpec extends AnyFunSuite with SparkSpec {
     assert(a._3 === "b.com")
   }
 
+  test("urlDedup: tracking-param/fragment variants collapse to one survivor") {
+    val prof = Web.urlProfile(spark.createDataFrame(Seq(
+      (5L, "http://a.com/x?utm_source=f"),
+      (2L, "HTTP://A.com/x#frag"),     // same clean_url as 5
+      (9L, "http://a.com/x?id=1"),     // different (real param)
+      (4L, "http://a.com/y"))).toDF("doc_id", "url"))
+    val got = Web.urlDedup(prof).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    // min doc_id per clean_url survives: 2 beats 5
+    assert(got.toSeq === Seq((2L, 1), (4L, 1), (5L, 0), (9L, 1)))
+  }
+
   test("domainStats folds hosts, urls and params per registrable domain") {
     val prof = Web.urlProfile(spark.createDataFrame(Seq(
       (1L, "http://a.site.com/x?p=1"),
