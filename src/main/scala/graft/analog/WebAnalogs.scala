@@ -62,7 +62,7 @@ object WebAnalogs {
     |      '^([^:]*)', 1)) AS host,
     |    regexp_extract(url,
     |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-    |    regexp_extract(url, '\\?([^#]*)', 1) AS q
+    |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS q
     |  FROM inj),
     |arrs AS (
     |  SELECT doc_id, scheme, host,

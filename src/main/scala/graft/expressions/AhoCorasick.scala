@@ -97,8 +97,10 @@ object AhoCorasick {
         var f = fail(u)
         var t = next(f).get(c)
         while (t == null && f != 0) { f = fail(f); t = next(f).get(c) }
-        fail(v) = if (t == null || t.intValue() == v.intValue()) 0
-          else t.intValue()
+        // t can never equal v: the walk starts from fail(u), strictly
+        // shallower than u, so any target is at depth <= depth(u) <
+        // depth(v) — no self-fail-link guard is needed
+        fail(v) = if (t == null) 0 else t.intValue()
         queue.add(v)
       }
     }

@@ -639,12 +639,19 @@ object Curation {
       expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) div " +
         "CAST(size(w) AS BIGINT)").as("score"))
     val hist = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
+    // n = the histogram total (max of the cumulative sum) — derived in
+    // the SAME bounded-frame pass as the boundaries, so the corpus TTR
+    // scan runs once for the histogram and once for the final select,
+    // never a third time for a standalone count() job
     val cum = hist.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy("score")
         .rowsBetween(Window.unboundedPreceding, 0)))
-    val n = scored.count() // one tiny job; the boundary rule needs n
+      .withColumn("n", max(col("cum")).over(
+        Window.orderBy("score").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
     val bcols = (1 until nStages).map(k =>
-      min(when(col("cum") * nStages >= k * n, col("score"))).as(s"b$k"))
+      min(when(col("cum") * nStages >= col("n") * k, col("score")))
+        .as(s"b$k"))
     val bounds = cum.agg(bcols.head, bcols.tail: _*)
     val staged = scored.crossJoin(broadcast(bounds))
     val stage = (1 until nStages)

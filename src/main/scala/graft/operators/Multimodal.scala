@@ -294,7 +294,8 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     require(64 % nBlocks == 0,
-      s"maxHamming must be one of 1, 3, 7 (equal 64-bit blocks), got $maxHamming")
+      s"maxHamming + 1 must divide 64 (equal 64-bit blocks; " +
+        s"1, 3, 7 are the practical settings), got $maxHamming")
     val blockBits = 64 / nBlocks
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
     hashes.select(col("doc_id"), col(hashCol).as("dhash"),

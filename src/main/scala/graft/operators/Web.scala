@@ -49,7 +49,10 @@ object Web {
     val hostport = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
     val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // anchored pre-fragment: a legal '?' INSIDE the fragment
+    // (http://h/p#sec?x=1, RFC 3986) must not read as a query string —
+    // the lazy prefix [^#]*? stops at the first '?' before any '#'
+    val query = regexp_extract(u, "^[^#]*?\\?([^#]*)", 1)
     val step = docs.select(col("doc_id"), scheme.as("scheme"),
       host.as("host"),
       when(path0 === "", lit("/")).otherwise(path0).as("path"),
