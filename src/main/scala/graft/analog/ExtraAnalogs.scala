@@ -90,6 +90,36 @@ object ExtraAnalogs {
       .join(docs.select("doc_id", "lang"), "doc_id")
   }
 
+  /** The stored BM25 postings index over the %100 corpus split — the
+    * build-once artifact ([[graft.sources.ModelStore.ensureFrame]])
+    * the retrieval family probes: first invocation builds and saves,
+    * later invocations read the parquet back, so the corpus-sized
+    * index scan amortizes across text_hard_negatives /
+    * text_hybrid_topk / stream_bm25_screen exactly as a deployment's
+    * static index would. Keyed by the data directory; results are
+    * identical to the in-plan build (integer frame, exact parquet
+    * round-trip), so these queries share text_bm25_topk's oracle
+    * chain unchanged.
+    */
+  private def storedBm25Index(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.sources.ModelStore.ensureFrame(s,
+      s"target/models/bm25_idx_${math.abs(d.hashCode)}",
+      graft.operators.Retrieval.bm25Index(
+        Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0)))
+
+  /** The stored MinHash signature table of the %100 corpus split —
+    * mined at ingest in a deployment (the streaming near-dup screen's
+    * artifact), stored once here so the hard-negative screen stops
+    * re-mining the corpus per call.
+    */
+  private def storedCorpusSigs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.sources.ModelStore.ensureFrame(s,
+      s"target/models/mh_sigs_${math.abs(d.hashCode)}",
+      Dedup.minhashSignatures(Tables.documents(s, d)
+        .filter(col("doc_id") % 100 =!= 0).select("doc_id", "text")))
+
   /** Shared BM25 probe chain (text_bm25_topk + stream_bm25_screen):
     * postings with tf and doc length over the corpus slice
     * (doc_id % 100 <> 0), corpus scalars, df-capped grid-rounded idf
@@ -680,6 +710,60 @@ object ExtraAnalogs {
       s" + 0.2::DOUBLE * (CAST(${dMarkerHits(stopEn)} AS DOUBLE) / CAST(len(w) AS BIGINT)), 6)"
 
   // ---- queries -----------------------------------------------------------
+
+  /** The composed RRF-fusion oracle — shared verbatim by
+    * sim_rrf_topk (in-plan training) and sim_rrf_topk_loaded
+    * (ModelStore-loaded artifacts): the two queries MUST produce
+    * identical rows by the round-trip law, so they verify against
+    * one SQL text.
+    */
+  private lazy val dRrfOracle: String = s"""WITH ${dKmCellsCte("8")},
+        |$dPqCte,
+        |iq AS (
+        |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
+        |  FROM a3 a JOIN v USING (vec_id)
+        |  WHERE a.rk <= 2 AND v.vec_id < 50
+        |),
+        |ip AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+        |           AS sim
+        |  FROM iq q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |), ir AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM ip
+        |),
+        |pcds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |padc AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |         CAST(sum(q.dist) AS BIGINT) AS adc
+        |  FROM pqa30 q JOIN pcds x
+        |    ON x.sub = q.sub AND x.cent_id = q.cent_id
+        |  WHERE q.vec_id < 50 AND q.vec_id <> x.vec_id
+        |  GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |  FROM padc
+        |),
+        |contrib AS (
+        |  SELECT query_id, neighbor_id, 1000000 // (60 + rnk) AS c
+        |  FROM ir WHERE rnk <= 10
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id, 1000000 // (60 + rnk) AS c
+        |  FROM pr WHERE rnk <= 10
+        |),
+        |fused AS (
+        |  SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf
+        |  FROM contrib GROUP BY 1, 2
+        |), fr AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk
+        |  FROM fused
+        |)
+        |SELECT query_id, neighbor_id, rrf, CAST(rnk AS BIGINT) AS rank
+        |FROM fr WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -1342,12 +1426,12 @@ object ExtraAnalogs {
     // screen-then-verify split. Shares bm25Index/queryTerms/termScore
     // with text_bm25_topk, so screen and ranker cannot drift.
     Q("stream_bm25_screen",
+      // the screen's index is a static deployment artifact by design —
+      // probe the STORED build (storedBm25Index), not a per-call one
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val idx = graft.operators.Retrieval.bm25Index(
-          docs.filter(col("doc_id") % 100 =!= 0))
         graft.streaming.DocStreams.bm25Screen(
-          docs.filter(col("doc_id") % 100 === 0), idx)
+          docs.filter(col("doc_id") % 100 === 0), storedBm25Index(s, d))
           .orderBy("query_id", "doc_id", "h")
       },
       Some(s"""WITH $dBm25Cte
@@ -1575,53 +1659,28 @@ object ExtraAnalogs {
           Similarity.ivfTopK(e, 50, 10, nprobe = 2),
           Similarity.pqTopK(e, Similarity.pqTrain(e), 50, 10)), k = 3)
       },
-      Some(s"""WITH ${dKmCellsCte("8")},
-        |$dPqCte,
-        |iq AS (
-        |  SELECT v.vec_id, v.emb, v.norm, a.cent_id AS cell
-        |  FROM a3 a JOIN v USING (vec_id)
-        |  WHERE a.rk <= 2 AND v.vec_id < 50
-        |),
-        |ip AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
-        |           AS sim
-        |  FROM iq q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-        |), ir AS (
-        |  SELECT query_id, neighbor_id, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-        |  FROM ip
-        |),
-        |pcds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
-        |padc AS (
-        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-        |         CAST(sum(q.dist) AS BIGINT) AS adc
-        |  FROM pqa30 q JOIN pcds x
-        |    ON x.sub = q.sub AND x.cent_id = q.cent_id
-        |  WHERE q.vec_id < 50 AND q.vec_id <> x.vec_id
-        |  GROUP BY 1, 2
-        |), pr AS (
-        |  SELECT query_id, neighbor_id, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
-        |  FROM padc
-        |),
-        |contrib AS (
-        |  SELECT query_id, neighbor_id, 1000000 // (60 + rnk) AS c
-        |  FROM ir WHERE rnk <= 10
-        |  UNION ALL
-        |  SELECT query_id, neighbor_id, 1000000 // (60 + rnk) AS c
-        |  FROM pr WHERE rnk <= 10
-        |),
-        |fused AS (
-        |  SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf
-        |  FROM contrib GROUP BY 1, 2
-        |), fr AS (
-        |  SELECT *, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk
-        |  FROM fused
-        |)
-        |SELECT query_id, neighbor_id, rrf, CAST(rnk AS BIGINT) AS rank
-        |FROM fr WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+      Some(dRrfOracle)),
+
+    // The DEPLOYMENT twin of sim_rrf_topk: both backends score from
+    // the ModelStore-loaded artifact pair (ensureIvfPq — trained and
+    // saved on the first invocation against this data directory,
+    // loaded thereafter), so repeated fusions against a static corpus
+    // pay Lloyd/PQ training ONCE instead of per query. Results are
+    // identical by the round-trip law (integer models survive parquet
+    // exactly — ModelStoreSpec), so the SAME composed oracle verifies
+    // the loaded path end-to-end; PlanAuditSpec pins the training
+    // subtrees absent (fewer exchanges than the in-plan twin).
+    Q("sim_rrf_topk_loaded",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (pq, ivf) = graft.sources.ModelStore.ensureIvfPq(
+          e, s"target/models/ivfpq_rrf_${math.abs(d.hashCode)}")
+        graft.operators.Retrieval.rrfFuse(Seq(
+          Similarity.ivfTopKWith(e, ivf, 50, 10, nprobe = 2),
+          Similarity.pqTopK(e, pq, 50, 10)), k = 3)
+      },
+      Some(dRrfOracle)),
+
 
     // MMR diversified rerank (Carbonell & Goldstein 1998): top-8
     // cosine candidates per query (vec_id < 20 vs the rest), greedily
@@ -1701,11 +1760,17 @@ object ExtraAnalogs {
     // signatures, and the screen are all byte-identical to their
     // standalone oracles.
     Q("text_hard_negatives",
+      // probes the STORED index + signature artifacts (built once per
+      // data dir — storedBm25Index/storedCorpusSigs) instead of
+      // re-building both corpus-sized frames per call; rows identical
+      // to the in-plan build, same oracle
       (s, d) => {
         val docs = Tables.documents(s, d)
         graft.operators.Retrieval.hardNegatives(
           docs.filter(col("doc_id") % 100 === 0),
-          docs.filter(col("doc_id") % 100 =!= 0), k = 5)
+          docs.filter(col("doc_id") % 100 =!= 0), k = 5,
+          index = Some(storedBm25Index(s, d)),
+          corpusSigs = Some(storedCorpusSigs(s, d)))
       },
       Some(s"""WITH $dBm25Cte, $shCte, $hsCte,
         |sig AS (SELECT doc_id, ${(0 until 4).map(b =>
@@ -1746,7 +1811,8 @@ object ExtraAnalogs {
         val embs = Tables.embeddings(s, d)
         val lex = graft.operators.Retrieval.bm25TopK(
           docs.filter(col("doc_id") % 100 === 0),
-          docs.filter(col("doc_id") % 100 =!= 0), k = 10)
+          docs.filter(col("doc_id") % 100 =!= 0), k = 10,
+          index = Some(storedBm25Index(s, d)))
           .withColumnRenamed("doc_id", "neighbor_id")
         val den = Similarity.cosineTopKBetween(
           embs.filter(col("vec_id") % 100 === 0),

@@ -208,15 +208,23 @@ object Retrieval {
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int = 5,
       overfetch: Int = 2,
-      maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
+      maxDfPermille: Int = DefaultMaxDfPermille,
+      index: Option[DataFrame] = None,
+      corpusSigs: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && overfetch >= 1, s"bad k=$k / overfetch=$overfetch")
-    val cands = bm25TopK(queries, corpus, k * overfetch, maxDfPermille)
+    val cands = bm25TopK(queries, corpus, k * overfetch, maxDfPermille,
+        index)
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         col("score"))
     val qs = Dedup.minhashSignatures(queries.select("doc_id", "text"))
       .select(col("doc_id").as("query_id") +:
         (0 until 4).map(b => col(s"band$b").as(s"qb$b")): _*)
-    val cs = Dedup.minhashSignatures(corpus.select("doc_id", "text"))
+    // the corpus signature table is a stored ingest-time artifact in a
+    // deployment (the streaming near-dup screen already mines it);
+    // accept it pre-mined so the corpus-sized signature scan amortizes
+    // across the retrieval family instead of re-running per call
+    val cs = corpusSigs
+      .getOrElse(Dedup.minhashSignatures(corpus.select("doc_id", "text")))
       .select(col("doc_id").as("neighbor_id") +:
         (0 until 4).map(b => col(s"band$b").as(s"cb$b")): _*)
     val dup = (0 until 4).map(b => col(s"qb$b") === col(s"cb$b"))
@@ -283,9 +291,13 @@ object Retrieval {
   }
 
   def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
-      maxDfPermille: Int = DefaultMaxDfPermille): DataFrame = {
+      maxDfPermille: Int = DefaultMaxDfPermille,
+      index: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val idx = bm25Index(corpus, maxDfPermille)
+    // `index` = a stored [[bm25Index]] artifact (the streaming screen's
+    // static-index convention): a deployment builds the scored postings
+    // once over the accepted corpus and probes it per query batch
+    val idx = index.getOrElse(bm25Index(corpus, maxDfPermille))
     queryTerms(queries)
       .join(idx, Seq("h"))
       .select(col("query_id"), col("doc_id"), termScore.as("c"))

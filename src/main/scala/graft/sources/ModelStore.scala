@@ -193,6 +193,56 @@ object ModelStore {
       .write.mode("overwrite").parquet(s"$dir/codebook")
   }
 
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Train-once / probe-everywhere for the composed IVF-PQ artifact
+    * pair: if `dir` holds a COMPLETED save (both parquet `_SUCCESS`
+    * markers), load it; otherwise train both models on `embs`, save,
+    * and load back. The loaded pair scores identically to in-plan
+    * training (integer models round-trip exactly — ModelStoreSpec),
+    * so repeated queries against a static corpus pay training ONCE —
+    * the 100 TB deployment shape, where the index artifact outlives
+    * any single job. The caller owns cache invalidation: `dir` must
+    * key the training data (and geometry, if non-default) — a stale
+    * artifact over CHANGED data scores garbage that the completeness
+    * markers cannot catch.
+    */
+  def ensureIvfPq(embs: org.apache.spark.sql.DataFrame, dir: String,
+      nCells: Int = 8, iters: Int = 2)
+      : (Seq[Seq[Array[Long]]], Seq[Array[Long]]) = {
+    val spark = embs.sparkSession
+    if (!pathExists(spark, s"$dir/pq/codebook/_SUCCESS") ||
+        !pathExists(spark, s"$dir/ivf/centroids/_SUCCESS")) {
+      savePq(graft.operators.Similarity.pqTrain(embs), s"$dir/pq", spark)
+      saveIvf(graft.operators.Similarity.trainIvfCentroids(
+        embs, nCells, iters), s"$dir/ivf", spark)
+    }
+    (loadPq(spark, s"$dir/pq"), loadIvf(spark, s"$dir/ivf"))
+  }
+
+  /** Build-once corpus-side frame artifact (a stored INDEX, not a
+    * model: MinHash signature tables, BM25 postings — corpus-sized
+    * frames a retrieval family probes repeatedly): if `dir` holds a
+    * completed parquet save, read it back; otherwise evaluate `build`,
+    * save, and read back. The read-back frame is schema-checked
+    * against the builder's plan schema (names + types, nullability
+    * normalized) so a foreign or stale-layout directory fails loudly.
+    * Row order is NOT preserved across the round-trip — callers must
+    * consume the frame order-insensitively (joins/aggregates), the
+    * contract every index probe here already satisfies.
+    */
+  def ensureFrame(spark: SparkSession, dir: String,
+      build: => DataFrame): DataFrame = {
+    val fresh = build
+    val expected = fresh.schema.map(f => (f.name, f.dataType))
+    if (!pathExists(spark, s"$dir/_SUCCESS"))
+      fresh.write.mode("overwrite").parquet(dir)
+    checkSchema(spark.read.parquet(dir), expected, dir)
+  }
+
   /** Load a PQ codebook saved by [[savePq]], shape-checked: subspace
     * ids exactly 0..m−1, every subspace the same full 0..ksub−1
     * centroid set, every centroid the same dimension — a partial or

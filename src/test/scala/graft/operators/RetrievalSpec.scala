@@ -146,6 +146,25 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(clean === Seq(4L))
   }
 
+  test("hardNegatives: stored index + signatures reproduce the in-plan build") {
+    // the amortization hooks must be result-invisible: a pre-built
+    // bm25Index and a pre-mined corpus signature frame (here passed
+    // directly; in deployment read back from parquet — exact integer
+    // frames either way) yield byte-identical negatives
+    val corpus = df(
+      (1L, "cat sat on the mat today"),
+      (2L, "cat sat near a mat"),
+      (3L, "dog sat on grass"))
+    val q = df((100L, "cat sat on the mat today"))
+    def rows(got: org.apache.spark.sql.DataFrame) =
+      got.collect().map(_.toString).toSeq
+    val inPlan = rows(Retrieval.hardNegatives(q, corpus, k = 3))
+    val reused = rows(Retrieval.hardNegatives(q, corpus, k = 3,
+      index = Some(Retrieval.bm25Index(corpus)),
+      corpusSigs = Some(Dedup.minhashSignatures(corpus))))
+    assert(reused === inPlan)
+  }
+
   test("bm25: per-query isolation — each query ranks its own matches") {
     val corpus = df((1L, "alpha beta"), (2L, "gamma delta"))
     val q = df((10L, "alpha"), (20L, "gamma"))

@@ -77,6 +77,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(split === whole)
   }
 
+  test("exact rankers refuse an over-cap query frame, accept a bounded one") {
+    import org.apache.spark.sql.functions.col
+    // cosineTopKBetween: bounded-count guard — the pass path (frame
+    // within the cap) and the fail path (frame exceeds it) both
+    // exercised with a tiny cap so the probe stays cheap
+    val ok = Similarity.cosineTopKBetween(
+      embs.filter(col("vec_id") < 2), embs, k = 1, maxQueries = 2)
+    assert(ok.count() === 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopKBetween(embs, embs, k = 1, maxQueries = 3)
+    }
+    assert(e.getMessage.contains("too large to broadcast"))
+    // pqTopK's query side is id-prefix-bounded, so its guard is the
+    // parameter itself — no counting job
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(embs, Seq(Seq(Array(0L))),
+        nQueries = Similarity.MaxBroadcastQueries.toInt + 1)
+    }
+    assert(e2.getMessage.contains("nQueries"))
+  }
+
   test("mmrRerank: redundant near-duplicate demoted below a diverse pick") {
     import org.apache.spark.sql.functions.col
     // q = x-axis; c2 (smallest tilt) is the best match; c1 has HIGHER

@@ -117,6 +117,53 @@ class ModelStoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cent_id must be exactly"))
   }
 
+  // 64-dim deterministic vectors (the PQ geometry needs MaxDim)
+  private def embs64(shift: Int) = spark.createDataFrame(
+    (0 until 40).map { i =>
+      (i.toLong,
+        Seq.tabulate(64)(j => ((((i * 37 + j * 11 + shift) % 19) - 9) / 10.0f)),
+        i % 3)
+    }).toDF("vec_id", "embedding", "label")
+
+  test("ensureIvfPq trains+saves on first call, serves the ARTIFACT thereafter") {
+    val dir = tmp() + "/ivfpq"
+    val e = embs64(0)
+    val (pq1, ivf1) = ModelStore.ensureIvfPq(e, dir)
+    // first call == in-plan training exactly
+    assert(pq1.map(_.map(_.toSeq)) ===
+      graft.operators.Similarity.pqTrain(e).map(_.map(_.toSeq)))
+    assert(ivf1.map(_.toSeq) ===
+      graft.operators.Similarity.trainIvfCentroids(e).map(_.toSeq))
+    // second call with DIFFERENT data returns the SAVED pair — proof
+    // the load path serves and the trainer never re-runs (the caller
+    // owns dir-keying; this is the documented staleness contract)
+    val shifted = embs64(7)
+    val (pq2, ivf2) = ModelStore.ensureIvfPq(shifted, dir)
+    assert(pq2.map(_.map(_.toSeq)) === pq1.map(_.map(_.toSeq)))
+    assert(ivf2.map(_.toSeq) === ivf1.map(_.toSeq))
+    // and the shifted data genuinely trains a different model
+    assert(graft.operators.Similarity.pqTrain(shifted)
+      .map(_.map(_.toSeq)) !== pq1.map(_.map(_.toSeq)))
+  }
+
+  test("ensureFrame builds once, reads back thereafter, schema-checked") {
+    val dir = tmp() + "/idx"
+    val first = ModelStore.ensureFrame(spark, dir,
+      spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("k", "v"))
+    assert(rows(first) === Seq("[1,a]", "[2,b]"))
+    // a second call with a different SAME-SCHEMA builder serves the
+    // stored rows — the artifact, not the builder, is the truth
+    val second = ModelStore.ensureFrame(spark, dir,
+      spark.createDataFrame(Seq((9L, "z"))).toDF("k", "v"))
+    assert(rows(second) === Seq("[1,a]", "[2,b]"))
+    // a different-schema builder against the same dir fails loudly
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.ensureFrame(spark, dir,
+        spark.createDataFrame(Seq((1L, 2L))).toDF("k", "n"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("wrong directory fails loudly at load, names the mismatch") {
     val dir = tmp()
     // an LM saved where an NB is expected: schema check trips before
