@@ -1673,11 +1673,18 @@ object ExtraAnalogs {
     Q("sim_rrf_topk_loaded",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val (pq, ivf) = graft.sources.ModelStore.ensureIvfPq(
-          e, s"target/models/ivfpq_rrf_${math.abs(d.hashCode)}")
+        val dir = s"target/models/ivfpq_rrf_${math.abs(d.hashCode)}"
+        val (pq, ivf) = graft.sources.ModelStore.ensureIvfPq(e, dir)
+        // the corpus-side artifacts too: the stored inverted-list
+        // frame and the stored code table — per query batch nothing
+        // corpus-sized is retrained, re-assigned, or re-encoded
+        val cellsIdx = graft.sources.ModelStore.ensureFrame(s,
+          s"$dir/cells", Similarity.ivfCellsWith(e, ivf))
+        val codesIdx = graft.sources.ModelStore.ensureFrame(s,
+          s"$dir/codes", Similarity.pqCodes(e, pq))
         graft.operators.Retrieval.rrfFuse(Seq(
-          Similarity.ivfTopKWith(e, ivf, 50, 10, nprobe = 2),
-          Similarity.pqTopK(e, pq, 50, 10)), k = 3)
+          Similarity.ivfTopKFromIndex(cellsIdx, e, ivf, 50, 10, nprobe = 2),
+          Similarity.pqTopKFromCodes(codesIdx, e, pq, 50, 10)), k = 3)
       },
       Some(dRrfOracle)),
 
