@@ -3851,6 +3851,108 @@ object ExtraAnalogs {
         |  LEFT JOIN dup ON m.doc_id = dup.doc_id)
         |SELECT doc_id, n_words, nll_per_tok, reason,
         |  CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS pass
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // INGEST SCREEN v2 — the URL stage composed IN FRONT (the
+    // RefinedWeb order: URL-level screens run before any content
+    // stage): every arriving page also carries a deterministic raw
+    // URL (the WebAnalogs recipe at hostMod 3 with a doc_id-div-60
+    // block path, so arrivals with doc_id%60 in {0,10,50} have an
+    // in-block ±42 canonical twin in the accepted corpus and the
+    // rest don't — both url verdict branches fire at EVERY shipped
+    // SF); a page whose canonicalized
+    // clean_url already exists in the accepted corpus' URL index
+    // rejects as url_dup, the highest-precedence reason
+    // (url_dup ≻ near_dup ≻ quality ≻ perplexity ≻ ok). The oracle
+    // composes the v1 chain with the SHARED canonicalization CTEs
+    // (WebAnalogs.dUrlCteFor — byte-identical regex text to
+    // web_url_profile's), so neither the content stages nor the url
+    // stage can drift from their standalone oracles.
+    Q("pipeline_ingest_screen_v2",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val injected = docs.select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" and that have with"))
+              .otherwise(lit(""))).as("text"))
+        val urlOf = expr(WebAnalogs.urlSql("STRING", 3, "doc_id div 60"))
+        val arrivingHtml = injected.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), urlOf.as("url"), concat(
+            lit("<html><body><p>"), col("text"), lit("</p>"),
+            when(col("doc_id") % 3 === 0,
+              lit("<script>var a = 1 < 2;</script>")).otherwise(lit("")),
+            lit("</body></html>")).as("text"))
+        val accepted = injected.filter(col("doc_id") % 10 =!= 0)
+        val urlIdx = graft.operators.Web.urlProfile(
+          accepted.select(col("doc_id"), urlOf.as("url")))
+          .select("clean_url")
+        val corpusIdx = graft.streaming.DocStreams.bandRows(accepted)
+        val target = injected.filter(
+          col("source").isin("src0", "src1", "src2", "src3"))
+        graft.streaming.DocStreams.ingestVerdictsUrl(arrivingHtml, urlIdx,
+          corpusIdx, graft.operators.Perplexity.model(target),
+          maxNll = 6350000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, lang, source,
+        |    text || (CASE WHEN doc_id % 2 = 0
+        |      THEN ' and that have with' ELSE '' END) AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, source, text,
+        |        string_split(text, ' ') AS w FROM inj),
+        |$shCte, $hsCte,
+        |bands AS (
+        |${(0 until 4).map(b =>
+          s"  SELECT doc_id, ${b}::BIGINT AS band_pos, ${dBand("hs", b)} AS band FROM hsc")
+          .mkString("\n  UNION ALL\n")}
+        |),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM bands a JOIN bands c
+        |    ON a.band_pos = c.band_pos AND a.band = c.band
+        |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  GROUP BY a.doc_id, c.doc_id
+        |  HAVING count(DISTINCT a.band_pos) >= 2),
+        |${WebAnalogs.dUrlCteFor(
+          WebAnalogs.urlSql("VARCHAR", 3, "doc_id // 60"), "u")},
+        |udup AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM uprof a JOIN uprof c ON a.clean_url = c.clean_url
+        |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '[.][.][.]')) AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      x -> list_contains(w, x))) AS BIGINT) AS n_req_stop
+        |  FROM tok WHERE doc_id % 10 = 0),
+        |${graft.analog.CorpusAnalogs.pplScoreCte},
+        |v AS (
+        |  SELECT m.doc_id, m.n_words,
+        |    CAST((-psc.sum_lp) // psc.n_trans AS BIGINT) AS nll_per_tok,
+        |    CASE WHEN udup.doc_id IS NOT NULL THEN 'url_dup'
+        |      WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+        |      WHEN NOT (n_words >= 20 AND n_words <= 100000)
+        |        THEN 'gopher_words'
+        |      WHEN NOT (3*n_words <= sum_len AND sum_len <= 10*n_words)
+        |        THEN 'gopher_len'
+        |      WHEN NOT (10*n_symbols <= n_words) THEN 'gopher_sym'
+        |      WHEN NOT (5*n_alpha_words >= 4*n_words) THEN 'gopher_alpha'
+        |      WHEN NOT (n_req_stop >= 2) THEN 'gopher_stop'
+        |      WHEN (-psc.sum_lp) // psc.n_trans > 6350000 THEN 'perplexity'
+        |      ELSE 'ok' END AS reason
+        |  FROM m JOIN psc ON m.doc_id = psc.doc_id
+        |  LEFT JOIN dup ON m.doc_id = dup.doc_id
+        |  LEFT JOIN udup ON m.doc_id = udup.doc_id)
+        |SELECT doc_id, n_words, nll_per_tok, reason,
+        |  CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS pass
         |FROM v ORDER BY doc_id""".stripMargin))
   )
 }

@@ -19,41 +19,51 @@ import graft.sources.Tables
   */
 object WebAnalogs {
 
+  /** The injected-URL SQL expression, ONE text for both engines
+    * (`cast` = STRING on the Spark side, VARCHAR in DuckDB).
+    * `hostMod`/`pathExpr` parameterize the collision density: the
+    * default (37, doc_id % 5) exercises the full canonicalization
+    * rule set with mostly-distinct URLs (clean_url spacing
+    * lcm(2, 37, 3, 5, 7) = 7770 — no collisions at small SFs); the
+    * composed ingest screen passes hostMod 3 and a BLOCK-INDEX path
+    * (doc_id div 60) so a %10-arrival collides with an accepted doc
+    * exactly when an in-block ±42 partner exists — arrivals with
+    * doc_id%60 ∈ {0, 10, 50} do, {20, 30, 40} don't, a fixed split
+    * at EVERY shipped SF. `pathExpr` is engine-specific text (Spark
+    * `div` vs DuckDB `//`), the only part of the recipe that is.
+    */
+  private[analog] def urlSql(cast: String, hostMod: Int = 37,
+      pathExpr: String = "doc_id % 5"): String =
+    s"CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' || " +
+      s"CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END || " +
+      s"'Site' || CAST(doc_id % $hostMod AS $cast) || " +
+      s"CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.com' END || " +
+      s"CASE WHEN doc_id % 8 = 0 THEN ':8080' ELSE '' END || " +
+      s"'/a/' || CAST($pathExpr AS $cast) || '/page' || " +
+      s"CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&x=' || " +
+      s"  CAST(doc_id % 7 AS $cast) || '&utm_campaign=c' ELSE '' END || " +
+      s"CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END"
+
   /** The injected URL, one expression in both engines. */
   private def injectedUrls(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), expr(
-      "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' || " +
-        "CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END || " +
-        "'Site' || CAST(doc_id % 37 AS STRING) || " +
-        "CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.com' END || " +
-        "CASE WHEN doc_id % 8 = 0 THEN ':8080' ELSE '' END || " +
-        "'/a/' || CAST(doc_id % 5 AS STRING) || '/page' || " +
-        "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&x=' || " +
-        "  CAST(doc_id % 7 AS STRING) || '&utm_campaign=c' ELSE '' END || " +
-        "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END").as("url"))
+    Tables.documents(s, d).select(col("doc_id"),
+      expr(urlSql("STRING")).as("url"))
 
-  /** DuckDB twin of [[injectedUrls]] + the urlProfile expressions.
-    * Yields `prof(doc_id, scheme, host, domain, path, n_params,
+  /** The urlProfile canonicalization chain over an injected-URL
+    * expression, CTE names prefixed by `p` so a composing oracle
+    * (whose own chain may already use `inj`) stays collision-free.
+    * Yields `${p}prof(doc_id, scheme, host, domain, path, n_params,
     * clean_url)`.
     */
-  private lazy val dUrlCte: String = {
+  private[analog] def dUrlCteFor(injExpr: String, p: String = ""): String = {
     val tracking = Web.TrackingParams
-      .map(p => s"'$p'").mkString("[", ", ", "]")
+      .map(x => s"'$x'").mkString("[", ", ", "]")
     val suffixes = Web.MultiLabelSuffixes
       .map(sx => s"'$sx'").mkString("[", ", ", "]")
-    s"""inj AS (
-    |  SELECT doc_id,
-    |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
-    |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE 'www.' END ||
-    |    'Site' || CAST(doc_id % 37 AS VARCHAR) ||
-    |    CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.com' END ||
-    |    CASE WHEN doc_id % 8 = 0 THEN ':8080' ELSE '' END ||
-    |    '/a/' || CAST(doc_id % 5 AS VARCHAR) || '/page' ||
-    |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&x=' ||
-    |      CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=c' ELSE '' END ||
-    |    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+    s"""${p}inj AS (
+    |  SELECT doc_id, $injExpr AS url
     |  FROM documents),
-    |parts AS (
+    |${p}parts AS (
     |  SELECT doc_id,
     |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
     |      AS scheme,
@@ -63,8 +73,8 @@ object WebAnalogs {
     |    regexp_extract(url,
     |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
     |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS q
-    |  FROM inj),
-    |arrs AS (
+    |  FROM ${p}inj),
+    |${p}arrs AS (
     |  SELECT doc_id, scheme, host,
     |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
     |    list_filter(string_split(q, '&'), p -> p <> ''
@@ -72,8 +82,8 @@ object WebAnalogs {
     |        CASE WHEN instr(p, '=') = 0 THEN p
     |          ELSE p[1:instr(p, '=') - 1] END)) AS params,
     |    string_split(host, '.') AS labels
-    |  FROM parts),
-    |prof AS (
+    |  FROM ${p}parts),
+    |${p}prof AS (
     |  SELECT doc_id, scheme, host,
     |    CASE WHEN len(labels) >= 3 AND list_contains($suffixes,
     |        array_to_string(labels[len(labels)-1:], '.'))
@@ -86,8 +96,10 @@ object WebAnalogs {
     |      CASE WHEN array_to_string(params, '&') <> ''
     |        THEN '?' || array_to_string(params, '&') ELSE '' END
     |      AS clean_url
-    |  FROM arrs)""".stripMargin
+    |  FROM ${p}arrs)""".stripMargin
   }
+
+  private lazy val dUrlCte: String = dUrlCteFor(urlSql("VARCHAR"))
 
   val queries: Seq[Q] = Seq(
 

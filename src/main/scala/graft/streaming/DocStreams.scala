@@ -335,6 +335,40 @@ object DocStreams {
       .withColumn("pass", (col("reason") === "ok").cast("int"))
   }
 
+  /** [[ingestVerdicts]] with the URL stage composed IN FRONT — the
+    * RefinedWeb order (URL-level screens run before any content
+    * stage): arriving pages carry a raw `url` column, canonicalized
+    * by [[graft.operators.Web.urlProfile]] (scheme/host lowering,
+    * port/fragment/tracking-param stripping), and a page whose
+    * `clean_url` already exists in the accepted corpus' URL index
+    * rejects as `url_dup` — the highest-precedence reason
+    * (url_dup ≻ near_dup ≻ quality ≻ perplexity ≻ ok).
+    *
+    * `urlIndex` is one `clean_url` column over the accepted corpus —
+    * a static artifact like `bandIndex`, built once
+    * ([[graft.operators.Web.urlProfile]] + distinct) and probed per
+    * batch with one equi-join. The url stage is the CHEAPEST stage
+    * (map-only regex + that join), so evaluating it alongside the
+    * content stages costs nothing here; a deployment that wants to
+    * skip content work for url-dups filters on the join hit first —
+    * same verdicts, fewer decoded bytes.
+    */
+  def ingestVerdictsUrl(docs: DataFrame, urlIndex: DataFrame,
+      bandIndex: DataFrame, lm: graft.operators.Perplexity.LmModel,
+      maxNll: Long, minWords: Int = 20, minBands: Int = 2): DataFrame = {
+    val udup = graft.operators.Web.urlProfile(docs)
+      .select(col("doc_id"), col("clean_url"))
+      .join(urlIndex.select("clean_url").distinct(), Seq("clean_url"))
+      .select("doc_id").distinct().withColumn("_udup", lit(1))
+    ingestVerdicts(docs.select("doc_id", "text"), bandIndex, lm, maxNll,
+        minWords, minBands)
+      .join(udup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("nll_per_tok"),
+        when(col("_udup") === 1, "url_dup").otherwise(col("reason"))
+          .as("reason"))
+      .withColumn("pass", (col("reason") === "ok").cast("int"))
+  }
+
   /** Streaming deployment of [[ingestVerdicts]]: parquet-directory
     * source → per-micro-batch composed verdict → parquet verdict sink,
     * checkpointed. The corpus-derived artifacts (band index, LM model

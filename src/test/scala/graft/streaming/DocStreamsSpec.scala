@@ -500,6 +500,78 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(hits === Seq((1100L, 100L), (1101L, 101L), (1102L, 102L)))
   }
 
+  test("url-composed ingest verdicts: url_dup precedence, stream == batch") {
+    import org.apache.spark.sql.functions._
+    val accepted = spark.createDataFrame(Seq(
+      (100L, "http://www.Site1.com:8080/a/1/page?utm_source=feed&x=2",
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "http://www.site2.com/b/page",
+        "one two three four five six seven eight")))
+      .toDF("doc_id", "url", "text")
+    val target = spark.createDataFrame(Seq(
+      (900L, "the cat and the dog have fun with the ball"),
+      (901L, "the sun and the moon have light with the stars")))
+      .toDF("doc_id", "text")
+    val lm = graft.operators.Perplexity.model(target)
+    val urlIdx = graft.operators.Web.urlProfile(accepted)
+      .select("clean_url")
+    val bandIdx = DocStreams.bandRows(accepted.select("doc_id", "text"))
+    val arriving = Seq(
+      // canonical twin of accepted 100's url (case/port/tracking/
+      // fragment differ) AND a text replica: url_dup must win the
+      // precedence over near_dup
+      (1L, "HTTP://WWW.Site1.COM/a/1/page?utm_campaign=z&x=2#frag",
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      // unique url, same replica text -> falls through to near_dup
+      (2L, "http://www.site9.com/only",
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "http://www.site8.com/two", "tiny doc here"), // gopher_words
+      (4L, "http://www.site7.com/ok",
+        "the cat and the dog have fun with the ball")) // ok
+    val arrDf = spark.createDataFrame(arriving)
+      .toDF("doc_id", "url", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.ingestVerdictsUrl(df, urlIdx, bandIdx, lm,
+        maxNll = Long.MaxValue, minWords = 5)
+    val batch = verdicts(arrDf).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(batch === Map(
+      1L -> ("url_dup", 0), 2L -> ("near_dup", 0),
+      3L -> ("gopher_words", 0), 4L -> ("ok", 1)))
+    // stream == batch: the composed verdict is micro-batch-local
+    // (stream-static joins + batch-local rollup, no cross-batch
+    // state), run through the documented foreachBatch deployment in
+    // two batches over a parquet source
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_url").toString
+    val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    def writeBatch(docs: Seq[(Long, String, String)]): Unit =
+      spark.createDataFrame(docs).toDF("doc_id", "url", "text")
+        .write.mode("append").parquet(src)
+    writeBatch(arriving.take(2))
+    val query = ss.readStream
+      .schema("doc_id LONG, url STRING, text STRING")
+      .parquet(src)
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          verdicts(b.toDF()).write.mode("overwrite")
+            .parquet(s"$sink/batch_id=$id")
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      query.processAllAvailable()
+      writeBatch(arriving.drop(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(streamed === batch)
+  }
+
   test("composed ingest pipeline: verdicts per micro-batch, checkpointed") {
     import org.apache.spark.sql.functions._
     val accepted = spark.createDataFrame(Seq(
