@@ -326,6 +326,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges(plans("eval_langid_prf_loaded")) <
       exchanges(plans("eval_langid_prf")),
       "loaded-artifact eval should simplify the plan vs in-plan training")
+    // the IVF-PQ fusion twins (round 14): the loaded variant probes
+    // STORED inverted-list/code-table parquet, so its plan carries
+    // strictly fewer exchanges AND fewer nested-loop legs (the flat
+    // encode leg is gone) than the in-plan twin — on top of the
+    // eager training jobs, which never appear in plan text at all
+    assert(exchanges(plans("sim_rrf_topk_loaded")) <
+      exchanges(plans("sim_rrf_topk")),
+      "loaded fusion should carry fewer exchanges than the in-plan twin")
+    assert(
+      "BroadcastNestedLoop".r.findAllIn(plans("sim_rrf_topk_loaded")).length <
+        "BroadcastNestedLoop".r.findAllIn(plans("sim_rrf_topk")).length,
+      "loaded fusion should drop the flat encode leg")
   }
 
   test("pack's row-level running sum never serializes a whole source") {
