@@ -624,6 +624,49 @@ object ExtraAnalogs {
        |  FROM a3 a JOIN v USING (vec_id) WHERE a.rk = 1
        |)""".stripMargin
 
+  /** WITH-body SUFFIX over [[dKmCellsCte]] replicating
+    * Similarity.trainIvfTwoLevel's FINE level term-for-term (requires
+    * `cells`, `a3`, `c2`, `v` in scope): per-cell md5-ranked seeds
+    * (missing slots fall back to the cell's L1 centroid), two Lloyd
+    * rounds where each vector competes only among its OWN coarse
+    * cell's fine centroids (cent_id = cell·nL2 + j, the composite-id
+    * encoding), integer-sum updates with empty-cell COALESCE. Ends
+    * with the fine centroid table `gw2n` and the final ranked fine
+    * assignment `b3`.
+    */
+  private def dKm2Cte(nL2: Int): String = {
+    def asg(name: String, ct: String) =
+      s"""${name}0 AS (
+         |  SELECT cl.vec_id, c.cent_id,
+         |         round(${dDot("cl.emb", "c.cvd")} / (cl.norm * c.cnorm), 6)
+         |           AS cent_sim
+         |  FROM cells cl JOIN ${ct}n c ON c.cent_id // $nL2 = cl.cell
+         |), $name AS (
+         |  SELECT vec_id, cent_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
+         |  FROM ${name}0
+         |)""".stripMargin
+    s"""gs AS (
+       |  SELECT cl.cell, vv.vi, row_number() OVER (PARTITION BY cl.cell
+       |    ORDER BY md5(CAST(cl.vec_id AS VARCHAR)), cl.vec_id) AS rk
+       |  FROM cells cl JOIN v vv USING (vec_id)
+       |),
+       |g0 AS (
+       |  SELECT c.cent_id * $nL2 + t.j AS cent_id,
+       |         COALESCE(s.vi, c.cv) AS cv
+       |  FROM c2 c CROSS JOIN range(0, $nL2) t(j)
+       |  LEFT JOIN gs s ON s.cell = c.cent_id AND s.rk = t.j + 1
+       |),
+       |${dKmCentw("g0", "gw0")},
+       |${asg("b1", "gw0")},
+       |${dKmRecent("b1", "g0", "g1")},
+       |${dKmCentw("g1", "gw1")},
+       |${asg("b2", "gw1")},
+       |${dKmRecent("b2", "g1", "g2")},
+       |${dKmCentw("g2", "gw2")},
+       |${asg("b3", "gw2")}""".stripMargin
+  }
+
   /** One PQ Lloyd round against centroid table `ct`: unranked distance
     * table `{name}0` (exact integer squared-L2 per (vec, sub, cent) —
     * the same Σ(x−c)² the Scala trainer folds), ranked `{name}`
@@ -1487,6 +1530,49 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // TWO-LEVEL IVF top-3 — the hierarchical router (the coarse
+    // quantizer FAISS puts in front of a flat index past ~10^6
+    // cells): 4 coarse cells route each query to its nprobe1=2
+    // nearest, then the 16 fine cells (4 per coarse cell, trained in
+    // ONE distributed Lloyd loop where each vector competes only
+    // within its own coarse cell) narrow to nprobe2=4 inverted
+    // lists. Assignment cost per vector is (nL1+nL2)·d instead of
+    // the flat (nL1·nL2)·d. The oracle replays BOTH Lloyd levels
+    // term-for-term (dKmCellsCte + dKm2Cte); SimilaritySpec pins the
+    // nL1=1 degeneration to flat ivfTopK exactly.
+    Q("sim_ivf2_topk",
+      (s, d) => Similarity.ivf2TopK(Tables.embeddings(s, d)),
+      Some(s"""WITH ${dKmCellsCte("4")},
+        |${dKm2Cte(4)},
+        |corpus2 AS (SELECT vec_id, cent_id AS c2 FROM b3 WHERE rk = 1),
+        |qp1 AS (
+        |  SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |  FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
+        |qf0 AS (
+        |  SELECT q.query_id, c.cent_id,
+        |    round(${dDot("qv.emb", "c.cvd")} / (qv.norm * c.cnorm), 6)
+        |      AS cent_sim
+        |  FROM qp1 q JOIN v qv ON qv.vec_id = q.query_id
+        |  JOIN gw2n c ON c.cent_id // 4 = q.cell),
+        |qf AS (
+        |  SELECT query_id, cent_id AS c2, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM qf0),
+        |p AS (
+        |  SELECT q.query_id, x.vec_id AS neighbor_id,
+        |    round(${dDot("qv.emb", "xv.emb")} / (qv.norm * xv.norm), 6)
+        |      AS sim
+        |  FROM qf q JOIN corpus2 x ON x.c2 = q.c2
+        |  JOIN v qv ON qv.vec_id = q.query_id
+        |  JOIN v xv ON xv.vec_id = x.vec_id
+        |  WHERE q.rk <= 4 AND q.query_id <> x.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
     // Product-quantization corpus encoding: per-subspace integer-L2
     // k-means codebook (4 subspaces x 8 centroids, trained like the
     // IVF cells but under true L2 with rounded-mean updates), each
@@ -2040,13 +2126,15 @@ object ExtraAnalogs {
     // identical by the round-trip law, so the shared oracle verifies
     // that evaluating a shipped artifact changes no metric.
     Q("eval_langid_prf_loaded",
+      // train-once (ModelStore.ensureNb — round 14): the artifact is
+      // built on the first invocation against this data dir and
+      // LOADED thereafter, so the deployment-shaped eval measures
+      // scoring a shipped model, not retraining it per run
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val m = graft.operators.LangId.train(
-          docs.filter(col("doc_id") % 5 === 0))
         val dir = s"target/models/langid_nb_eval_${math.abs(d.hashCode)}"
-        graft.sources.ModelStore.saveNb(m, dir)
-        val loaded = graft.sources.ModelStore.loadNb(s, dir)
+        val loaded = graft.sources.ModelStore.ensureNb(
+          docs.filter(col("doc_id") % 5 === 0), dir)
         graft.operators.Evaluation.classPrf(
           graft.operators.LangId.predict(docs, loaded)
             .join(docs.select("doc_id", "lang"), "doc_id")

@@ -223,6 +223,23 @@ object ModelStore {
     (loadPq(spark, s"$dir/pq"), loadIvf(spark, s"$dir/ivf"))
   }
 
+  /** Train-once / score-everywhere for the naive-Bayes language-ID:
+    * load the artifact from `dir` when a completed save exists, else
+    * train on `seed`, save, and load back — the [[ensureIvfPq]]
+    * contract for the NB model (the caller keys `dir` to the seed
+    * data). The loaded model scores identically to the in-plan one
+    * (integer frames round-trip exactly — ModelStoreSpec).
+    */
+  def ensureNb(seed: org.apache.spark.sql.DataFrame, dir: String)
+      : graft.operators.LangId.NbModel = {
+    val spark = seed.sparkSession
+    if (!pathExists(spark, s"$dir/delta/_SUCCESS") ||
+        !pathExists(spark, s"$dir/lang_stats/_SUCCESS") ||
+        !pathExists(spark, s"$dir/params/_SUCCESS"))
+      saveNb(graft.operators.LangId.train(seed), dir)
+    loadNb(spark, dir)
+  }
+
   /** Build-once corpus-side frame artifact (a stored INDEX, not a
     * model: MinHash signature tables, BM25 postings — corpus-sized
     * frames a retrieval family probes repeatedly): if `dir` holds a

@@ -98,6 +98,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("nQueries"))
   }
 
+  test("two-level IVF with nL1=1 degenerates to flat ivfTopK exactly") {
+    // 24 vectors in 4 well-separated directions + noise dims, so both
+    // routers have real structure to train on
+    val pts = spark.createDataFrame((0 until 24).map { i =>
+      val base = Array.fill(8)(0.05f * ((i * 7 % 5) - 2))
+      base(i % 4) = 1f
+      (i.toLong, base.toSeq, i % 4)
+    }).toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val flat = Similarity.ivfTopK(pts, nQueries = 6, k = 3,
+      nCells = 4, nprobe = 2)
+    val two = Similarity.ivf2TopK(pts, nQueries = 6, k = 3,
+      nL1 = 1, nL2 = 4, nprobe1 = 1, nprobe2 = 2)
+    assert(rows(two) === rows(flat))
+    // and the trainers agree model-for-model: one coarse cell means
+    // the fine level IS the flat Lloyd (same seeds, same updates)
+    val (l1, l2) = Similarity.trainIvfTwoLevel(pts, nL1 = 1, nL2 = 4)
+    assert(l1.size === 1)
+    assert(l2.map(_.toSeq) ===
+      Similarity.trainIvfCentroids(pts, 4).map(_.toSeq))
+  }
+
+  test("two-level IVF separates clusters and recovers in-cluster neighbors") {
+    val pts = spark.createDataFrame((0 until 32).map { i =>
+      val base = Array.fill(8)(0f)
+      base(i % 4) = 1f
+      base(4 + (i % 2)) = 0.3f * ((i / 4 % 3) - 1)
+      (i.toLong, base.toSeq, i % 4)
+    }).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivf2TopK(pts, nQueries = 4, k = 3,
+      nL1 = 2, nL2 = 2, nprobe1 = 2, nprobe2 = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // every retrieved neighbor shares its query's direction class —
+    // the orthogonal clusters never cross under a working router
+    got.foreach { case (q, n) =>
+      assert(q % 4 === n % 4, s"cross-cluster neighbor: $q -> $n")
+    }
+  }
+
   test("mmrRerank: redundant near-duplicate demoted below a diverse pick") {
     import org.apache.spark.sql.functions.col
     // q = x-axis; c2 (smallest tilt) is the best match; c1 has HIGHER

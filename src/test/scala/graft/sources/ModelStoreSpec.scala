@@ -146,6 +146,19 @@ class ModelStoreSpec extends AnyFunSuite with SparkSpec {
       .map(_.map(_.toSeq)) !== pq1.map(_.map(_.toSeq)))
   }
 
+  test("ensureNb trains+saves on first call, serves the artifact thereafter") {
+    val dir = tmp() + "/nb"
+    val m1 = ModelStore.ensureNb(docs, dir)
+    val fresh = graft.operators.LangId.train(docs)
+    assert(rows(m1.delta) === rows(fresh.delta))
+    assert(m1.buckets === fresh.buckets && m1.n === fresh.n)
+    // different seed, same dir -> the SAVED model serves (ensureIvfPq's
+    // staleness contract: the caller keys dir to the data)
+    val m2 = ModelStore.ensureNb(docs.limit(2), dir)
+    assert(rows(m2.delta) === rows(m1.delta))
+    assert(m2.n === m1.n)
+  }
+
   test("ensureFrame builds once, reads back thereafter, schema-checked") {
     val dir = tmp() + "/idx"
     val first = ModelStore.ensureFrame(spark, dir,
