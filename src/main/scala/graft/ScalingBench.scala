@@ -215,7 +215,11 @@ object ScalingBench {
       // ingest v2 adds one map-only url canonicalization + one
       // equi-join on clean_url to the v1 screen
       "curation_curriculum",
-      "sim_rrf_topk_loaded", "pipeline_ingest_screen_v2")
+      "sim_rrf_topk_loaded", "pipeline_ingest_screen_v2",
+      // round 14: the hierarchical router — training is 3 bounded
+      // Lloyd loops (L1 + one composite fine loop), probing is two
+      // narrow windows + an equi-join on the composite cell key
+      "sim_ivf2_topk")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
