@@ -3805,6 +3805,71 @@ object ExtraAnalogs {
         |       vec_id, cand, sim, rnk AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
 
+    // Batch twin of the HIERARCHICALLY-ROUTED streaming screen
+    // (graft.streaming.VecStreams.ivf2Screen): every 20th vector
+    // arrives and routes per row through the coarse-then-fine literal
+    // models (nL1=4 -> nprobe1=2 cells -> nprobe2=4 fine lists of the
+    // non-arriving corpus, assembled by the SAME Similarity.ivf2Cells
+    // builder the batch ranker scans). The oracle composes the shared
+    // two-level training CTEs (dKmCellsCte + dKm2Cte), so screen,
+    // ranker, and trainer cannot drift.
+    Q("stream_ivf2_screen",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val (l1, l2) = Similarity.trainIvfTwoLevel(embs)
+        val arrivals = embs.filter(col("vec_id") % 20 === 0)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+          .select("vec_id", "embedding", "ts")
+        val index = Similarity.ivf2Cells(
+          embs.filter(col("vec_id") % 20 =!= 0), l1, l2, 4)
+        graft.streaming.VecStreams.ivf2Screen(arrivals, index, l1, l2, 4)
+          .select(col("hour"), col("vec_id"),
+            posexplode(col("matches")).as(Seq("pos", "m")))
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("vec_id"), col("m.label").as("cand"),
+            col("m.score").as("sim"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${dKmCellsCte("4")},
+        |${dKm2Cte(4)},
+        |qp1 AS (
+        |  SELECT a.vec_id, a.cent_id AS cell
+        |  FROM a3 a WHERE a.rk <= 2 AND a.vec_id % 20 = 0),
+        |qf0 AS (
+        |  SELECT q.vec_id, c.cent_id,
+        |    round(${dDot("qv.emb", "c.cvd")} / (qv.norm * c.cnorm), 6)
+        |      AS cent_sim
+        |  FROM qp1 q JOIN v qv ON qv.vec_id = q.vec_id
+        |  JOIN gw2n c ON c.cent_id // 4 = q.cell),
+        |qf AS (
+        |  SELECT vec_id, cent_id AS c2, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM qf0),
+        |cor AS (SELECT vec_id, cent_id AS c2 FROM b3
+        |        WHERE rk = 1 AND vec_id % 20 <> 0),
+        |hits AS (
+        |  SELECT q.vec_id, CAST(x.vec_id AS VARCHAR) AS cand,
+        |    round(${dDot("qv.emb", "xv.emb")} / (qv.norm * xv.norm), 6)
+        |      AS sim
+        |  FROM qf q JOIN cor x USING (c2)
+        |  JOIN v qv ON qv.vec_id = q.vec_id
+        |  JOIN v xv ON xv.vec_id = x.vec_id
+        |  WHERE q.rk <= 4),
+        |ranked AS (
+        |  SELECT vec_id, cand, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, cand) AS rnk
+        |  FROM hits
+        |)
+        |SELECT strftime(date_trunc('hour',
+        |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |       vec_id, cand, sim, rnk AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
     // Batch twin of the COMPRESSED-DOMAIN streaming screen
     // (graft.streaming.VecStreams.pqScreen): every 20th vector
     // arrives (one minute per vec_id), routes to its 2 best IVF cells

@@ -102,6 +102,68 @@ object VecStreams {
       .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
   }
 
+  /** Per-row TWO-LEVEL router — [[probeCells]]'s hierarchical form:
+    * rank the nL1 coarse centroids, keep the best `nprobe1` cells,
+    * then rank ONLY those cells' fine centroids (composite id
+    * cid = cell·nL2 + j, cell recovered by floor division) and keep
+    * the best `nprobe2` composite keys. Same (−rounded-sim, cid)
+    * sort key as [[probeCells]], so the probe set equals the batch
+    * [[graft.operators.Similarity.ivf2TopK]] routing windows exactly.
+    * Per-row work is (nL1 + nprobe1·nL2)·d dot products over driver-
+    * held literals — the hierarchy's whole point at large cell counts.
+    */
+  private def probeCells2(l1: Seq[Array[Long]], l2: Seq[Array[Long]],
+      nL2: Int, nprobe1: Int, nprobe2: Int): org.apache.spark.sql.Column = {
+    def negSim(s: org.apache.spark.sql.Column) =
+      when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
+    def ranked(lit0: org.apache.spark.sql.Column) =
+      array_sort(transform(lit0, c => struct(
+        negSim(round(vecDot(col("embedding"), c.getField("_2")) /
+          (col("norm") * c.getField("_3")), 6)).as("ns"),
+        c.getField("_1").as("cid"))))
+    val cellsArr = transform(
+      slice(ranked(typedLit(Similarity.centroidModel(l1))), 1, nprobe1),
+      t => t.getField("cid"))
+    val fine = filter(typedLit(Similarity.centroidModel(l2)), c =>
+      array_contains(cellsArr,
+        floor(c.getField("_1").cast("double") / nL2).cast("long")))
+    explode(transform(slice(ranked(fine), 1, nprobe2),
+      t => t.getField("cid")))
+  }
+
+  /** Hierarchically-routed streaming screen — the two-level
+    * counterpart of [[ivfScreen]]: arrivals route per row through the
+    * coarse-then-fine literal models ([[probeCells2]]) and probe the
+    * static two-level inverted lists
+    * ([[graft.operators.Similarity.ivf2Cells]] — the same builder the
+    * batch ranker scans, so candidate sets cannot drift) via one
+    * stream-static equi-join on the composite cell key. Tail identical
+    * to [[ivfScreen]]: watermark, 1-hour window, bounded-heap top-k.
+    */
+  def ivf2Screen(streamEmbs: DataFrame, cells2: DataFrame,
+      l1: Seq[Array[Long]], l2: Seq[Array[Long]], nL2: Int,
+      k: Int = 3, nprobe1: Int = 2, nprobe2: Int = 4): DataFrame = {
+    require(l1.nonEmpty && nL2 >= 1 && l2.size == l1.size * nL2,
+      s"need |l2| = |l1|*nL2, got ${l2.size} vs ${l1.size}*$nL2")
+    require(nprobe1 >= 1 && nprobe1 <= l1.size,
+      s"nprobe1 must be in [1, ${l1.size}], got $nprobe1")
+    require(nprobe2 >= 1, s"nprobe2 must be >= 1, got $nprobe2")
+    val q = streamEmbs
+      .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .withColumn("c2", probeCells2(l1, l2, nL2, nprobe1, nprobe2))
+      .withWatermark("ts", "1 hour")
+    val c = cells2.select(col("c2"), col("vec_id").as("cand_id"),
+      col("embedding").as("cand_emb"), col("norm").as("cand_norm"))
+    q.join(c, Seq("c2"))
+      .select(col("ts"), col("vec_id"),
+        round(vecDot(col("embedding"), col("cand_emb")) /
+          (col("norm") * col("cand_norm")), 6).as("sim"),
+        col("cand_id").cast("string").as("cand"))
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .agg(TopKAgg.topK(col("sim"), col("cand"), k).as("matches"))
+      .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
+  }
+
   /** COMPRESSED-DOMAIN streaming screen — the IVF-PQ counterpart of
     * [[ivfScreen]]: each arriving vector routes to its `nprobe` best
     * cells ([[probeCells]], the same per-row router) and precomputes

@@ -89,6 +89,72 @@ class VecStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("two-level screen routes coarse-then-fine and equals the batch ranker") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    // 24 vectors in 4 orthogonal directions (6 each) with small jitter
+    val corpus = spark.createDataFrame((0 until 24).map { i =>
+      val base = Array.fill(8)(0.02f * ((i * 7 % 5) - 2))
+      base(i % 4) = 1f
+      (i.toLong, base.toSeq, i % 4)
+    }).toDF("vec_id", "embedding", "label")
+    val (l1, l2) = Similarity.trainIvfTwoLevel(corpus, nL1 = 2, nL2 = 2)
+    val cells2 = Similarity.ivf2Cells(corpus, l1, l2, 2)
+
+    val mem = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val query = VecStreams.ivf2Screen(
+      mem.toDF().toDF("vec_id", "embedding", "ts"), cells2, l1, l2,
+      nL2 = 2, k = 3, nprobe1 = 2, nprobe2 = 4)
+      .writeStream.format("memory").queryName("ivf2_screen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val probe = {
+        val a = Array.fill(8)(0f); a(1) = 1f; a(5) = 0.01f; a.toSeq
+      }
+      mem.addData((1000L, probe,
+        Timestamp.valueOf("2023-01-01 10:30:00")))
+      query.processAllAvailable()
+      mem.addData((1001L, Seq.fill(8)(0.1f),
+        Timestamp.valueOf("2023-01-01 14:30:00"))) // advance watermark
+      query.processAllAvailable()
+      mem.addData((1002L, Seq.fill(8)(0.2f),
+        Timestamp.valueOf("2023-01-01 18:30:00")))
+      query.processAllAvailable()
+      val rows = spark.table("ivf2_screen").filter("vec_id = 1000").collect()
+      assert(rows.length === 1)
+      val got = rows.head.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getString(1), r.getDouble(0)))
+      // the stream screen's matches equal an INDEPENDENT plain-Scala
+      // re-derivation of the hierarchical routing + exact ranking on
+      // the same probe (route nprobe1=2 coarse, nprobe2=4 fine among
+      // those cells, exact rounded cosine over the matching ivf2Cells
+      // lists, top-3 by sim desc then cand asc)
+      val batch = {
+        def cos(a: Seq[Float], b: Seq[Double]): Double = {
+          val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+          val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+          val nb = math.sqrt(b.map(y => y * y).sum)
+          math.rint(dot / (na * nb) * 1e6) / 1e6
+        }
+        val l1Ranked = l1.zipWithIndex
+          .map { case (c, i) => (i, cos(probe, c.map(_.toDouble))) }
+          .sortBy { case (i, s) => (-s, i) }.take(2).map(_._1)
+        val fineRanked = l2.zipWithIndex
+          .filter { case (_, i) => l1Ranked.contains(i / 2) }
+          .map { case (c, i) => (i, cos(probe, c.map(_.toDouble))) }
+          .sortBy { case (i, s) => (-s, i) }.take(4).map(_._1).toSet
+        val corpusCells = cells2.collect()
+          .map(r => r.getLong(1) -> r.getLong(0)).toMap
+        corpus.collect().map { r =>
+          (r.getLong(0), r.getSeq[Float](1))
+        }.filter { case (id, _) => fineRanked.contains(corpusCells(id).toInt) }
+          .map { case (id, e) => (id.toString, cos(probe, e.map(_.toDouble))) }
+          .sortBy { case (id, s) => (-s, id) }.take(3).toSeq
+      }
+      assert(got === batch)
+    } finally query.stop()
+  }
+
   test("PQ screen: compressed-domain stream equals the batch IVF-PQ ranker") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
