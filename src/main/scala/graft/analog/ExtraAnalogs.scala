@@ -808,6 +808,42 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, rrf, CAST(rnk AS BIGINT) AS rank
         |FROM fr WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  /** The two-level-router oracle — shared verbatim by
+    * sim_ivf2_topk (in-plan training) and sim_ivf2_topk_loaded
+    * (ModelStore-loaded levels + stored lists): identical rows by
+    * the round-trip law, one SQL text.
+    */
+  private lazy val dIvf2Oracle: String = s"""WITH ${dKmCellsCte("4")},
+        |${dKm2Cte(4)},
+        |corpus2 AS (SELECT vec_id, cent_id AS c2 FROM b3 WHERE rk = 1),
+        |qp1 AS (
+        |  SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |  FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
+        |qf0 AS (
+        |  SELECT q.query_id, c.cent_id,
+        |    round(${dDot("qv.emb", "c.cvd")} / (qv.norm * c.cnorm), 6)
+        |      AS cent_sim
+        |  FROM qp1 q JOIN v qv ON qv.vec_id = q.query_id
+        |  JOIN gw2n c ON c.cent_id // 4 = q.cell),
+        |qf AS (
+        |  SELECT query_id, cent_id AS c2, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM qf0),
+        |p AS (
+        |  SELECT q.query_id, x.vec_id AS neighbor_id,
+        |    round(${dDot("qv.emb", "xv.emb")} / (qv.norm * xv.norm), 6)
+        |      AS sim
+        |  FROM qf q JOIN corpus2 x ON x.c2 = q.c2
+        |  JOIN v qv ON qv.vec_id = q.query_id
+        |  JOIN v xv ON xv.vec_id = x.vec_id
+        |  WHERE q.rk <= 4 AND q.query_id <> x.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup: group on content hash, keep min doc_id.
@@ -1542,36 +1578,24 @@ object ExtraAnalogs {
     // nL1=1 degeneration to flat ivfTopK exactly.
     Q("sim_ivf2_topk",
       (s, d) => Similarity.ivf2TopK(Tables.embeddings(s, d)),
-      Some(s"""WITH ${dKmCellsCte("4")},
-        |${dKm2Cte(4)},
-        |corpus2 AS (SELECT vec_id, cent_id AS c2 FROM b3 WHERE rk = 1),
-        |qp1 AS (
-        |  SELECT a.vec_id AS query_id, a.cent_id AS cell
-        |  FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
-        |qf0 AS (
-        |  SELECT q.query_id, c.cent_id,
-        |    round(${dDot("qv.emb", "c.cvd")} / (qv.norm * c.cnorm), 6)
-        |      AS cent_sim
-        |  FROM qp1 q JOIN v qv ON qv.vec_id = q.query_id
-        |  JOIN gw2n c ON c.cent_id // 4 = q.cell),
-        |qf AS (
-        |  SELECT query_id, cent_id AS c2, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY cent_sim DESC, cent_id) AS rk
-        |  FROM qf0),
-        |p AS (
-        |  SELECT q.query_id, x.vec_id AS neighbor_id,
-        |    round(${dDot("qv.emb", "xv.emb")} / (qv.norm * xv.norm), 6)
-        |      AS sim
-        |  FROM qf q JOIN corpus2 x ON x.c2 = q.c2
-        |  JOIN v qv ON qv.vec_id = q.query_id
-        |  JOIN v xv ON xv.vec_id = x.vec_id
-        |  WHERE q.rk <= 4 AND q.query_id <> x.vec_id),
-        |r AS (
-        |  SELECT *, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-        |  FROM p)
-        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
-        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+      Some(dIvf2Oracle)),
+
+    // The DEPLOYMENT twin of sim_ivf2_topk: both router levels load
+    // from ModelStore (ensureIvf2 — saveIvf's flat integer format for
+    // each level) and the corpus probes the STORED two-level
+    // inverted-list frame (ensureFrame over ivf2Cells), so a query
+    // batch against a static corpus retrains and re-assigns NOTHING.
+    // Same composed oracle by the round-trip law.
+    Q("sim_ivf2_topk_loaded",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = s"target/models/ivf2_${math.abs(d.hashCode)}"
+        val (l1, l2) = graft.sources.ModelStore.ensureIvf2(e, dir)
+        val idx = graft.sources.ModelStore.ensureFrame(s,
+          s"$dir/cells", Similarity.ivf2Cells(e, l1, l2, 4))
+        Similarity.ivf2TopKFromIndex(idx, e, l1, l2, 4)
+      },
+      Some(dIvf2Oracle)),
 
     // Product-quantization corpus encoding: per-subspace integer-L2
     // k-means codebook (4 subspaces x 8 centroids, trained like the

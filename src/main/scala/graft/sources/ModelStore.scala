@@ -223,6 +223,28 @@ object ModelStore {
     (loadPq(spark, s"$dir/pq"), loadIvf(spark, s"$dir/ivf"))
   }
 
+  /** Train-once / probe-everywhere for the TWO-LEVEL IVF router
+    * ([[graft.operators.Similarity.trainIvfTwoLevel]]): both levels
+    * persist through [[saveIvf]]'s flat integer-table format (the L2
+    * table's cent_id IS the composite cell·nL2+j index, which the
+    * loader's 0..k−1 check accepts since the trainer fills every
+    * slot). Same contract as [[ensureIvfPq]]: `dir` keys the training
+    * data; a completed save is served, otherwise train+save+load.
+    */
+  def ensureIvf2(embs: org.apache.spark.sql.DataFrame, dir: String,
+      nL1: Int = 4, nL2: Int = 4, iters: Int = 2)
+      : (Seq[Array[Long]], Seq[Array[Long]]) = {
+    val spark = embs.sparkSession
+    if (!pathExists(spark, s"$dir/l1/centroids/_SUCCESS") ||
+        !pathExists(spark, s"$dir/l2/centroids/_SUCCESS")) {
+      val (l1, l2) = graft.operators.Similarity.trainIvfTwoLevel(
+        embs, nL1, nL2, iters)
+      saveIvf(l1, s"$dir/l1", spark)
+      saveIvf(l2, s"$dir/l2", spark)
+    }
+    (loadIvf(spark, s"$dir/l1"), loadIvf(spark, s"$dir/l2"))
+  }
+
   /** Train-once / score-everywhere for the naive-Bayes language-ID:
     * load the artifact from `dir` when a completed save exists, else
     * train on `seed`, save, and load back — the [[ensureIvfPq]]
