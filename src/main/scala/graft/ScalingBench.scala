@@ -218,8 +218,10 @@ object ScalingBench {
       "sim_rrf_topk_loaded", "pipeline_ingest_screen_v2",
       // round 14: the hierarchical router — training is 3 bounded
       // Lloyd loops (L1 + one composite fine loop), probing is two
-      // narrow windows + an equi-join on the composite cell key
-      "sim_ivf2_topk")
+      // narrow windows + an equi-join on the composite cell key; the
+      // loaded twin probes stored artifacts (built on each scale's
+      // first run), the screen routes the %20 arrival slice per row
+      "sim_ivf2_topk", "sim_ivf2_topk_loaded", "stream_ivf2_screen")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
