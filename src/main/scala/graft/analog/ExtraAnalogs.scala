@@ -1597,6 +1597,52 @@ object ExtraAnalogs {
       },
       Some(dIvf2Oracle)),
 
+    // Recall gate for the hierarchical router (the eval_ivfpq_metrics
+    // precedent): per-query hits/recall/MRR/nDCG of the two-level
+    // probe's top-10 against the exact brute-force top-10 — integer
+    // per-myriad metrics, hash-gated, so a routing regression (a probe
+    // set that silently stops covering the true neighbors) breaks the
+    // gate rather than degrading quietly. The approx chain composes
+    // the SAME two-level training CTEs as sim_ivf2_topk.
+    Q("eval_ivf2_metrics",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Evaluation.retrievalMetrics(
+          Similarity.ivf2TopK(e, 50, 10),
+          Similarity.bruteForceTopK(e, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH ${dKmCellsCte("4")},
+        |${dKm2Cte(4)},
+        |cor2 AS (SELECT vec_id, cent_id AS c2 FROM b3 WHERE rk = 1),
+        |qp1 AS (
+        |  SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |  FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
+        |qf0 AS (
+        |  SELECT q.query_id, c.cent_id,
+        |    round(${dDot("qv.emb", "c.cvd")} / (qv.norm * c.cnorm), 6)
+        |      AS cent_sim
+        |  FROM qp1 q JOIN v qv ON qv.vec_id = q.query_id
+        |  JOIN gw2n c ON c.cent_id // 4 = q.cell),
+        |qf AS (
+        |  SELECT query_id, cent_id AS c2, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM qf0),
+        |ap AS (
+        |  SELECT q.query_id, x.vec_id AS neighbor_id,
+        |    round(${dDot("qv.emb", "xv.emb")} / (qv.norm * xv.norm), 6)
+        |      AS sim
+        |  FROM qf q JOIN cor2 x USING (c2)
+        |  JOIN v qv ON qv.vec_id = q.query_id
+        |  JOIN v xv ON xv.vec_id = x.vec_id
+        |  WHERE q.rk <= 4 AND q.query_id <> x.vec_id),
+        |lr AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM ap),
+        |${dMetricsTail("lr")}""".stripMargin)),
+
     // Product-quantization corpus encoding: per-subspace integer-L2
     // k-means codebook (4 subspaces x 8 centroids, trained like the
     // IVF cells but under true L2 with rounded-mean updates), each
