@@ -98,6 +98,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("nQueries"))
   }
 
+  test("chooseCells2: balanced factorization covers chooseCells at O(sqrt k) routing") {
+    for (n <- Seq(1L, 64L, 65L, 10000L, 1000000L, 123456789L)) {
+      val k = Similarity.chooseCells(n)
+      val (l1, l2) = Similarity.chooseCells2(n)
+      assert(l1 >= 1 && l2 >= 1)
+      assert(l1.toLong * l2 >= k, s"n=$n: $l1*$l2 < $k")
+      // balanced: each level within one of sqrt(k) — the routing cost
+      // l1 + l2 stays O(sqrt k), the operator's reason to exist
+      assert(l1 <= math.ceil(math.sqrt(k.toDouble)).toInt)
+      assert(l2 <= l1 + 1 || l1.toLong * l2 - k < l1,
+        s"n=$n: unbalanced split $l1 x $l2 for k=$k")
+    }
+  }
+
   test("two-level IVF with nL1=1 degenerates to flat ivfTopK exactly") {
     // 24 vectors in 4 well-separated directions + noise dims, so both
     // routers have real structure to train on
