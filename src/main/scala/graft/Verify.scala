@@ -11,6 +11,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the correctness gate always exercises the FULL
+    // train+save+load path: stored ModelStore artifacts from an
+    // earlier session could otherwise serve a stale model after a
+    // trainer change and turn a code regression into an
+    // unexplainable oracle mismatch (Bench keeps the artifacts —
+    // amortization is what it measures; unconditional: a partial
+    // SPARK_GRAFT_ONLY run must not poison a later full one)
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rmTree))
+      p.delete(); ()
+    }
+    rmTree(new java.io.File("target/models"))
     // comma-separated subset for local iteration (same contract as Bench)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
