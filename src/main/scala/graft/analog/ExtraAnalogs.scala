@@ -90,6 +90,21 @@ object ExtraAnalogs {
       .join(docs.select("doc_id", "lang"), "doc_id")
   }
 
+  /** Full-width key for per-data-dir stored-artifact directories:
+    * MD5 hex of the data dir path (round-14 ADVICE — the previous
+    * `math.abs(d.hashCode)` was a 32-bit key, so two data dirs could
+    * collide and silently serve a foreign same-schema artifact that
+    * ensureFrame's schema check cannot detect, and
+    * `math.abs(Int.MinValue)` is still negative). A 128-bit digest of
+    * the full path makes accidental collision impossible in practice
+    * and keeps the dir name filesystem-safe regardless of the path's
+    * characters.
+    */
+  private[analog] def dirKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** The stored BM25 postings index over the %100 corpus split — the
     * build-once artifact ([[graft.sources.ModelStore.ensureFrame]])
     * the retrieval family probes: first invocation builds and saves,
@@ -104,7 +119,7 @@ object ExtraAnalogs {
   private def storedBm25Index(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.sources.ModelStore.ensureFrame(s,
-      s"target/models/bm25_idx_${math.abs(d.hashCode)}",
+      s"target/models/bm25_idx_${dirKey(d)}",
       graft.operators.Retrieval.bm25Index(
         Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0)))
 
@@ -116,7 +131,7 @@ object ExtraAnalogs {
   private def storedCorpusSigs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.sources.ModelStore.ensureFrame(s,
-      s"target/models/mh_sigs_${math.abs(d.hashCode)}",
+      s"target/models/mh_sigs_${dirKey(d)}",
       Dedup.minhashSignatures(Tables.documents(s, d)
         .filter(col("doc_id") % 100 =!= 0).select("doc_id", "text")))
 
@@ -922,7 +937,7 @@ object ExtraAnalogs {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val oldB = graft.sources.ModelStore.ensureFrame(s,
-          s"target/models/mh_bands_${math.abs(d.hashCode)}",
+          s"target/models/mh_bands_${dirKey(d)}",
           Dedup.minhashBandTable(docs.filter(col("doc_id") % 10 =!= 3)))
         Dedup.minhashPairsIncremental(
           docs.filter(col("doc_id") % 10 === 3),
@@ -1589,7 +1604,7 @@ object ExtraAnalogs {
     Q("sim_ivf2_topk_loaded",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val dir = s"target/models/ivf2_${math.abs(d.hashCode)}"
+        val dir = s"target/models/ivf2_${dirKey(d)}"
         val (l1, l2) = graft.sources.ModelStore.ensureIvf2(e, dir)
         val idx = graft.sources.ModelStore.ensureFrame(s,
           s"$dir/cells", Similarity.ivf2Cells(e, l1, l2, 4))
@@ -1774,7 +1789,7 @@ object ExtraAnalogs {
     Q("model_store_pq",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val dir = s"target/models/ivfpq_${math.abs(d.hashCode)}"
+        val dir = s"target/models/ivfpq_${dirKey(d)}"
         graft.sources.ModelStore.savePq(Similarity.pqTrain(e), s"$dir/pq", s)
         graft.sources.ModelStore.saveIvf(
           Similarity.trainIvfCentroids(e), s"$dir/ivf", s)
@@ -1838,7 +1853,7 @@ object ExtraAnalogs {
     Q("sim_rrf_topk_loaded",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val dir = s"target/models/ivfpq_rrf_${math.abs(d.hashCode)}"
+        val dir = s"target/models/ivfpq_rrf_${dirKey(d)}"
         val (pq, ivf) = graft.sources.ModelStore.ensureIvfPq(e, dir)
         // the corpus-side artifacts too: the stored inverted-list
         // frame and the stored code table — per query batch nothing
@@ -2144,7 +2159,7 @@ object ExtraAnalogs {
         val docs = Tables.documents(s, d)
         val m = graft.operators.LangId.train(
           docs.filter(col("doc_id") % 5 === 0))
-        val dir = s"target/models/langid_nb_${math.abs(d.hashCode)}"
+        val dir = s"target/models/langid_nb_${dirKey(d)}"
         graft.sources.ModelStore.saveNb(m, dir)
         val loaded = graft.sources.ModelStore.loadNb(s, dir)
         graft.operators.LangId.predict(docs, loaded)
@@ -2202,7 +2217,7 @@ object ExtraAnalogs {
       // scoring a shipped model, not retraining it per run
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val dir = s"target/models/langid_nb_eval_${math.abs(d.hashCode)}"
+        val dir = s"target/models/langid_nb_eval_${dirKey(d)}"
         val loaded = graft.sources.ModelStore.ensureNb(
           docs.filter(col("doc_id") % 5 === 0), dir)
         graft.operators.Evaluation.classPrf(
@@ -2235,6 +2250,47 @@ object ExtraAnalogs {
         |    THEN 2 * tp * 10000 // (2*tp + fp + fn) ELSE 0 END
         |    AS BIGINT) AS f1_pm
         |FROM j ORDER BY cls""".stripMargin)),
+
+    // The staleness gate for stored artifacts (round-14 verdict ask):
+    // ModelStore records the training corpus's fingerprint (row count
+    // + order-independent xxhash XOR) at every (re)build, and isStale
+    // compares it against a current corpus in one scan — the
+    // detection op that makes the serve-stale default SAFE to run a
+    // 100 TB index on (a drifted router is now catchable by a nightly
+    // check instead of silently serving wrong neighbors). This gate
+    // builds an NB artifact on the %5 seed slice, then probes isStale
+    // with three corpora: the identical seed (fresh — the hash is
+    // order/partitioning-independent, so re-reads never false-alarm),
+    // a same-row-count edit (the hash component fires), and a grown
+    // corpus (the count component fires even under hash luck). The
+    // oracle replays the row counts and pins the three verdicts.
+    Q("model_store_stale_check",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val seed = docs.filter(col("doc_id") % 5 === 0)
+        val dir = s"target/models/stale_nb_${dirKey(d)}"
+        graft.sources.ModelStore.ensureNb(seed, dir)
+        val edited = seed.withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit("~")))
+            .otherwise(col("text")))
+        val grown = seed.unionByName(seed.limit(1)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        val n = seed.count()
+        def flag(df: org.apache.spark.sql.DataFrame): Long =
+          if (graft.sources.ModelStore.isStale(s, dir, df)) 1L else 0L
+        Seq(("edited", n, flag(edited)), ("grown", n + 1, flag(grown)),
+          ("same", n, flag(seed)))
+          .toDF("probe", "n_rows", "stale").orderBy("probe")
+      },
+      Some("""WITH seed AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id % 5 = 0)
+        |SELECT 'edited' AS probe, n AS n_rows, CAST(1 AS BIGINT) AS stale
+        |  FROM seed
+        |UNION ALL SELECT 'grown', n + 1, CAST(1 AS BIGINT) FROM seed
+        |UNION ALL SELECT 'same', n, CAST(0 AS BIGINT) FROM seed
+        |ORDER BY probe""".stripMargin)),
 
     // Retrieval ranking metrics — the measurement leg for the ANN
     // rankers: the LSH top-10 graded against the exact brute-force

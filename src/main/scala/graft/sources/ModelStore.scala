@@ -198,6 +198,83 @@ object ModelStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // ---- staleness contract ---------------------------------------------
+
+  /** Corpus fingerprint — (row count, order-independent content hash):
+    * one scan of `df`, constant-size result. The hash is the bitwise
+    * XOR of xxhash64 over every column of every row, so it is
+    * insensitive to row order and partitioning (parquet round-trips
+    * and repartitions don't change it) but flips under any edit,
+    * insert, or delete of a row's content; the row count catches the
+    * XOR's one blind spot (a duplicated row pair cancels itself).
+    * Cheap relative to training — a single pass with a two-value
+    * aggregate — but it IS a corpus scan: staleness checks are a
+    * deliberate maintenance operation, not something the serve path
+    * pays per query (the ensure* serve-stale default stands).
+    */
+  def fingerprintOf(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(call_function("bit_xor",
+        xxhash64(df.columns.map(col): _*)), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Record the fingerprint of an artifact's TRAINING data under the
+    * artifact dir — written by every ensure* at (re)build time, read
+    * back by [[isStale]]. The fingerprint is what makes the
+    * serve-stale default DETECTABLE: without it a router trained on
+    * last month's corpus silently serves wrong neighbors with no gate
+    * (round-14 verdict ask).
+    */
+  def recordFingerprint(data: DataFrame, dir: String): Unit = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val (n, h) = fingerprintOf(data)
+    Seq((n, h)).toDF("n", "h").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/fingerprint")
+  }
+
+  /** Drift gate: does the artifact at `dir` NOT match `data`? True
+    * when no completed fingerprint is recorded (nothing provably
+    * fresh to serve — legacy artifacts and missing dirs are stale by
+    * definition) or when the recorded (count, hash) differs from
+    * `data`'s. One scan of `data`; the stored side is a one-row read.
+    */
+  def isStale(spark: SparkSession, dir: String, data: DataFrame): Boolean = {
+    if (!pathExists(spark, s"$dir/fingerprint/_SUCCESS")) return true
+    val r = checkSchema(spark.read.parquet(s"$dir/fingerprint"),
+      Seq("n" -> LongType, "h" -> LongType), s"$dir/fingerprint").head()
+    (r.getLong(0), r.getLong(1)) != fingerprintOf(data)
+  }
+
+  /** Drop the artifact at `dir` entirely (plus a frame artifact's
+    * `dir.fp` fingerprint sibling, if one exists), so the caller's
+    * next ensure* call retrains from scratch. Returns whether
+    * anything existed to drop.
+    */
+  def invalidate(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = new org.apache.hadoop.fs.Path(dir + ".fp")
+    if (fs.exists(fp)) fs.delete(fp, true)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  /** The refresh entry of the staleness contract: when the artifact
+    * at `dir` is stale w.r.t. `data` ([[isStale]]), invalidate it and
+    * return true — the caller's next ensure* then retrains on the
+    * current corpus. A fresh artifact is left untouched (returns
+    * false), so wiring this before an ensure* call turns serve-stale
+    * into serve-or-retrain at the cost of one detection scan.
+    */
+  def refreshIfStale(spark: SparkSession, dir: String,
+      data: DataFrame): Boolean = {
+    val stale = isStale(spark, dir, data)
+    if (stale) invalidate(spark, dir)
+    stale
+  }
+
   /** Train-once / probe-everywhere for the composed IVF-PQ artifact
     * pair: if `dir` holds a COMPLETED save (both parquet `_SUCCESS`
     * markers), load it; otherwise train both models on `embs`, save,
@@ -208,7 +285,11 @@ object ModelStore {
     * any single job. The caller owns cache invalidation: `dir` must
     * key the training data (and geometry, if non-default) — a stale
     * artifact over CHANGED data scores garbage that the completeness
-    * markers cannot catch.
+    * markers cannot catch. Drift IS detectable on demand: every
+    * (re)build records the training corpus's fingerprint, and
+    * [[isStale]] / [[refreshIfStale]] compare it against the current
+    * corpus in one scan (the deliberate maintenance op; serving stays
+    * serve-stale by default).
     */
   def ensureIvfPq(embs: org.apache.spark.sql.DataFrame, dir: String,
       nCells: Int = 8, iters: Int = 2)
@@ -219,6 +300,7 @@ object ModelStore {
       savePq(graft.operators.Similarity.pqTrain(embs), s"$dir/pq", spark)
       saveIvf(graft.operators.Similarity.trainIvfCentroids(
         embs, nCells, iters), s"$dir/ivf", spark)
+      recordFingerprint(embs, dir)
     }
     (loadPq(spark, s"$dir/pq"), loadIvf(spark, s"$dir/ivf"))
   }
@@ -241,6 +323,7 @@ object ModelStore {
         embs, nL1, nL2, iters)
       saveIvf(l1, s"$dir/l1", spark)
       saveIvf(l2, s"$dir/l2", spark)
+      recordFingerprint(embs, dir)
     }
     (loadIvf(spark, s"$dir/l1"), loadIvf(spark, s"$dir/l2"))
   }
@@ -257,8 +340,10 @@ object ModelStore {
     val spark = seed.sparkSession
     if (!pathExists(spark, s"$dir/delta/_SUCCESS") ||
         !pathExists(spark, s"$dir/lang_stats/_SUCCESS") ||
-        !pathExists(spark, s"$dir/params/_SUCCESS"))
+        !pathExists(spark, s"$dir/params/_SUCCESS")) {
       saveNb(graft.operators.LangId.train(seed), dir)
+      recordFingerprint(seed, dir)
+    }
     loadNb(spark, dir)
   }
 
@@ -272,13 +357,23 @@ object ModelStore {
     * Row order is NOT preserved across the round-trip — callers must
     * consume the frame order-insensitively (joins/aggregates), the
     * contract every index probe here already satisfies.
+    *
+    * `fingerprintData`, when given, is the SOURCE corpus the built
+    * index derives from: its fingerprint records at build time (under
+    * `dir.fp`, beside the frame — the frame dir itself must stay a
+    * plain parquet dataset) so [[isStale]]`(spark, dir + ".fp", src)`
+    * can later detect source drift without re-running the corpus-
+    * sized `build`.
     */
   def ensureFrame(spark: SparkSession, dir: String,
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame,
+      fingerprintData: Option[DataFrame] = None): DataFrame = {
     val fresh = build
     val expected = fresh.schema.map(f => (f.name, f.dataType))
-    if (!pathExists(spark, s"$dir/_SUCCESS"))
+    if (!pathExists(spark, s"$dir/_SUCCESS")) {
       fresh.write.mode("overwrite").parquet(dir)
+      fingerprintData.foreach(recordFingerprint(_, s"$dir.fp"))
+    }
     checkSchema(spark.read.parquet(dir), expected, dir)
   }
 

@@ -98,6 +98,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("nQueries"))
   }
 
+  test("cosineTopKBetween: guard=false composes lazily (no probe job at construction)") {
+    import org.apache.spark.sql.functions.col
+    // the same over-cap frame that throws under the default guard
+    // CONSTRUCTS fine unguarded — proof the probe job is skipped and
+    // the plan stays lazily composable (round-14 ADVICE); results are
+    // identical to the guarded build on a bounded frame
+    val plan = Similarity.cosineTopKBetween(embs, embs, k = 1,
+      maxQueries = 3, guard = false)
+    assert(plan.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "sim", "rank"))
+    val q = embs.filter(col("vec_id") < 2)
+    val guarded = Similarity.cosineTopKBetween(q, embs, k = 2).collect()
+    val unguarded = Similarity.cosineTopKBetween(q, embs, k = 2,
+      guard = false).collect()
+    assert(guarded.map(_.toSeq).toSeq === unguarded.map(_.toSeq).toSeq)
+  }
+
   test("chooseCells2: balanced factorization covers chooseCells at O(sqrt k) routing") {
     for (n <- Seq(1L, 64L, 65L, 10000L, 1000000L, 123456789L)) {
       val k = Similarity.chooseCells(n)

@@ -177,6 +177,53 @@ class ModelStoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("staleness contract: isStale fires on changed data, not on identical data") {
+    val dir = tmp() + "/ivf2"
+    val e = embs64(0)
+    ModelStore.ensureIvf2(e, dir)
+    // identical data (even re-ordered/re-partitioned) is NOT stale —
+    // the fingerprint hash is order-independent
+    assert(!ModelStore.isStale(spark, dir, e))
+    assert(!ModelStore.isStale(spark, dir,
+      e.orderBy(col("vec_id").desc).repartition(3)))
+    // changed content at the SAME row count fires (the hash component)
+    assert(ModelStore.isStale(spark, dir, embs64(7)))
+    // grown data fires (the count component, even under hash luck)
+    assert(ModelStore.isStale(spark, dir, e.unionByName(
+      e.limit(1).withColumn("vec_id", col("vec_id") + 1000L))))
+    // a dir with no recorded fingerprint is stale by definition
+    assert(ModelStore.isStale(spark, tmp() + "/nowhere", e))
+  }
+
+  test("refreshIfStale invalidates a drifted artifact so ensure* retrains; fresh stays") {
+    val dir = tmp() + "/nb2"
+    ModelStore.ensureNb(docs, dir)
+    // fresh: no-op, the stored model keeps serving
+    assert(!ModelStore.refreshIfStale(spark, dir, docs))
+    val m1 = ModelStore.ensureNb(docs.limit(2), dir) // stale-serve default
+    assert(m1.n === graft.operators.LangId.train(docs).n)
+    // drifted: refresh drops the artifact, the next ensure retrains on
+    // the CURRENT corpus and records its fingerprint
+    val drifted = docs.limit(3)
+    assert(ModelStore.refreshIfStale(spark, dir, drifted))
+    val m2 = ModelStore.ensureNb(drifted, dir)
+    assert(m2.n === 3)
+    assert(!ModelStore.isStale(spark, dir, drifted))
+  }
+
+  test("ensureFrame records the source fingerprint beside the frame when given") {
+    val dir = tmp() + "/idxfp"
+    val src = spark.createDataFrame(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      .toDF("doc_id", "text")
+    ModelStore.ensureFrame(spark, dir,
+      src.groupBy("text").count(), Some(src))
+    assert(!ModelStore.isStale(spark, s"$dir.fp", src))
+    assert(ModelStore.isStale(spark, s"$dir.fp", src.limit(2)))
+    // invalidate drops frame AND fingerprint sibling
+    assert(ModelStore.invalidate(spark, dir))
+    assert(ModelStore.isStale(spark, s"$dir.fp", src))
+  }
+
   test("wrong directory fails loudly at load, names the mismatch") {
     val dir = tmp()
     // an LM saved where an NB is expected: schema check trips before
