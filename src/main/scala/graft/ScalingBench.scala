@@ -221,7 +221,11 @@ object ScalingBench {
       // narrow windows + an equi-join on the composite cell key; the
       // loaded twin probes stored artifacts (built on each scale's
       // first run), the screen routes the %20 arrival slice per row
-      "sim_ivf2_topk", "sim_ivf2_topk_loaded", "stream_ivf2_screen")
+      "sim_ivf2_topk", "sim_ivf2_topk_loaded", "stream_ivf2_screen",
+      // round 15: the recall gate's curve (its brute-force truth leg
+      // scans the growing corpus per fixed query — the documented
+      // k²-by-construction harness artifact, as eval_retrieval_metrics)
+      "eval_ivf2_metrics")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
@@ -239,9 +243,35 @@ object ScalingBench {
     // algorithm: bucketing + probe + verify, expected ~linear.
     val embCos06: (SparkSession, String) => DataFrame = (s, d) =>
       graft.operators.Similarity.nearDupPairs(Tables.embeddings(s, d), 0.6)
+    // round 15 (verdict ask #3): the GROWING-CELLS regime — both
+    // routers under their own corpus-driven sizing (chooseCells ~
+    // n/64 flat cells; chooseCells2 the balanced two-level split of
+    // the same k), the regime the hierarchical router exists for:
+    // flat per-vector assignment is k·d dot products and grows
+    // linearly in n (total training/assignment work Θ(n²·d/64)),
+    // two-level is (nL1+nL2)·d ≈ 2√k·d (total Θ(n^1.5)). The
+    // registry queries pin FIXED geometry (4×16), which curves flat
+    // by construction; these arms let the cell count follow the
+    // corpus so the crossover is measurable. nprobe stays at the
+    // defaults on both arms — probed-list VOLUME per query is then
+    // ~2·64 vs ~4·64 vectors at every scale (occupancy is held at
+    // TargetCell by the sizing), so the curve isolates routing +
+    // training growth, not recall-parameter drift.
+    val ivfAuto: (SparkSession, String) => DataFrame = (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Similarity.ivfTopK(e,
+        nCells = graft.operators.Similarity.chooseCells(e.count()))
+    }
+    val ivf2Auto: (SparkSession, String) => DataFrame = (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (l1, l2) = graft.operators.Similarity.chooseCells2(e.count())
+      graft.operators.Similarity.ivf2TopK(e, nL1 = l1, nL2 = l2)
+    }
     fromRegistry ++ Seq(
       "dedup_ngram_fixedsrc" -> fixedSrc,
-      "dedup_embcos_t06" -> embCos06)
+      "dedup_embcos_t06" -> embCos06,
+      "sim_ivf_autocells" -> ivfAuto,
+      "sim_ivf2_autocells" -> ivf2Auto)
   }
 
   /** Subjects measured on the ZIPFIAN corpora (see

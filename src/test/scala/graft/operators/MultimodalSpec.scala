@@ -589,6 +589,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(mined.contains((2L * k, 2L * k + 1)), s"twin $k unmined")
     assert(Multimodal.dhashPairs(hashes).collect().toSeq ===
       Multimodal.dhashPairs(hashes).collect().toSeq)
+    // the partitioned export variant (output-linear scale shape)
+    // mines the identical pair SET — only the final layout differs
+    val fx = Multimodal.dhashFixtures(spark,
+      spark.range(20).select(col("id").as("doc_id"))).toDF()
+    val part = Multimodal.dhashPairs(fx, outputPartitions = 3)
+    assert(part.rdd.getNumPartitions === 3)
+    assert(part.collect().map(_.toSeq).toSet ===
+      Multimodal.dhashPairs(fx).collect().map(_.toSeq).toSet)
   }
 
   test("wavSamples: parseWav is exactly the fold of the decoded samples") {
