@@ -614,8 +614,9 @@ object ExtraAnalogs {
     * index-time k = 8) and dedup_semantic (corpus-sized k — a SQL
     * subselect) so the two oracles cannot drift apart.
     */
-  private def dKmCellsCte(seed: String): String =
-    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+  private def dKmCellsCte(seed: String,
+      src: String = "embeddings"): String =
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM $src),
        |e AS (SELECT vec_id, emb, label, sqrt(${dDot("emb", "emb")}) AS norm
        |      FROM e0),
        |v AS (SELECT vec_id, emb, norm, label,
@@ -1073,6 +1074,39 @@ object ExtraAnalogs {
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Asymmetric near-dup (CONTAINMENT) pairs — Broder's containment
+    // |A∩B| / min(|A|,|B|) over word-3-gram shingles: the
+    // excerpt/quote notion resemblance dedup cannot mine (a doc
+    // quoted whole inside a much longer one has Jaccard ~ |a|/|b| ~ 0,
+    // so resemblance LSH band collisions vanish exactly where
+    // containment matters — and the minhash miner's length prefilter
+    // deliberately EXCLUDES such pairs). Candidates come from shared
+    // winnowing fingerprints (>= 2) — mined by shared contiguous
+    // RUNS, size-independent; verify is exact shingle containment as
+    // a truncating per-myriad integer. The oracle replays candidates
+    // AND verify.
+    Q("dedup_containment",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d)),
+      Some(s"""WITH $tokCte, $winnowCte,
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s3 AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(w) - 1),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM tok),
+        |cp AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) * 10000 //
+        |      least(len(sa.sh), len(sb.sh)) AS BIGINT) AS containment_pm
+        |  FROM cand JOIN s3 sa ON sa.doc_id = cand.doc_a
+        |            JOIN s3 sb ON sb.doc_id = cand.doc_b
+        |  WHERE least(len(sa.sh), len(sb.sh)) > 0)
+        |SELECT doc_a, doc_b, containment_pm
+        |FROM cp WHERE containment_pm >= 8000
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Exact-substring duplicate pairs (Lee et al. 2021): maximal shared
@@ -1611,6 +1645,91 @@ object ExtraAnalogs {
         Similarity.ivf2TopKFromIndex(idx, e, l1, l2, 4)
       },
       Some(dIvf2Oracle)),
+
+    // Incremental index maintenance (round 15): the %20 arrival slice
+    // UPSERTS into the stored two-level index — both router levels
+    // and the inverted lists load from ModelStore (trained/assigned
+    // on the %20<>0 corpus slice ONLY; the corpus-slice fingerprint
+    // records beside the list frame), arrivals assign under the
+    // LOADED router at O(|batch|) cost, and the merged lists serve
+    // queries over the full corpus. Nothing retrains and the stored
+    // corpus is never re-assigned — the deployment loop between
+    // serve-loaded and refresh-on-drift. The oracle replays both
+    // Lloyd levels ON THE SLICE (dKmCellsCte's src parameter), the
+    // arrivals' two-stage assignment under those centroids, and the
+    // merged-list probe.
+    Q("sim_ivf2_upsert",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val corp = e.filter(col("vec_id") % 20 =!= 0)
+        val arr = e.filter(col("vec_id") % 20 === 0)
+        val dir = s"target/models/ivf2u_${dirKey(d)}"
+        val (l1, l2) = graft.sources.ModelStore.ensureIvf2(corp, dir)
+        val idx = graft.sources.ModelStore.ensureFrame(s, s"$dir/cells",
+          Similarity.ivf2Cells(corp, l1, l2, 4), Some(corp))
+        Similarity.ivf2TopKFromIndex(
+          Similarity.ivf2Upsert(idx, arr, l1, l2, 4), e, l1, l2, 4)
+      },
+      Some(s"""WITH ${dKmCellsCte("4",
+          "(SELECT * FROM embeddings WHERE vec_id % 20 <> 0)")},
+        |${dKm2Cte(4)},
+        |cor2 AS (SELECT vec_id, cent_id AS c2 FROM b3 WHERE rk = 1),
+        |fv0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |fv AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm
+        |       FROM fv0),
+        |arr AS (SELECT * FROM fv WHERE vec_id % 20 = 0),
+        |al10 AS (
+        |  SELECT a.vec_id, c.cent_id,
+        |    round(${dDot("a.emb", "c.cvd")} / (a.norm * c.cnorm), 6)
+        |      AS cent_sim
+        |  FROM arr a CROSS JOIN cw2n c),
+        |al1 AS (SELECT vec_id, cent_id, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM al10),
+        |af0 AS (
+        |  SELECT a.vec_id, g.cent_id,
+        |    round(${dDot("av.emb", "g.cvd")} / (av.norm * g.cnorm), 6)
+        |      AS cent_sim
+        |  FROM al1 a JOIN arr av USING (vec_id)
+        |  JOIN gw2n g ON g.cent_id // 4 = a.cent_id
+        |  WHERE a.rk = 1),
+        |af AS (SELECT vec_id, cent_id, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM af0),
+        |merged AS (SELECT * FROM cor2
+        |  UNION ALL SELECT vec_id, cent_id AS c2 FROM af WHERE rk = 1),
+        |qp10 AS (
+        |  SELECT q.vec_id, c.cent_id,
+        |    round(${dDot("q.emb", "c.cvd")} / (q.norm * c.cnorm), 6)
+        |      AS cent_sim
+        |  FROM fv q CROSS JOIN cw2n c WHERE q.vec_id < 50),
+        |qp1r AS (SELECT vec_id, cent_id, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM qp10),
+        |qp1 AS (SELECT vec_id AS query_id, cent_id AS cell
+        |        FROM qp1r WHERE rk <= 2),
+        |qf0 AS (
+        |  SELECT q.query_id, g.cent_id,
+        |    round(${dDot("qv.emb", "g.cvd")} / (qv.norm * g.cnorm), 6)
+        |      AS cent_sim
+        |  FROM qp1 q JOIN fv qv ON qv.vec_id = q.query_id
+        |  JOIN gw2n g ON g.cent_id // 4 = q.cell),
+        |qf AS (SELECT query_id, cent_id AS c2, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cent_sim DESC, cent_id) AS rk
+        |  FROM qf0),
+        |p AS (
+        |  SELECT q.query_id, x.vec_id AS neighbor_id,
+        |    round(${dDot("qv.emb", "xv.emb")} / (qv.norm * xv.norm), 6)
+        |      AS sim
+        |  FROM qf q JOIN merged x USING (c2)
+        |  JOIN fv qv ON qv.vec_id = q.query_id
+        |  JOIN fv xv ON xv.vec_id = x.vec_id
+        |  WHERE q.rk <= 4 AND q.query_id <> x.vec_id),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
     // Recall gate for the hierarchical router (the eval_ivfpq_metrics
     // precedent): per-query hits/recall/MRR/nDCG of the two-level

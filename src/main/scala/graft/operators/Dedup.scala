@@ -482,6 +482,94 @@ object Dedup {
     new Managed(out, Seq(fps))
   }
 
+  /** Asymmetric near-dup (CONTAINMENT) pairs — Broder's containment
+    * c = |Sh(a) ∩ Sh(b)| / min(|Sh(a)|, |Sh(b)|): the excerpt/quote
+    * notion resemblance dedup is structurally blind to. A short doc
+    * quoted whole inside a long article has Jaccard ≈ |a|/|b| ≈ 0 —
+    * resemblance LSH cannot mine it even in principle (band collision
+    * probability is a function of Jaccard, which vanishes exactly
+    * where containment matters), and [[minhashPairs]]'s length
+    * prefilter deliberately EXCLUDES such pairs. Training corpora
+    * care: a held-out eval prompt embedded in a crawled page is a
+    * containment hit, not a resemblance hit.
+    *
+    * Candidates come from shared WINNOWING fingerprints instead
+    * ([[winnowPairs]]'s geometry): by the winnowing guarantee any
+    * shared contiguous run of ≥ k + win − 1 words yields a shared
+    * fingerprint, so containment candidates are mined by their shared
+    * RUNS — independent of either doc's total size. `minShared`
+    * trades that floor for candidate precision (≥ 2 shared
+    * fingerprints needs a span of roughly k + 2·win words, or two
+    * separate shared runs). Verify is exact `k`-gram shingle
+    * containment on the candidate docs only (the [[minhashPairs]]
+    * semi-join discipline), reported as a truncating per-myriad
+    * integer so both engines agree exactly.
+    *
+    * Scale shape: fingerprint explode (≈ 2/(win+1) of the corpus'
+    * k-grams) → equi-join on the 8-byte fingerprint → pair count
+    * filter; shingle arrays are built for CANDIDATE docs only and
+    * only the surviving pair list crosses the export exchange.
+    *
+    * Returns (doc_a, doc_b, containment_pm) with
+    * containment_pm = ⌊10⁴ · |∩| / min(|a|, |b|)⌋, pairs ≥ `thresholdPm`.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 3, win: Int = 4,
+      minShared: Int = 2, thresholdPm: Long = 8000L): DataFrame =
+    containmentPairsManaged(docs, k, win, minShared, thresholdPm).df
+
+  /** [[containmentPairs]] with its internal persists exposed for
+    * release — see [[Managed]].
+    */
+  def containmentPairsManaged(docs: DataFrame, k: Int = 3, win: Int = 4,
+      minShared: Int = 2, thresholdPm: Long = 8000L): Managed = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(thresholdPm >= 0L && thresholdPm <= 10000L,
+      s"thresholdPm must be in [0, 10000], got $thresholdPm")
+    // fingerprint table: 16 bytes per (doc, fp) row, no text (the
+    // winnowPairs convention); cached — the self-join reads it twice
+    val fps = docs.select(col("doc_id"),
+      explode(winnowFingerprints(col("text"), k, win)).as("fp"))
+      .cache()
+    val candidates = fps.alias("a")
+      .join(fps.alias("b"), col("a.fp") === col("b.fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("doc_a", "doc_b")
+      .cache()
+    // shingle only the candidate docs (semi-join first — verification
+    // never re-derives features for the whole corpus)
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candSh = docs.join(candIds, "doc_id")
+      .select(col("doc_id"),
+        array_sort(graft.functions.TextFunctions
+          .shinglesN(col("text"), k)).as("sh"))
+      .cache()
+    val inter = graft.expressions.TextExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long")
+    val minSz = least(size(col("sh_a")), size(col("sh_b"))).cast("long")
+    val out = candidates.alias("c")
+      .join(candSh.alias("sa"), col("c.doc_a") === col("sa.doc_id"))
+      .join(candSh.alias("sb"), col("c.doc_b") === col("sb.doc_id"))
+      .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
+        col("sa.sh").as("sh_a"), col("sb.sh").as("sh_b"))
+      // a doc under k words has an EMPTY shingle set (min = 0): no
+      // containment is defined for it, and it cannot clear minShared
+      // candidates anyway — guard the division all the same
+      .filter(minSz > 0)
+      .withColumn("containment_pm",
+        call_function("div", inter * lit(10000L), minSz))
+      .filter(col("containment_pm") >= thresholdPm)
+      .select("doc_a", "doc_b", "containment_pm")
+      // export tail: single sorted file (see minhashPairs); the
+      // surviving pair list is threshold-vanishing
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    new Managed(out, Seq(fps, candidates, candSh))
+  }
+
   /** Exact-substring duplicate pairs (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better" — arXiv:2107.06499):
     * doc pairs sharing an EXACT contiguous token run of at least

@@ -134,6 +134,48 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(flipped === got)
   }
 
+  test("containmentPairs mines the excerpt pair resemblance dedup is blind to") {
+    // quote = an 11-word span quoted VERBATIM inside a 44-word article
+    // padded with unrelated text: word-set Jaccard ~ 11/44 — far under
+    // any resemblance threshold, and the minhash length prefilter
+    // excludes the pair outright — but containment of the quote's
+    // 3-gram shingles in the article is exactly 1.0
+    val quote = "the quick brown fox jumps over the lazy dog every day"
+    val pad1 = (1 to 11).map(i => s"p$i").mkString(" ")
+    val pad2 = (12 to 33).map(i => s"p$i").mkString(" ")
+    val d = spark.createDataFrame(Seq(
+      (0L, quote, "en", "s"),
+      (1L, s"$pad1 $quote $pad2", "en", "s"),
+      (2L, (1 to 20).map(i => s"q$i").mkString(" "), "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 1L, 10000L)))
+    // the resemblance miners genuinely miss it (the operator's reason
+    // to exist): no minhash pair, and word-Jaccard is ~0.25
+    assert(Dedup.minhashPairs(d).collect().isEmpty)
+    // sub-threshold containment is verified OUT: doc 3 shares the
+    // quote's first 9 words (7 of its 9 shingles), then diverges —
+    // containment 7*10000 // 9 = 7777 pm, under the 8000 default
+    val d2 = d.unionByName(spark.createDataFrame(Seq(
+      (3L, "the quick brown fox jumps over the lazy dog beside a river yesterday",
+        "en", "s"))).toDF("doc_id", "text", "lang", "source"))
+    val got2 = Dedup.containmentPairs(d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 === Seq((0L, 1L)))
+    // and it IS reported at a lower threshold, with the truncating
+    // per-myriad arithmetic exact (min side = the quote's 9 shingles)
+    val loose = Dedup.containmentPairs(d2, thresholdPm = 7000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(loose.contains((0L, 3L, 7777L)))
+    // managed handle releases its persists
+    val m = Dedup.containmentPairsManaged(d)
+    m.df.collect()
+    assert(!m.released)
+    m.close()
+    assert(m.released)
+  }
+
   test("minhash signatures are stable and identical for identical docs") {
     val sigs = Dedup.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap

@@ -115,6 +115,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(guarded.map(_.toSeq).toSeq === unguarded.map(_.toSeq).toSeq)
   }
 
+  test("ivf2Upsert == full index rebuild under the same models (per-vector independence)") {
+    import org.apache.spark.sql.functions.col
+    val full = spark.createDataFrame(
+      (0 until 24).map { i =>
+        (i.toLong,
+          Seq.tabulate(8)(j => ((((i * 13 + j * 7) % 11) - 5) / 5.0f)), 0)
+      }).toDF("vec_id", "embedding", "label")
+    val corp = full.filter(col("vec_id") % 4 =!= 0)
+    val arr = full.filter(col("vec_id") % 4 === 0)
+    val (l1, l2) = Similarity.trainIvfTwoLevel(corp, 2, 2, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("c2", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // upsert of the arrival slice into the corpus index IS the full
+    // rebuild's index — assignment is per-vector, so incremental and
+    // batch assignment cannot differ
+    val upserted = Similarity.ivf2Upsert(
+      Similarity.ivf2Cells(corp, l1, l2, 2), arr, l1, l2, 2)
+    assert(rows(upserted) === rows(Similarity.ivf2Cells(full, l1, l2, 2)))
+    // and the probe over the merged lists equals the rebuilt probe
+    val a = Similarity.ivf2TopKFromIndex(upserted, full, l1, l2, 2,
+      nQueries = 6, k = 2).collect().map(_.toSeq).toSeq
+    val b = Similarity.ivf2TopKFromIndex(
+      Similarity.ivf2Cells(full, l1, l2, 2), full, l1, l2, 2,
+      nQueries = 6, k = 2).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("chooseCells2: balanced factorization covers chooseCells at O(sqrt k) routing") {
     for (n <- Seq(1L, 64L, 65L, 10000L, 1000000L, 123456789L)) {
       val k = Similarity.chooseCells(n)
