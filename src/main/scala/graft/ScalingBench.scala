@@ -225,7 +225,13 @@ object ScalingBench {
       // round 15: the recall gate's curve (its brute-force truth leg
       // scans the growing corpus per fixed query — the documented
       // k²-by-construction harness artifact, as eval_retrieval_metrics)
-      "eval_ivf2_metrics")
+      "eval_ivf2_metrics",
+      // round 15: containment shares the winnow-fp join geometry
+      // (expected ~linear like dedup_winnow_pairs; verify bounded by
+      // candidates); the upsert's arrival slice grows WITH the corpus
+      // (%20), so the curve measures O(|batch|) assignment + the
+      // stored-list scan — the loaded-probe shape plus a batch window
+      "dedup_containment", "sim_ivf2_upsert")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
