@@ -103,7 +103,10 @@ object Bench {
     // published run arrays are uniform steady-state probes
     val artifactWarm = wideSample ++ Set(
       "sim_rrf_topk_loaded", "sim_ivf2_topk_loaded", "eval_langid_prf_loaded",
-      "text_hard_negatives", "text_hybrid_topk", "stream_bm25_screen")
+      "text_hard_negatives", "text_hybrid_topk", "stream_bm25_screen",
+      // round 15: the upsert probes a stored slice-trained router +
+      // list frame; the stale gate builds its NB artifact once
+      "sim_ivf2_upsert", "model_store_stale_check")
     val warmupDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
         new java.io.File(warmupDir).isDirectory) {

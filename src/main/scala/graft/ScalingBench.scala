@@ -231,7 +231,10 @@ object ScalingBench {
       // candidates); the upsert's arrival slice grows WITH the corpus
       // (%20), so the curve measures O(|batch|) assignment + the
       // stored-list scan — the loaded-probe shape plus a batch window
-      "dedup_containment", "sim_ivf2_upsert")
+      "dedup_containment", "sim_ivf2_upsert",
+      // the containment screen's arrival slice grows with the corpus
+      // (%2) — expected ~linear-in-hits like the other fp screens
+      "stream_containment_screen")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

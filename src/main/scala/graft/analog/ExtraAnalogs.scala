@@ -1176,6 +1176,30 @@ object ExtraAnalogs {
         |FROM s JOIN idx USING (h)
         |ORDER BY s.doc_id, idx.corpus_id, s.pos, idx.corpus_pos""".stripMargin)),
 
+    // Containment screen at ingest (batch twin): odd-id docs "arrive"
+    // and stream-static join the even-id corpus' winnowing-fingerprint
+    // index — the candidate half of dedup_containment at the ingest
+    // boundary (catches a corpus passage EMBEDDED in a larger arriving
+    // page, where the resemblance band screen is structurally blind).
+    // One row per (arrival, corpus doc, shared fp); the >= minShared
+    // rollup + exact containment verify run downstream.
+    Q("stream_containment_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.streaming.DocStreams.containmentScreen(
+          docs.filter(col("doc_id") % 2 === 1),
+          graft.streaming.DocStreams.winnowFpIndex(
+            docs.filter(col("doc_id") % 2 === 0)))
+          .orderBy("doc_id", "corpus_id", "fp")
+      },
+      Some(s"""WITH $tokCte, $winnowCte,
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |idx AS (SELECT doc_id AS corpus_id, fp FROM e WHERE doc_id % 2 = 0),
+        |arrv AS (SELECT doc_id, fp FROM e WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id, idx.corpus_id, a.fp
+        |FROM arrv a JOIN idx USING (fp)
+        |ORDER BY a.doc_id, idx.corpus_id, a.fp""".stripMargin)),
+
     // The removal half of Lee et al.: excise token spans duplicating an
     // exact >= 12-token run from a lower-id doc, rebuild survivors.
     // Same anchor/island machinery as dedup_substring; spans land on

@@ -107,6 +107,42 @@ object DocStreams {
         col("corpus_pos").cast("long").as("corpus_pos"),
         (col("pos") - col("corpus_pos")).cast("long").as("diag"))
 
+  /** (corpus_id, fp) — the accepted corpus' winnowing-fingerprint
+    * index ([[graft.operators.Dedup.containmentPairs]]'s candidate
+    * geometry), the static artifact for [[containmentScreen]]. Like
+    * [[bandRows]]/[[substringAnchorIndex]], the builder returns a
+    * plain frame; a deployment persists it once (≈ 2/(win+1) of the
+    * corpus' k-gram hashes, 16 bytes a row).
+    */
+  def winnowFpIndex(corpus: DataFrame, k: Int = 3,
+      win: Int = 4): DataFrame =
+    corpus.select(col("doc_id").as("corpus_id"),
+      explode(graft.functions.TextFunctions.winnowFingerprints(
+        col("text"), k, win)).as("fp"))
+
+  /** Containment screen at ingest — the candidate half of
+    * [[graft.operators.Dedup.containmentPairs]] re-cut for Structured
+    * Streaming: arriving docs' winnowing fingerprints stream-static
+    * join the corpus fp index. This is the screen that catches an
+    * eval prompt / licensed passage / near-verbatim quote EMBEDDED in
+    * an arriving page even when the page dwarfs it — the band screen
+    * ([[nearDupScreen]]) is structurally blind there, because band
+    * collision probability tracks resemblance, which vanishes for
+    * small-in-large containment. Stateless, each micro-batch touches
+    * only the fingerprints it carries; emits one row per (arriving
+    * doc, corpus doc, shared fingerprint), and the per-pair
+    * ≥ minShared rollup + exact shingle-containment verify run over
+    * the small hit set downstream — the standard screen-then-verify
+    * split.
+    */
+  def containmentScreen(streamDocs: DataFrame, fpIndex: DataFrame,
+      k: Int = 3, win: Int = 4): DataFrame =
+    streamDocs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.winnowFingerprints(
+        col("text"), k, win)).as("fp"))
+      .join(fpIndex, "fp")
+      .select(col("doc_id"), col("corpus_id"), col("fp"))
+
   /** BM25 retrieval screen at ingest: arriving query documents (eval
     * prompts being audited, candidate citations, hard-negative seeds)
     * probe the static DF-CAPPED postings index built by

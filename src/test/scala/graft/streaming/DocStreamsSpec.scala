@@ -390,6 +390,44 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static containment screen catches an embedded corpus passage") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    // corpus doc 100 is an 11-word passage; doc 1 arrives as a LONGER
+    // page embedding it verbatim (the small-in-large case the band
+    // screen is blind to); doc 2 shares nothing
+    val passage = "the quick brown fox jumps over the lazy dog every day"
+    val corpus = spark.createDataFrame(Seq((100L, passage)))
+      .toDF("doc_id", "text")
+    val index = DocStreams.winnowFpIndex(corpus)
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.containmentScreen(
+      mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("contscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, s"p1 p2 p3 p4 p5 $passage q1 q2 q3 q4 q5"),
+        (2L, "totally unrelated token stream flowing here"))
+      query.processAllAvailable()
+      val hits = spark.table("contscreen").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // >= minShared(2) shared fingerprints from doc 1, none from doc 2
+      assert(hits.count(_ == (1L, 100L)) >= 2)
+      assert(!hits.exists(_._1 == 2L))
+      // stream == batch twin: the same function on the finite frame
+      val batch = DocStreams.containmentScreen(
+        spark.createDataFrame(Seq(
+          (1L, s"p1 p2 p3 p4 p5 $passage q1 q2 q3 q4 q5"),
+          (2L, "totally unrelated token stream flowing here")))
+          .toDF("doc_id", "text"), index)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val streamed = spark.table("contscreen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(streamed.sorted.toSeq === batch.sorted.toSeq)
+    } finally query.stop()
+  }
+
   test("substring anchor index drops grams past the df cap") {
     val hot = spark.createDataFrame(
       (0 until 5).map(i => (i.toLong, "a b c d e f g h")))
