@@ -233,8 +233,9 @@ object ScalingBench {
       // stored-list scan — the loaded-probe shape plus a batch window
       "dedup_containment", "sim_ivf2_upsert",
       // the containment screen's arrival slice grows with the corpus
-      // (%2) — expected ~linear-in-hits like the other fp screens
-      "stream_containment_screen")
+      // (%2) — expected ~linear-in-hits like the other fp screens;
+      // the clean adds one broadcast anti-join to the pairs plan
+      "stream_containment_screen", "dedup_containment_clean")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -1176,6 +1176,39 @@ object ExtraAnalogs {
         |FROM s JOIN idx USING (h)
         |ORDER BY s.doc_id, idx.corpus_id, s.pos, idx.corpus_pos""".stripMargin)),
 
+    // The removal half of containment dedup: drop each verified
+    // pair's CONTAINED side (the smaller shingle set — the excerpt;
+    // the superset doc keeps the content; equal sizes tie to the
+    // lower id, the exact-dedup keeper convention). The drop set is
+    // threshold-vanishing, so the anti-join broadcasts and the corpus
+    // never shuffles.
+    Q("dedup_containment_clean",
+      (s, d) => Dedup.containmentSurvivors(Tables.documents(s, d)),
+      Some(s"""WITH $tokCte, $winnowCte,
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s3 AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(w) - 1),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM tok),
+        |cp AS (
+        |  SELECT doc_a, doc_b, len(sa.sh) AS sz_a, len(sb.sh) AS sz_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) * 10000 //
+        |      least(len(sa.sh), len(sb.sh)) AS BIGINT) AS containment_pm
+        |  FROM cand JOIN s3 sa ON sa.doc_id = cand.doc_a
+        |            JOIN s3 sb ON sb.doc_id = cand.doc_b
+        |  WHERE least(len(sa.sh), len(sb.sh)) > 0),
+        |drops AS (SELECT DISTINCT
+        |    CASE WHEN sz_a < sz_b THEN doc_a
+        |         WHEN sz_b < sz_a THEN doc_b
+        |         ELSE doc_b END AS doc_id
+        |  FROM cp WHERE containment_pm >= 8000)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // Containment screen at ingest (batch twin): odd-id docs "arrive"
     // and stream-static join the even-id corpus' winnowing-fingerprint
     // index — the candidate half of dedup_containment at the ingest

@@ -517,11 +517,13 @@ object Dedup {
       minShared: Int = 2, thresholdPm: Long = 8000L): DataFrame =
     containmentPairsManaged(docs, k, win, minShared, thresholdPm).df
 
-  /** [[containmentPairs]] with its internal persists exposed for
-    * release — see [[Managed]].
+  /** Shared core of [[containmentPairs]] / [[containmentSurvivors]]:
+    * verified over-threshold pairs WITH both shingle-set sizes
+    * (doc_a, doc_b, containment_pm, sz_a, sz_b), plus the internal
+    * caches for release.
     */
-  def containmentPairsManaged(docs: DataFrame, k: Int = 3, win: Int = 4,
-      minShared: Int = 2, thresholdPm: Long = 8000L): Managed = {
+  private def containmentVerified(docs: DataFrame, k: Int, win: Int,
+      minShared: Int, thresholdPm: Long): (DataFrame, Seq[DataFrame]) = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(thresholdPm >= 0L && thresholdPm <= 10000L,
       s"thresholdPm must be in [0, 10000], got $thresholdPm")
@@ -551,7 +553,7 @@ object Dedup {
     val inter = graft.expressions.TextExpressions
       .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long")
     val minSz = least(size(col("sh_a")), size(col("sh_b"))).cast("long")
-    val out = candidates.alias("c")
+    val verified = candidates.alias("c")
       .join(candSh.alias("sa"), col("c.doc_a") === col("sa.doc_id"))
       .join(candSh.alias("sb"), col("c.doc_b") === col("sb.doc_id"))
       .select(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"),
@@ -563,11 +565,62 @@ object Dedup {
       .withColumn("containment_pm",
         call_function("div", inter * lit(10000L), minSz))
       .filter(col("containment_pm") >= thresholdPm)
+      .select(col("doc_a"), col("doc_b"), col("containment_pm"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+    (verified, Seq(fps, candidates, candSh))
+  }
+
+  /** [[containmentPairs]] with its internal persists exposed for
+    * release — see [[Managed]].
+    */
+  def containmentPairsManaged(docs: DataFrame, k: Int = 3, win: Int = 4,
+      minShared: Int = 2, thresholdPm: Long = 8000L): Managed = {
+    val (verified, caches) =
+      containmentVerified(docs, k, win, minShared, thresholdPm)
+    val out = verified
       .select("doc_a", "doc_b", "containment_pm")
       // export tail: single sorted file (see minhashPairs); the
       // surviving pair list is threshold-vanishing
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
-    new Managed(out, Seq(fps, candidates, candSh))
+    new Managed(out, caches)
+  }
+
+  /** The removal half of containment dedup: survivors after dropping,
+    * for every verified over-threshold pair, its CONTAINED side — the
+    * doc with the smaller shingle set (the excerpt), the SUPERSET doc
+    * keeps the content; equal sizes (mutual containment = the
+    * near-identical case) tie to the lower doc_id, the exact-dedup
+    * keeper convention. Containment is not transitive, so drops are
+    * pairwise-independent: a doc contained in an itself-dropped doc
+    * still drops (its content survives transitively in the chain's
+    * maximal superset for verbatim chains; for near chains the
+    * threshold already bounds the loss). The drop set is
+    * threshold-vanishing — the anti-join broadcasts it against the
+    * corpus, which never shuffles.
+    */
+  def containmentSurvivors(docs: DataFrame, k: Int = 3, win: Int = 4,
+      minShared: Int = 2, thresholdPm: Long = 8000L): DataFrame =
+    containmentSurvivorsManaged(docs, k, win, minShared, thresholdPm).df
+
+  /** [[containmentSurvivors]] with its internal persists exposed for
+    * release — see [[Managed]].
+    */
+  def containmentSurvivorsManaged(docs: DataFrame, k: Int = 3,
+      win: Int = 4, minShared: Int = 2,
+      thresholdPm: Long = 8000L): Managed = {
+    val (verified, caches) =
+      containmentVerified(docs, k, win, minShared, thresholdPm)
+    val drops = verified.select(
+      when(col("sz_a") < col("sz_b"), col("doc_a"))
+        .when(col("sz_b") < col("sz_a"), col("doc_b"))
+        .otherwise(col("doc_b")) // equal sizes: a < b, keep a
+        .as("doc_id"))
+      .distinct()
+    val out = docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+    new Managed(out, caches)
   }
 
   /** Exact-substring duplicate pairs (Lee et al. 2021, "Deduplicating

@@ -356,6 +356,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(windows(plans("sim_ivf2_topk_loaded")) <
       windows(plans("sim_ivf2_topk")),
       "loaded router must drop the corpus fine-assignment window")
+    // the upsert probes the STORED slice artifact (router + lists) —
+    // nothing corpus-sided retrains or re-assigns; the only extra
+    // plan surface vs the loaded twin is the arrival-batch window
+    assert(plans("sim_ivf2_upsert").contains("ivf2u_"),
+      "upsert should scan the stored slice-trained artifact")
+  }
+
+  test("containment screen is one equi-join, window-free; clean anti-joins broadcast") {
+    // the ingest screen: one stream-static join on the fingerprint +
+    // the output sort — no window, no aggregation in the plan
+    val scr = plans("stream_containment_screen")
+    assert(!scr.contains("Window"), scr.take(800))
+    assert(!scr.contains("SortMergeJoin"), scr.take(800))
+    // the removal half: the drop set is threshold-vanishing and must
+    // reach the corpus as a BROADCAST anti-join (a shuffled anti-join
+    // would move the whole corpus)
+    assert(plans("dedup_containment_clean")
+      .contains("BroadcastHashJoin") &&
+      plans("dedup_containment_clean").contains("LeftAnti"),
+      plans("dedup_containment_clean").take(800))
   }
 
   test("pack's row-level running sum never serializes a whole source") {

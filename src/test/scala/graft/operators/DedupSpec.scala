@@ -176,6 +176,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(m.released)
   }
 
+  test("containmentSurvivors drops the contained (smaller) side, superset keeps") {
+    import org.apache.spark.sql.functions.{col, length}
+    val quote = "the quick brown fox jumps over the lazy dog every day"
+    val pad1 = (1 to 11).map(i => s"p$i").mkString(" ")
+    val pad2 = (12 to 33).map(i => s"p$i").mkString(" ")
+    val d = spark.createDataFrame(Seq(
+      (0L, quote, "en", "s"),
+      (1L, s"$pad1 $quote $pad2", "en", "s"),
+      (2L, (1 to 20).map(i => s"q$i").mkString(" "), "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // doc 0 (the excerpt) drops, the ARTICLE keeps its content —
+    // the reverse of a min-id convention, which would delete the
+    // superset and lose text
+    val got = Dedup.containmentSurvivors(d).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L))
+    // equal-size mutual containment ties to the lower id (the
+    // exact-dedup keeper convention)
+    val twins = spark.createDataFrame(Seq(
+      (5L, quote, "en", "s"), (9L, quote, "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Dedup.containmentSurvivors(twins).collect()
+      .map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
   test("minhash signatures are stable and identical for identical docs") {
     val sigs = Dedup.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
