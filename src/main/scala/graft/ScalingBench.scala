@@ -235,7 +235,13 @@ object ScalingBench {
       // the containment screen's arrival slice grows with the corpus
       // (%2) — expected ~linear-in-hits like the other fp screens;
       // the clean adds one broadcast anti-join to the pairs plan
-      "stream_containment_screen", "dedup_containment_clean")
+      "stream_containment_screen", "dedup_containment_clean",
+      // round 15 SQ8 family: the exact scan is Θ(queries × corpus)
+      // over a 4×-smaller column (queries fixed at vec_id < 5 →
+      // expected ~linear); the screen's arrival slice grows with
+      // the corpus (%20) against a growing bucketed index; the
+      // filtered ranker is one broadcast equi-join + capped window
+      "sim_sq_topk", "stream_sq_screen", "sim_filtered_topk")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

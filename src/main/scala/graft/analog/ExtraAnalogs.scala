@@ -503,6 +503,31 @@ object ExtraAnalogs {
   private def dCos(a: String, b: String) =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
+  /** Exact integer dot product over two BIGINT lists — the SQ8
+    * compressed-domain score's inner loop (emb_project's sum shape).
+    */
+  private def dIntDot(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> $a[i]*$b[i])) AS BIGINT)"
+
+  /** Int8 quantization CTE mirroring Similarity.withSqCols (the
+    * emb_quantize arithmetic, kept as a list): sq(vec_id, sc, qv) —
+    * shared by sim_sq_topk / eval_sq_metrics / stream_sq_screen so the
+    * replayed codes cannot drift between the graded oracles.
+    */
+  private val dSqCte: String =
+    """sv AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS vi
+      |  FROM embeddings),
+      |ssc AS (SELECT vec_id, vi,
+      |        coalesce(list_max(list_transform(vi, x -> abs(x))), 0) AS sc
+      |      FROM sv),
+      |sq AS (SELECT vec_id, sc,
+      |        list_transform(vi, x -> CASE WHEN sc = 0 THEN 0
+      |          ELSE (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+      |               * ((abs(x)*254 + sc) // (2*sc)) END) AS qv
+      |      FROM ssc)""".stripMargin
+
   /** Hyperplane CTE mirroring Similarity.Hyperplanes — the 6-decimal
     * components are generated FROM the Scala arrays, so both engines
     * parse the identical decimal literals to the identical doubles.
@@ -2267,6 +2292,87 @@ object ExtraAnalogs {
         |       coalesce(list_max(list_transform(range(1, len(vi)+1),
         |         i -> abs(127*vi[i] - qv[i]*sc))), 0) AS max_err127
         |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // SQ8 compressed-domain serving: exact-scan top-10 over the int8
+    // codes (integer dot × candidate scale — Similarity.sqScore, all
+    // 64-bit-exact), never touching the float column. The stateless
+    // end of the compression spectrum next to sim_pq_topk's trained
+    // codebook: 4× smaller scan, per-dim resolution kept.
+    Q("sim_sq_topk",
+      (s, d) => Similarity.sqTopK(Tables.embeddings(s, d)),
+      Some(s"""WITH $dSqCte,
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ${dIntDot("q.qv", "c.qv")} * c.sc AS qscore
+        |  FROM sq q JOIN sq c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, CAST(qscore AS BIGINT) AS qscore,
+        |       CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // The recall gate for the SQ8 path (the eval_ivfpq_metrics grader
+    // pointed at the scalar-quantized ranker): SQ8 top-10 for the 50-
+    // query set vs exact brute-force truth through the identical
+    // integer metric tail — quantization loss is hash-gated, not
+    // argued. The oracle composes the SHARED dSqCte with the shared
+    // metric tail, so the graded ranking is byte-identical to
+    // sim_sq_topk's.
+    Q("eval_sq_metrics",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Evaluation.retrievalMetrics(
+          Similarity.sqTopK(e, 50, 10),
+          Similarity.bruteForceTopK(e, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm
+        |      FROM e0),
+        |$dSqCte,
+        |sp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ${dIntDot("q.qv", "c.qv")} * c.sc AS qscore
+        |  FROM sq q JOIN sq c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50
+        |), sqr AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rnk
+        |  FROM sp
+        |),
+        |${dMetricsTail("sqr")}""".stripMargin)),
+
+    // Attribute-filtered exact top-k: neighbors constrained to the
+    // query's label (in-language / in-tenant retrieval). The predicate
+    // sits IN the join condition — post-filtering an unfiltered top-k
+    // under-fills k; at fleet scale the index partitions by the
+    // attribute and the same plan prunes whole partitions.
+    Q("sim_filtered_topk",
+      (s, d) => Similarity.labelFilteredTopK(Tables.embeddings(s, d)),
+      Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, emb, label, sqrt(${dDot("emb", "emb")}) AS norm
+        |      FROM e0),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS label,
+        |         c.vec_id AS neighbor_id,
+        |         round(${dCos("q.emb", "c.emb")}, 6) AS sim
+        |  FROM e q JOIN e c
+        |    ON q.label = c.label AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, label, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
     // JL random projection 64 -> 16: md5-derived Rademacher signs,
     // integer-exact sums — the sketch step before storing/indexing.
@@ -4052,6 +4158,58 @@ object ExtraAnalogs {
         |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
         |         '%Y-%m-%d %H:%M:%S') AS hour,
         |       vec_id, cand, sim, rnk AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
+    // Batch twin of the SQ8-compressed streaming screen
+    // (graft.streaming.VecStreams.sqScreen): every 20th vector
+    // arrives, multi-probes its sign-bucket, and scores bucket-mates
+    // of the non-arriving INT8 index in compressed domain — the
+    // static join side carries codes + bucket only (floats dropped).
+    // The oracle composes stream_ann_screen's bucket CTEs with
+    // sim_sq_topk's quantization CTE, so routing and scoring each
+    // stay byte-identical to their batch graders.
+    Q("stream_sq_screen",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val arrivals = embs.filter(col("vec_id") % 20 === 0)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+          .select("vec_id", "embedding", "ts")
+        val index = Similarity.sqIndex(
+          embs.filter(col("vec_id") % 20 =!= 0), bits = 4)
+        graft.streaming.VecStreams.sqScreen(arrivals, index, k = 3, bits = 4)
+          .select(col("hour"), col("vec_id"),
+            posexplode(col("matches")).as(Seq("pos", "m")))
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("vec_id"), col("m.label").cast("long").as("cand"),
+            col("m.score").cast("long").as("qscore"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${dLshPrefixWith("SELECT 4 AS bits")},
+        |${dProbes("qp", " AND q.vec_id % 20 = 0")},
+        |$dSqCte,
+        |cand AS (SELECT b.vec_id, b.bucket, s.sc, s.qv
+        |         FROM bkt b JOIN sq s USING (vec_id)
+        |         WHERE b.vec_id % 20 <> 0),
+        |hits AS (
+        |  SELECT qp.vec_id, c.vec_id AS cand_id,
+        |         ${dIntDot("qs.qv", "c.qv")} * c.sc AS score
+        |  FROM qp JOIN cand c ON qp.bucket = c.bucket
+        |  JOIN sq qs ON qs.vec_id = qp.vec_id
+        |),
+        |ranked AS (
+        |  SELECT vec_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY score DESC, cand_id) AS rnk
+        |  FROM hits
+        |)
+        |SELECT strftime(date_trunc('hour',
+        |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |       vec_id, cand_id AS cand, CAST(score AS BIGINT) AS qscore,
+        |       rnk AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
 
     // Batch twin of the STREAMING IVF screen

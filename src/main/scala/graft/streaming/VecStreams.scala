@@ -177,6 +177,37 @@ object VecStreams {
     * (exact integers in double), label = zero-padded cand id so the
     * heap's tie order equals the batch (adc ASC, vec_id ASC).
     */
+  /** SQ8-compressed streaming screen — [[annScreen]]'s shape with the
+    * static side reduced to int8 codes ([[graft.operators.Similarity
+    * .sqIndex]]: codes + bucket, floats DROPPED — the 100 TB static
+    * side of this join is 4× smaller than the float index annScreen
+    * carries). Arrivals multi-probe their sign-bucket (self +
+    * Hamming-1, same router), quantize THEMSELVES through the shared
+    * [[graft.operators.Similarity.withSqCols]] definition, and score
+    * each bucket-mate with one integer dot ([[graft.operators
+    * .Similarity]] sqScore semantics: ⟨q̂,ĉ⟩·s_c — exact in the heap's
+    * double since |score| ≲ 10¹²). Label zero-padded so heap tie order
+    * equals the batch ranker's (score DESC, vec_id ASC).
+    */
+  def sqScreen(streamEmbs: DataFrame, index: DataFrame, k: Int = 3,
+      bits: Int = 4): DataFrame = {
+    val q = Similarity.withSqCols(streamEmbs)
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), bits))
+      .withColumn("bucket",
+        explode(Similarity.probeBuckets(col("bucket"), bits)))
+      .withWatermark("ts", "1 hour")
+    val c = index.select(col("bucket"), col("vec_id").as("cand_id"),
+      col("scale").as("cand_scale"), col("qv").as("cand_qv"))
+    q.join(c, Seq("bucket"))
+      .select(col("ts"), col("vec_id"),
+        Similarity.sqScore(col("sq_qv"), col("cand_qv"), col("cand_scale"))
+          .cast("double").as("score"),
+        format_string("%012d", col("cand_id")).as("cand"))
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .agg(TopKAgg.topK(col("score"), col("cand"), k).as("matches"))
+      .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
+  }
+
   def pqScreen(streamEmbs: DataFrame, lists: DataFrame,
       cents: Seq[Array[Long]], model: Seq[Seq[Array[Long]]],
       k: Int = 3, nprobe: Int = 2): DataFrame = {

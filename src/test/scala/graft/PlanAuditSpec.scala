@@ -378,6 +378,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       plans("dedup_containment_clean").take(800))
   }
 
+  test("SQ8 serving: broadcast queries, no shuffle join, no window") {
+    // the compressed-domain exact scan: bounded query codes broadcast
+    // into the corpus-code stream, top-k through the partial-heap
+    // aggregate — a SortMergeJoin (corpus shuffle) or a rank window
+    // (full pair materialization) would break the 100 TB shape
+    Seq("sim_sq_topk", "stream_sq_screen").foreach { q =>
+      assert(!plans(q).contains("SortMergeJoin"), s"$q\n${plans(q).take(800)}")
+      assert(plans(q).contains("BroadcastHashJoin") ||
+        plans(q).contains("BroadcastNestedLoopJoin"),
+        s"$q\n${plans(q).take(800)}")
+    }
+    assert(!plans("sim_sq_topk").contains("Window"),
+      plans("sim_sq_topk").take(800))
+  }
+
+  test("filtered top-k joins on the attribute, not a post-filter") {
+    // label equality must be a hash-join KEY (the probe rejects
+    // non-matching labels before the 64-wide dot product); the plan
+    // shows it inside the BroadcastHashJoin's equi-key list
+    val p = plans("sim_filtered_topk")
+    assert("""BroadcastHashJoin \[[^\]]*q_label""".r
+      .findFirstIn(p).isDefined, p.take(1200))
+  }
+
   test("pack's row-level running sum never serializes a whole source") {
     // the two-level prefix sum: any window ORDERED BY doc_id (i.e.
     // running over the full row stream) must partition by source AND

@@ -339,6 +339,66 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows(0L)._1 === 500000L && rows(1L)._1 === 1000000L)
   }
 
+  test("sqTopK: hand-derived integer scores, dot-order ranking, exact ties") {
+    val s = spark; import s.implicits._
+    // codes are known exactly from the quantize law above:
+    // v0=(127,-64,32,0)@sc=5e5, v1=(127,0,0,0)@1e6, v2=(0,127,0,0)@1e6,
+    // v3=(-127,0,0,0)@1e6
+    val vecs = Seq(
+      (0L, Seq(0.5f, -0.25f, 0.125f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 1),
+      (3L, Seq(-1f, 0f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.sqTopK(vecs, nQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // q0 vs c: dot(q̂,ĉ)·s_c — 1: 127·127·1e6; 2: −64·127·1e6; 3: −127·127·1e6
+    assert(got === Seq(
+      (0L, 1L, 16129000000L, 1L),
+      (0L, 2L, -8128000000L, 2L),
+      (0L, 3L, -16129000000L, 3L)))
+  }
+
+  test("sqTopK: recall@10 >= 0.9 vs brute force on unit-norm vectors") {
+    val s = spark; import s.implicits._
+    // 60 deterministic unit-norm vectors in d=64 (fixed seed): on a
+    // unit-norm corpus dot order == cosine order, so the only loss is
+    // int8 resolution — recall should be near-perfect, gate at 0.9
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 60L).map { id =>
+      val raw = Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2f)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      (id, raw.map(_ / n), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val truth = Similarity.bruteForceTopK(vecs, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sqTopK(vecs, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"sq8 recall $recall")
+  }
+
+  test("labelFilteredTopK: neighbors share the query's label, k under-fill is real") {
+    val got = Similarity.labelFilteredTopK(embs, nQueries = 5, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // label 0 = {v0, v1} (identical), label 1 = {v2 ⟂ v3}: each query
+    // has exactly ONE in-label neighbor — a post-filtered unfiltered
+    // top-1 would instead return v1's twin for v2/v3 and miss these
+    assert(got === Seq(
+      (0L, 0L, 1L, 1.0, 1L),
+      (1L, 0L, 0L, 1.0, 1L),
+      (2L, 1L, 3L, 0.0, 1L),
+      (3L, 1L, 2L, 0.0, 1L)))
+  }
+
+  test("sqIndex: static side carries codes + bucket only, floats dropped") {
+    val idx = Similarity.sqIndex(embs, bits = 4)
+    assert(idx.columns.toSeq === Seq("vec_id", "scale", "qv", "bucket"))
+    val row = idx.filter(col("vec_id") === 1L).collect().head
+    assert(row.getSeq[Long](2) === Seq(127L, 0L, 0L, 0L))
+  }
+
   test("randomProject: exact integer sums against a hand-derived sign row") {
     val s = spark; import s.implicits._
     val vecs = Seq((7L, Seq(0.5f, -0.25f, 1f, 0f), 0))

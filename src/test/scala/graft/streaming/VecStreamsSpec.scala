@@ -51,6 +51,41 @@ class VecStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("SQ8 screen scores bucket-mates in compressed domain, exact integers") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val sqIdx = Similarity.sqIndex(
+      spark.createDataFrame(Seq(
+        (100L, Seq(1f, 0f, 0f, 0f), 0),
+        (101L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+        (102L, Seq(0f, 0f, 1f, 0f), 1)))
+        .toDF("vec_id", "embedding", "label"))
+    val mem = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val query = VecStreams.sqScreen(
+      mem.toDF().toDF("vec_id", "embedding", "ts"), sqIdx, k = 2)
+      .writeStream.format("memory").queryName("sq_screen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, Seq(1f, 0f, 0f, 0f),
+        Timestamp.valueOf("2023-01-01 10:30:00")))
+      query.processAllAvailable()
+      mem.addData((2L, Seq(0f, 1f, 0f, 0f),
+        Timestamp.valueOf("2023-01-01 13:30:00"))) // advance watermark
+      query.processAllAvailable()
+      mem.addData((3L, Seq(0f, 0f, 0f, 1f),
+        Timestamp.valueOf("2023-01-01 16:30:00")))
+      query.processAllAvailable()
+      val rows = spark.table("sq_screen").filter("vec_id = 1").collect()
+      assert(rows.length === 1)
+      val matches = rows.head.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getString(1).toLong, r.getDouble(0).toLong))
+      // q̂=(127,0,0,0): 100 → 127²·10⁶ exactly; 101 → (q̂·ĉ)·s_c =
+      // 127·127·9·10⁵ (ĉ=(127,14,0,0), only dim 0 overlaps)
+      assert(matches === Seq(
+        (100L, 16129000000L), (101L, 14516100000L)))
+    } finally query.stop()
+  }
+
   test("IVF screen routes per-row like the batch assignment and matches") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
