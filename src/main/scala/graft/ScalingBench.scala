@@ -241,7 +241,11 @@ object ScalingBench {
       // expected ~linear); the screen's arrival slice grows with
       // the corpus (%20) against a growing bucketed index; the
       // filtered ranker is one broadcast equi-join + capped window
-      "sim_sq_topk", "stream_sq_screen", "sim_filtered_topk")
+      "sim_sq_topk", "stream_sq_screen", "sim_filtered_topk",
+      // round 15: two-stage serving — the ADC scan's curve plus an
+      // id-pruned broadcast float fetch (fixed 50×9 shortlist), so
+      // the delta vs sim_ivfpq_topk is the refine stage's cost
+      "sim_ivfpq_refined")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

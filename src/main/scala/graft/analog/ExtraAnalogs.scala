@@ -1979,6 +1979,97 @@ object ExtraAnalogs {
         |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Two-stage IVF-PQ serving (the FAISS refine pattern): the ADC
+    // shortlist at kCand=9 re-scores EXACTLY against the float rows
+    // of only those candidates — compressed scan proposes, id-pruned
+    // float fetch disposes; the returned order is exact cosine. The
+    // oracle composes sim_ivfpq_topk's training/ADC chain verbatim,
+    // then joins the kCand shortlist back to `e` for the rerank.
+    Q("sim_ivfpq_refined",
+      (s, d) => Similarity.ivfPqRefinedTopK(Tables.embeddings(s, d)),
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |$dPqCte,
+        |cds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |cor AS (SELECT c.vec_id, c.cell, x.sub, x.cent_id
+        |        FROM cells c JOIN cds x USING (vec_id)),
+        |qp AS (SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |       FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
+        |qd AS (SELECT vec_id AS query_id, sub, cent_id, dist
+        |       FROM pqa30 WHERE vec_id < 50),
+        |adc AS (
+        |  SELECT qp.query_id, cor.vec_id AS neighbor_id,
+        |         CAST(sum(qd.dist) AS BIGINT) AS adc
+        |  FROM qp JOIN cor ON cor.cell = qp.cell
+        |    AND cor.vec_id <> qp.query_id
+        |  JOIN qd ON qd.query_id = qp.query_id AND qd.sub = cor.sub
+        |    AND qd.cent_id = cor.cent_id
+        |  GROUP BY 1, 2
+        |), rfsl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |    FROM adc) WHERE rnk <= 9
+        |), rfrr AS (
+        |  SELECT rfsl.query_id, rfsl.neighbor_id,
+        |         round(${dCos("q.emb", "c.emb")}, 6) AS sim
+        |  FROM rfsl JOIN e q ON q.vec_id = rfsl.query_id
+        |          JOIN e c ON c.vec_id = rfsl.neighbor_id
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM rfrr
+        |)
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // The refine stage's recall gate: two-stage IVF-PQ top-10 (ADC
+    // shortlist at kCand=30, exact rerank) vs brute-force truth
+    // through the shared integer metric tail — the measured recovery
+    // over eval_ivfpq_metrics' raw-ADC numbers IS the refine stage's
+    // value, hash-gated rather than argued.
+    Q("eval_ivfpq_refined_metrics",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Evaluation.retrievalMetrics(
+          Similarity.ivfPqRefinedTopK(e, 50, 10, kCand = 30),
+          Similarity.bruteForceTopK(e, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |$dPqCte,
+        |cds AS (SELECT vec_id, sub, cent_id FROM pqa3 WHERE rk = 1),
+        |cor AS (SELECT c.vec_id, c.cell, x.sub, x.cent_id
+        |        FROM cells c JOIN cds x USING (vec_id)),
+        |qp AS (SELECT a.vec_id AS query_id, a.cent_id AS cell
+        |       FROM a3 a WHERE a.rk <= 2 AND a.vec_id < 50),
+        |qd AS (SELECT vec_id AS query_id, sub, cent_id, dist
+        |       FROM pqa30 WHERE vec_id < 50),
+        |adc AS (
+        |  SELECT qp.query_id, cor.vec_id AS neighbor_id,
+        |         CAST(sum(qd.dist) AS BIGINT) AS adc
+        |  FROM qp JOIN cor ON cor.cell = qp.cell
+        |    AND cor.vec_id <> qp.query_id
+        |  JOIN qd ON qd.query_id = qp.query_id AND qd.sub = cor.sub
+        |    AND qd.cent_id = cor.cent_id
+        |  GROUP BY 1, 2
+        |), rfsl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |    FROM adc) WHERE rnk <= 30
+        |), rfrr AS (
+        |  SELECT rfsl.query_id, rfsl.neighbor_id,
+        |         round(${dCos("q.emb", "c.emb")}, 6) AS sim
+        |  FROM rfsl JOIN e q ON q.vec_id = rfsl.query_id
+        |          JOIN e c ON c.vec_id = rfsl.neighbor_id
+        |), rfr AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM rfrr
+        |),
+        |${dMetricsTail("rfr")}""".stripMargin)),
+
     // IVF-PQ artifact persistence in the loop: train the router
     // centroids AND the PQ codebook, SAVE both (ModelStore.saveIvf +
     // savePq — the complete deployment artifact of the composed ANN

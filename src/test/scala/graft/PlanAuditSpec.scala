@@ -402,6 +402,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .findFirstIn(p).isDefined, p.take(1200))
   }
 
+  test("refine stage fetches candidates by broadcast id-join, never a shuffle") {
+    // two-stage serving: the float fetch of the ADC shortlist must be
+    // a BROADCAST hash join on neighbor_id (the corpus streams once,
+    // id-pruned) — a SortMergeJoin would shuffle the float corpus the
+    // compressed scan exists to avoid
+    val p = plans("sim_ivfpq_refined")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("pack's row-level running sum never serializes a whole source") {
     // the two-level prefix sum: any window ORDERED BY doc_id (i.e.
     // running over the full row stream) must partition by source AND

@@ -392,6 +392,50 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       (3L, 1L, 2L, 0.0, 1L)))
   }
 
+  test("refineTopK: full shortlist degenerates to exact brute force") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 30L).map { id =>
+      (id, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 2f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    // shortlist = ALL (query, candidate) pairs: the refine stage then
+    // IS brute force — the limit law that pins the rerank's exactness
+    val all = (for (q <- 0L until 5L; c <- 0L until 30L if q != c)
+      yield (q, c)).toDF("query_id", "neighbor_id")
+    val refined = Similarity.refineTopK(all, vecs, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val brute = Similarity.bruteForceTopK(vecs, 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(refined === brute)
+  }
+
+  test("ivfPqRefinedTopK: results come from the ADC shortlist, exact sims, recall never drops") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map { id =>
+      (id, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val shortlist = Similarity.ivfPqTopK(vecs, 5, 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfPqRefinedTopK(vecs, 5, 3, kCand = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // containment: the rerank can only reorder the shortlist
+    assert(refined.forall { case (q, n, _) => shortlist((q, n)) })
+    // exactness: refined sims equal the true cosines pair-for-pair
+    val truth = Similarity.bruteForceTopK(vecs, 5, 63).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    refined.foreach { case (q, n, sim) => assert(sim === truth((q, n))) }
+    // recall@3 of the refined ranking >= the raw ADC ranking's
+    val top3 = Similarity.bruteForceTopK(vecs, 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw3 = Similarity.ivfPqTopK(vecs, 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined3 = refined.map { case (q, n, _) => (q, n) }.toSet
+    assert((refined3 & top3).size >= (raw3 & top3).size)
+  }
+
   test("sqIndex: static side carries codes + bucket only, floats dropped") {
     val idx = Similarity.sqIndex(embs, bits = 4)
     assert(idx.columns.toSeq === Seq("vec_id", "scale", "qv", "bucket"))
