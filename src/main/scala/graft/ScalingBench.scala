@@ -245,7 +245,10 @@ object ScalingBench {
       // round 15: two-stage serving — the ADC scan's curve plus an
       // id-pruned broadcast float fetch (fixed 50×9 shortlist), so
       // the delta vs sim_ivfpq_topk is the refine stage's cost
-      "sim_ivfpq_refined")
+      "sim_ivfpq_refined",
+      // round 15: keep-best completion = the dedup_clusters curve
+      // plus one score join and one hash-argmax aggregate
+      "dedup_survivors_best")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -465,8 +465,12 @@ object ExtraAnalogs {
     * `dedup_clusters_distributed` (min-label propagation path), which
     * therefore must agree with each other bit-for-bit.
     */
-  private lazy val dClustersSql: String =
-    s"""WITH RECURSIVE $dVerifiedPairsCte,
+  /** The component-label CTE chain ending in `clus(doc_id,
+    * cluster_id)` — shared by the plain/distributed cluster queries
+    * and the best-survivor policy so the labels cannot drift.
+    */
+  private lazy val dClustersCte: String =
+    s"""$dVerifiedPairsCte,
     |edges AS (
     |  SELECT doc_a AS src, doc_b AS dst FROM verified
     |  UNION ALL SELECT doc_b, doc_a FROM verified
@@ -476,9 +480,15 @@ object ExtraAnalogs {
     |  UNION
     |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e
     |    ON e.src = reach.doc_id
-    |)
-    |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-    |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+    |),
+    |clus AS (
+    |  SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    |  FROM reach GROUP BY 1
+    |)""".stripMargin
+
+  private lazy val dClustersSql: String =
+    s"""WITH RECURSIVE $dClustersCte
+    |SELECT doc_id, cluster_id FROM clus ORDER BY 1""".stripMargin
 
   private[analog] def dMarkerHits(markers: Seq[String]) =
     s"len(list_filter(w, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
@@ -1020,6 +1030,34 @@ object ExtraAnalogs {
         Dedup.clusters(docs, Dedup.minhashPairs(docs), localThreshold = 0)
       },
       Some(dClustersSql)),
+
+    // Quality-aware dedup completion — keep-BEST per cluster (the
+    // SlimPajama/RefinedWeb convention; here keep-LONGEST via
+    // n_chars, ties to the lower id): min-id survivor selection
+    // routinely keeps the tweet and drops the article. One hash
+    // aggregate carries the argmax (max(struct(score, -doc_id))) —
+    // no corpus-wide window. Oracle composes the SHARED component-
+    // label CTE (dClustersCte) with the argmax, so the labels cannot
+    // drift from dedup_clusters.
+    Q("dedup_survivors_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.bestSurvivors(docs, Dedup.minhashPairs(docs),
+          col("n_chars"))
+      },
+      Some(s"""WITH RECURSIVE $dClustersCte,
+        |best AS (
+        |  SELECT c.cluster_id, d.doc_id, d.n_chars,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |           ORDER BY d.n_chars DESC, d.doc_id) AS rnk
+        |  FROM clus c JOIN documents d USING (doc_id)
+        |),
+        |sz AS (SELECT cluster_id, count(*) AS n_docs FROM clus GROUP BY 1)
+        |SELECT b.cluster_id, b.doc_id,
+        |       CAST(b.n_chars AS BIGINT) AS q_score,
+        |       CAST(s.n_docs AS BIGINT) AS n_docs
+        |FROM best b JOIN sz s USING (cluster_id)
+        |WHERE b.rnk = 1 ORDER BY b.cluster_id""".stripMargin)),
 
     // Cross-source near-dup overlap matrix: verified pairs tagged with
     // both docs' sources (unordered; diagonal = within-source), pair

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -36,7 +36,8 @@ object Dedup {
     * hammer). Safe to call after the result has been fully consumed;
     * Spark recomputes if the df is reused afterwards.
     */
-  final class Managed(val df: DataFrame, handles: Seq[DataFrame])
+  final class Managed(val df: DataFrame,
+      private[operators] val handles: Seq[DataFrame])
       extends AutoCloseable {
     def close(): Unit = handles.foreach(_.unpersist(false))
     /** True iff every internally persisted plan has been released. */
@@ -933,5 +934,46 @@ object Dedup {
       .join(edgeIds, Seq("doc_id"), "left_anti")
     new Managed(exportOrder(untouched.union(labels)),
       Seq(edges, edgeIds) ++ Option(cached))
+  }
+
+  /** Quality-aware dedup completion — the keep-BEST policy (the
+    * SlimPajama/RefinedWeb convention: keep the longest / highest-
+    * quality member of each near-dup cluster, not the lowest id; a
+    * min-id policy routinely keeps the tweet and drops the article,
+    * the same failure [[containmentSurvivors]] avoids by keeping the
+    * superset). `score` is any INTEGER-valued quality column of
+    * `docs` (n_chars for keep-longest, a scaled quality composite for
+    * keep-best) — integer so the argmax is engine-exact; ties break
+    * to the lower doc_id.
+    *
+    * Output: one row per cluster (cluster_id, doc_id = the survivor,
+    * q_score, n_docs). Scale shape: [[clustersManaged]]'s labels
+    * (unsorted — the total order here is per-cluster, not corpus-
+    * wide) join the (doc_id, score) projection, then ONE hash
+    * aggregate with map-side combine: `max(struct(score, −doc_id))`
+    * carries the argmax through the partial/final pair — no
+    * corpus-wide window, no per-cluster sort; the shuffle moves one
+    * struct per (partition, cluster).
+    */
+  def bestSurvivors(docs: DataFrame, pairs: DataFrame, score: Column,
+      maxIters: Int = 20, localThreshold: Int = 100000): DataFrame =
+    bestSurvivorsManaged(docs, pairs, score, maxIters, localThreshold).df
+
+  /** [[bestSurvivors]] with [[clustersManaged]]'s persists exposed. */
+  def bestSurvivorsManaged(docs: DataFrame, pairs: DataFrame,
+      score: Column, maxIters: Int = 20,
+      localThreshold: Int = 100000): Managed = {
+    val m = clustersManaged(docs, pairs, maxIters, localThreshold,
+      sorted = false)
+    val labeled = docs
+      .select(col("doc_id"), score.cast("long").as("q_score"))
+      .join(m.df, Seq("doc_id"))
+    val out = labeled.groupBy("cluster_id")
+      .agg(max(struct(col("q_score"), (-col("doc_id")).as("nid"))).as("b"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), (-col("b.nid")).as("doc_id"),
+        col("b.q_score").as("q_score"), col("n_docs"))
+      .orderBy("cluster_id")
+    new Managed(out, m.handles)
   }
 }

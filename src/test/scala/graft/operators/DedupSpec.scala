@@ -110,6 +110,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("bestSurvivors keeps the highest score per cluster where min-id keeps the shortest") {
+    val d = spark.createDataFrame(Seq(
+      (0L, "tweet", 5L),           // cluster {0,1,2}: min-id keeps 0...
+      (1L, "the full article body", 21L), // ...keep-best keeps 1
+      (2L, "article excerpt", 15L),
+      (3L, "solo", 4L)))           // singleton survives with n_docs=1
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = spark.createDataFrame(Seq(
+      (0L, 1L, 1.0), (1L, 2L, 1.0)))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.bestSurvivors(d, pairs,
+      org.apache.spark.sql.functions.col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Seq((0L, 1L, 21L, 3L), (3L, 3L, 4L, 1L)))
+    // tie on score breaks to the LOWER doc_id
+    val tie = spark.createDataFrame(Seq(
+      (7L, "aaaa", 4L), (8L, "bbbb", 4L)))
+      .toDF("doc_id", "text", "n_chars")
+    val tiePairs = spark.createDataFrame(Seq((7L, 8L, 1.0)))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val tieGot = Dedup.bestSurvivors(tie, tiePairs,
+      org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tieGot === Seq((7L, 7L)))
+  }
+
   test("sourceOverlap: unordered source pairs, pair and distinct-doc counts") {
     val d = spark.createDataFrame(Seq(
       (0L, "srcA"), (1L, "srcB"), (2L, "srcA"), (3L, "srcB"), (4L, "srcA")))
