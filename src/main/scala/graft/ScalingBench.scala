@@ -248,7 +248,12 @@ object ScalingBench {
       "sim_ivfpq_refined",
       // round 15: keep-best completion = the dedup_clusters curve
       // plus one score join and one hash-argmax aggregate
-      "dedup_survivors_best")
+      "dedup_survivors_best",
+      // round 15: the filtered screen shares stream_sq_screen's
+      // fixed-bits bucket geometry (same documented Θ(n²/2^bits)
+      // pair artifact, label key thins it by the label count); the
+      // balance profile is one scan into an 8-key aggregate
+      "stream_filtered_screen", "eval_ivf_balance")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

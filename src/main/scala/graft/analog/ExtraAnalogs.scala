@@ -4341,6 +4341,77 @@ object ExtraAnalogs {
         |       rnk AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
 
+    // Batch twin of the FILTERED streaming screen
+    // (VecStreams.filteredScreen — labelFilteredTopK at the ingest
+    // boundary): arrivals screen against same-LABEL index entries
+    // only, the label riding the stream-static join as a second
+    // equi-key (in-language / in-tenant ingest screening; a static
+    // index partitioned by (label, bucket) prunes to the arriving
+    // labels).
+    Q("stream_filtered_screen",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val arrivals = embs.filter(col("vec_id") % 20 === 0)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+          .select("vec_id", "embedding", "label", "ts")
+        val index = Similarity.buildIndexKeeping(
+          embs.filter(col("vec_id") % 20 =!= 0), 4, "label")
+        graft.streaming.VecStreams.filteredScreen(arrivals, index, k = 3,
+          bits = 4)
+          .select(col("hour"), col("vec_id"), col("label"),
+            posexplode(col("matches")).as(Seq("pos", "m")))
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("vec_id"), col("label").cast("long").as("label"),
+            col("m.label").cast("long").as("cand"),
+            col("m.score").as("sim"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${dLshPrefixWith("SELECT 4 AS bits")},
+        |${dProbes("qp", " AND q.vec_id % 20 = 0")},
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |        FROM embeddings),
+        |hits AS (
+        |  SELECT qp.vec_id, ql.label, c.vec_id AS cand_id,
+        |         round(${dDot("qp.emb", "c.emb")} / (qp.norm * c.norm), 6)
+        |           AS sim
+        |  FROM qp
+        |  JOIN lab ql ON ql.vec_id = qp.vec_id
+        |  JOIN bkt c ON c.bucket = qp.bucket AND c.vec_id % 20 <> 0
+        |  JOIN lab cl ON cl.vec_id = c.vec_id AND cl.label = ql.label
+        |),
+        |ranked AS (
+        |  SELECT vec_id, label, cand_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM hits
+        |)
+        |SELECT strftime(date_trunc('hour',
+        |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |       vec_id, label, cand_id AS cand, sim, rnk AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
+    // IVF index-balance profile — the routing-skew diagnostic run
+    // before serving a trained index: per-cell occupancy, per-myriad
+    // share, and LOAD FACTOR (10000 = balanced; the max row is the
+    // straggler multiplier every probe of that cell pays; empty cells
+    // appear as explicit zero rows — wasted routing resolution).
+    Q("eval_ivf_balance",
+      (s, d) => Similarity.indexHealth(Tables.embeddings(s, d)),
+      Some(s"""WITH ${dKmCellsCte("8")},
+        |cnt AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+        |allc AS (SELECT unnest(range(0, 8)) AS cell),
+        |filled AS (SELECT a.cell, COALESCE(c.n, 0) AS n_vecs
+        |           FROM allc a LEFT JOIN cnt c USING (cell)),
+        |tot AS (SELECT sum(n_vecs) AS n_total FROM filled)
+        |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |       CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_pm,
+        |       CAST(n_vecs * 8 * 10000 // n_total AS BIGINT) AS load_pm
+        |FROM filled, tot ORDER BY cell""".stripMargin)),
+
     // Batch twin of the STREAMING IVF screen
     // (graft.streaming.VecStreams.ivfScreen): every 20th vector
     // arrives (one minute per vec_id), per-row-ranks the full-corpus

@@ -177,6 +177,39 @@ object VecStreams {
     * (exact integers in double), label = zero-padded cand id so the
     * heap's tie order equals the batch (adc ASC, vec_id ASC).
     */
+  /** Attribute-filtered streaming screen — [[annScreen]] with the
+    * query's `label` as a SECOND join key (the streaming twin of
+    * [[graft.operators.Similarity.labelFilteredTopK]]): each arriving
+    * vector only ever scores index entries sharing its label
+    * (in-language / in-tenant ingest screening). The label is an
+    * equi-key of the stream-static join, not a post-filter — at
+    * 100 TB the static index is partitioned by (label, bucket), so a
+    * micro-batch touches only its labels' partitions. The index must
+    * carry a `label` column ([[graft.operators.Similarity.buildIndex]]
+    * over a frame that kept it, or the caller's select).
+    */
+  def filteredScreen(streamEmbs: DataFrame, index: DataFrame, k: Int = 3,
+      bits: Int = 4): DataFrame = {
+    val q = streamEmbs
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), bits))
+      .withColumn("bucket",
+        explode(Similarity.probeBuckets(col("bucket"), bits)))
+      .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .withWatermark("ts", "1 hour")
+    val c = index.select(col("bucket"), col("label"),
+      col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
+      col("norm").as("cand_norm"))
+    q.join(c, Seq("bucket", "label"))
+      .select(col("ts"), col("vec_id"), col("label"),
+        round(vecDot(col("embedding"), col("cand_emb")) /
+          (col("norm") * col("cand_norm")), 6).as("sim"),
+        format_string("%012d", col("cand_id")).as("cand"))
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"), col("label"))
+      .agg(TopKAgg.topK(col("sim"), col("cand"), k).as("matches"))
+      .select(col("window.start").as("hour"), col("vec_id"),
+        col("label"), col("matches"))
+  }
+
   /** SQ8-compressed streaming screen — [[annScreen]]'s shape with the
     * static side reduced to int8 codes ([[graft.operators.Similarity
     * .sqIndex]]: codes + bucket, floats DROPPED — the 100 TB static

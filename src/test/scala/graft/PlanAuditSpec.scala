@@ -400,6 +400,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plans("sim_filtered_topk")
     assert("""BroadcastHashJoin \[[^\]]*q_label""".r
       .findFirstIn(p).isDefined, p.take(1200))
+    // the streaming twin: label rides the stream-static join the same
+    // way (a post-filter would score cross-label bucket-mates first)
+    val ps = plans("stream_filtered_screen")
+    assert("""BroadcastHashJoin \[[^\]]*label""".r
+      .findFirstIn(ps).isDefined, ps.take(1200))
+  }
+
+  test("index-balance profile joins its cell-sized frames by broadcast") {
+    // the only windows allowed are the per-row assignment's (bounded
+    // by the centroid count per vec); the zero-fill left join must
+    // build on the <= nCells counts frame, never sort-merge
+    val p = plans("eval_ivf_balance")
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
   test("refine stage fetches candidates by broadcast id-join, never a shuffle") {

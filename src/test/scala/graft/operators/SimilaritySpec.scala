@@ -392,6 +392,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       (3L, 1L, 2L, 0.0, 1L)))
   }
 
+  test("indexHealth: every cell accounted for, loads integer-exact, empties explicit") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 20
+    val vecs = (0L until n.toLong).map { id =>
+      (id, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.indexHealth(vecs, nCells = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1) === (0L until 8L)) // all 8 cells, empties included
+    assert(got.map(_._2).sum === n.toLong)  // occupancy partitions the corpus
+    got.foreach { case (_, nv, share, load) =>
+      assert(share === nv * 10000L / n)
+      assert(load === nv * 8L * 10000L / n)
+    }
+  }
+
   test("refineTopK: full shortlist degenerates to exact brute force") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(42)

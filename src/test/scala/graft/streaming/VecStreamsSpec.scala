@@ -51,6 +51,41 @@ class VecStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("filtered screen: the label is a join key — same-bucket cross-label never matches") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    // 100 and 101 share the arrival's bucket (same direction), but
+    // 101 carries label 1 — the label key must exclude it where the
+    // unfiltered annScreen would rank it second
+    val idx = Similarity.buildIndexKeeping(
+      spark.createDataFrame(Seq(
+        (100L, Seq(1f, 0f, 0f, 0f), 0),
+        (101L, Seq(0.9f, 0.1f, 0f, 0f), 1),
+        (102L, Seq(0f, 0f, 1f, 0f), 0)))
+        .toDF("vec_id", "embedding", "label"), 4, "label")
+    val mem = MemoryStream[(Long, Seq[Float], Int, Timestamp)]
+    val query = VecStreams.filteredScreen(
+      mem.toDF().toDF("vec_id", "embedding", "label", "ts"), idx, k = 2)
+      .writeStream.format("memory").queryName("filtered_screen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, Seq(1f, 0f, 0f, 0f), 0,
+        Timestamp.valueOf("2023-01-01 10:30:00")))
+      query.processAllAvailable()
+      mem.addData((2L, Seq(0f, 1f, 0f, 0f), 0,
+        Timestamp.valueOf("2023-01-01 14:30:00"))) // advance watermark
+      query.processAllAvailable()
+      mem.addData((3L, Seq(0f, 0f, 0f, 1f), 0,
+        Timestamp.valueOf("2023-01-01 18:30:00")))
+      query.processAllAvailable()
+      val rows = spark.table("filtered_screen").filter("vec_id = 1").collect()
+      assert(rows.length === 1)
+      val matches = rows.head.getSeq[org.apache.spark.sql.Row](3)
+        .map(r => r.getString(1).toLong)
+      assert(matches === Seq(100L)) // 101 bucket-matched, label-excluded
+    } finally query.stop()
+  }
+
   test("SQ8 screen scores bucket-mates in compressed domain, exact integers") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
