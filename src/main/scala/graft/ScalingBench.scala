@@ -253,7 +253,10 @@ object ScalingBench {
       // fixed-bits bucket geometry (same documented Θ(n²/2^bits)
       // pair artifact, label key thins it by the label count); the
       // balance profile is one scan into an 8-key aggregate
-      "stream_filtered_screen", "eval_ivf_balance")
+      "stream_filtered_screen", "eval_ivf_balance",
+      // round 15: the sketch scan reads 16 longs/row — expected flat
+      // like sim_sq_topk (fixed 5-query set, growing corpus)
+      "sim_project_topk")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

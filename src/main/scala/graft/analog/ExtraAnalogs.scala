@@ -538,6 +538,29 @@ object ExtraAnalogs {
       |               * ((abs(x)*254 + sc) // (2*sc)) END) AS qv
       |      FROM ssc)""".stripMargin
 
+  /** JL-sketch CTE mirroring Similarity.projectArr at m=16, d=64
+    * (emb_project's sign/projection arithmetic, kept as a list and
+    * floor(y/4)-downshifted): skt(vec_id, sk) — shared by
+    * sim_project_topk and eval_project_metrics.
+    */
+  private val dSkCte: String =
+    """sgn AS (
+      |  SELECT j, list_transform(range(0, 64),
+      |    i -> CASE WHEN ('0x' || substr(md5(concat(CAST(j AS VARCHAR),
+      |           ' ', CAST(i AS VARCHAR))),1,15))::BIGINT % 2 = 0
+      |         THEN 1 ELSE -1 END) AS s
+      |  FROM (SELECT unnest(range(0, 16)) AS j)),
+      |skv AS (SELECT vec_id, list_transform(embedding,
+      |        x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS vi
+      |      FROM embeddings),
+      |skp AS (SELECT skv.vec_id, sgn.j,
+      |        CAST(list_sum(list_transform(range(1, 65),
+      |          i -> vi[i]*s[i])) AS BIGINT) AS y
+      |      FROM skv CROSS JOIN sgn),
+      |skt AS (SELECT vec_id,
+      |        list(CAST(floor(y/4.0) AS BIGINT) ORDER BY j) AS sk
+      |      FROM skp GROUP BY vec_id)""".stripMargin
+
   /** Hyperplane CTE mirroring Similarity.Hyperplanes — the 6-decimal
     * components are generated FROM the Scala arrays, so both engines
     * parse the identical decimal literals to the identical doubles.
@@ -2502,6 +2525,67 @@ object ExtraAnalogs {
         |)
         |SELECT query_id, label, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // Sketch-space exact scan: brute-force top-10 over the 16-long JL
+    // sketch (16 longs/row instead of 64 floats; E[sketch dot] = m ×
+    // true dot for Rademacher projections). The 2-bit downshift keeps
+    // the ranking integer double-exact in the heap.
+    Q("sim_project_topk",
+      (s, d) => Similarity.projectTopK(Tables.embeddings(s, d)),
+      Some(s"""WITH $dSkCte,
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ${dIntDot("q.sk", "c.sk")} AS qscore
+        |  FROM skt q JOIN skt c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, CAST(qscore AS BIGINT) AS qscore,
+        |       CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // The propose/refine composition gated for the THIRD compression
+    // family: JL-sketch shortlist at kCand=30, exact float rerank
+    // (the same generic refineTopK the IVF-PQ path uses), measured
+    // against brute-force truth through the shared metric tail.
+    Q("eval_project_metrics",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Evaluation.retrievalMetrics(
+          Similarity.projectRefinedTopK(e, 50, 10, kCand = 30),
+          Similarity.bruteForceTopK(e, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm
+        |      FROM e0),
+        |$dSkCte,
+        |sp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ${dIntDot("q.sk", "c.sk")} AS qscore
+        |  FROM skt q JOIN skt c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50
+        |), rfsl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rnk
+        |    FROM sp) WHERE rnk <= 30
+        |), rfrr AS (
+        |  SELECT rfsl.query_id, rfsl.neighbor_id,
+        |         round(${dCos("q.emb", "c.emb")}, 6) AS sim
+        |  FROM rfsl JOIN e q ON q.vec_id = rfsl.query_id
+        |          JOIN e c ON c.vec_id = rfsl.neighbor_id
+        |), rfr AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM rfrr
+        |),
+        |${dMetricsTail("rfr")}""".stripMargin)),
 
     // JL random projection 64 -> 16: md5-derived Rademacher signs,
     // integer-exact sums — the sketch step before storing/indexing.

@@ -460,6 +460,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(row.getSeq[Long](2) === Seq(127L, 0L, 0L, 0L))
   }
 
+  test("projectArr: the serving sketch is exactly randomProject's image, downshifted") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 12L).map { id =>
+      (id, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val full = Similarity.randomProject(vecs, m = 16, d = 64).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").map(_.toLong)).toMap
+    val arr = Similarity.projectArr(vecs, m = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    arr.foreach { case (id, sk) =>
+      assert(sk === full(id).map(y =>
+        math.floor(y / 4.0).toLong).toSeq)
+    }
+  }
+
+  test("projectRefinedTopK: refine recovers over the raw sketch ranking") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 60L).map { id =>
+      val raw = Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2f)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      (id, raw.map(_ / n), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val truth = Similarity.bruteForceTopK(vecs, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Similarity.projectTopK(vecs, 16, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.projectRefinedTopK(vecs, 5, 5, kCand = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((refined & truth).size >= (raw & truth).size)
+  }
+
   test("randomProject: exact integer sums against a hand-derived sign row") {
     val s = spark; import s.implicits._
     val vecs = Seq((7L, Seq(0.5f, -0.25f, 1f, 0f), 0))
