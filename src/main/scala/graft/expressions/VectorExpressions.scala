@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -87,9 +87,75 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[VecDot]]'s integer twin for the compressed-domain hot paths
+  * (SQ8 codes, JL sketches): a tight long-accumulating loop over two
+  * array<long> columns. Replaces `aggregate(zip_with(_*_), 0L, _+_)`
+  * — same exact 64-bit result (integer addition is associative), but
+  * codegen'd with zero intermediate arrays where the higher-order
+  * built-ins interpret a lambda per element. The caller owns the
+  * no-overflow argument (SQ8: |dot·scale| ≲ 10¹²; sketches: ≤ 4·10¹⁵
+  * by the 2-bit downshift).
+  */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "vec_dot_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint> args, " +
+        s"got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by the codegen expression. */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(
       VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-level integer dot product (array<long>), codegen'd. */
+  def vecDotLong(a: Column, b: Column): Column =
+    GraftBridge.column(
+      VecDotLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{GramHashes, MinhashBands, ModalRunLength, NfcNormalize, ScriptCounts, SimhashFold, TopKAgg, VecDot, WinnowMins}
+import graft.expressions.{GramHashes, MinhashBands, ModalRunLength, NfcNormalize, ScriptCounts, SimhashFold, TopKAgg, VecDot, VecDotLong, WinnowMins}
 
 /** Session-extension entry point: registers the engine's native
   * expressions with the function registry so they're callable from SQL
@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(a, b) takes two array args")
         VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_long"),
+      new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "vec_dot_long(a, b) takes two array<bigint> args")
+        VecDotLong(args.head, args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash_fold"),

@@ -49,6 +49,34 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
       e.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("vec_dot_long equals the interpreted fold exactly, incl. negatives") {
+    import VectorExpressions.vecDotLong
+    val ldf = spark.createDataFrame(Seq(
+      (0L, Seq(127L, -64L, 32L, 0L), Seq(127L, 0L, 0L, 0L)),
+      (1L, Seq(-127L, 5L), Seq(127L, 1000000L))))
+      .toDF("id", "a", "b")
+    val fold = aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+      lit(0L), (acc, v) => acc + v)
+    val rows = ldf.select(vecDotLong(col("a"), col("b")).as("native"),
+      fold.as("fold")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(16129L, 4983871L))
+  }
+
+  test("vec_dot_long is registered for SQL and rejects non-long arrays") {
+    import VectorExpressions.vecDotLong
+    spark.createDataFrame(Seq((0L, Seq(2L, 3L), Seq(4L, 5L))))
+      .toDF("id", "a", "b").createOrReplaceTempView("lvecs")
+    val got = spark.sql("SELECT vec_dot_long(a, b) FROM lvecs")
+      .collect().head.getLong(0)
+    assert(got === 23L)
+    val e = intercept[Exception] {
+      df.select(vecDotLong(col("a"), col("b"))).collect() // float arrays
+    }
+    assert(e.getMessage.contains("vec_dot_long") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
+
   test("double arrays work too (mixed float/double)") {
     val mixed = df.select(col("a"),
       transform(col("b"), _.cast("double")).as("bd"))
