@@ -2467,6 +2467,36 @@ object ExtraAnalogs {
         |       CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Encode-once SQ8 serving: the code table is a STORED artifact
+    // (ModelStore.ensureFrame + corpus fingerprint beside it) and the
+    // query batch probes it — SQ8 has no trained model, but the
+    // encode pass over a 100 TB corpus is one full scan a deployment
+    // pays once, not per batch. Long codes round-trip parquet
+    // exactly, so the identical sim_sq_topk oracle verifies that
+    // shipping the codes through disk changes nothing.
+    Q("sim_sq_topk_loaded",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val codes = graft.sources.ModelStore.ensureFrame(s,
+          s"target/models/sq_${dirKey(d)}/codes",
+          Similarity.sqCodes(e), fingerprintData = Some(e))
+        Similarity.sqTopKFromCodes(codes, e)
+      },
+      Some(s"""WITH $dSqCte,
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         ${dIntDot("q.qv", "c.qv")} * c.sc AS qscore
+        |  FROM sq q JOIN sq c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, CAST(qscore AS BIGINT) AS qscore,
+        |       CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
     // The recall gate for the SQ8 path (the eval_ivfpq_metrics grader
     // pointed at the scalar-quantized ranker): SQ8 top-10 for the 50-
     // query set vs exact brute-force truth through the identical

@@ -453,6 +453,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert((refined3 & top3).size >= (raw3 & top3).size)
   }
 
+  test("sqTopKFromCodes: codes shipped through parquet score identically") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 40L).map { id =>
+      (id, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 2f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq_codes").toString + "/codes"
+    Similarity.sqCodes(vecs).write.mode("overwrite").parquet(dir)
+    val fresh = Similarity.sqTopK(vecs, 3, 5).collect().toSeq
+    val stored = Similarity.sqTopKFromCodes(
+      spark.read.parquet(dir), vecs, 3, 5).collect().toSeq
+    assert(stored === fresh)
+  }
+
   test("sqIndex: static side carries codes + bucket only, floats dropped") {
     val idx = Similarity.sqIndex(embs, bits = 4)
     assert(idx.columns.toSeq === Seq("vec_id", "scale", "qv", "bucket"))
