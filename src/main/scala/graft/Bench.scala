@@ -105,8 +105,9 @@ object Bench {
       "sim_rrf_topk_loaded", "sim_ivf2_topk_loaded", "eval_langid_prf_loaded",
       "text_hard_negatives", "text_hybrid_topk", "stream_bm25_screen",
       // round 15: the upsert probes a stored slice-trained router +
-      // list frame; the stale gate builds its NB artifact once
-      "sim_ivf2_upsert", "model_store_stale_check")
+      // list frame; the stale gate builds its NB artifact once; the
+      // loaded SQ8 twin stores its code table via ensureFrame
+      "sim_ivf2_upsert", "model_store_stale_check", "sim_sq_topk_loaded")
     val warmupDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
         new java.io.File(warmupDir).isDirectory) {
