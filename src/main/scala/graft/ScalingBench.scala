@@ -255,8 +255,12 @@ object ScalingBench {
       // balance profile is one scan into an 8-key aggregate
       "stream_filtered_screen", "eval_ivf_balance",
       // round 15: the sketch scan reads 16 longs/row — expected flat
-      // like sim_sq_topk (fixed 5-query set, growing corpus)
-      "sim_project_topk")
+      // like sim_sq_topk (fixed 5-query set, growing corpus); the
+      // loaded SQ8 twin builds its stored code table on each scale's
+      // first run and probes it on the rest (the loaded-twin curve
+      // convention). The refined ranker's delta vs sim_ivfpq_topk is
+      // the (corpus-independent) refine leg.
+      "sim_project_topk", "sim_sq_topk_loaded")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
