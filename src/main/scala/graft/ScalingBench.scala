@@ -260,7 +260,11 @@ object ScalingBench {
       // first run and probes it on the rest (the loaded-twin curve
       // convention). The refined ranker's delta vs sim_ivfpq_topk is
       // the (corpus-independent) refine leg.
-      "sim_project_topk", "sim_sq_topk_loaded")
+      "sim_project_topk", "sim_sq_topk_loaded",
+      // round 15: the classifier-based quality filter shares
+      // text_langid_nb's geometry (seed-slice train + one-scan score)
+      // plus the rule pass over the corpus for labels
+      "quality_nb_score")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -28,8 +28,15 @@ object ExtraAnalogs {
     * seed, score every doc, argmax into `rk` (WHERE rk = 1 = the
     * prediction, with true_lang riding along).
     */
-  private val dLangidNbCte: String = """seed AS (
-        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+  /** The NB train→score→argmax chain over any (doc_id, lang, text)
+    * relation `src` — `lang` is the CLASS LABEL column, whatever it
+    * contains: languages for the langid queries, keep/drop weak
+    * labels for the classifier-based quality filter. Generalizing
+    * the relation (not copying the chain) keeps every NB oracle on
+    * one arithmetic definition.
+    */
+  private[analog] def dNbChainOn(src: String): String = s"""seed AS (
+        |  SELECT doc_id, lang, text FROM $src WHERE doc_id % 5 = 0),
         |g AS (
         |  SELECT lang, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
         |  FROM (SELECT lang, unnest(list_transform(
@@ -52,12 +59,12 @@ object ExtraAnalogs {
         |       FROM nd JOIN lf USING (lang)),
         |dg AS (SELECT doc_id, lang AS true_lang,
         |         CAST(greatest(length(text) - 2, 0) AS BIGINT) AS ng
-        |       FROM documents),
+        |       FROM $src),
         |docb AS (
         |  SELECT doc_id, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
         |  FROM (SELECT doc_id, unnest(list_transform(
         |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
-        |    FROM documents)),
+        |    FROM $src)),
         |hits AS (SELECT doc_id, dl.lang, CAST(sum(delta) AS BIGINT) AS sd
         |         FROM docb JOIN dl USING (b) GROUP BY doc_id, dl.lang),
         |sc AS (SELECT dg.doc_id, dg.true_lang, st.lang,
@@ -67,6 +74,8 @@ object ExtraAnalogs {
         |         AND hits.lang = st.lang),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |         ORDER BY score DESC, lang) AS rk FROM sc)""".stripMargin
+
+  private val dLangidNbCte: String = dNbChainOn("documents")
 
   /** The Spark half of [[dLangidNbCte]] — ONE shared chain for
     * text_langid_nb + eval_langid_prf: train the char-trigram NB on

@@ -80,7 +80,136 @@ object QualityAnalogs {
     """regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 5
       |      AND NOT contains(lower(l), 'javascript')""".stripMargin
 
+  /** The Gopher-injected corpus (quality_gopher_rules' fixture). */
+  private def injectedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0, lit(" and that have with"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(" 123 456 789 000 111"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" # # # # # #"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" ... ..."))
+          .otherwise(lit(""))).as("text"))
+
+  /** Classifier-based quality filtering (the FineWeb-Edu shape, weak-
+    * supervision variant): Gopher rule verdicts become keep/drop WEAK
+    * LABELS, and the generic hashed-char-trigram NB (LangId.train —
+    * its label column is just a class) trains on the doc_id%5 seed
+    * slice and scores EVERY document. The point at 100 TB: the rules
+    * run once on the seed; the full corpus pays only the one-scan NB
+    * scoring — and the same machinery accepts human or LLM labels in
+    * place of the rules with zero code change.
+    */
+  private def qualityNbBase(s: SparkSession, d: String): DataFrame = {
+    val inj = injectedDocs(s, d)
+    val verdict = QualityFilters.gopherRules(inj)
+      .select(col("doc_id"), col("pass"))
+    inj.join(verdict, "doc_id")
+      .select(col("doc_id"),
+        when(col("pass") === 1, lit("keep")).otherwise(lit("drop"))
+          .as("lang"),
+        col("text"))
+  }
+
+  private def qualityNbPredictions(s: SparkSession,
+      d: String): DataFrame = {
+    val base = qualityNbBase(s, d)
+    val m = graft.operators.LangId.train(
+      base.filter(col("doc_id") % 5 === 0))
+    graft.operators.LangId.predict(base, m)
+      .join(base.select("doc_id", "lang"), "doc_id")
+  }
+
+  /** DuckDB twin of [[qualityNbBase]]: CTEs ending in
+    * `qnb(doc_id, lang, text)` — the weak-label relation the shared
+    * NB chain (ExtraAnalogs.dNbChainOn) trains and scores over.
+    * concat() instead of line-leading `||` (the stripMargin gotcha).
+    */
+  private val dQnbCte: String =
+    """inj AS (SELECT doc_id, concat(text,
+      |    CASE WHEN doc_id % 2 = 0 THEN ' and that have with' ELSE '' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN ' 123 456 789 000 111' ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN ' # # # # # #' ELSE '' END,
+      |    CASE WHEN doc_id % 9 = 0 THEN ' ... ...' ELSE '' END) AS t
+      |  FROM documents),
+      |gtok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM inj),
+      |gm AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+      |    AS sum_len,
+      |  CAST(len(regexp_extract_all(t, '#'))
+      |    + len(regexp_extract_all(t, '[.][.][.]')) AS BIGINT) AS n_symbols,
+      |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      |    AS BIGINT) AS n_alpha_words,
+      |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |    x -> list_contains(w, x))) AS BIGINT) AS n_req_stop
+      |  FROM gtok),
+      |qnb AS (SELECT m.doc_id,
+      |  CASE WHEN n_words >= 50 AND n_words <= 100000
+      |    AND 3*n_words <= sum_len AND sum_len <= 10*n_words
+      |    AND 10*n_symbols <= n_words
+      |    AND 5*n_alpha_words >= 4*n_words
+      |    AND n_req_stop >= 2 THEN 'keep' ELSE 'drop' END AS lang,
+      |  i.t AS text
+      |  FROM gm m JOIN inj i USING (doc_id))""".stripMargin
+
   val queries: Seq[Q] = Seq(
+
+    // Model-based quality scoring: weak labels from the Gopher rules
+    // train the generic trigram NB on the %5 seed; every doc gets a
+    // keep/drop prediction + integer micro-nat score. The oracle
+    // composes the gopher-verdict CTEs with the SHARED NB chain
+    // (dNbChainOn — the same arithmetic the langid queries gate), so
+    // classifier and rules cannot drift apart.
+    Q("quality_nb_score",
+      (s, d) => qualityNbPredictions(s, d)
+        .select(col("doc_id"), col("lang").as("label"),
+          col("pred_lang").as("pred"), col("score"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $dQnbCte,
+        |${ExtraAnalogs.dNbChainOn("qnb")}
+        |SELECT doc_id, true_lang AS label, lang AS pred,
+        |  CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // The classifier's agreement gate: per-class P/R/F1 of the NB
+    // keep/drop predictions against the rule labels themselves —
+    // how faithfully the cheap one-scan model reproduces the rules
+    // it distilled (the number a deployment checks before swapping
+    // rules for model on the other 99.99 % of the corpus).
+    Q("eval_quality_nb_prf",
+      (s, d) => graft.operators.Evaluation.classPrf(
+        qualityNbPredictions(s, d)
+          .select(col("lang").as("label"), col("pred_lang").as("pred"))),
+      Some(s"""WITH $dQnbCte,
+        |${ExtraAnalogs.dNbChainOn("qnb")},
+        |prd AS (SELECT true_lang AS label, lang AS pred
+        |        FROM rk WHERE rk = 1),
+        |bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_label,
+        |         CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS tp
+        |       FROM prd GROUP BY 1),
+        |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM prd GROUP BY 1),
+        |j AS (SELECT COALESCE(bl.cls, bp.cls) AS cls,
+        |        COALESCE(tp, 0) AS tp,
+        |        COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+        |        COALESCE(n_label, 0) - COALESCE(tp, 0) AS fn
+        |      FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls)
+        |SELECT cls, tp, fp, fn,
+        |  CAST(CASE WHEN tp + fp > 0
+        |    THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT)
+        |    AS precision_pm,
+        |  CAST(CASE WHEN tp + fn > 0
+        |    THEN tp * 10000 // (tp + fn) ELSE 0 END AS BIGINT)
+        |    AS recall_pm,
+        |  CAST(CASE WHEN 2*tp + fp + fn > 0
+        |    THEN 2 * tp * 10000 // (2*tp + fp + fn) ELSE 0 END
+        |    AS BIGINT) AS f1_pm
+        |FROM j ORDER BY cls""".stripMargin)),
 
     // Gopher document-level rules (Rae et al. 2021, table A1 subset
     // that applies to a line-less corpus). Injections: required

@@ -32,6 +32,26 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     assert(pred === Map(100L -> "A", 101L -> "B"))
   }
 
+  test("weak-label quality classes: separable keep/drop signal fully recovered") {
+    // the classifier-based quality filter's shape (quality_nb_score):
+    // the label column is keep/drop, not a language — the generic NB
+    // must recover a clean marker signal at 100% on held-out docs
+    val rnd = new scala.util.Random(5)
+    def soup() = Seq.fill(10)("w" + rnd.nextInt(50)).mkString(" ")
+    val all = docs((0L until 40L).map { i =>
+      val keep = i % 2 == 0
+      val marker = if (keep) " excellent wellformed prose paragraph"
+        else " garbled spam noise fragment"
+      (i, soup() + marker, if (keep) "keep" else "drop")
+    }: _*)
+    val m = LangId.train(all.filter(col("doc_id") % 5 === 0))
+    val got = LangId.predict(all, m).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 40L).foreach { i =>
+      assert(got(i) === (if (i % 2 == 0) "keep" else "drop"), s"doc $i")
+    }
+  }
+
   test("persisted() model predicts identically (the composition contract)") {
     val seed = docs(
       (0L, "aaabbbaaabbb", "A"), (5L, "aaabbbaaaabb", "A"),
