@@ -107,7 +107,9 @@ object Bench {
       // round 15: the upsert probes a stored slice-trained router +
       // list frame; the stale gate builds its NB artifact once; the
       // loaded SQ8 twin stores its code table via ensureFrame
-      "sim_ivf2_upsert", "model_store_stale_check", "sim_sq_topk_loaded")
+      "sim_ivf2_upsert", "model_store_stale_check", "sim_sq_topk_loaded",
+      // the model-quality screen probes the stored weak-label NB
+      "stream_quality_nb_screen")
     val warmupDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
         new java.io.File(warmupDir).isDirectory) {

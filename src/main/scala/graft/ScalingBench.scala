@@ -263,8 +263,10 @@ object ScalingBench {
       "sim_project_topk", "sim_sq_topk_loaded",
       // round 15: the classifier-based quality filter shares
       // text_langid_nb's geometry (seed-slice train + one-scan score)
-      // plus the rule pass over the corpus for labels
-      "quality_nb_score")
+      // plus the rule pass over the corpus for labels; its screen is
+      // join-free per-row scoring of the %10 arrival slice against a
+      // stored model (built on each scale's first run)
+      "quality_nb_score", "stream_quality_nb_screen")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

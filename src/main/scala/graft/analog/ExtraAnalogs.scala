@@ -35,8 +35,9 @@ object ExtraAnalogs {
     * the relation (not copying the chain) keeps every NB oracle on
     * one arithmetic definition.
     */
-  private[analog] def dNbChainOn(src: String): String = s"""seed AS (
-        |  SELECT doc_id, lang, text FROM $src WHERE doc_id % 5 = 0),
+  private[analog] def dNbChainOn(src: String,
+      seedWhere: String = "doc_id % 5 = 0"): String = s"""seed AS (
+        |  SELECT doc_id, lang, text FROM $src WHERE $seedWhere),
         |g AS (
         |  SELECT lang, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
         |  FROM (SELECT lang, unnest(list_transform(

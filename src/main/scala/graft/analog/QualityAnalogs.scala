@@ -175,6 +175,33 @@ object QualityAnalogs {
         |  CAST(score AS BIGINT) AS score
         |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Batch twin of the STREAMING model-quality screen
+    // (DocStreams.qualityNbScreen): every 10th doc "arrives" and
+    // scores against the STORED NB quality model — trained ONCE on
+    // the accepted (non-arriving) corpus's %10==5 seed via
+    // ModelStore.ensureNb, then collapsed to driver literals and
+    // applied by the stateless per-row argmax (predictRowwise — no
+    // join/window/state, streaming-legal plan). The oracle replays
+    // the shared NB chain with the screen's seed predicate and
+    // filters to arrivals.
+    Q("stream_quality_nb_screen",
+      (s, d) => {
+        val m = graft.sources.ModelStore.ensureNb(
+          qualityNbBase(s, d).filter(col("doc_id") % 10 === 5),
+          s"target/models/qnb_${ExtraAnalogs.dirKey(d)}")
+        // arrivals carry NO labels — the weak-label join belongs to
+        // TRAINING (batch, pre-stream); the screen's own plan must
+        // stay join-free (PlanAuditSpec pins it streaming-legal)
+        graft.streaming.DocStreams.qualityNbScreen(
+          injectedDocs(s, d).filter(col("doc_id") % 10 === 0), m)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dQnbCte,
+        |${ExtraAnalogs.dNbChainOn("qnb", "doc_id % 10 = 5")}
+        |SELECT doc_id, lang AS verdict, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rk = 1 AND doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin)),
+
     // The classifier's agreement gate: per-class P/R/F1 of the NB
     // keep/drop predictions against the rule labels themselves —
     // how faithfully the cheap one-scan model reproduces the rules

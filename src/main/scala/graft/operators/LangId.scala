@@ -193,4 +193,53 @@ object LangId {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
   }
+
+  /** Per-ROW (stateless) NB argmax — [[predict]]'s streaming form:
+    * the model collapses to driver-held literals (per class: a
+    * buckets-long Δ lookup array with 0 for unseen, plus the
+    * prior/floor scalars — the dsirScreen dense-model pattern, model-
+    * sized like the IVF centroid literals), and each document walks
+    * its native gram-bucket array once per class through
+    * `element_at`. No join, no window, no aggregation — pure per-row
+    * scalar work, so the identical plan runs on an unbounded stream
+    * (graft.streaming.DocStreams.qualityNbScreen) and on a finite
+    * frame. Argmax ties match [[predict]] exactly: the array_max
+    * struct key is (score, −classIdx) over the SORTED class list, so
+    * max = (score DESC, lang ASC). Output identical to [[predict]]
+    * by the algebra (prior + G·floor + Σ observed Δ — spec-pinned
+    * equality law).
+    */
+  def predictRowwise(docs: DataFrame, m: NbModel): DataFrame = {
+    val stats = m.langStats.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "predictRowwise: model has no classes")
+    val langs = stats.map(_._1).toSeq
+    val deltaRows = m.delta.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lutByLang = langs.map { l =>
+      val a = Array.fill(m.buckets)(0L)
+      deltaRows.iterator.filter(_._1 == l)
+        .foreach { case (_, b, d) => a(b.toInt) = d }
+      l -> a.toSeq
+    }.toMap
+    val withB = docs.select(col("doc_id"),
+        graft.expressions.TextExpressions
+          .charGramBuckets(col("text"), m.n, m.buckets).as("_b"))
+      .select(col("doc_id"), size(col("_b")).cast("long").as("_g"),
+        col("_b"))
+    val cands = stats.zipWithIndex.map { case ((l, prior, floor), i) =>
+      val lut = typedLit(lutByLang(l))
+      struct(
+        (lit(prior) + col("_g") * lit(floor) +
+          aggregate(col("_b"), lit(0L), (acc, b) =>
+            acc + element_at(lut, (b + lit(1L)).cast("int")))).as("s"),
+        lit(-i.toLong).as("ni"))
+    }
+    withB.select(col("doc_id"), array_max(array(cands: _*)).as("bst"))
+      .select(col("doc_id"),
+        element_at(typedLit(langs),
+          (-col("bst.ni")).cast("int") + 1).as("pred_lang"),
+        col("bst.s").as("score"))
+  }
 }

@@ -235,6 +235,22 @@ object DocStreams {
       : DataFrame =
     graft.operators.QualityFilters.screen(streamDocs, reqStops = reqStops)
 
+  /** MODEL-based quality screen at ingest — the classifier
+    * counterpart of [[qualityScreen]]'s rules: arriving documents
+    * score against a STORED NB quality model
+    * (graft.sources.ModelStore.ensureNb over rule-distilled weak
+    * labels — the quality_nb_score chain, trained once on the
+    * accepted corpus's seed) through the stateless per-row argmax
+    * ([[graft.operators.LangId.predictRowwise]] — model as driver
+    * literals, no join, no window, no state). The deployment loop:
+    * rules label a seed → train once, store → every micro-batch pays
+    * one native gram walk per doc.
+    */
+  def qualityNbScreen(streamDocs: DataFrame,
+      m: graft.operators.LangId.NbModel): DataFrame =
+    graft.operators.LangId.predictRowwise(streamDocs, m)
+      .select(col("doc_id"), col("pred_lang").as("verdict"), col("score"))
+
   /** Blocklist screen at ingest: arriving documents count their
     * (position, term) blocklist hits through the Aho-Corasick
     * automaton ([[graft.operators.Scrub.blocklistHits]] — driver-built

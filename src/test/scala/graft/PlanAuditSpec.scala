@@ -407,6 +407,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .findFirstIn(ps).isDefined, ps.take(1200))
   }
 
+  test("model-quality screen is join-free and window-free (streaming-legal)") {
+    // predictRowwise collapses the NB model to driver literals: the
+    // scoring plan must contain NO join and NO window — the property
+    // that makes the identical plan legal on an unbounded stream
+    val p = plans("stream_quality_nb_screen")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("Window "), p.take(1200))
+  }
+
   test("index-balance profile joins its cell-sized frames by broadcast") {
     // the only windows allowed are the per-row assignment's (bounded
     // by the centroid count per vec); the zero-fill left join must

@@ -52,6 +52,28 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("predictRowwise equals predict exactly — incl. prior-only docs and tie-breaks") {
+    // two classes trained on SAME-LENGTH texts → equal class gram
+    // counts → equal floors; equal seed sizes → equal priors. The
+    // sub-n doc then scores prior-only in BOTH classes — an exact tie
+    // the two argmax implementations must break identically (lang ASC)
+    val seed = docs(
+      (0L, "aaaaaaaaaa", "alpha"), (1L, "aaaaaaaaaa", "alpha"),
+      (2L, "zzzzzzzzzz", "beta"), (3L, "zzzzzzzzzz", "beta"))
+    val m = LangId.train(seed)
+    val probe = docs(
+      (10L, "aaaaaaa", "x"), (11L, "zzzzz", "x"),
+      (12L, "qq", "x"),  // shorter than n=3: prior-only, exact tie
+      (13L, "", "x"),    // empty: same
+      (14L, "aazz", "x"))
+    val viaWindow = LangId.predict(probe, m).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val rowwise = LangId.predictRowwise(probe, m).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rowwise === viaWindow)
+    assert(rowwise.find(_._1 == 12L).get._2 === "alpha") // tie → lang ASC
+  }
+
   test("persisted() model predicts identically (the composition contract)") {
     val seed = docs(
       (0L, "aaabbbaaabbb", "A"), (5L, "aaabbbaaaabb", "A"),

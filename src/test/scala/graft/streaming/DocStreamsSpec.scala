@@ -16,6 +16,39 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     (102L, "red green blue yellow purple orange")))
     .toDF("doc_id", "text")
 
+  test("qualityNbScreen: arrivals score against the stored-model literals, stateless") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    // a separable keep/drop model (the weak-label quality shape)
+    val seed = spark.createDataFrame(Seq(
+      (0L, "excellent wellformed prose paragraph", "keep"),
+      (1L, "excellent wellformed prose structure", "keep"),
+      (2L, "garbled spam noise fragment junk", "drop"),
+      (3L, "garbled spam noise junk tokens", "drop")))
+      .toDF("doc_id", "text", "lang")
+    val m = graft.operators.LangId.train(seed)
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStreams.qualityNbScreen(
+      mem.toDF().toDF("doc_id", "text"), m)
+      .writeStream.format("memory").queryName("qnbscreen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((10L, "a wellformed prose paragraph arrived"),
+        (11L, "garbled noise junk arrived"))
+      query.processAllAvailable()
+      val got = spark.table("qnbscreen").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got === Seq((10L, "keep"), (11L, "drop")))
+      // stream == batch twin (the stateless-plan law)
+      val batch = DocStreams.qualityNbScreen(
+        Seq((10L, "a wellformed prose paragraph arrived"),
+          (11L, "garbled noise junk arrived")).toDF("doc_id", "text"), m)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      assert(got === batch)
+    } finally query.stop()
+  }
+
   test("blocklistScreen: arriving docs count automaton hits like the batch twin") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
