@@ -66,4 +66,41 @@ object SimilarityProps extends Properties("similarity") {
       }
       got == expected
     }
+
+  /** SQ8 ranking equals an independent driver-side replay of the
+    * quantization + integer dot on ANY vector set — and every score
+    * stays inside double's exact-integer range (the TopKAgg heap
+    * contract the operator's bound argument rests on).
+    */
+  property("sqTopK equals the locally replayed int8 ranking; scores double-exact") =
+    forAll(Gen.listOfN(6, genVec).suchThat(_.size >= 3)) { vecs =>
+      def quant(v: Seq[Float]): (Long, Seq[Long]) = {
+        val vi = v.map(x => math.round(x.toDouble * 1e6))
+        val sc = vi.map(math.abs).maxOption.getOrElse(0L)
+        val qv = vi.map { x =>
+          if (sc == 0L) 0L
+          else {
+            val m = math.floor((math.abs(x) * 254L + sc).toDouble /
+              (sc * 2L).toDouble).toLong
+            if (x < 0) -m else m
+          }
+        }
+        (sc, qv)
+      }
+      val codes = vecs.map(quant)
+      val expected = (0 until 2).flatMap { q =>
+        vecs.indices.filter(_ != q).map { c =>
+          val dot = codes(q)._2.zip(codes(c)._2)
+            .foldLeft(0L) { case (a, (x, y)) => a + x * y }
+          (q.toLong, c.toLong, dot * codes(c)._1)
+        }.sortBy { case (_, c, s) => (-s, c) }.take(3)
+      }
+      val embs = spark.createDataFrame(
+        vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) })
+        .toDF("vec_id", "embedding", "label")
+      val got = Similarity.sqTopK(embs, nQueries = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      got == expected &&
+        got.forall { case (_, _, s) => s.toDouble.toLong == s }
+    }
 }
