@@ -103,16 +103,17 @@ object QualityAnalogs {
     * scoring — and the same machinery accepts human or LLM labels in
     * place of the rules with zero code change.
     */
-  private def qualityNbBase(s: SparkSession, d: String): DataFrame = {
-    val inj = injectedDocs(s, d)
-    val verdict = QualityFilters.gopherRules(inj)
-      .select(col("doc_id"), col("pass"))
-    inj.join(verdict, "doc_id")
+  private def qualityNbBase(s: SparkSession, d: String): DataFrame =
+    injectedDocs(s, d)
+      // label attach is a PROJECTION (QualityFilters.gopherPass), not
+      // a join back to the metric frame — the corpus never self-joins
+      // for its own labels; token array materialized once (no HOF CSE)
+      .select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("_w"))
       .select(col("doc_id"),
-        when(col("pass") === 1, lit("keep")).otherwise(lit("drop"))
-          .as("lang"),
+        when(QualityFilters.gopherPass(col("text"), col("_w")),
+          lit("keep")).otherwise(lit("drop")).as("lang"),
         col("text"))
-  }
 
   private def qualityNbPredictions(s: SparkSession,
       d: String): DataFrame = {

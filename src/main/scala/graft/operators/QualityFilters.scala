@@ -94,6 +94,31 @@ object QualityFilters {
       (gWords && gLen && gSym && gAlpha && gStop).cast("int").as("pass"))
   }
 
+  /** The [[gopherRules]] conjunction as ONE per-row predicate over
+    * (text, tokens) — the weak-LABELING form: the label attach stays
+    * a PROJECTION in the caller's plan instead of a corpus self-join
+    * against the metric frame (quality_nb_score's original shape
+    * planned a SortMergeJoin on doc_id just to carry `pass` back to
+    * `text`). Callers materialize the token array once (the
+    * text_quality lesson — higher-order functions get no CSE); each
+    * metric helper walks it a single time. Same arithmetic as
+    * [[gopherRules]] term for term, so the DuckDB oracles are
+    * untouched.
+    */
+  def gopherPass(t: Column, w: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val nWords = size(w).cast("long")
+    val sumLen = sumTokenLen(w)
+    val nSym = symbolCount(t)
+    val nAlpha = alphaWordCount(w)
+    val nStop = reqStopCount(w, RequiredStopwords)
+    (nWords >= minWords && nWords <= maxWords) &&
+      (lit(3) * nWords <= sumLen && sumLen <= lit(10) * nWords) &&
+      (lit(10) * nSym <= nWords) &&
+      (lit(5) * nAlpha >= lit(4) * nWords) &&
+      (nStop >= 2)
+  }
+
   /** One C4 line-keep verdict (Raffel et al. 2020 §2.2): the line ends
     * in terminal punctuation, has ≥ 5 words, and does not mention
     * javascript.

@@ -407,6 +407,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .findFirstIn(ps).isDefined, ps.take(1200))
   }
 
+  test("weak-label attach is a projection, never a corpus self-join") {
+    // quality_nb_score's labels come from QualityFilters.gopherPass in
+    // the same projection that carries text — joining the metric frame
+    // back on doc_id would sort-merge the corpus against itself
+    assert(!plans("quality_nb_score").contains("SortMergeJoin"),
+      plans("quality_nb_score").take(1200))
+  }
+
   test("model-quality screen is join-free and window-free (streaming-legal)") {
     // predictRowwise collapses the NB model to driver literals: the
     // scoring plan must contain NO join and NO window — the property

@@ -35,6 +35,27 @@ class QualityFiltersSpec extends AnyFunSuite with SparkSpec {
     assert(got(5L) === ((1, 1, 1, 1, 0, 0)))
   }
 
+  test("gopherPass (projection form) equals gopherRules' pass column exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (0L, plain60 + " the and"),
+      (1L, Seq.fill(10)("word").mkString(" ") + " the and"),
+      (2L, Seq.fill(60)("xy").mkString(" ") + " the and"),
+      (3L, plain60 + " the and " + Seq.fill(8)("#").mkString(" ")),
+      (4L, plain60 + " the and " + Seq.fill(20)("123").mkString(" ")),
+      (5L, plain60 + " the"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val viaFrame = QualityFilters.gopherRules(df).collect()
+      .map(r => r.getLong(0) -> r.getInt(11)).toMap
+    val viaExpr = df
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        QualityFilters.gopherPass(col("text"), col("w"))
+          .cast("int").as("pass"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaExpr === viaFrame)
+  }
+
   test("gopher: metrics are exact on a hand-computed doc") {
     val df = spark.createDataFrame(Seq(
       (0L, "the cat sat with a hat"))).toDF("doc_id", "text")
