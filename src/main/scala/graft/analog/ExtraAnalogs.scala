@@ -1160,14 +1160,19 @@ object ExtraAnalogs {
 
     // Winnow-fingerprint near-dup pairs: shared CONTIGUOUS k+win-1
     // word runs (local similarity, the partial-plagiarism notion the
-    // set/sketch miners are blind to).
+    // set/sketch miners are blind to). The oracle mirrors the full
+    // semantics including the df<=128 hot-fingerprint cap (the
+    // substring miner's guard: a boilerplate fingerprint shared by d
+    // docs would otherwise induce a d^2 candidate bucket).
     Q("dedup_winnow_pairs",
       (s, d) => Dedup.winnowPairs(Tables.documents(s, d)),
       Some(s"""WITH $tokCte, $winnowCte,
-        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 128),
+        |eh AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       count(*) AS n_shared
-        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM eh a JOIN eh b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 3
         |ORDER BY doc_a, doc_b""".stripMargin)),
@@ -1182,14 +1187,17 @@ object ExtraAnalogs {
     // winnowing fingerprints (>= 2) — mined by shared contiguous
     // RUNS, size-independent; verify is exact shingle containment as
     // a truncating per-myriad integer. The oracle replays candidates
-    // AND verify.
+    // AND verify, including the df<=128 hot-fingerprint cap on the
+    // candidate join.
     Q("dedup_containment",
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d)),
       Some(s"""WITH $tokCte, $winnowCte,
         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 128),
+        |eh AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  FROM eh a JOIN eh b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |s3 AS (SELECT doc_id, list_distinct(list_transform(
         |  range(1, len(w) - 1),
@@ -1282,9 +1290,11 @@ object ExtraAnalogs {
       (s, d) => Dedup.containmentSurvivors(Tables.documents(s, d)),
       Some(s"""WITH $tokCte, $winnowCte,
         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 128),
+        |eh AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  FROM eh a JOIN eh b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |s3 AS (SELECT doc_id, list_distinct(list_transform(
         |  range(1, len(w) - 1),
@@ -1311,7 +1321,9 @@ object ExtraAnalogs {
     // boundary (catches a corpus passage EMBEDDED in a larger arriving
     // page, where the resemblance band screen is structurally blind).
     // One row per (arrival, corpus doc, shared fp); the >= minShared
-    // rollup + exact containment verify run downstream.
+    // rollup + exact containment verify run downstream. The fp index
+    // is df-capped at BUILD time, corpus-side only (the substring
+    // anchor-index convention) — the oracle caps idx, not arrivals.
     Q("stream_containment_screen",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1323,7 +1335,9 @@ object ExtraAnalogs {
       },
       Some(s"""WITH $tokCte, $winnowCte,
         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
-        |idx AS (SELECT doc_id AS corpus_id, fp FROM e WHERE doc_id % 2 = 0),
+        |c AS (SELECT doc_id AS corpus_id, fp FROM e WHERE doc_id % 2 = 0),
+        |rare AS (SELECT fp FROM c GROUP BY fp HAVING count(*) <= 128),
+        |idx AS (SELECT c.corpus_id, c.fp FROM c JOIN rare USING (fp)),
         |arrv AS (SELECT doc_id, fp FROM e WHERE doc_id % 2 = 1)
         |SELECT a.doc_id, idx.corpus_id, a.fp
         |FROM arrv a JOIN idx USING (fp)

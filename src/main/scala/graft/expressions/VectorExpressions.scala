@@ -95,6 +95,15 @@ case class VecDot(left: Expression, right: Expression)
   * built-ins interpret a lambda per element. The caller owns the
   * no-overflow argument (SQ8: |dot·scale| ≲ 10¹²; sketches: ≤ 4·10¹⁵
   * by the 2-bit downshift).
+  *
+  * CALLER CONTRACT — equal dimensions. Mismatched arrays TRUNCATE to
+  * the shorter length (the loop bound is min(|a|, |b|)), unlike the
+  * replaced fold, where zip_with's null padding nulled the whole sum.
+  * Every call site derives both sides from one encoder (same dim by
+  * construction: SQ8 codes, JL sketches, PQ sub-codes), so the branch
+  * a per-row dimension check would add to the hot loop buys nothing
+  * there; a caller joining arrays of independent provenance must pre-filter
+  * `size(a) = size(b)` or accept a plausible-but-partial dot.
   */
 case class VecDotLong(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -457,23 +457,32 @@ object Dedup {
     * biased low but tie-broken by the full 60-bit value) — equi-join,
     * count per pair, filter. Same cached-input / export-tail
     * conventions as the other miners.
+    *
+    * `maxDf` is the hot-fingerprint cap ([[substringPairs]]'s guard,
+    * same key discipline): a fingerprint carried by more than `maxDf`
+    * docs corpus-wide — license boilerplate, a viral footer — would
+    * otherwise induce a d² candidate bucket in the self-join, the one
+    * straggler shape a 100 TB run cannot absorb. A run that common is
+    * boilerplate, not plagiarism signal; the cap is part of the
+    * operator's semantics (the oracle applies it identically).
     */
   def winnowPairs(docs: DataFrame, k: Int = 3, win: Int = 4,
-      minShared: Int = 3): DataFrame =
-    winnowPairsManaged(docs, k, win, minShared).df
+      minShared: Int = 3, maxDf: Long = 128L): DataFrame =
+    winnowPairsManaged(docs, k, win, minShared, maxDf).df
 
   /** [[winnowPairs]] with its internal persist exposed for release —
     * see [[Managed]].
     */
   def winnowPairsManaged(docs: DataFrame, k: Int = 3, win: Int = 4,
-      minShared: Int = 3): Managed = {
+      minShared: Int = 3, maxDf: Long = 128L): Managed = {
     // cached: the self-join consumes the fingerprint table once per
-    // side; 16 bytes per (doc, fingerprint) row, no text
+    // side (plus the df aggregate); 16 bytes per (doc, fp) row, no text
     val fps = docs.select(col("doc_id"),
       explode(winnowFingerprints(col("text"), k, win)).as("fp"))
       .cache()
-    val out = fps.alias("a")
-      .join(fps.alias("b"), col("a.fp") === col("b.fp"))
+    val hits = dfCapped(fps, maxDf)
+    val out = hits.alias("a")
+      .join(hits.alias("b"), col("a.fp") === col("b.fp"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -481,6 +490,22 @@ object Dedup {
       // repartition(1) + single-partition sort (see minhashPairs)
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     new Managed(out, Seq(fps))
+  }
+
+  /** Hot-key cap shared by the winnow-fingerprint miners: drop every
+    * fingerprint carried by more than `maxDf` rows corpus-wide. One
+    * aggregate on the SAME key as the self-join it guards (so the df
+    * table is hash-partitioned identically to the probe side — the
+    * [[substringRuns]] `rare` discipline), returning the surviving
+    * (doc_id, fp) rows.
+    */
+  private def dfCapped(fps: DataFrame, maxDf: Long): DataFrame = {
+    require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    fps.join(rare, "fp")
   }
 
   /** Asymmetric near-dup (CONTAINMENT) pairs — Broder's containment
@@ -511,12 +536,21 @@ object Dedup {
     * filter; shingle arrays are built for CANDIDATE docs only and
     * only the surviving pair list crosses the export exchange.
     *
+    * `maxDf` caps hot fingerprints before the candidate self-join
+    * ([[winnowPairs]]'s guard — a boilerplate fingerprint shared by d
+    * docs would otherwise yield d² candidate rows before the
+    * group-by). A contained passage whose EVERY fingerprint is that
+    * common is boilerplate by definition; genuine excerpts keep their
+    * rarer fingerprints and still clear `minShared`. The oracle
+    * applies the cap identically.
+    *
     * Returns (doc_a, doc_b, containment_pm) with
     * containment_pm = ⌊10⁴ · |∩| / min(|a|, |b|)⌋, pairs ≥ `thresholdPm`.
     */
   def containmentPairs(docs: DataFrame, k: Int = 3, win: Int = 4,
-      minShared: Int = 2, thresholdPm: Long = 8000L): DataFrame =
-    containmentPairsManaged(docs, k, win, minShared, thresholdPm).df
+      minShared: Int = 2, thresholdPm: Long = 8000L,
+      maxDf: Long = 128L): DataFrame =
+    containmentPairsManaged(docs, k, win, minShared, thresholdPm, maxDf).df
 
   /** Shared core of [[containmentPairs]] / [[containmentSurvivors]]:
     * verified over-threshold pairs WITH both shingle-set sizes
@@ -524,17 +558,20 @@ object Dedup {
     * caches for release.
     */
   private def containmentVerified(docs: DataFrame, k: Int, win: Int,
-      minShared: Int, thresholdPm: Long): (DataFrame, Seq[DataFrame]) = {
+      minShared: Int, thresholdPm: Long,
+      maxDf: Long): (DataFrame, Seq[DataFrame]) = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(thresholdPm >= 0L && thresholdPm <= 10000L,
       s"thresholdPm must be in [0, 10000], got $thresholdPm")
     // fingerprint table: 16 bytes per (doc, fp) row, no text (the
-    // winnowPairs convention); cached — the self-join reads it twice
+    // winnowPairs convention); cached — the df aggregate and both
+    // self-join sides read it
     val fps = docs.select(col("doc_id"),
       explode(winnowFingerprints(col("text"), k, win)).as("fp"))
       .cache()
-    val candidates = fps.alias("a")
-      .join(fps.alias("b"), col("a.fp") === col("b.fp"))
+    val hits = dfCapped(fps, maxDf)
+    val candidates = hits.alias("a")
+      .join(hits.alias("b"), col("a.fp") === col("b.fp"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -576,9 +613,10 @@ object Dedup {
     * release — see [[Managed]].
     */
   def containmentPairsManaged(docs: DataFrame, k: Int = 3, win: Int = 4,
-      minShared: Int = 2, thresholdPm: Long = 8000L): Managed = {
+      minShared: Int = 2, thresholdPm: Long = 8000L,
+      maxDf: Long = 128L): Managed = {
     val (verified, caches) =
-      containmentVerified(docs, k, win, minShared, thresholdPm)
+      containmentVerified(docs, k, win, minShared, thresholdPm, maxDf)
     val out = verified
       .select("doc_a", "doc_b", "containment_pm")
       // export tail: single sorted file (see minhashPairs); the
@@ -601,17 +639,19 @@ object Dedup {
     * corpus, which never shuffles.
     */
   def containmentSurvivors(docs: DataFrame, k: Int = 3, win: Int = 4,
-      minShared: Int = 2, thresholdPm: Long = 8000L): DataFrame =
-    containmentSurvivorsManaged(docs, k, win, minShared, thresholdPm).df
+      minShared: Int = 2, thresholdPm: Long = 8000L,
+      maxDf: Long = 128L): DataFrame =
+    containmentSurvivorsManaged(docs, k, win, minShared, thresholdPm,
+      maxDf).df
 
   /** [[containmentSurvivors]] with its internal persists exposed for
     * release — see [[Managed]].
     */
   def containmentSurvivorsManaged(docs: DataFrame, k: Int = 3,
       win: Int = 4, minShared: Int = 2,
-      thresholdPm: Long = 8000L): Managed = {
+      thresholdPm: Long = 8000L, maxDf: Long = 128L): Managed = {
     val (verified, caches) =
-      containmentVerified(docs, k, win, minShared, thresholdPm)
+      containmentVerified(docs, k, win, minShared, thresholdPm, maxDf)
     val drops = verified.select(
       when(col("sz_a") < col("sz_b"), col("doc_a"))
         .when(col("sz_b") < col("sz_a"), col("doc_b"))
@@ -944,7 +984,12 @@ object Dedup {
     * superset). `score` is any INTEGER-valued quality column of
     * `docs` (n_chars for keep-longest, a scaled quality composite for
     * keep-best) — integer so the argmax is engine-exact; ties break
-    * to the lower doc_id.
+    * to the lower doc_id. A NULL score ranks below every real score
+    * (explicitly, via a Long.MinValue sort key — not via struct-null
+    * ordering accident), so a null-scored doc wins only in an
+    * all-null cluster, where the policy degrades to the min-doc_id
+    * keeper convention; the winner's q_score is reported as-is
+    * (null stays null).
     *
     * Output: one row per cluster (cluster_id, doc_id = the survivor,
     * q_score, n_docs). Scale shape: [[clustersManaged]]'s labels
@@ -968,8 +1013,13 @@ object Dedup {
     val labeled = docs
       .select(col("doc_id"), score.cast("long").as("q_score"))
       .join(m.df, Seq("doc_id"))
+    // sort key coalesced so null scores lose EXPLICITLY (see scaladoc);
+    // the raw q_score rides along as the struct's third field so the
+    // winner reports its actual value, null included
     val out = labeled.groupBy("cluster_id")
-      .agg(max(struct(col("q_score"), (-col("doc_id")).as("nid"))).as("b"),
+      .agg(max(struct(
+          coalesce(col("q_score"), lit(Long.MinValue)).as("k"),
+          (-col("doc_id")).as("nid"), col("q_score"))).as("b"),
         count(lit(1)).as("n_docs"))
       .select(col("cluster_id"), (-col("b.nid")).as("doc_id"),
         col("b.q_score").as("q_score"), col("n_docs"))

@@ -113,12 +113,23 @@ object DocStreams {
     * [[bandRows]]/[[substringAnchorIndex]], the builder returns a
     * plain frame; a deployment persists it once (≈ 2/(win+1) of the
     * corpus' k-gram hashes, 16 bytes a row).
+    *
+    * df-capped at BUILD time, corpus-side only (the
+    * [[substringAnchorIndex]] argument applied to fingerprints): one
+    * boilerplate fingerprint past `maxDf` corpus occurrences would
+    * otherwise flood every micro-batch that carries it. One windowed
+    * count over the single build pass — no second corpus scan.
     */
   def winnowFpIndex(corpus: DataFrame, k: Int = 3,
-      win: Int = 4): DataFrame =
+      win: Int = 4, maxDf: Long = 128L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     corpus.select(col("doc_id").as("corpus_id"),
       explode(graft.functions.TextFunctions.winnowFingerprints(
         col("text"), k, win)).as("fp"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+      .select(col("corpus_id"), col("fp"))
+  }
 
   /** Containment screen at ingest — the candidate half of
     * [[graft.operators.Dedup.containmentPairs]] re-cut for Structured

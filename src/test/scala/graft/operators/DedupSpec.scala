@@ -136,6 +136,66 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(tieGot === Seq((7L, 7L)))
   }
 
+  test("bestSurvivors: a null score loses to ANY real score, all-null degrades to min-id") {
+    import org.apache.spark.sql.functions.col
+    // cluster {0,1}: doc 0 has NULL score, doc 1 scores -3 — without the
+    // explicit MinValue sort key, struct-null ordering would let the
+    // negative real score lose to... nothing visible; pin that the real
+    // score wins even when negative
+    val d = spark.createDataFrame(Seq[(Long, java.lang.Long)](
+      (0L, null), (1L, -3L),
+      (5L, null), (6L, null)))   // all-null cluster → min-id keeper
+      .toDF("doc_id", "q")
+    val pairs = spark.createDataFrame(Seq((0L, 1L, 1.0), (5L, 6L, 1.0)))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.bestSurvivors(d, pairs, col("q")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    // winner's q_score reports as-is: -3 for the real winner, null
+    // (not the MinValue sentinel) for the all-null cluster's keeper
+    assert(got === Seq((0L, 1L, Some(-3L), 2L), (5L, 5L, None, 2L)))
+  }
+
+  test("hot-fingerprint df cap bounds the winnow/containment candidate blow-up") {
+    // n docs all carrying one 10-word boilerplate run inside unique
+    // padding: every fingerprint of the run has df = n, and the
+    // UNCAPPED self-join pays the full quadratic bucket — the
+    // straggler shape the cap exists to kill at 100 TB
+    val boiler = "all rights reserved contact our site terms of service apply"
+    val n = 12
+    val d = spark.createDataFrame((0 until n).map(i =>
+      (i.toLong, s"d${i}a d${i}b d${i}c $boiler d${i}x d${i}y d${i}z",
+        "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val uncapped = Dedup.winnowPairs(d, minShared = 1, maxDf = Long.MaxValue)
+    assert(uncapped.count() === n.toLong * (n - 1) / 2)
+    // capped below n: boilerplate fingerprints drop BEFORE the join and
+    // the candidate set collapses — paddings share nothing
+    assert(Dedup.winnowPairs(d, minShared = 1,
+      maxDf = (n - 1).toLong).count() === 0L)
+    assert(Dedup.containmentPairs(d, minShared = 1, thresholdPm = 0L,
+      maxDf = (n - 1).toLong).count() === 0L)
+    // a GENUINE excerpt mines through the cap: docs 0/1 additionally
+    // share a rare 7-word quote (df = 2 fingerprints survive)
+    val quote = "singular value decomposition of the kernel matrix"
+    val d2 = spark.createDataFrame((0 until n).map { i =>
+      val extra = if (i < 2) s" $quote" else ""
+      (i.toLong, s"d${i}a d${i}b d${i}c $boiler d${i}x d${i}y d${i}z$extra",
+        "en", "s")
+    }).toDF("doc_id", "text", "lang", "source")
+    val survived = Dedup.winnowPairs(d2, minShared = 1,
+      maxDf = (n - 1).toLong).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(survived === Seq((0L, 1L)))
+    // streaming index twin: no fingerprint past the cap ever enters the
+    // static artifact (so no micro-batch can flood on it)
+    val idx = graft.streaming.DocStreams.winnowFpIndex(d, maxDf = (n - 1).toLong)
+    val maxIdxDf = idx.groupBy("fp").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0)
+    assert(maxIdxDf.isNullAt(0) || maxIdxDf.getLong(0) <= (n - 1).toLong)
+    val idxOpen = graft.streaming.DocStreams.winnowFpIndex(d, maxDf = Long.MaxValue)
+    assert(idxOpen.count() > idx.count())
+  }
+
   test("sourceOverlap: unordered source pairs, pair and distinct-doc counts") {
     val d = spark.createDataFrame(Seq(
       (0L, "srcA"), (1L, "srcB"), (2L, "srcA"), (3L, "srcB"), (4L, "srcA")))
