@@ -266,7 +266,17 @@ object ScalingBench {
       // plus the rule pass over the corpus for labels; its screen is
       // join-free per-row scoring of the %10 arrival slice against a
       // stored model (built on each scale's first run)
-      "quality_nb_score", "stream_quality_nb_screen")
+      "quality_nb_score", "stream_quality_nb_screen",
+      // round 16: the auto-sized SQ8 screen arm — chooseBits holds
+      // bucket occupancy ~64 at every scale, so the curve should shed
+      // stream_sq_screen's documented fixed-bits Θ(n²/2^bits) tail;
+      // the refresh cycle is two bounded ivf2 trainings + the serve
+      // probe (the sim_ivf2_topk growth shape, twice); the sweep's
+      // brute-force truth leg scans the growing corpus per fixed
+      // query — the documented k²-by-construction harness artifact
+      // (eval_retrieval_metrics' annotation applies)
+      "stream_sq_screen_auto", "model_store_refresh_cycle",
+      "eval_ivfpq_refined_sweep")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))
@@ -308,11 +318,28 @@ object ScalingBench {
       val (l1, l2) = graft.operators.Similarity.chooseCells2(e.count())
       graft.operators.Similarity.ivf2TopK(e, nL1 = l1, nL2 = l2)
     }
+    // round 16 (verdict ask #7): the containment screen at GROWING
+    // ARRIVAL fractions against a FIXED index — the deployment regime
+    // (a static accepted corpus screens an arriving stream; the
+    // registry query's index grows WITH the corpus, which conflates
+    // index growth into the curve). Index = replica-0 evens only;
+    // arrivals = every replica's odds, so the arrival count grows k×
+    // while the fp index is pinned — the curve isolates per-arrival
+    // cost, expected ~linear in hits.
+    val containFixedIdx: (SparkSession, String) => DataFrame = (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.streaming.DocStreams.containmentScreen(
+        docs.filter(col("doc_id") % 2 === 1),
+        graft.streaming.DocStreams.winnowFpIndex(
+          docs.filter(col("doc_id") % 2 === 0 &&
+            col("doc_id") < IdOffset)))
+    }
     fromRegistry ++ Seq(
       "dedup_ngram_fixedsrc" -> fixedSrc,
       "dedup_embcos_t06" -> embCos06,
       "sim_ivf_autocells" -> ivfAuto,
-      "sim_ivf2_autocells" -> ivf2Auto)
+      "sim_ivf2_autocells" -> ivf2Auto,
+      "containment_screen_fixedidx" -> containFixedIdx)
   }
 
   /** Subjects measured on the ZIPFIAN corpora (see

@@ -363,11 +363,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "upsert should scan the stored slice-trained artifact")
   }
 
-  test("containment screen is one equi-join, window-free; clean anti-joins broadcast") {
+  test("containment screen is one equi-join; index-build window only; clean anti-joins broadcast") {
     // the ingest screen: one stream-static join on the fingerprint +
-    // the output sort — no window, no aggregation in the plan
+    // the output sort. Since round 16 the INDEX BUILD side carries
+    // exactly one window (winnowFpIndex's df-cap — one windowed count
+    // over the single build pass, the substringAnchorIndex
+    // convention); that cost is paid once when the index is built and
+    // persisted, never per micro-batch, so the per-arrival path stays
+    // window-free. The law pins: at most that ONE window, and no
+    // shuffle join anywhere.
     val scr = plans("stream_containment_screen")
-    assert(!scr.contains("Window"), scr.take(800))
+    val nWindows = "(?<![a-zA-Z])Window".r.findAllIn(scr).length
+    assert(nWindows <= 1, scr.take(800))
     assert(!scr.contains("SortMergeJoin"), scr.take(800))
     // the removal half: the drop set is threshold-vanishing and must
     // reach the corpus as a BROADCAST anti-join (a shuffled anti-join

@@ -453,6 +453,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert((refined3 & top3).size >= (raw3 & top3).size)
   }
 
+  test("ivfPqRefinedSweep: cost tracks nprobe only, recall is monotone in kCand, full-knob config is exact") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 64
+    val vecs = (0L until n.toLong).map { id =>
+      (id, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfPqRefinedSweep(vecs,
+      configs = Seq((1, 10), (2, 10), (2, 30), (8, 10), (8, 63)),
+      nQueries = 5, k = 10, nCells = 8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // n_cand is a function of nprobe alone, strictly growing with it,
+    // and at nprobe = nCells it is the whole corpus minus self
+    assert(got((2L, 10L))._1 === got((2L, 30L))._1)
+    assert(got((1L, 10L))._1 < got((2L, 10L))._1)
+    assert(got((8L, 10L))._1 === 5L * (n - 1))
+    // recall is monotone in kCand at fixed nprobe
+    assert(got((2L, 30L))._3 >= got((2L, 10L))._3)
+    // at full probes and kCand = corpus - 1 the shortlist is the whole
+    // corpus and the exact rerank recovers recall@10 = 1 exactly
+    assert(got((8L, 63L))._2 === 50L)
+    assert(got((8L, 63L))._3 === 10000L)
+  }
+
   test("sqTopKFromCodes: codes shipped through parquet score identically") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(31)

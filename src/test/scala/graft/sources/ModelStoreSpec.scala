@@ -211,6 +211,40 @@ class ModelStoreSpec extends AnyFunSuite with SparkSpec {
     assert(!ModelStore.isStale(spark, dir, drifted))
   }
 
+  test("refresh cycle: the refreshed router serves the GROWN corpus's answers, not the stale one's") {
+    import graft.operators.Similarity
+    val dir = tmp() + "/ivf2rc"
+    val small = embs64(0).filter(col("vec_id") < 30)
+    // growth = genuinely NEW content (a different generator shift and
+    // fresh ids), not more of the same periodic pattern — embs64's
+    // symmetry would otherwise let both routers serve identical top-3
+    val grown = small.unionByName(embs64(7)
+      .filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100L))
+    // yesterday: train + index on the small corpus
+    val (l1a, l2a) = ModelStore.ensureIvf2(small, dir)
+    assert(!ModelStore.refreshIfStale(spark, dir, small))
+    // today: drift fires, artifact drops, ensure retrains on grown
+    assert(ModelStore.refreshIfStale(spark, dir, grown))
+    val (l1b, l2b) = ModelStore.ensureIvf2(grown, dir)
+    assert(!ModelStore.isStale(spark, dir, grown))
+    // retraining genuinely happened on the NEW corpus: the refreshed
+    // router is not the stale one (the new content pulls centroids) —
+    // a refresh that silently failed to fire would hand back l1a/l2a
+    assert((l1b.map(_.toSeq), l2b.map(_.toSeq)) !==
+      ((l1a.map(_.toSeq), l2a.map(_.toSeq))))
+    // and the refreshed artifact serves the grown corpus's answers:
+    // identical to in-plan training on the grown corpus, row-exact
+    val refreshed = rows(Similarity.ivf2TopKFromIndex(
+      Similarity.ivf2Cells(grown, l1b, l2b, 4), grown, l1b, l2b, 4))
+    val inPlan = {
+      val (f1, f2) = Similarity.trainIvfTwoLevel(grown, 4, 4, 2)
+      rows(Similarity.ivf2TopKFromIndex(
+        Similarity.ivf2Cells(grown, f1, f2, 4), grown, f1, f2, 4))
+    }
+    assert(refreshed === inPlan)
+  }
+
   test("ensureFrame records the source fingerprint beside the frame when given") {
     val dir = tmp() + "/idxfp"
     val src = spark.createDataFrame(Seq((1L, "a"), (2L, "b"), (3L, "c")))
