@@ -33,13 +33,6 @@ object Bench {
   val MaxErrorsInline = 3
   val InlineErrorChars = 60
 
-  /** Warmup pass-2 admission: a query whose PASS-1 time at the warmup
-    * SF reached this is work-dominated there (training arms, truth
-    * legs) — its codegen tail is noise against its own runtime and a
-    * second warmup buys nothing. Fast queries (the ones round-9 found
-    * carrying 3-9x spread after a single warmup) stay two-pass.
-    */
-  val Pass2CutoffSec = 0.5
 
   private[graft] def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -141,38 +134,36 @@ object Bench {
     val warmT0 = System.nanoTime()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
         new java.io.File(warmupDir).isDirectory) {
-      // Pass 1 warms EVERY query (JIT/codegen/classloader); pass 2
-      // reruns only the queries whose pass-1 time stayed under
-      // [[Pass2CutoffSec]] at the warmup SF (round-9 verdict:
-      // single-warmup runs left 3-9x per-run spread on the FAST core
-      // queries — the second pass catches codegen tails the first one
-      // triggered but didn't finish absorbing; a query already paying
-      // >= half a second of REAL WORK at sf0.001 is work-dominated,
-      // its class/codegen tail is noise against its own runtime, and
-      // rerunning the training arms doubled the warmup wall for
-      // nothing — the round-16 wall-budget trim).
+      // BOTH warmup passes cover every MULTI-RUN query (round-9
+      // verdict: single-warmup runs left 3-9x per-run spread on the
+      // fast core queries — the second pass catches codegen/
+      // classloader tails the first one triggered but didn't finish
+      // absorbing; a round-16 attempt to skip pass 2 by pass-1 time
+      // mis-fired, because pass-1 times are COLD times — the t4c
+      // class benched uniformly 4-6x slow, stuck in a lower JIT tier
+      // all session). The singleRun tier skips warmup ENTIRELY
+      // (round-16 wall-budget trim): those arms are measured once and
+      // work-dominated (3-8 s of training/truth legs at the timed
+      // SF), so the one-time plan-codegen cost their single run now
+      // carries is bounded noise (~0.1-0.3 s) — and a deployment's
+      // only run of a training job pays it too.
       // warmup failures are LOGGED, never swallowed silently (round-14
       // ADVICE): a query that fails here still gets measured below
       // (where its error is fatal to the bench), but a failed
       // artifact-warm build would silently shift the one-time build
       // cost into the first measured run — the log makes that visible
       def warmExec(n: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-          dir: String): Double = {
-        val t0 = System.nanoTime()
+          dir: String): Unit =
         try exec(fn(spark, dir)) catch {
           case t: Throwable => System.err.println(
             s"warmup failed: $n @ $dir: ${t.getClass.getSimpleName}: " +
               Option(t.getMessage).getOrElse("").take(160))
         }
-        (System.nanoTime() - t0) / 1e9
+      (1 to 2).foreach { _ =>
+        queries.filter { case (n, _) => !singleRun(n) }
+          .foreach { case (n, fn) => warmExec(n, fn, warmupDir) }
+        spark.catalog.clearCache()
       }
-      val pass1 = queries.map { case (n, fn) =>
-        n -> warmExec(n, fn, warmupDir) }
-      spark.catalog.clearCache()
-      val fastAtWarmup = pass1.filter(_._2 < Pass2CutoffSec).map(_._1).toSet
-      queries.filter { case (n, _) => fastAtWarmup(n) }
-        .foreach { case (n, fn) => warmExec(n, fn, warmupDir) }
-      spark.catalog.clearCache()
       // stored-artifact queries build their ModelStore artifact on the
       // first run against a data dir; build it HERE, at the timed dir,
       // so every measured run is a steady-state probe — the artifact

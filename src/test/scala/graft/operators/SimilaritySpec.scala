@@ -392,6 +392,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       (3L, 1L, 2L, 0.0, 1L)))
   }
 
+  test("indexHealth refuses an empty corpus loudly") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.indexHealth(empty)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("indexHealth: every cell accounted for, loads integer-exact, empties explicit") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
