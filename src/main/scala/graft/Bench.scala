@@ -116,7 +116,10 @@ object Bench {
       // round-16 retrain-by-design arms: the refresh cycle trains
       // twice per run (that IS the cycle), the sweep brute-forces
       // truth + six refine rankings per run
-      "model_store_refresh_cycle", "eval_ivfpq_refined_sweep")
+      "model_store_refresh_cycle", "eval_ivfpq_refined_sweep",
+      // round-16 session 2: the near-dup recall gate pays a
+      // slice x corpus brute truth leg per run by design
+      "eval_neardup_recall")
     // every query that probes a stored ModelStore artifact (ensure* —
     // built once per data dir): the warmup below runs each ONCE at the
     // timed dir so the build lands outside the measurement and the

@@ -22,6 +22,7 @@ object Registry {
   lazy val all: Seq[Q] =
     graft.analog.CoreAnalogs.queries ++ graft.analog.ExtraAnalogs.queries ++
       graft.analog.DecontamAnalogs.queries ++
+      graft.analog.SemanticAnalogs.queries ++
       graft.analog.CorpusAnalogs.queries ++
       graft.analog.QualityAnalogs.queries ++ graft.analog.WebAnalogs.queries
 }

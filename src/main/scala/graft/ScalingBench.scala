@@ -276,7 +276,19 @@ object ScalingBench {
       // query — the documented k²-by-construction harness artifact
       // (eval_retrieval_metrics' annotation applies)
       "stream_sq_screen_auto", "model_store_refresh_cycle",
-      "eval_ivfpq_refined_sweep")
+      "eval_ivfpq_refined_sweep",
+      // round 16 session 2: the semantic-decontam sweep shares
+      // nearDupPairs' bucket geometry with a small broadcast eval
+      // side (expected ~linear — the corpus is scanned once and
+      // bucket occupancy is held by chooseBits); its screen probes a
+      // FIXED 4-bit eval index, so the %20 arrival slice's growth is
+      // the only corpus-sized term; the kNN graph is nearDupPairs
+      // plus a per-vector bounded rank window (output exactly n·k —
+      // the one miner whose OUTPUT grows linearly by construction);
+      // the recall gate's truth leg is slice × corpus (the documented
+      // harness-artifact shape — eval_retrieval_metrics' annotation)
+      "decontam_semantic_hits", "stream_decontam_semantic",
+      "sim_knn_graph", "eval_neardup_recall")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

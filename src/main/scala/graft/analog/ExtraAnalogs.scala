@@ -516,11 +516,11 @@ object ExtraAnalogs {
   }
 
   /** Operand-order-exact double dot product — Similarity.cosine's fold. */
-  private def dDot(a: String, b: String) =
+  private[analog] def dDot(a: String, b: String) =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
       s"range(1, len($a)+1), i -> $a[i]*$b[i])), (x,y) -> x+y)"
 
-  private def dCos(a: String, b: String) =
+  private[analog] def dCos(a: String, b: String) =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
   /** Exact integer dot product over two BIGINT lists — the SQ8
@@ -587,7 +587,7 @@ object ExtraAnalogs {
   /** CASE chain computing Similarity.chooseBits(count) — pure integer
     * thresholds, so both engines agree exactly.
     */
-  private val dBitsCase: String = {
+  private[analog] val dBitsCase: String = {
     val whens = (1 until Similarity.MaxBits)
       .map(b => s"WHEN cnt <= ${Similarity.TargetBucket << b} THEN $b")
     s"CASE ${whens.mkString(" ")} ELSE ${Similarity.MaxBits} END"
@@ -599,7 +599,7 @@ object ExtraAnalogs {
     * bucket). Probes are appended by each query (range(0,17) ⋈ j≤bits,
     * because DuckDB table functions can't take subquery bounds).
     */
-  private def dLshPrefixWith(prm: String): String = {
+  private[analog] def dLshPrefixWith(prm: String): String = {
     val dotW = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
       s"range(1, least(len(e.emb), ${Similarity.MaxDim})+1), " +
       s"ii -> e.emb[ii]*hp.w[ii])), (x,y) -> x+y)"
@@ -620,11 +620,11 @@ object ExtraAnalogs {
   }
 
   /** [[dLshPrefixWith]] at corpus-sized bits — the batch ANN queries. */
-  private val dLshPrefix: String = dLshPrefixWith(
+  private[analog] val dLshPrefix: String = dLshPrefixWith(
     s"SELECT $dBitsCase AS bits FROM (SELECT count(*) AS cnt FROM embeddings)")
 
   /** Multi-probe exploded side over bkt (self + Hamming-1 flips). */
-  private def dProbes(alias: String, where: String = "") =
+  private[analog] def dProbes(alias: String, where: String = "") =
     s"""$alias AS (
        |  SELECT q.vec_id, q.emb, q.norm,
        |         CASE WHEN t.j = (SELECT bits FROM prm) THEN q.bucket

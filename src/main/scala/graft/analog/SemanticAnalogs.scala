@@ -1,0 +1,203 @@
+package graft.analog
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.operators.{Decontam, Evaluation, Similarity}
+import graft.sources.Tables
+
+/** Registry entries + DuckDB oracles for the EMBEDDING-SPACE hygiene
+  * operators: semantic decontamination (the paraphrase-leakage screen
+  * the n-gram family is blind to), the kNN-graph builder, and the
+  * near-dup miner's recall gate. The eval/benchmark set is carved from
+  * the embeddings table itself (`vec_id % 40 = 0`, ~2.5%) — the
+  * DecontamAnalogs split convention, so the oracle reproduces the
+  * split with integer arithmetic and the screen exercises the real
+  * near-dup structure of the corpus.
+  *
+  * All oracles reuse ExtraAnalogs' LSH CTE family (dLshPrefixWith /
+  * dProbes / dDot), so routing and scoring stay byte-identical to the
+  * graded ANN queries' replicas.
+  */
+object SemanticAnalogs {
+
+  import ExtraAnalogs.{dBitsCase, dDot, dLshPrefix, dLshPrefixWith, dProbes}
+
+  def queries: Seq[Q] = Seq(
+
+    // Embedding-space contamination flags: eval slice (vec_id%40=0)
+    // probes the corpus-sized sign buckets of the train slice, cosine
+    // >= 0.3 verifies, one audit row per flagged train vector (best
+    // eval match + exact hit count).
+    Q("decontam_semantic_hits",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val corpus = embs.filter(col("vec_id") % 40 =!= 0)
+        Decontam.semanticHits(corpus,
+          embs.filter(col("vec_id") % 40 === 0), threshold = 0.3)
+      },
+      Some(s"""WITH ${dLshPrefixWith(
+          s"SELECT $dBitsCase AS bits FROM " +
+            "(SELECT count(*) AS cnt FROM embeddings WHERE vec_id % 40 <> 0)")},
+        |${dProbes("ep", " AND q.vec_id % 40 = 0")},
+        |c AS (SELECT vec_id, emb, norm, bucket FROM bkt WHERE vec_id % 40 <> 0),
+        |hits AS (
+        |  SELECT c.vec_id, e.vec_id AS eval_id,
+        |         round(${dDot("e.emb", "c.emb")} / (e.norm * c.norm), 6) AS sim
+        |  FROM ep e JOIN c USING (bucket)
+        |),
+        |flagged AS (SELECT * FROM hits WHERE sim >= 0.3),
+        |r AS (
+        |  SELECT vec_id, eval_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, eval_id) AS rk,
+        |         count(*) OVER (PARTITION BY vec_id) AS n_hits
+        |  FROM flagged
+        |)
+        |SELECT vec_id, eval_id, sim AS max_sim, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
+    // The decontaminated corpus: train slice minus the flagged ids —
+    // one broadcast anti-join on the audit-sized hit list.
+    Q("decontam_semantic_clean",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val corpus = embs.filter(col("vec_id") % 40 =!= 0)
+        Decontam.semanticSurvivors(corpus,
+          embs.filter(col("vec_id") % 40 === 0), threshold = 0.3)
+      },
+      Some(s"""WITH ${dLshPrefixWith(
+          s"SELECT $dBitsCase AS bits FROM " +
+            "(SELECT count(*) AS cnt FROM embeddings WHERE vec_id % 40 <> 0)")},
+        |${dProbes("ep", " AND q.vec_id % 40 = 0")},
+        |c AS (SELECT vec_id, emb, norm, bucket FROM bkt WHERE vec_id % 40 <> 0),
+        |drops AS (
+        |  SELECT DISTINCT c.vec_id FROM ep e JOIN c USING (bucket)
+        |  WHERE round(${dDot("e.emb", "c.emb")} / (e.norm * c.norm), 6) >= 0.3
+        |)
+        |SELECT em.vec_id, CAST(em.label AS BIGINT) AS label
+        |FROM embeddings em
+        |WHERE em.vec_id % 40 <> 0
+        |  AND em.vec_id NOT IN (SELECT vec_id FROM drops)
+        |ORDER BY em.vec_id""".stripMargin)),
+
+    // Batch twin of the STREAMING semantic-contamination screen
+    // (graft.streaming.VecStreams.contamScreen): every 20th vector
+    // arrives (one minute per vec_id — the stream_ann_screen clock),
+    // multi-probes a FIXED bucketed eval index (vec_id%20<>0 AND
+    // vec_id%9=0, bits pinned at 4 — an index property: the eval set
+    // is small and static, so its width never needs to grow), and
+    // contaminated arrivals emit one audit row per 1-hour window.
+    Q("stream_decontam_semantic",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val arrivals = embs.filter(col("vec_id") % 20 === 0)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+          .select("vec_id", "embedding", "ts")
+        val evalIdx = Similarity.buildIndex(
+          embs.filter(col("vec_id") % 20 =!= 0 && col("vec_id") % 9 === 0),
+          bits = 4)
+        graft.streaming.VecStreams.contamScreen(arrivals, evalIdx, 0.3, 4)
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("vec_id"), col("eval_id"), col("max_sim"), col("n_hits"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${dLshPrefixWith("SELECT 4 AS bits")},
+        |${dProbes("q", " AND q.vec_id % 20 = 0")},
+        |c AS (SELECT vec_id, emb, norm, bucket FROM bkt
+        |      WHERE vec_id % 20 <> 0 AND vec_id % 9 = 0),
+        |flagged AS (
+        |  SELECT q.vec_id, c.vec_id AS eval_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+        |  FROM q JOIN c USING (bucket)
+        |  WHERE round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) >= 0.3
+        |),
+        |r AS (
+        |  SELECT vec_id, eval_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, eval_id) AS rk,
+        |         count(*) OVER (PARTITION BY vec_id) AS n_hits
+        |  FROM flagged
+        |)
+        |SELECT strftime(date_trunc('hour',
+        |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |       vec_id, eval_id, sim AS max_sim, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
+    // The kNN GRAPH: every vector's top-5 bucket-mates by cosine —
+    // nearDupPairs' geometry with a per-vector rank window instead of
+    // the threshold (the frame SemDeDup-style pruning / NN-descent /
+    // label propagation consume).
+    Q("sim_knn_graph",
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), k = 5),
+      Some(s"""WITH $dLshPrefix,
+        |${dProbes("qp")},
+        |p AS (
+        |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+        |  FROM qp q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p
+        |)
+        |SELECT vec_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin)),
+
+    // Recall gate for the bucketed near-dup miner: nearDupPairs'
+    // output restricted to pairs touching the probe slice (vec_id <
+    // 100 — the smaller id of any touching pair is in the slice, so
+    // `vec_a < 100` is the exact restriction) vs the slice's brute
+    // truth (every sim >= 0.3 pair, slice x corpus). Precision is
+    // 10000 by construction (the miner verifies exactly); recall is
+    // the graded number — the eval-gating discipline the ANN family
+    // has (eval_retrieval_metrics), extended to the dedup family.
+    Q("eval_neardup_recall",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val found = Similarity.nearDupPairs(embs, 0.3)
+          .filter(col("vec_a") < 100)
+        def norm(e: org.apache.spark.sql.Column) =
+          sqrt(Similarity.dot(e, e))
+        val e = embs.select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("norm"))
+        val q = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("vec_a"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val truth = broadcast(q)
+          .join(e.select(col("vec_id").as("vec_b"),
+            col("embedding").as("c_emb"), col("norm").as("c_norm")),
+            col("vec_b") > col("vec_a"))
+          .filter(round(Similarity.dot(col("q_emb"), col("c_emb")) /
+            (col("q_norm") * col("c_norm")), 6) >= 0.3)
+          .select("vec_a", "vec_b")
+        Evaluation.pairRecall(found, truth)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dProbes("ap")},
+        |found AS (
+        |  SELECT vec_a, vec_b FROM (
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |           round(${dDot("a.emb", "b.emb")} / (a.norm * b.norm), 6) AS sim
+        |    FROM ap a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  ) WHERE sim >= 0.3 AND vec_a < 100),
+        |truth AS (
+        |  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id > q.vec_id
+        |  WHERE round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) >= 0.3),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM found),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+        |       FROM found f JOIN truth t USING (vec_a, vec_b))
+        |SELECT n_truth, n_found, n_matched,
+        |       CASE WHEN n_truth > 0
+        |            THEN CAST(n_matched * 10000 // n_truth AS BIGINT)
+        |            ELSE 0 END AS recall_pm,
+        |       CASE WHEN n_found > 0
+        |            THEN CAST(n_matched * 10000 // n_found AS BIGINT)
+        |            ELSE 0 END AS precision_pm
+        |FROM nt, nf, nm""".stripMargin)))
+}

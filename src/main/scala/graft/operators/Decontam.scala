@@ -390,4 +390,69 @@ object Decontam {
           6).as("samp_weight"))
       .orderBy("source")
   }
+
+  // ---- Semantic (embedding-space) decontamination -------------------------
+
+  /** Embedding-space contamination flags — the SEMANTIC complement of
+    * the n-gram [[overlapScreen]]: paraphrased or lightly-rewritten
+    * benchmark leakage shares no 3-grams but sits at high cosine, so
+    * modern pipelines run both screens (the n-gram one catches verbatim
+    * copies cheaply, this one catches the rewrites the n-gram screen is
+    * blind to). A training vector is flagged when its cosine to ANY
+    * eval vector clears `threshold`; the output is ONE row per flagged
+    * training vector — (vec_id, eval_id, max_sim, n_hits) with eval_id
+    * the best-matching benchmark item (ties to the smaller id) — i.e.
+    * audit-sized, never pair-sized.
+    *
+    * Candidate generation is the [[Similarity.nearDupPairs]] geometry,
+    * cross-frame: the corpus buckets once at corpus-sized bits
+    * ([[Similarity.chooseBits]] — occupancy ~target at any corpus
+    * size), the eval side (small by definition, like the n-gram
+    * screen's bench frame) explodes Hamming-1 probes and BROADCASTS
+    * into the bucket equi-join, so the 100 TB corpus is never
+    * shuffled and never self-joined. Probe values are distinct, so
+    * each (eval, corpus) pair matches at most once and `n_hits` is an
+    * exact distinct-eval count.
+    */
+  def semanticHits(corpus: DataFrame, eval: DataFrame,
+      threshold: Double = 0.3, bits: Int = 0,
+      corpusN: Long = -1L): DataFrame = {
+    val nb = if (bits > 0) bits
+      else Similarity.chooseBits(if (corpusN >= 0L) corpusN else corpus.count())
+    def norm(e: Column) = sqrt(Similarity.dot(e, e))
+    val c = corpus
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), nb))
+      .select(col("vec_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"), col("bucket"))
+    val e = eval
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), nb))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        norm(col("embedding")).as("e_norm"),
+        explode(Similarity.probeBuckets(col("bucket"), nb)).as("bucket"))
+    broadcast(e).join(c, Seq("bucket"))
+      .select(col("vec_id"), col("eval_id"),
+        round(Similarity.dot(col("e_emb"), col("c_emb")) /
+          (col("e_norm") * col("c_norm")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg_eval"))).as("m"),
+        count(lit(1)).as("n_hits"))
+      .select(col("vec_id"), (-col("m.neg_eval")).as("eval_id"),
+        col("m.sim").as("max_sim"), col("n_hits"))
+      .orderBy("vec_id")
+  }
+
+  /** The corpus with [[semanticHits]]' flags removed — one broadcast
+    * `left_anti` on the (audit-sized) hit list, the [[survivors]]
+    * shape: the corpus streams through once, no pair state.
+    */
+  def semanticSurvivors(corpus: DataFrame, eval: DataFrame,
+      threshold: Double = 0.3, bits: Int = 0,
+      corpusN: Long = -1L): DataFrame = {
+    val hits = semanticHits(corpus, eval, threshold, bits, corpusN)
+      .select("vec_id")
+    corpus.join(broadcast(hits), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+  }
 }

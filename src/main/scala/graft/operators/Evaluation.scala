@@ -82,6 +82,37 @@ object Evaluation {
       .orderBy("query_id")
   }
 
+  /** Set metrics for a PAIR MINER against a reference pair set — the
+    * dedup family's counterpart of [[retrievalMetrics]]: both inputs
+    * are canonical (vec_a < vec_b) pair frames; output is ONE row
+    * (n_truth, n_found, n_matched, recall_pm, precision_pm), integer
+    * per-myriad with truncating division, 0 on an empty denominator.
+    * Typical use: a bucketed near-dup miner's pairs vs the exact
+    * threshold pairs on a bounded probe slice (the brute truth leg is
+    * Θ(slice × corpus), so the CALLER bounds the slice — same contract
+    * as retrievalMetrics' fixed query set).
+    *
+    * Scale shape: the match is one equi-join on the pair key; all
+    * three aggregates are single-row. Nothing here is corpus-sized
+    * beyond what the input frames already were.
+    */
+  def pairRecall(found: DataFrame, truth: DataFrame): DataFrame = {
+    val f = found.select(col("vec_a"), col("vec_b"))
+    val t = truth.select(col("vec_a"), col("vec_b"))
+    val nf = f.agg(count(lit(1)).as("n_found"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nm = f.join(t, Seq("vec_a", "vec_b"))
+      .agg(count(lit(1)).as("n_matched"))
+    nt.crossJoin(broadcast(nf)).crossJoin(broadcast(nm))
+      .select(col("n_truth"), col("n_found"), col("n_matched"),
+        when(col("n_truth") > 0,
+          call_function("div", col("n_matched") * lit(10000L),
+            col("n_truth"))).otherwise(0L).as("recall_pm"),
+        when(col("n_found") > 0,
+          call_function("div", col("n_matched") * lit(10000L),
+            col("n_found"))).otherwise(0L).as("precision_pm"))
+  }
+
   /** (label, pred, n): the confusion matrix — one corpus scan. */
   def confusion(scored: DataFrame, labelCol: String = "label",
       predCol: String = "pred"): DataFrame =

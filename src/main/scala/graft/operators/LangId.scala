@@ -101,14 +101,24 @@ object LangId {
     val b = lit(buckets.toLong)
     val grams = gramBuckets(seed, Seq(col("lang")), n, buckets)
     val clb = grams.groupBy("lang", "b").agg(count(lit(1)).as("clb"))
-    val cl = grams.groupBy("lang").agg(count(lit(1)).as("cl"))
+    val nDocs = seed.groupBy("lang").agg(count(lit(1)).as("nl"))
+    // gram totals per class, LEFT-joined onto the labeled classes: a
+    // class whose seed docs are all shorter than n still trains (cl =
+    // 0 → floor = −log(b), no delta rows — every bucket at the
+    // floor), instead of silently dropping out of langStats and
+    // leaving scores to build an unparseable stack(0,) (the
+    // LangIdProps-found degenerate seed). When every class has grams
+    // the coalesce is a no-op and the model is bit-identical.
+    val cl = nDocs.select("lang")
+      .join(grams.groupBy("lang").agg(count(lit(1)).as("cl")),
+        Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("cl"), lit(0L)).as("cl"))
     val floor = round(-log(col("cl") + b) * 1e6).cast("long")
     val langFloor = cl.select(col("lang"), col("cl"), floor.as("floor"))
     val delta = clb.join(langFloor, "lang")
       .select(col("lang"), col("b"),
         (round((log(col("clb") + lit(1L)) - log(col("cl") + b)) * 1e6)
           .cast("long") - col("floor")).as("delta"))
-    val nDocs = seed.groupBy("lang").agg(count(lit(1)).as("nl"))
     val tot = nDocs.agg(sum(col("nl")).as("nn"))
     val langStats = nDocs.crossJoin(broadcast(tot))
       .join(langFloor.select("lang", "floor"), "lang")
@@ -140,6 +150,10 @@ object LangId {
     // needed to size the pivot
     val langs = m.langStats.select("lang").collect()
       .map(_.getString(0)).sorted.toSeq
+    // an empty seed trains an empty model — out of contract for every
+    // scorer (the predictRowwise require); fail loudly here too
+    // instead of generating stack(0,) SQL that dies in the parser
+    require(langs.nonEmpty, "scores: model has no classes (empty seed?)")
     // Δ model pivoted WIDE: one broadcast row per observed bucket
     // with a Δ column per class, so each gram crosses the join ONCE —
     // the (gram × class) long form pushed L× the rows through the

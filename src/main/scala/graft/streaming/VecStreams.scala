@@ -45,6 +45,47 @@ object VecStreams {
       .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
   }
 
+  /** Streaming SEMANTIC-CONTAMINATION screen — the deployment
+    * direction of [[graft.operators.Decontam.semanticHits]]: the
+    * benchmark/eval set is SMALL and FIXED (its bucketed index is
+    * built once at a pinned `bits` — an index property, recorded with
+    * the artifact), and every ARRIVING training vector is screened
+    * against it before admission, the ingest-time complement of the
+    * batch sweep. Each arrival computes its own sign bucket, probes
+    * self + Hamming-1 (narrow bits+1 explode, no state), equi-joins
+    * the eval index on the bucket, and keeps cosine ≥ `threshold`
+    * matches; per 1-hour window × arrival the output row is
+    * (hour, vec_id, eval_id, max_sim, n_hits) — best eval match (ties
+    * to the smaller id) plus the exact distinct-eval hit count (probe
+    * values are distinct, so each (arrival, eval) pair matches at most
+    * once). CLEAN arrivals produce no row: the screen's output is
+    * leakage-sized, and state per window×arrival is one max/count
+    * cell, evicted by the watermark.
+    */
+  def contamScreen(streamEmbs: DataFrame, evalIndex: DataFrame,
+      threshold: Double = 0.3, bits: Int = 4): DataFrame = {
+    val q = streamEmbs
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), bits))
+      .withColumn("bucket",
+        explode(Similarity.probeBuckets(col("bucket"), bits)))
+      .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .withWatermark("ts", "1 hour")
+    val e = evalIndex.select(col("bucket"),
+      col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+      col("norm").as("e_norm"))
+    q.join(e, Seq("bucket"))
+      .select(col("ts"), col("vec_id"), col("eval_id"),
+        round(vecDot(col("embedding"), col("e_emb")) /
+          (col("norm") * col("e_norm")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg_eval"))).as("m"),
+        count(lit(1)).as("n_hits"))
+      .select(col("window.start").as("hour"), col("vec_id"),
+        (-col("m.neg_eval")).as("eval_id"), col("m.sim").as("max_sim"),
+        col("n_hits"))
+  }
+
   /** IVF-routed streaming screen — the trained-index counterpart of
     * [[annScreen]]: each arriving vector ranks the k-means centroids
     * PER ROW (the model is a driver-held k×d literal — the

@@ -511,6 +511,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("HashAggregate"), p.take(400))
   }
 
+  test("semantic decontam: eval side broadcasts, corpus never shuffle-joins; " +
+    "knn graph windows only bucket-bounded candidates") {
+    // the 100 TB shape: the eval/probe side is broadcast into the
+    // bucket equi-join (a SortMergeJoin would shuffle the corpus);
+    // removal anti-joins the audit-sized hit list by broadcast
+    Seq("decontam_semantic_hits", "decontam_semantic_clean",
+        "stream_decontam_semantic").foreach { q =>
+      assert(!plans(q).contains("SortMergeJoin"),
+        s"$q\n${plans(q).take(800)}")
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q\n${plans(q).take(800)}")
+    }
+    // the kNN graph's rank window partitions per-vector candidate
+    // lists (bucket-bounded), fed by the bucket hash join — assert the
+    // join didn't degrade to a corpus sort-merge
+    assert(!plans("sim_knn_graph").contains("SortMergeJoin"),
+      plans("sim_knn_graph").take(800))
+    // the recall gate's truth leg is the documented broadcast NLJ
+    // (slice build side); nothing may plan a cartesian product
+    assert(plans("eval_neardup_recall").contains("BroadcastNestedLoopJoin")
+      || plans("eval_neardup_recall").contains("BroadcastHashJoin"),
+      plans("eval_neardup_recall").take(800))
+  }
+
   test("column pruning reaches the scan on a projection-only query") {
     // t1_enrich_count aggregates a count over an enrichment join —
     // the orders scan must not read the full table width

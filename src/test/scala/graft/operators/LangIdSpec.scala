@@ -120,4 +120,37 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     val p = LangId.predict(docs((1L, "aaaa", "?")), m).collect()
     assert(p.head.getString(1) === "A")
   }
+
+  test("gram-less seed still trains: every labeled class keeps a floor " +
+    "(the LangIdProps degenerate corpus)") {
+    // every seed doc is shorter than n=3 → zero gram rows; before the
+    // round-16 fix langStats came out EMPTY (inner join on gram-
+    // bearing classes) and scores built unparseable stack(0,) SQL
+    val seed = docs((0L, "h", "keep"), (5L, "", "junk"))
+    val m = LangId.train(seed)
+    val stats = m.langStats.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats.map(_._1).toSeq === Seq("junk", "keep"))
+    // cl = 0 → floor = round(-ln(1024)·1e6) for both classes
+    val expFloor = math.round(-math.log(1024.0) * 1e6)
+    assert(stats.forall(_._3 === expFloor))
+    // predict and predictRowwise agree on a mixed corpus (the
+    // LangIdProps law, deterministic instance)
+    val corpus = docs((1L, "wnozvxzw", "?"), (2L, "", "?"), (3L, "k", "?"))
+    def out(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out(LangId.predict(corpus, m)) ===
+      out(LangId.predictRowwise(corpus, m)))
+    // ties on equal priors (1 doc each) break lang ASC → "junk"
+    assert(out(LangId.predict(corpus, m)).forall(_._2 === "junk"))
+  }
+
+  test("scores on an empty-seed model fails loudly, not in the SQL parser") {
+    val m = LangId.train(docs((0L, "abcdef", "x")).filter(col("doc_id") < 0))
+    val ex = intercept[IllegalArgumentException] {
+      LangId.predict(docs((1L, "abc", "?")), m).collect()
+    }
+    assert(ex.getMessage.contains("no classes"))
+  }
 }

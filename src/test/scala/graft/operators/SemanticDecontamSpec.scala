@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Laws for the embedding-space hygiene family: semantic
+  * decontamination (Decontam.semanticHits / semanticSurvivors, the
+  * streaming contamScreen twin), the kNN-graph builder
+  * (Similarity.knnGraph), and the pair-recall gate
+  * (Evaluation.pairRecall).
+  */
+class SemanticDecontamSpec extends AnyFunSuite with SparkSpec {
+
+  // corpus: v10 ≡ eval v0 (planted verbatim leak), v11 near-parallel
+  // to v0, v12 ⟂ everything, v13 = -v0 (anti-aligned; cosine -1 must
+  // NOT flag). eval: v0, plus v4 ⟂ v0 so multi-eval hits are possible.
+  private lazy val corpus = spark.createDataFrame(Seq(
+    (10L, Seq(1f, 0f, 0f, 0f), 0),
+    (11L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+    (12L, Seq(0f, 0f, 1f, 0f), 1),
+    (13L, Seq(-1f, 0f, 0f, 0f), 1)))
+    .toDF("vec_id", "embedding", "label")
+
+  private lazy val evalSet = spark.createDataFrame(Seq(
+    (0L, Seq(1f, 0f, 0f, 0f), 0),
+    (4L, Seq(0f, 0f, 0f, 1f), 0)))
+    .toDF("vec_id", "embedding", "label")
+
+  test("semanticHits: planted leak flagged at sim 1.0; orthogonal and " +
+    "anti-aligned corpus vectors never flag") {
+    val got = Decontam.semanticHits(corpus, evalSet, threshold = 0.8,
+      bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = got.map(h => h._1 -> h).toMap
+    assert(byId.contains(10L) && byId(10L)._2 === 0L &&
+      byId(10L)._3 === 1.0)
+    assert(byId.contains(11L)) // near-parallel rewrite also caught
+    assert(!byId.contains(12L) && !byId.contains(13L))
+  }
+
+  test("semanticHits: hit rows are unique per corpus vector and " +
+    "n_hits counts distinct eval matches exactly") {
+    val got = Decontam.semanticHits(corpus, evalSet, threshold = -1.1,
+      bits = 1).collect()
+    // threshold below -1: EVERY scored pair qualifies; with bits=1 and
+    // Hamming-1 probes every (eval, corpus) pair is scored exactly once
+    assert(got.map(_.getLong(0)).distinct.length === got.length)
+    got.foreach { r =>
+      assert(r.getLong(3) === evalSet.count(),
+        s"vec ${r.getLong(0)}: expected every eval to hit once")
+    }
+  }
+
+  test("semanticSurvivors: corpus minus flags, ids preserved") {
+    val surv = Decontam.semanticSurvivors(corpus, evalSet,
+      threshold = 0.8, bits = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv === Set(12L, 13L))
+  }
+
+  test("contamScreen batch twin: planted leak emits one audit row, " +
+    "clean arrivals emit none") {
+    val arrivals = corpus
+      .withColumn("ts", expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+      .select("vec_id", "embedding", "ts")
+    val idx = Similarity.buildIndex(evalSet, bits = 2)
+    val got = graft.streaming.VecStreams
+      .contamScreen(arrivals, idx, threshold = 0.8, bits = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byId = got.map(h => h._1 -> h).toMap
+    assert(byId.contains(10L) && byId(10L)._2 === 0L && byId(10L)._3 === 1.0)
+    assert(byId.contains(11L))
+    assert(!byId.contains(12L) && !byId.contains(13L))
+  }
+
+  test("knnGraph: self excluded, ranks dense from 1, k respected, " +
+    "exact twin ranks first") {
+    val embs = spark.createDataFrame(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0), // exact twin of 0
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0f, 0.9f, 0.1f, 0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnGraph(embs, k = 2, bits = 1)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    got.foreach { case (v, n, _, rk) =>
+      assert(v !== n); assert(rk >= 1L && rk <= 2L)
+    }
+    // per-vector ranks are dense from 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted === (1L to rows.length).toSeq)
+    }
+    val first0 = got.filter(r => r._1 === 0L && r._4 === 1L).head
+    assert(first0._2 === 1L && first0._3 === 1.0)
+  }
+
+  test("pairRecall: identical sets score 10000/10000; half-found " +
+    "scores 5000 recall; empty truth scores 0 without error") {
+    val s = spark; import s.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("vec_a", "vec_b")
+    val all = Evaluation.pairRecall(truth, truth).collect().head
+    assert(all.getLong(3) === 10000L && all.getLong(4) === 10000L)
+    val half = Evaluation.pairRecall(
+      Seq((1L, 2L), (7L, 8L)).toDF("vec_a", "vec_b"), truth)
+      .collect().head
+    assert((half.getLong(0), half.getLong(1), half.getLong(2)) ===
+      ((2L, 2L, 1L)))
+    assert(half.getLong(3) === 5000L && half.getLong(4) === 5000L)
+    val none = Evaluation.pairRecall(truth,
+      truth.filter(col("vec_a") < 0L)).collect().head
+    assert(none.getLong(0) === 0L && none.getLong(3) === 0L)
+  }
+}
