@@ -118,8 +118,9 @@ object Bench {
       // truth + six refine rankings per run
       "model_store_refresh_cycle", "eval_ivfpq_refined_sweep",
       // round-16 session 2: the near-dup recall gate pays a
-      // slice x corpus brute truth leg per run by design
-      "eval_neardup_recall")
+      // slice x corpus brute truth leg per run by design; the
+      // NN-descent gate additionally rebuilds graph + refinement
+      "eval_neardup_recall", "eval_nndescent_metrics")
     // every query that probes a stored ModelStore artifact (ensure* —
     // built once per data dir): the warmup below runs each ONCE at the
     // timed dir so the build lands outside the measurement and the

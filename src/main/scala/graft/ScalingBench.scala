@@ -288,7 +288,11 @@ object ScalingBench {
       // the recall gate's truth leg is slice × corpus (the documented
       // harness-artifact shape — eval_retrieval_metrics' annotation)
       "decontam_semantic_hits", "stream_decontam_semantic",
-      "sim_knn_graph", "eval_neardup_recall")
+      "sim_knn_graph", "eval_neardup_recall",
+      // the NN-descent round rides the knn graph's edge list: two id
+      // equi-joins bounded by k²+2k candidates per vector, so the
+      // curve should track sim_knn_graph's (output is again n·k)
+      "sim_nndescent_topk")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -246,7 +246,7 @@ object ExtraAnalogs {
     * tables are the driver-computed `ndcgDiscounts` MODEL CONSTANTS
     * inlined as literals, identical to the Spark side's.
     */
-  private def dMetricsTail(approx: String): String = {
+  private[analog] def dMetricsTail(approx: String): String = {
     val disc = graft.operators.Evaluation.ndcgDiscounts(10)
     val idcg = disc.scanLeft(0L)(_ + _).tail
     val dl = disc.mkString("[", ", ", "]")

@@ -21,7 +21,48 @@ import graft.sources.Tables
   */
 object SemanticAnalogs {
 
-  import ExtraAnalogs.{dBitsCase, dDot, dLshPrefix, dLshPrefixWith, dProbes}
+  import ExtraAnalogs.{dBitsCase, dDot, dLshPrefix, dLshPrefixWith,
+    dMetricsTail, dProbes}
+
+  /** kNN-graph CTE chain over the graded LSH prefix: gknn(vec_id,
+    * neighbor_id) = every vector's top-`k` bucket-mates, then the
+    * one-round NN-descent candidate set (forward ∪ reverse ∪ 2-hop,
+    * self-free — UNION dedups) re-ranked by exact cosine as
+    * ndrk(vec_id, neighbor_id, sim, rnk). Shared by
+    * sim_nndescent_topk and eval_nndescent_metrics so the refined
+    * ranking is byte-identical between the operator's gate and the
+    * recall gate.
+    */
+  private def dNnDescent(k: Int): String =
+    s"""${dProbes("qp")},
+      |gp AS (
+      |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+      |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+      |  FROM qp q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |), gr AS (
+      |  SELECT vec_id, neighbor_id, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM gp
+      |), gknn AS (SELECT vec_id, neighbor_id FROM gr WHERE rnk <= $k),
+      |cand AS (
+      |  SELECT vec_id, neighbor_id FROM gknn
+      |  UNION
+      |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM gknn
+      |  UNION
+      |  SELECT a.vec_id, b.neighbor_id FROM gknn a
+      |  JOIN gknn b ON a.neighbor_id = b.vec_id
+      |), cd AS (
+      |  SELECT vec_id, neighbor_id FROM cand WHERE vec_id <> neighbor_id
+      |), rr AS (
+      |  SELECT cd.vec_id, cd.neighbor_id,
+      |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+      |  FROM cd JOIN e q ON q.vec_id = cd.vec_id
+      |          JOIN e c ON c.vec_id = cd.neighbor_id
+      |), ndrk AS (
+      |  SELECT vec_id, neighbor_id, sim, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM rr
+      |)""".stripMargin
 
   def queries: Seq[Q] = Seq(
 
@@ -146,6 +187,47 @@ object SemanticAnalogs {
         |)
         |SELECT vec_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin)),
+
+    // One NN-descent refinement round over the kNN graph: forward ∪
+    // reverse ∪ 2-hop candidates, exact-cosine re-ranked to top-5 —
+    // recovers neighbors the LSH bucket boundaries hid (two near
+    // vectors bucketed apart are usually bridged by a shared third).
+    Q("sim_nndescent_topk",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.nnDescentRound(embs,
+          Similarity.knnGraph(embs, k = 5), k = 5)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dNnDescent(5)}
+        |SELECT vec_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM ndrk WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin)),
+
+    // The refinement's recall gate: the refined graph's vec_id<50
+    // slice vs the exact brute top-10, through the shared integer
+    // metric tail — read AGAINST eval_retrieval_metrics (the raw
+    // LSH ranking's grade on the same slice/truth/tail): the delta
+    // is what one neighbor-propagation round buys.
+    Q("eval_nndescent_metrics",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val refined = Similarity.nnDescentRound(embs,
+            Similarity.knnGraph(embs, k = 10), k = 10)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"),
+            col("rank"))
+        Evaluation.retrievalMetrics(refined,
+          Similarity.bruteForceTopK(embs, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dNnDescent(10)},
+        |nds AS (
+        |  SELECT vec_id AS query_id, neighbor_id, rnk
+        |  FROM ndrk WHERE vec_id < 50
+        |),
+        |${dMetricsTail("nds")}""".stripMargin)),
 
     // Recall gate for the bucketed near-dup miner: nearDupPairs'
     // output restricted to pairs touching the probe slice (vec_id <

@@ -99,6 +99,54 @@ class SemanticDecontamSpec extends AnyFunSuite with SparkSpec {
     assert(first0._2 === 1L && first0._3 === 1.0)
   }
 
+  test("nnDescentRound: bridges an LSH bucket boundary through a " +
+    "shared neighbor; never keeps self; ranks dense") {
+    val s = spark; import s.implicits._
+    // a tight cluster around e0 plus two orthogonal fillers: with
+    // bits=1 some cluster members can land in opposite buckets (the
+    // sign of the first hyperplane dot flips on tiny perturbations is
+    // not guaranteed — so instead PLANT the boundary: hand the round
+    // a graph where 0 knows 1, 1 knows 2, but 0 does not know 2; the
+    // 2-hop rule must surface 2 for 0 and exact re-rank must keep it
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.95f, 0.05f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val plantedGraph = Seq(
+      (0L, 1L), (1L, 2L), (2L, 1L), (3L, 0L))
+      .toDF("vec_id", "neighbor_id")
+    val got = Similarity.nnDescentRound(embs, plantedGraph, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // 0's candidates: fwd {1}, rev {3}, 2-hop {2 via 1} → top-2 by
+    // cosine = 1 (0.9987) then 2 (0.9939), 3 (cos 0) ranks out
+    assert(got.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq ===
+      Seq(1L, 2L))
+    got.foreach { case (v, n, rk) =>
+      assert(v !== n); assert(rk >= 1L)
+    }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("nnDescentRound: a round over a complete graph is a fixpoint " +
+    "(already-exact graph stays exact)") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Similarity.knnGraph(embs, k = 2, bits = 1)
+    val refined = Similarity.nnDescentRound(embs, exact, k = 2)
+    assert(refined.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq ===
+      exact.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq)
+  }
+
   test("pairRecall: identical sets score 10000/10000; half-found " +
     "scores 5000 recall; empty truth scores 0 without error") {
     val s = spark; import s.implicits._
