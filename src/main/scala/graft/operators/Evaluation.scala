@@ -101,7 +101,10 @@ object Evaluation {
     val t = truth.select(col("vec_a"), col("vec_b"))
     val nf = f.agg(count(lit(1)).as("n_found"))
     val nt = t.agg(count(lit(1)).as("n_truth"))
-    val nm = f.join(t, Seq("vec_a", "vec_b"))
+    // the truth side is slice-bounded by the input contract — build
+    // side of the match join (its lineage is a corpus-sized brute
+    // scan, so Catalyst's size estimate would otherwise sort-merge)
+    val nm = f.join(broadcast(t), Seq("vec_a", "vec_b"))
       .agg(count(lit(1)).as("n_matched"))
     nt.crossJoin(broadcast(nf)).crossJoin(broadcast(nm))
       .select(col("n_truth"), col("n_found"), col("n_matched"),
