@@ -133,7 +133,10 @@ object Bench {
       // loaded SQ8 twin stores its code table via ensureFrame
       "sim_ivf2_upsert", "model_store_stale_check", "sim_sq_topk_loaded",
       // the model-quality screen probes the stored weak-label NB
-      "stream_quality_nb_screen")
+      "stream_quality_nb_screen",
+      // round-16 session 2: propagation served from the stored kNN
+      // edge list (built once per data dir)
+      "sim_labelprop_loaded")
     val warmupDir = "/root/testdata/sf0.001"
     val warmT0 = System.nanoTime()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&

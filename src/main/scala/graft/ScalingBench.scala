@@ -292,7 +292,12 @@ object ScalingBench {
       // the NN-descent round rides the knn graph's edge list: two id
       // equi-joins bounded by k²+2k candidates per vector, so the
       // curve should track sim_knn_graph's (output is again n·k)
-      "sim_nndescent_topk")
+      "sim_nndescent_topk",
+      // label propagation adds one label equi-join + two bounded
+      // aggregates to the graph; the outlier screen adds one integer
+      // sum per vector + a <=200·k-cell histogram cut — both expected
+      // to track sim_knn_graph's curve
+      "sim_label_propagation", "emb_outliers")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -33,17 +33,25 @@ object SemanticAnalogs {
     * ranking is byte-identical between the operator's gate and the
     * recall gate.
     */
-  private def dNnDescent(k: Int): String =
+  /** The kNN-graph CTE prefix alone: gknn(vec_id, neighbor_id, sim)
+    * = every vector's top-`k` bucket-mates, sims carried — shared by
+    * the propagation/outlier oracles that consume the graph directly.
+    */
+  private def dKnn(k: Int): String =
     s"""${dProbes("qp")},
       |gp AS (
       |  SELECT q.vec_id, c.vec_id AS neighbor_id,
       |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
       |  FROM qp q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
       |), gr AS (
-      |  SELECT vec_id, neighbor_id, row_number() OVER
+      |  SELECT vec_id, neighbor_id, sim, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
       |  FROM gp
-      |), gknn AS (SELECT vec_id, neighbor_id FROM gr WHERE rnk <= $k),
+      |), gknn AS (SELECT vec_id, neighbor_id, sim FROM gr WHERE rnk <= $k)"""
+      .stripMargin
+
+  private def dNnDescent(k: Int): String =
+    s"""${dKnn(k)},
       |cand AS (
       |  SELECT vec_id, neighbor_id FROM gknn
       |  UNION
@@ -228,6 +236,112 @@ object SemanticAnalogs {
         |  FROM ndrk WHERE vec_id < 50
         |),
         |${dMetricsTail("nds")}""".stripMargin)),
+
+    // One-round label propagation over the kNN graph: neighbors vote
+    // (votes DESC, micro-cosine support DESC, label ASC — integer-
+    // exact tie order). On THIS fixture labels are geometry-free
+    // (measured: same-label mean cosine 0.0019 vs 0.0003 cross —
+    // chance-level signal), so the gate verifies the vote mechanics,
+    // not a classification win; on a labeled-clusters corpus the same
+    // plan transfers seed labels (the PQ uniform-random precedent:
+    // the fixture is the operator's adversarial case).
+    Q("sim_label_propagation",
+      (s, d) => Similarity.labelPropagate(Tables.embeddings(s, d), k = 5),
+      Some(s"""WITH $dLshPrefix,
+        |${dKnn(5)},
+        |lbl AS (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS nb_label
+        |        FROM embeddings),
+        |votes AS (
+        |  SELECT g.vec_id, l.nb_label,
+        |         CAST(count(*) AS BIGINT) AS votes,
+        |         CAST(sum(CAST(round(g.sim * 1000000) AS BIGINT)) AS BIGINT)
+        |           AS support
+        |  FROM gknn g
+        |  JOIN lbl l ON l.neighbor_id = g.neighbor_id
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT vec_id, nb_label, votes, support, row_number() OVER
+        |    (PARTITION BY vec_id
+        |     ORDER BY votes DESC, support DESC, nb_label) AS rk
+        |  FROM votes
+        |)
+        |SELECT vec_id, nb_label AS pred_label, votes,
+        |       support AS support_micro
+        |FROM w WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
+    // The LOADED twin: propagation served from the STORED kNN edge
+    // list (ModelStore.ensureFrame — built on first touch of a data
+    // dir, read back after), the graph family's train-once arm: a
+    // vote round is one pass over the artifact, no bucket mining or
+    // rank window in the serving plan. Oracle identical to the
+    // in-plan twin — a stale or foreign artifact hash-mismatches.
+    Q("sim_labelprop_loaded",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val g = graft.sources.ModelStore.ensureFrame(s,
+          s"target/models/knng_${ExtraAnalogs.dirKey(d)}/edges",
+          Similarity.knnGraph(e, k = 5), fingerprintData = Some(e))
+        Similarity.labelPropagateFromGraph(g, e)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dKnn(5)},
+        |lbl AS (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS nb_label
+        |        FROM embeddings),
+        |votes AS (
+        |  SELECT g.vec_id, l.nb_label,
+        |         CAST(count(*) AS BIGINT) AS votes,
+        |         CAST(sum(CAST(round(g.sim * 1000000) AS BIGINT)) AS BIGINT)
+        |           AS support
+        |  FROM gknn g
+        |  JOIN lbl l ON l.neighbor_id = g.neighbor_id
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT vec_id, nb_label, votes, support, row_number() OVER
+        |    (PARTITION BY vec_id
+        |     ORDER BY votes DESC, support DESC, nb_label) AS rk
+        |  FROM votes
+        |)
+        |SELECT vec_id, nb_label AS pred_label, votes,
+        |       support AS support_micro
+        |FROM w WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Embedding-space outlier screen: k-NN density score (summed
+    // micro-cosine of the top-5 neighbors — a pure integer SUM,
+    // missing neighbors 0, isolated vectors pinned to the scale
+    // minimum), flagged below the p5 cut of a fixed-grid integer
+    // histogram (threshold state <= 200·k cells at any corpus size,
+    // never a corpus-wide rank window).
+    Q("emb_outliers",
+      (s, d) => Similarity.knnOutliers(Tables.embeddings(s, d),
+        k = 5, pm = 500),
+      Some(s"""WITH $dLshPrefix,
+        |${dKnn(5)},
+        |sc AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) AS BIGINT)
+        |           AS score_micro
+        |  FROM gknn GROUP BY 1
+        |), alls AS (
+        |  SELECT em.vec_id, coalesce(sc.score_micro, -5000000) AS score_micro
+        |  FROM embeddings em LEFT JOIN sc ON sc.vec_id = em.vec_id
+        |), hist AS (
+        |  SELECT (score_micro + 5000000) // 10000 AS bin,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM alls GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+        |cum AS (
+        |  SELECT bin, sum(c) OVER (ORDER BY bin) AS cum, n
+        |  FROM hist CROSS JOIN tot
+        |), cut AS (
+        |  SELECT CAST(min(CASE WHEN cum >= (500 * n + 9999) // 10000
+        |           THEN bin END) * 10000 - 5000000 + 10000 AS BIGINT)
+        |           AS cut_micro
+        |  FROM cum
+        |)
+        |SELECT a.vec_id, a.score_micro, c.cut_micro,
+        |       CAST(CASE WHEN a.score_micro < c.cut_micro THEN 1 ELSE 0 END
+        |         AS BIGINT) AS is_outlier
+        |FROM alls a CROSS JOIN cut c ORDER BY a.vec_id""".stripMargin)),
 
     // Recall gate for the bucketed near-dup miner: nearDupPairs'
     // output restricted to pairs touching the probe slice (vec_id <

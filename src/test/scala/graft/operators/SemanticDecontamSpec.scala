@@ -147,6 +147,71 @@ class SemanticDecontamSpec extends AnyFunSuite with SparkSpec {
         (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq)
   }
 
+  test("labelPropagate: a clean two-cluster corpus transfers labels; " +
+    "tie order is (votes, support, label asc)") {
+    val s = spark; import s.implicits._
+    // two tight clusters with consistent labels; each vector's
+    // neighbors are its own cluster, so the vote is unanimous
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 7),
+      (1L, Seq(0.99f, 0.01f, 0f, 0f), 7),
+      (2L, Seq(0.98f, 0.02f, 0f, 0f), 7),
+      (10L, Seq(0f, 1f, 0f, 0f), 3),
+      (11L, Seq(0f, 0.99f, 0.01f, 0f), 3),
+      (12L, Seq(0f, 0.98f, 0.02f, 0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelPropagate(embs, k = 2, bits = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    Seq(0L, 1L, 2L).foreach(v => assert(got(v) === ((7L, 2L)), s"vec $v"))
+    Seq(10L, 11L, 12L).foreach(v => assert(got(v) === ((3L, 2L)), s"vec $v"))
+  }
+
+  test("labelPropagateFromGraph: a parquet round-tripped edge list " +
+    "serves the in-plan answers row-exactly (the stored-artifact law)") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 7),
+      (1L, Seq(0.99f, 0.01f, 0f, 0f), 7),
+      (10L, Seq(0f, 1f, 0f, 0f), 3),
+      (11L, Seq(0f, 0.99f, 0.01f, 0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("knng").toString
+    Similarity.knnGraph(embs, k = 2, bits = 1)
+      .write.mode("overwrite").parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(Similarity.labelPropagateFromGraph(
+        spark.read.parquet(dir), embs)) ===
+      rows(Similarity.labelPropagate(embs, k = 2, bits = 1)))
+  }
+
+  test("knnOutliers: the isolated vector flags, the cluster does not; " +
+    "isolated-pin and cut edges are exact") {
+    val s = spark; import s.implicits._
+    // 19 near-identical vectors + 1 orthogonal outlier: at pm=500 the
+    // p5 rank is ceil(0.05*20)=1, so exactly the score-minimum bin
+    // cuts — the outlier (near-zero summed cosine) flags, the cluster
+    // (scores ~2e6 at k=2) does not
+    val embs = ((0L until 19L).map(i =>
+        (i, Seq(1f, i.toFloat * 1e-4f, 0f, 0f), 0)) :+
+        (99L, Seq(0f, 0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnOutliers(embs, k = 2, pm = 500, bits = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = got.map(x => x._1 -> x).toMap
+    assert(byId(99L)._4 === 1L, s"outlier must flag: ${byId(99L)}")
+    (0L until 19L).foreach(v => assert(byId(v)._4 === 0L, s"vec $v"))
+    // every row carries the same cut, and the flag is exactly
+    // score < cut
+    assert(got.map(_._3).distinct.length === 1)
+    got.foreach { case (_, sc, cut, f) =>
+      assert((sc < cut) === (f == 1L))
+    }
+  }
+
   test("pairRecall: identical sets score 10000/10000; half-found " +
     "scores 5000 recall; empty truth scores 0 without error") {
     val s = spark; import s.implicits._
