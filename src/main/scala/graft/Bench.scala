@@ -120,7 +120,8 @@ object Bench {
       // round-16 session 2: the near-dup recall gate pays a
       // slice x corpus brute truth leg per run by design; the
       // NN-descent gate additionally rebuilds graph + refinement
-      "eval_neardup_recall", "eval_nndescent_metrics")
+      "eval_neardup_recall", "eval_nndescent_metrics",
+      "eval_nndescent2_metrics")
     // every query that probes a stored ModelStore artifact (ensure* —
     // built once per data dir): the warmup below runs each ONCE at the
     // timed dir so the build lands outside the measurement and the

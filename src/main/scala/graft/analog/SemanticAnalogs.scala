@@ -72,7 +72,62 @@ object SemanticAnalogs {
       |  FROM rr
       |)""".stripMargin
 
+  /** A SECOND descent step appended to [[dNnDescent]]'s chain: the
+    * same candidate rule (forward ∪ reverse ∪ 2-hop) applied to the
+    * round-1 output `ndrk`, re-ranked as nd2rk — the convergence
+    * gate's oracle leg.
+    */
+  private def dNnDescent2(k: Int): String =
+    s"""${dNnDescent(k)},
+      |nd1 AS (SELECT vec_id, neighbor_id FROM ndrk WHERE rnk <= $k),
+      |cand2 AS (
+      |  SELECT vec_id, neighbor_id FROM nd1
+      |  UNION
+      |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM nd1
+      |  UNION
+      |  SELECT a.vec_id, b.neighbor_id FROM nd1 a
+      |  JOIN nd1 b ON a.neighbor_id = b.vec_id
+      |), cd2 AS (
+      |  SELECT vec_id, neighbor_id FROM cand2 WHERE vec_id <> neighbor_id
+      |), rr2 AS (
+      |  SELECT cd2.vec_id, cd2.neighbor_id,
+      |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+      |  FROM cd2 JOIN e q ON q.vec_id = cd2.vec_id
+      |           JOIN e c ON c.vec_id = cd2.neighbor_id
+      |), nd2rk AS (
+      |  SELECT vec_id, neighbor_id, sim, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM rr2
+      |)""".stripMargin
+
   def queries: Seq[Q] = Seq(
+
+    // The CONVERGENCE gate: a second NN-descent round, graded through
+    // the same slice/truth/metric tail as eval_retrieval_metrics
+    // (round 0) and eval_nndescent_metrics (round 1) — the three
+    // hash-gated points are the convergence curve of neighbor
+    // propagation on this corpus.
+    Q("eval_nndescent2_metrics",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val r2 = Similarity.nnDescentRound(embs,
+            Similarity.nnDescentRound(embs,
+              Similarity.knnGraph(embs, k = 10), k = 10), k = 10)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"),
+            col("rank"))
+        Evaluation.retrievalMetrics(r2,
+          Similarity.bruteForceTopK(embs, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dNnDescent2(10)},
+        |nds2 AS (
+        |  SELECT vec_id AS query_id, neighbor_id, rnk
+        |  FROM nd2rk WHERE vec_id < 50
+        |),
+        |${dMetricsTail("nds2")}""".stripMargin)),
 
     // Embedding-space contamination flags: eval slice (vec_id%40=0)
     // probes the corpus-sized sign buckets of the train slice, cosine
