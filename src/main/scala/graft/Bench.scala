@@ -121,7 +121,15 @@ object Bench {
       // slice x corpus brute truth leg per run by design; the
       // NN-descent gate additionally rebuilds graph + refinement
       "eval_neardup_recall", "eval_nndescent_metrics",
-      "eval_nndescent2_metrics")
+      "eval_nndescent2_metrics",
+      // round 17: the miner recall gates each pay their slice x
+      // corpus brute truth leg per run (Hamming / uncapped-fp /
+      // shingle-containment); the H2 probe arm adds the ~8x probe
+      // fan-out on top; the converged operator runs two full descent
+      // rounds + stop-count actions per run by design
+      "eval_simhash_recall", "eval_winnow_recall",
+      "eval_containment_recall", "eval_dhash_recall",
+      "eval_neardup_recall2", "sim_nndescent_converged")
     // every query that probes a stored ModelStore artifact (ensure* —
     // built once per data dir): the warmup below runs each ONCE at the
     // timed dir so the build lands outside the measurement and the
@@ -137,7 +145,10 @@ object Bench {
       "stream_quality_nb_screen",
       // round-16 session 2: propagation served from the stored kNN
       // edge list (built once per data dir)
-      "sim_labelprop_loaded")
+      "sim_labelprop_loaded",
+      // round 17: the two consumers of the stored REFINED graph
+      // (one artifact dir, built on first touch of a data dir)
+      "sim_nndescent_loaded", "emb_outliers_loaded")
     val warmupDir = "/root/testdata/sf0.001"
     val warmT0 = System.nanoTime()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&

@@ -283,8 +283,8 @@ object ScalingBench {
       // bucket occupancy is held by chooseBits); its screen probes a
       // FIXED 4-bit eval index, so the %20 arrival slice's growth is
       // the only corpus-sized term; the kNN graph is nearDupPairs
-      // plus a per-vector bounded rank window (output exactly n·k —
-      // the one miner whose OUTPUT grows linearly by construction);
+      // plus a per-vector bounded rank window (output ≤ n·k — the
+      // one miner whose OUTPUT grows linearly by construction);
       // the recall gate's truth leg is slice × corpus (the documented
       // harness-artifact shape — eval_retrieval_metrics' annotation)
       "decontam_semantic_hits", "stream_decontam_semantic",
@@ -297,7 +297,20 @@ object ScalingBench {
       // aggregates to the graph; the outlier screen adds one integer
       // sum per vector + a <=200·k-cell histogram cut — both expected
       // to track sim_knn_graph's curve
-      "sim_label_propagation", "emb_outliers")
+      "sim_label_propagation", "emb_outliers",
+      // round 17: the loaded twins build their stored refined-graph
+      // artifact on each scale's first run and serve from it after
+      // (the loaded-twin curve convention); the converged operator is
+      // two full descent rounds + two edge-list anti-join stop counts
+      // (expected ~sim_nndescent_topk × 2); the Hamming-2 recall arm
+      // carries the ~8× probe fan-out AND the slice × corpus brute
+      // truth leg (the documented harness-artifact k² — the
+      // eval_retrieval_metrics annotation applies); the winnow /
+      // containment gates likewise carry brute truth legs (uncapped
+      // fp join / slice × corpus shingle intersect)
+      "sim_nndescent_loaded", "emb_outliers_loaded",
+      "sim_nndescent_converged", "eval_neardup_recall2",
+      "eval_winnow_recall", "eval_containment_recall")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

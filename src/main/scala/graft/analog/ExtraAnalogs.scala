@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Evaluation, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline operators (BASELINE.json north star) over
@@ -34,6 +34,13 @@ object ExtraAnalogs {
     * labels for the classifier-based quality filter. Generalizing
     * the relation (not copying the chain) keeps every NB oracle on
     * one arithmetic definition.
+    *
+    * `lf` derives from the SEED classes (nd) left-joined to the
+    * per-class gram counts with a coalesce(0) floor — NOT from the
+    * gram-bearing classes alone — mirroring LangId.train's LEFT join:
+    * a seed class whose docs are all shorter than the gram width
+    * still scores (cl = 0, floor fl = round(−ln 1024 · 10⁶)) in both
+    * engines (round-16 fuzz finding, oracle side fixed round 17).
     */
   private[analog] def dNbChainOn(src: String,
       seedWhere: String = "doc_id % 5 = 0"): String = s"""seed AS (
@@ -45,15 +52,18 @@ object ExtraAnalogs {
         |    FROM seed)),
         |clb AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS clb
         |        FROM g GROUP BY lang, b),
-        |lf AS (SELECT lang, CAST(count(*) AS BIGINT) AS cl,
-        |         CAST(round(-ln(count(*) + 1024) * 1e6) AS BIGINT) AS fl
-        |       FROM g GROUP BY lang),
+        |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |       FROM seed GROUP BY lang),
+        |lf AS (SELECT nd.lang, coalesce(gc.cl, 0) AS cl,
+        |         CAST(round(-ln(coalesce(gc.cl, 0) + 1024) * 1e6) AS BIGINT)
+        |           AS fl
+        |       FROM nd LEFT JOIN (
+        |         SELECT lang, CAST(count(*) AS BIGINT) AS cl
+        |         FROM g GROUP BY lang) gc USING (lang)),
         |dl AS (SELECT clb.lang, b,
         |         CAST(round((ln(clb + 1) - ln(cl + 1024)) * 1e6) AS BIGINT)
         |           - fl AS delta
         |       FROM clb JOIN lf USING (lang)),
-        |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
-        |       FROM seed GROUP BY lang),
         |st AS (SELECT lang,
         |         CAST(round((ln(nl) - ln((SELECT CAST(sum(nl) AS BIGINT)
         |           FROM nd))) * 1e6) AS BIGINT) AS prior, fl
@@ -631,6 +641,31 @@ object ExtraAnalogs {
        |              ELSE xor(q.bucket, 1::BIGINT << t.j) END AS bucket
        |  FROM bkt q, range(0, ${Similarity.MaxBits + 1}) t(j)
        |  WHERE t.j <= (SELECT bits FROM prm)$where
+       |)""".stripMargin
+
+  /** [[dProbes]] widened to Hamming ≤ 2 (Similarity.probeBuckets2's
+    * replica): self ∪ single-bit flips ∪ two-bit flips — the nested
+    * xor avoids a mid-SQL bitwise-OR pipe (the stripMargin
+    * convention). Probe values are distinct, so the downstream bucket
+    * equi-join stays duplicate-free exactly as the Spark side's
+    * explode does.
+    */
+  private[analog] def dProbes2(alias: String, where: String = "") =
+    s"""$alias AS (
+       |  SELECT q.vec_id, q.emb, q.norm, q.bucket
+       |  FROM bkt q WHERE 1 = 1$where
+       |  UNION ALL
+       |  SELECT q.vec_id, q.emb, q.norm,
+       |         xor(q.bucket, 1::BIGINT << t.j) AS bucket
+       |  FROM bkt q, range(0, ${Similarity.MaxBits}) t(j)
+       |  WHERE t.j < (SELECT bits FROM prm)$where
+       |  UNION ALL
+       |  SELECT q.vec_id, q.emb, q.norm,
+       |         xor(xor(q.bucket, 1::BIGINT << t.i), 1::BIGINT << u.j)
+       |           AS bucket
+       |  FROM bkt q, range(0, ${Similarity.MaxBits}) t(i),
+       |       range(0, ${Similarity.MaxBits}) u(j)
+       |  WHERE t.i < u.j AND u.j < (SELECT bits FROM prm)$where
        |)""".stripMargin
 
   /** Double image + norm of an integer centroid table (k-means). */
@@ -1282,6 +1317,169 @@ object ExtraAnalogs {
         |SELECT doc_a, doc_b, containment_pm
         |FROM cp WHERE containment_pm >= 8000
         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ── Miner recall gates (round-17 ask #4): the eval_neardup_recall
+    // discipline extended to the other pair miners — each graded
+    // against a slice-brute truth IN ITS OWN similarity measure
+    // (Hamming for the 64-bit sketch families, uncapped shared
+    // fingerprints / exact shingle containment for the text miners),
+    // through Evaluation.pairRecall's integer tail, so every future
+    // blocking/cap/geometry tuning has a hash-stable recall number to
+    // move instead of an asserted "output-preserving". Slice = the
+    // id < 100 prefix; the smaller id of any touching pair is in the
+    // slice, so `doc_a < 100` is the exact restriction. ──
+
+    // SimHash: the Manku block table is LOSSLESS at Hamming ≤ 3 by
+    // pigeonhole and the verify is exact, so this gate is a LAW —
+    // recall_pm = precision_pm = 10000 — and the oracle asserts it in
+    // closed form over an O(slice × corpus) brute Hamming truth: any
+    // future block-geometry change that loses a pair mismatches on
+    // n_found/n_matched.
+    Q("eval_simhash_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val found = Dedup.simhashPairs(docs)
+          .filter(col("doc_a") < 100)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+        val sigs = Dedup.simhash(docs).select("doc_id", "simhash")
+        val truth = broadcast(sigs.filter(col("doc_id") < 100)
+            .select(col("doc_id").as("vec_a"), col("simhash").as("sig_a")))
+          .join(sigs.select(col("doc_id").as("vec_b"),
+            col("simhash").as("sig_b")), col("vec_b") > col("vec_a"))
+          .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+            .cast("long") <= 3)
+          .select("vec_a", "vec_b")
+        Evaluation.pairRecall(found, truth)
+      },
+      Some(s"""WITH hs AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(string_split(text, ' ')), x -> ${dWordHash60("x")}) AS hs
+        |  FROM documents
+        |), sv AS (SELECT doc_id, CAST($dSimhash60 AS BIGINT) AS simhash FROM hs),
+        |truth AS (
+        |  SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        |  FROM sv a JOIN sv b ON a.doc_id < 100 AND b.doc_id > a.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+        |SELECT n_truth, n_truth AS n_found, n_truth AS n_matched,
+        |       CAST(CASE WHEN n_truth > 0 THEN 10000 ELSE 0 END AS BIGINT)
+        |         AS recall_pm,
+        |       CAST(CASE WHEN n_truth > 0 THEN 10000 ELSE 0 END AS BIGINT)
+        |         AS precision_pm
+        |FROM nt""".stripMargin)),
+
+    // Winnowing: truth = the UNCAPPED shared-fingerprint pairs (the
+    // miner's own measure with the df ≤ 128 hot-fingerprint guard
+    // lifted), so the graded number is exactly what the cap costs —
+    // the one tuning knob this miner has. Precision is 10000 by
+    // construction (capped hits are a subset of uncapped hits).
+    Q("eval_winnow_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val found = Dedup.winnowPairs(docs)
+          .filter(col("doc_a") < 100)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+        val fps = docs.select(col("doc_id"),
+          explode(TextFunctions.winnowFingerprints(col("text"))).as("fp"))
+        val truth = fps.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("vec_a"), col("fp"))
+          .join(fps.select(col("doc_id").as("vec_b"), col("fp")), Seq("fp"))
+          .filter(col("vec_b") > col("vec_a"))
+          .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("ns"))
+          .filter(col("ns") >= 3)
+          .select("vec_a", "vec_b")
+        Evaluation.pairRecall(found, truth)
+      },
+      Some(s"""WITH $tokCte, $winnowCte,
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 128),
+        |eh AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
+        |found AS (
+        |  SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        |  FROM eh a JOIN eh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 100
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |truth AS (
+        |  SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 100
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM found),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+        |       FROM found f JOIN truth t USING (vec_a, vec_b))
+        |SELECT n_truth, n_found, n_matched,
+        |       CASE WHEN n_truth > 0
+        |            THEN CAST(n_matched * 10000 // n_truth AS BIGINT)
+        |            ELSE 0 END AS recall_pm,
+        |       CASE WHEN n_found > 0
+        |            THEN CAST(n_matched * 10000 // n_found AS BIGINT)
+        |            ELSE 0 END AS precision_pm
+        |FROM nt, nf, nm""".stripMargin)),
+
+    // Containment: truth = EXACT shingle containment ≥ 8000 pm over
+    // the slice × corpus brute pair set — the miner's verify measure
+    // with the fingerprint candidate stage (minShared ≥ 2, df cap)
+    // lifted, so the graded number is the candidate stage's recall:
+    // a short doc quoted whole but sharing < 2 winnow fingerprints is
+    // exactly what this gate counts. Precision is 10000 by
+    // construction (the miner verifies exactly).
+    Q("eval_containment_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val found = Dedup.containmentPairs(docs)
+          .filter(col("doc_a") < 100)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+        val sh = docs.select(col("doc_id"),
+          array_sort(TextFunctions.shinglesN(col("text"), 3)).as("sh"))
+        val inter = graft.expressions.TextExpressions
+          .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long")
+        val minSz = least(size(col("sh_a")), size(col("sh_b"))).cast("long")
+        val truth = broadcast(sh.filter(col("doc_id") < 100)
+            .select(col("doc_id").as("vec_a"), col("sh").as("sh_a")))
+          .join(sh.select(col("doc_id").as("vec_b"), col("sh").as("sh_b")),
+            col("vec_b") > col("vec_a"))
+          .filter(minSz > 0)
+          .filter(call_function("div", inter * lit(10000L), minSz) >= 8000L)
+          .select("vec_a", "vec_b")
+        Evaluation.pairRecall(found, truth)
+      },
+      Some(s"""WITH $tokCte, $winnowCte,
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 128),
+        |eh AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM eh a JOIN eh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s3 AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(w) - 1),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM tok),
+        |found AS (
+        |  SELECT doc_a AS vec_a, doc_b AS vec_b
+        |  FROM cand JOIN s3 sa ON sa.doc_id = cand.doc_a
+        |            JOIN s3 sb ON sb.doc_id = cand.doc_b
+        |  WHERE doc_a < 100 AND least(len(sa.sh), len(sb.sh)) > 0
+        |    AND len(list_intersect(sa.sh, sb.sh)) * 10000
+        |        // least(len(sa.sh), len(sb.sh)) >= 8000),
+        |truth AS (
+        |  SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        |  FROM s3 a JOIN s3 b ON a.doc_id < 100 AND b.doc_id > a.doc_id
+        |  WHERE least(len(a.sh), len(b.sh)) > 0
+        |    AND len(list_intersect(a.sh, b.sh)) * 10000
+        |        // least(len(a.sh), len(b.sh)) >= 8000),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM found),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+        |       FROM found f JOIN truth t USING (vec_a, vec_b))
+        |SELECT n_truth, n_found, n_matched,
+        |       CASE WHEN n_truth > 0
+        |            THEN CAST(n_matched * 10000 // n_truth AS BIGINT)
+        |            ELSE 0 END AS recall_pm,
+        |       CASE WHEN n_found > 0
+        |            THEN CAST(n_matched * 10000 // n_found AS BIGINT)
+        |            ELSE 0 END AS precision_pm
+        |FROM nt, nf, nm""".stripMargin)),
 
     // Exact-substring duplicate pairs (Lee et al. 2021): maximal shared
     // EXACT token runs >= 12 words, found via positional 8-gram anchor
@@ -3689,6 +3887,41 @@ object ExtraAnalogs {
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // dHash miner recall gate (round-17 ask #4, the eval_simhash_recall
+    // law on the 64-bit perceptual family): Manku 4×16-bit blocking is
+    // lossless at Hamming ≤ 3 and the verify exact, so recall_pm =
+    // precision_pm = 10000 — asserted in closed form over the brute
+    // slice × corpus Hamming truth. Any future change to
+    // hammingBlocks' geometry that loses a pair mismatches here.
+    Q("eval_dhash_recall",
+      (s, d) => {
+        val hashes = Multimodal.dhashFixtures(
+          s, Tables.documents(s, d)).toDF()
+        val found = Multimodal.dhashPairs(hashes)
+          .filter(col("doc_a") < 100)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+        val truth = broadcast(hashes.filter(col("doc_id") < 100)
+            .select(col("doc_id").as("vec_a"), col("dhash").as("h_a")))
+          .join(hashes.select(col("doc_id").as("vec_b"),
+            col("dhash").as("h_b")), col("vec_b") > col("vec_a"))
+          .filter(bit_count(col("h_a").bitwiseXOR(col("h_b")))
+            .cast("long") <= 3)
+          .select("vec_a", "vec_b")
+        Evaluation.pairRecall(found, truth)
+      },
+      Some(s"""WITH $dDhashCte,
+        |truth AS (
+        |  SELECT a.doc_id AS vec_a, b.doc_id AS vec_b
+        |  FROM hs2 a JOIN hs2 b ON a.doc_id < 100 AND b.doc_id > a.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+        |SELECT n_truth, n_truth AS n_found, n_truth AS n_matched,
+        |       CAST(CASE WHEN n_truth > 0 THEN 10000 ELSE 0 END AS BIGINT)
+        |         AS recall_pm,
+        |       CAST(CASE WHEN n_truth > 0 THEN 10000 ELSE 0 END AS BIGINT)
+        |         AS precision_pm
+        |FROM nt""".stripMargin)),
+
     // Batch twin of the STREAMING image near-dup screen
     // (DocStreams.dhashScreen): every 10th image "arrives" and its
     // dHash blocks probe the static index of the rest — one row per
@@ -5093,6 +5326,125 @@ object ExtraAnalogs {
         |  FROM m JOIN psc ON m.doc_id = psc.doc_id
         |  LEFT JOIN dup ON m.doc_id = dup.doc_id
         |  LEFT JOIN udup ON m.doc_id = udup.doc_id)
+        |SELECT doc_id, n_words, nll_per_tok, reason,
+        |  CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS pass
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // INGEST SCREEN v3 — the SEMANTIC-DECONTAMINATION leg composed in
+    // (round-17 ask #6): v2's chain (url → near-dup → quality →
+    // perplexity) plus the embedding-space paraphrase-leakage screen
+    // the n-gram stage is blind to, at the documented precedence
+    // url_dup ≻ near_dup ≻ semantic_contam ≻ gopher_* ≻ perplexity ≻
+    // ok (dup/leak legs before content quality; url stays first —
+    // cheapest). Arrivals map to embeddings by id (doc_id = vec_id —
+    // the aligned fixture); at sf0.1 docs ≥ 2000 have NO embedding
+    // row and skip the leg (left semantics — the realistic
+    // embedding-coverage-lags-ingest shape, exercised at the bench
+    // SF). The eval index is the stream_decontam_semantic set
+    // (vec_id%10 ≠ 0 ∧ vec_id%9 = 0) at pinned bits = 4; the oracle
+    // composes the v2 chain with the SHARED LSH CTE family
+    // (dLshPrefixWith / dProbes), so neither the content stages nor
+    // the semantic leg can drift from their standalone oracles.
+    Q("pipeline_ingest_screen_v3",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val injected = docs.select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" and that have with"))
+              .otherwise(lit(""))).as("text"))
+        val urlOf = expr(WebAnalogs.urlSql("STRING", 3, "doc_id div 60"))
+        val arrivingHtml = injected.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), urlOf.as("url"), concat(
+            lit("<html><body><p>"), col("text"), lit("</p>"),
+            when(col("doc_id") % 3 === 0,
+              lit("<script>var a = 1 < 2;</script>")).otherwise(lit("")),
+            lit("</body></html>")).as("text"))
+        val accepted = injected.filter(col("doc_id") % 10 =!= 0)
+        val urlIdx = graft.operators.Web.urlProfile(
+          accepted.select(col("doc_id"), urlOf.as("url")))
+          .select("clean_url")
+        val corpusIdx = graft.streaming.DocStreams.bandRows(accepted)
+        val target = injected.filter(
+          col("source").isin("src0", "src1", "src2", "src3"))
+        val embs = Tables.embeddings(s, d)
+        val arrEmbs = embs.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val evalIdx = Similarity.buildIndex(
+          embs.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 9 === 0),
+          bits = 4)
+        graft.streaming.DocStreams.ingestVerdictsSemantic(arrivingHtml,
+          arrEmbs, urlIdx, corpusIdx, evalIdx,
+          graft.operators.Perplexity.model(target), maxNll = 6350000L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, lang, source,
+        |    text || (CASE WHEN doc_id % 2 = 0
+        |      THEN ' and that have with' ELSE '' END) AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, source, text,
+        |        string_split(text, ' ') AS w FROM inj),
+        |$shCte, $hsCte,
+        |bands AS (
+        |${(0 until 4).map(b =>
+          s"  SELECT doc_id, ${b}::BIGINT AS band_pos, ${dBand("hs", b)} AS band FROM hsc")
+          .mkString("\n  UNION ALL\n")}
+        |),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM bands a JOIN bands c
+        |    ON a.band_pos = c.band_pos AND a.band = c.band
+        |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  GROUP BY a.doc_id, c.doc_id
+        |  HAVING count(DISTINCT a.band_pos) >= 2),
+        |${WebAnalogs.dUrlCteFor(
+          WebAnalogs.urlSql("VARCHAR", 3, "doc_id // 60"), "u")},
+        |udup AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM uprof a JOIN uprof c ON a.clean_url = c.clean_url
+        |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+        |${dLshPrefixWith("SELECT 4 AS bits")},
+        |${dProbes("semq", " AND q.vec_id % 10 = 0")},
+        |semc AS (SELECT vec_id, emb, norm, bucket FROM bkt
+        |         WHERE vec_id % 10 <> 0 AND vec_id % 9 = 0),
+        |sdup AS (
+        |  SELECT DISTINCT q.vec_id AS doc_id
+        |  FROM semq q JOIN semc c USING (bucket)
+        |  WHERE round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6)
+        |        >= 0.3),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '[.][.][.]')) AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      x -> list_contains(w, x))) AS BIGINT) AS n_req_stop
+        |  FROM tok WHERE doc_id % 10 = 0),
+        |${graft.analog.CorpusAnalogs.pplScoreCte},
+        |v AS (
+        |  SELECT m.doc_id, m.n_words,
+        |    CAST((-psc.sum_lp) // psc.n_trans AS BIGINT) AS nll_per_tok,
+        |    CASE WHEN udup.doc_id IS NOT NULL THEN 'url_dup'
+        |      WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+        |      WHEN sdup.doc_id IS NOT NULL THEN 'semantic_contam'
+        |      WHEN NOT (n_words >= 20 AND n_words <= 100000)
+        |        THEN 'gopher_words'
+        |      WHEN NOT (3*n_words <= sum_len AND sum_len <= 10*n_words)
+        |        THEN 'gopher_len'
+        |      WHEN NOT (10*n_symbols <= n_words) THEN 'gopher_sym'
+        |      WHEN NOT (5*n_alpha_words >= 4*n_words) THEN 'gopher_alpha'
+        |      WHEN NOT (n_req_stop >= 2) THEN 'gopher_stop'
+        |      WHEN (-psc.sum_lp) // psc.n_trans > 6350000 THEN 'perplexity'
+        |      ELSE 'ok' END AS reason
+        |  FROM m JOIN psc ON m.doc_id = psc.doc_id
+        |  LEFT JOIN dup ON m.doc_id = dup.doc_id
+        |  LEFT JOIN udup ON m.doc_id = udup.doc_id
+        |  LEFT JOIN sdup ON m.doc_id = sdup.doc_id)
         |SELECT doc_id, n_words, nll_per_tok, reason,
         |  CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS pass
         |FROM v ORDER BY doc_id""".stripMargin))

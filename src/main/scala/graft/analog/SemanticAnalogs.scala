@@ -22,20 +22,12 @@ import graft.sources.Tables
 object SemanticAnalogs {
 
   import ExtraAnalogs.{dBitsCase, dDot, dLshPrefix, dLshPrefixWith,
-    dMetricsTail, dProbes}
+    dMetricsTail, dProbes, dProbes2}
 
-  /** kNN-graph CTE chain over the graded LSH prefix: gknn(vec_id,
-    * neighbor_id) = every vector's top-`k` bucket-mates, then the
-    * one-round NN-descent candidate set (forward ∪ reverse ∪ 2-hop,
-    * self-free — UNION dedups) re-ranked by exact cosine as
-    * ndrk(vec_id, neighbor_id, sim, rnk). Shared by
-    * sim_nndescent_topk and eval_nndescent_metrics so the refined
-    * ranking is byte-identical between the operator's gate and the
-    * recall gate.
-    */
-  /** The kNN-graph CTE prefix alone: gknn(vec_id, neighbor_id, sim)
+  /** The kNN-graph CTE prefix: gknn(vec_id, neighbor_id, sim)
     * = every vector's top-`k` bucket-mates, sims carried — shared by
-    * the propagation/outlier oracles that consume the graph directly.
+    * the propagation/outlier oracles that consume the graph directly
+    * and extended by [[dNnDescent]] into the refined ranking ndrk.
     */
   private def dKnn(k: Int): String =
     s"""${dProbes("qp")},
@@ -50,6 +42,14 @@ object SemanticAnalogs {
       |), gknn AS (SELECT vec_id, neighbor_id, sim FROM gr WHERE rnk <= $k)"""
       .stripMargin
 
+  /** One NN-descent round appended to [[dKnn]]'s chain: the
+    * candidate set (forward ∪ reverse ∪ 2-hop, self-free — UNION
+    * dedups) re-ranked by exact cosine as ndrk(vec_id, neighbor_id,
+    * sim, rnk). Shared by sim_nndescent_topk, sim_nndescent_loaded,
+    * emb_outliers_loaded and eval_nndescent_metrics so the refined
+    * ranking is byte-identical between the operator's gate, the
+    * stored-artifact twins, and the recall gate.
+    */
   private def dNnDescent(k: Int): String =
     s"""${dKnn(k)},
       |cand AS (
@@ -266,6 +266,94 @@ object SemanticAnalogs {
         |SELECT vec_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
         |FROM ndrk WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin)),
 
+    // The LOADED twin of the refined graph: ONE NN-descent round's
+    // output stored via ModelStore.ensureFrame (built on first touch
+    // of a data dir, corpus-fingerprinted, read back after) — at
+    // 100 TB the refined graph is the expensive artifact, so the
+    // serving path reads the edge list, never re-runs bucket mining,
+    // the candidate joins, or the rank window. Oracle identical to
+    // the in-plan twin (round-trip law): a stale or foreign artifact
+    // hash-mismatches.
+    Q("sim_nndescent_loaded",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.sources.ModelStore.ensureFrame(s,
+          s"target/models/knnd_${ExtraAnalogs.dirKey(d)}/edges",
+          Similarity.nnDescentRound(e,
+            Similarity.knnGraph(e, k = 5), k = 5),
+          fingerprintData = Some(e))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dNnDescent(5)}
+        |SELECT vec_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM ndrk WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin)),
+
+    // NN-descent TO CONVERGENCE — the loop operator (driver-
+    // coordinated rounds, each fully distributed, with the
+    // Dedup.clusters lineage-barrier discipline: the round plan
+    // references its input three times, so each round re-roots on the
+    // cached RDD). Gated at a FIXED round budget (maxRounds = 2,
+    // minImprovedPm = 0) so the oracle is the deterministic two-round
+    // chain; the early-stop law (a complete graph is a fixpoint at
+    // round 1) is spec-pinned in SimilarityConsumersSpec.
+    Q("sim_nndescent_converged",
+      (s, d) => Similarity.nnDescent(Tables.embeddings(s, d), k = 5,
+        maxRounds = 2, minImprovedPm = 0L).graph
+        .orderBy("vec_id", "rank"),
+      Some(s"""WITH $dLshPrefix,
+        |${dNnDescent2(5)}
+        |SELECT vec_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+        |FROM nd2rk WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin)),
+
+    // The outlier screen served from the STORED refined graph — the
+    // second consumer of the sim_nndescent_loaded artifact (one build,
+    // two serving paths: the deployment shape). The density score is
+    // summed over the REFINED top-5 edges, so this is a genuinely
+    // better screen than the raw-graph arm (recovered neighbors raise
+    // true densities and sharpen the isolated tail), and the serving
+    // plan is one integer aggregate + the fixed-grid histogram cut —
+    // no mining, no rank window (PlanAuditSpec law).
+    Q("emb_outliers_loaded",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val g = graft.sources.ModelStore.ensureFrame(s,
+          s"target/models/knnd_${ExtraAnalogs.dirKey(d)}/edges",
+          Similarity.nnDescentRound(e,
+            Similarity.knnGraph(e, k = 5), k = 5),
+          fingerprintData = Some(e))
+        Similarity.knnOutliersFromGraph(g, e, k = 5, pm = 500)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dNnDescent(5)},
+        |nd1 AS (SELECT vec_id, neighbor_id, sim FROM ndrk WHERE rnk <= 5),
+        |sc AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) AS BIGINT)
+        |           AS score_micro
+        |  FROM nd1 GROUP BY 1
+        |), alls AS (
+        |  SELECT em.vec_id, coalesce(sc.score_micro, -5000000) AS score_micro
+        |  FROM embeddings em LEFT JOIN sc ON sc.vec_id = em.vec_id
+        |), hist AS (
+        |  SELECT (score_micro + 5000000) // 10000 AS bin,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM alls GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+        |cum AS (
+        |  SELECT bin, sum(c) OVER (ORDER BY bin) AS cum, n
+        |  FROM hist CROSS JOIN tot
+        |), cut AS (
+        |  SELECT CAST(min(CASE WHEN cum >= (500 * n + 9999) // 10000
+        |           THEN bin END) * 10000 - 5000000 + 10000 AS BIGINT)
+        |           AS cut_micro
+        |  FROM cum
+        |)
+        |SELECT a.vec_id, a.score_micro, c.cut_micro,
+        |       CAST(CASE WHEN a.score_micro < c.cut_micro THEN 1 ELSE 0 END
+        |         AS BIGINT) AS is_outlier
+        |FROM alls a CROSS JOIN cut c ORDER BY a.vec_id""".stripMargin)),
+
     // The refinement's recall gate: the refined graph's vec_id<50
     // slice vs the exact brute top-10, through the shared integer
     // metric tail — read AGAINST eval_retrieval_metrics (the raw
@@ -431,6 +519,60 @@ object SemanticAnalogs {
         |${dProbes("ap")},
         |found AS (
         |  SELECT vec_a, vec_b FROM (
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |           round(${dDot("a.emb", "b.emb")} / (a.norm * b.norm), 6) AS sim
+        |    FROM ap a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  ) WHERE sim >= 0.3 AND vec_a < 100),
+        |truth AS (
+        |  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id > q.vec_id
+        |  WHERE round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) >= 0.3),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM found),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+        |       FROM found f JOIN truth t USING (vec_a, vec_b))
+        |SELECT n_truth, n_found, n_matched,
+        |       CASE WHEN n_truth > 0
+        |            THEN CAST(n_matched * 10000 // n_truth AS BIGINT)
+        |            ELSE 0 END AS recall_pm,
+        |       CASE WHEN n_found > 0
+        |            THEN CAST(n_matched * 10000 // n_found AS BIGINT)
+        |            ELSE 0 END AS precision_pm
+        |FROM nt, nf, nm""".stripMargin)),
+
+    // The Hamming-2 PROBE ARM graded through the same gate: the miner
+    // widened to two-bit probe flips (probeBuckets2 — 1 + b + b(b−1)/2
+    // probes vs 1 + b, a ~8× candidate-growth factor at the 16-bit
+    // cap), same slice, same brute truth, same metric tail. Read
+    // AGAINST eval_neardup_recall: the recall delta is what the extra
+    // probes buy, the candidate factor is what they cost (SCALING.md
+    // r17 table) — the knob a deployment turns when mined recall at
+    // τ must rise without re-ranking rounds.
+    Q("eval_neardup_recall2",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val found = Similarity.nearDupPairs(embs, 0.3, probeHamming = 2)
+          .filter(col("vec_a") < 100)
+        def norm(e: org.apache.spark.sql.Column) =
+          sqrt(Similarity.dot(e, e))
+        val e = embs.select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("norm"))
+        val q = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("vec_a"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        val truth = broadcast(q)
+          .join(e.select(col("vec_id").as("vec_b"),
+            col("embedding").as("c_emb"), col("norm").as("c_norm")),
+            col("vec_b") > col("vec_a"))
+          .filter(round(Similarity.dot(col("q_emb"), col("c_emb")) /
+            (col("q_norm") * col("c_norm")), 6) >= 0.3)
+          .select("vec_a", "vec_b")
+        Evaluation.pairRecall(found, truth)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dProbes2("ap")},
+        |found AS (
+        |  SELECT DISTINCT vec_a, vec_b FROM (
         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |           round(${dDot("a.emb", "b.emb")} / (a.norm * b.norm), 6) AS sim
         |    FROM ap a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -94,17 +94,30 @@ object Evaluation {
     *
     * Scale shape: the match is one equi-join on the pair key; all
     * three aggregates are single-row. Nothing here is corpus-sized
-    * beyond what the input frames already were.
+    * beyond what the input frames already were. THE TRUTH-ROW
+    * ENVELOPE IS THE CALLER'S: a slice-bounded truth is bounded in
+    * the SLICE, not in the corpus — its row count is
+    * |slice| × match-rate × n, which grows LINEARLY in n at any fixed
+    * threshold with a nonzero floor (eval_neardup_recall's τ=0.3 on
+    * d=64 random cosines clears ~0.75% of all pairs — SCALING.md), so
+    * the default broadcast build side will eventually exceed executor
+    * memory as the corpus grows. Callers in that regime pass
+    * `broadcastTruth = false` and let the planner shuffle the match
+    * join on the pair key instead; the metric is identical.
     */
-  def pairRecall(found: DataFrame, truth: DataFrame): DataFrame = {
+  def pairRecall(found: DataFrame, truth: DataFrame,
+      broadcastTruth: Boolean = true): DataFrame = {
     val f = found.select(col("vec_a"), col("vec_b"))
     val t = truth.select(col("vec_a"), col("vec_b"))
     val nf = f.agg(count(lit(1)).as("n_found"))
     val nt = t.agg(count(lit(1)).as("n_truth"))
-    // the truth side is slice-bounded by the input contract — build
-    // side of the match join (its lineage is a corpus-sized brute
-    // scan, so Catalyst's size estimate would otherwise sort-merge)
-    val nm = f.join(broadcast(t), Seq("vec_a", "vec_b"))
+    // truth is usually slice-bounded and broadcast-able, but its
+    // LINEAGE is a corpus-sized brute scan, so Catalyst's size
+    // estimate would sort-merge without the hint; the caller owns the
+    // envelope call (scaladoc) because "slice-bounded" still grows
+    // linearly in the corpus at a fixed match-rate floor
+    val tSide = if (broadcastTruth) broadcast(t) else t
+    val nm = f.join(tSide, Seq("vec_a", "vec_b"))
       .agg(count(lit(1)).as("n_matched"))
     nt.crossJoin(broadcast(nf)).crossJoin(broadcast(nm))
       .select(col("n_truth"), col("n_found"), col("n_matched"),

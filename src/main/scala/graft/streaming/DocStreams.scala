@@ -432,6 +432,61 @@ object DocStreams {
       .withColumn("pass", (col("reason") === "ok").cast("int"))
   }
 
+  /** [[ingestVerdictsUrl]] with the SEMANTIC-DECONTAMINATION leg
+    * composed in — ingest screen v3, the full verdict chain a
+    * deployment runs: the paraphrase-leakage screen the n-gram
+    * near-dup stage is structurally blind to (an eval prompt
+    * rewritten in different words shares no bands but sits near in
+    * embedding space). `embs` maps arriving docs to their embeddings
+    * (doc_id, embedding) — docs WITHOUT an embedding row simply skip
+    * the leg (left semantics: no flag, content stages decide), the
+    * realistic shape where embedding coverage lags ingest.
+    * `evalVecIndex` is [[graft.operators.Similarity.buildIndex]] over
+    * the eval/benchmark set at a PINNED `bits` (an index property —
+    * the eval set is small and static, so its width never needs to
+    * grow; [[graft.streaming.VecStreams.contamScreen]]'s contract).
+    * Each arrival's embedding multi-probes self + Hamming-1 and a
+    * cosine ≥ `tau` hit rejects as `semantic_contam`.
+    *
+    * Verdict precedence (documented, spec-pinned): url_dup ≻ near_dup
+    * ≻ semantic_contam ≻ gopher_* ≻ perplexity ≻ ok — the dup/leak
+    * legs fire before the content-quality stages (a leaked doc must
+    * reject as leakage however bad its prose), and the url stage
+    * stays first (cheapest; RefinedWeb order).
+    *
+    * Scale shape: adds ONE narrow probe explode (bits+1 rows per
+    * arriving vector, no text) + one equi-join against the
+    * (small, static) eval index + one audit-sized distinct to the v2
+    * plan — the stream-static join discipline of every other leg.
+    */
+  def ingestVerdictsSemantic(docs: DataFrame, embs: DataFrame,
+      urlIndex: DataFrame, bandIndex: DataFrame,
+      evalVecIndex: DataFrame, lm: graft.operators.Perplexity.LmModel,
+      maxNll: Long, tau: Double = 0.3, bits: Int = 4,
+      minWords: Int = 20, minBands: Int = 2): DataFrame = {
+    import graft.expressions.VectorExpressions.vecDot
+    import graft.operators.Similarity
+    val q = embs
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), bits))
+      .withColumn("bucket",
+        explode(Similarity.probeBuckets(col("bucket"), bits)))
+      .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+    val e = evalVecIndex.select(col("bucket"),
+      col("embedding").as("e_emb"), col("norm").as("e_norm"))
+    val sdup = q.join(e, Seq("bucket"))
+      .filter(round(vecDot(col("embedding"), col("e_emb")) /
+        (col("norm") * col("e_norm")), 6) >= tau)
+      .select("doc_id").distinct().withColumn("_sdup", lit(1))
+    ingestVerdictsUrl(docs, urlIndex, bandIndex, lm, maxNll,
+        minWords, minBands)
+      .join(sdup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("nll_per_tok"),
+        when(col("reason").isin("url_dup", "near_dup"), col("reason"))
+          .when(col("_sdup") === 1, "semantic_contam")
+          .otherwise(col("reason")).as("reason"))
+      .withColumn("pass", (col("reason") === "ok").cast("int"))
+  }
+
   /** Streaming deployment of [[ingestVerdicts]]: parquet-directory
     * source → per-micro-batch composed verdict → parquet verdict sink,
     * checkpointed. The corpus-derived artifacts (band index, LM model

@@ -535,6 +535,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       plans("eval_neardup_recall").take(800))
   }
 
+  test("kNN-graph SERVING plans probe the stored edge list: no bucket " +
+    "mining, no rank window (the loaded-twin law)") {
+    // propagation from the stored graph: label equi-join + two
+    // bounded aggregates — a Window anywhere means the serving path
+    // regressed into rebuilding the ranking
+    assert(!plans("sim_labelprop_loaded").contains("Window"),
+      plans("sim_labelprop_loaded").take(800))
+    // the loaded refined graph is a parquet scan + export sort only
+    assert(!plans("sim_nndescent_loaded").contains("Window"),
+      plans("sim_nndescent_loaded").take(800))
+    // outliers from the stored graph: the ONLY window is the
+    // fixed-grid histogram cumulative sum — its input must be the
+    // (≤ 200·k-cell) bin aggregate, never the corpus (the
+    // histQuantiles discipline: an aggregate sits BELOW the window)
+    val ol = plans("emb_outliers_loaded")
+    assert(ol.contains("Window"), ol.take(800))
+    assert(ol.lastIndexOf("HashAggregate") > ol.indexOf("Window"),
+      ol.take(1200))
+  }
+
   test("column pruning reaches the scan on a projection-only query") {
     // t1_enrich_count aggregates a count over an enrichment join —
     // the orders scan must not read the full table width

@@ -212,6 +212,117 @@ class SemanticDecontamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nnDescent: a complete-graph input is a fixpoint at round 1 " +
+    "(the early-stop law) and the graph equals the exact kNN graph") {
+    val s = spark; import s.implicits._
+    // 3 vectors, k = 2: every vector's list holds both others, so the
+    // bucket graph is already complete and round 1 cannot improve it
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.nnDescent(embs, k = 2, maxRounds = 5,
+      minImprovedPm = 0L, bits = 1)
+    assert(res.rounds === 1, "fixpoint must stop after round 1")
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(edges(res.graph) ===
+      edges(Similarity.knnGraph(embs, k = 2, bits = 1)))
+    res.close()
+  }
+
+  test("nnDescent at a fixed round budget equals the hand-chained " +
+    "rounds (the sim_nndescent_converged oracle law)") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.95f, 0.05f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0f, 0.9f, 0.1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val looped = Similarity.nnDescent(embs, k = 2, maxRounds = 2,
+      minImprovedPm = 0L, bits = 1)
+    val chained = Similarity.nnDescentRound(embs,
+      Similarity.nnDescentRound(embs,
+        Similarity.knnGraph(embs, k = 2, bits = 1), k = 2), k = 2)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(edges(looped.graph) === edges(chained))
+    looped.close()
+  }
+
+  test("nnDescent: minImprovedPm = 10000 stops after one round " +
+    "unconditionally; maxRounds = 0 returns the raw bucket graph") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.95f, 0.05f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val one = Similarity.nnDescent(embs, k = 2, maxRounds = 7,
+      minImprovedPm = 10000L, bits = 1)
+    assert(one.rounds === 1)
+    one.close()
+    val zero = Similarity.nnDescent(embs, k = 2, maxRounds = 0, bits = 1)
+    assert(zero.rounds === 0)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(edges(zero.graph) ===
+      edges(Similarity.knnGraph(embs, k = 2, bits = 1)))
+    zero.close()
+  }
+
+  test("probeBuckets2: 1 + b + b(b-1)/2 distinct probes, every one " +
+    "within Hamming 2 of the home bucket") {
+    val s = spark; import s.implicits._
+    (1 to 4).foreach { b =>
+      val got = Seq(Tuple1(0L)).toDF("x")
+        .select(Similarity.probeBuckets2(lit(5L), b).as("p"))
+        .collect().head.getSeq[Long](0)
+      assert(got.length === 1 + b + b * (b - 1) / 2, s"bits $b")
+      assert(got.distinct.length === got.length, s"bits $b: dup probes")
+      got.foreach(p => assert(
+        java.lang.Long.bitCount(p ^ 5L) <= 2, s"bits $b probe $p"))
+    }
+  }
+
+  test("nearDupPairs: Hamming-2 probing finds a superset of the " +
+    "Hamming-1 pairs; probeHamming outside {1,2} rejects") {
+    val s = spark; import s.implicits._
+    val embs = (0L until 24L).map(i => (i,
+        Seq(math.cos(i * 0.26).toFloat, math.sin(i * 0.26).toFloat,
+          (i % 5).toFloat * 0.1f, 0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    def pairs(ph: Int) = Similarity
+      .nearDupPairs(embs, 0.3, bits = 4, probeHamming = ph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h1 = pairs(1); val h2 = pairs(2)
+    assert(h1.subsetOf(h2), s"h1 \\ h2 = ${h1 -- h2}")
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(embs, 0.3, probeHamming = 3)
+    }
+  }
+
+  test("knnOutliersFromGraph: a parquet round-tripped edge list " +
+    "serves the in-plan screen row-exactly (the stored-artifact law)") {
+    val s = spark; import s.implicits._
+    val embs = ((0L until 9L).map(i =>
+        (i, Seq(1f, i.toFloat * 1e-4f, 0f, 0f), 0)) :+
+        (99L, Seq(0f, 0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("knng_out").toString
+    Similarity.knnGraph(embs, k = 2, bits = 1)
+      .write.mode("overwrite").parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(Similarity.knnOutliersFromGraph(
+        spark.read.parquet(dir), embs, k = 2, pm = 500)) ===
+      rows(Similarity.knnOutliers(embs, k = 2, pm = 500, bits = 1)))
+  }
+
   test("pairRecall: identical sets score 10000/10000; half-found " +
     "scores 5000 recall; empty truth scores 0 without error") {
     val s = spark; import s.implicits._

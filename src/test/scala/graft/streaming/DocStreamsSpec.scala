@@ -643,6 +643,91 @@ class DocStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("v3 semantic-composed ingest verdicts: precedence url_dup > " +
+    "near_dup > semantic_contam > gopher > ok; missing embedding " +
+    "skips the leg; stream == batch") {
+    import org.apache.spark.sql.functions._
+    val accepted = spark.createDataFrame(Seq(
+      (100L, "http://www.Site1.com:8080/a/1/page?utm_source=feed&x=2",
+        "alpha beta gamma delta epsilon zeta eta theta")))
+      .toDF("doc_id", "url", "text")
+    val target = spark.createDataFrame(Seq(
+      (900L, "the cat and the dog have fun with the ball"),
+      (901L, "the sun and the moon have light with the stars")))
+      .toDF("doc_id", "text")
+    val lm = graft.operators.Perplexity.model(target)
+    val urlIdx = graft.operators.Web.urlProfile(accepted)
+      .select("clean_url")
+    val bandIdx = DocStreams.bandRows(accepted.select("doc_id", "text"))
+    val evalIdx = graft.operators.Similarity.buildIndex(
+      spark.createDataFrame(Seq((0L, Seq(1f, 0f, 0f, 0f), 0)))
+        .toDF("vec_id", "embedding", "label"), bits = 2)
+    // embeddings for docs 1-5; doc 6 has NO row (coverage lags ingest)
+    val leak = Seq(1f, 0f, 0f, 0f); val clean = Seq(0f, 0f, 1f, 0f)
+    val embs = spark.createDataFrame(Seq(
+      (1L, leak), (2L, leak), (3L, leak), (4L, leak), (5L, clean)))
+      .toDF("doc_id", "embedding")
+    val arriving = Seq(
+      // url twin AND replica text AND leaked embedding: url_dup wins
+      (1L, "HTTP://WWW.Site1.COM/a/1/page?utm_campaign=z&x=2#frag",
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      // replica text AND leaked embedding: near_dup wins
+      (2L, "http://www.site9.com/only",
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      // content-clean but leaked: semantic_contam
+      (3L, "http://www.site8.com/three",
+        "the cat and the dog have fun with the ball"),
+      // gopher-bad AND leaked: semantic_contam outranks gopher_words
+      (4L, "http://www.site7.com/four", "tiny doc here"),
+      // clean text, clean embedding: ok
+      (5L, "http://www.site6.com/five",
+        "the cat and the dog have fun with the ball"),
+      // clean text, NO embedding row: the leg skips, ok
+      (6L, "http://www.site5.com/six",
+        "the sun and the moon have light with the stars"))
+    val arrDf = spark.createDataFrame(arriving)
+      .toDF("doc_id", "url", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.ingestVerdictsSemantic(df, embs, urlIdx, bandIdx,
+        evalIdx, lm, maxNll = Long.MaxValue, tau = 0.8, bits = 2,
+        minWords = 5)
+    val batch = verdicts(arrDf).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(batch === Map(
+      1L -> ("url_dup", 0), 2L -> ("near_dup", 0),
+      3L -> ("semantic_contam", 0), 4L -> ("semantic_contam", 0),
+      5L -> ("ok", 1), 6L -> ("ok", 1)))
+    // stream == batch through the documented foreachBatch deployment
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest_v3").toString
+    val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    def writeBatch(docs: Seq[(Long, String, String)]): Unit =
+      spark.createDataFrame(docs).toDF("doc_id", "url", "text")
+        .write.mode("append").parquet(src)
+    writeBatch(arriving.take(3))
+    val query = ss.readStream
+      .schema("doc_id LONG, url STRING, text STRING")
+      .parquet(src)
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          verdicts(b.toDF()).write.mode("overwrite")
+            .parquet(s"$sink/batch_id=$id")
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      query.processAllAvailable()
+      writeBatch(arriving.drop(3))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(streamed === batch)
+  }
+
   test("composed ingest pipeline: verdicts per micro-batch, checkpointed") {
     import org.apache.spark.sql.functions._
     val accepted = spark.createDataFrame(Seq(
