@@ -310,7 +310,13 @@ object ScalingBench {
       // fp join / slice × corpus shingle intersect)
       "sim_nndescent_loaded", "emb_outliers_loaded",
       "sim_nndescent_converged", "eval_neardup_recall2",
-      "eval_winnow_recall", "eval_containment_recall")
+      "eval_winnow_recall", "eval_containment_recall",
+      // the 64-bit-family recall laws carry slice(100) × corpus brute
+      // Hamming truth legs — expected ~linear (fixed slice side); v3
+      // adds one probe explode + one equi-join against a FIXED eval
+      // index to the v2 screen
+      "eval_simhash_recall", "eval_dhash_recall",
+      "pipeline_ingest_screen_v3")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -112,7 +112,8 @@ object SemanticAnalogs {
         val embs = Tables.embeddings(s, d)
         val r2 = Similarity.nnDescentRound(embs,
             Similarity.nnDescentRound(embs,
-              Similarity.knnGraph(embs, k = 10), k = 10), k = 10)
+              Similarity.knnGraph(embs, k = 10, sorted = false),
+              k = 10, sorted = false), k = 10, sorted = false)
           .filter(col("vec_id") < 50)
           .select(col("vec_id").as("query_id"), col("neighbor_id"),
             col("rank"))
@@ -259,7 +260,7 @@ object SemanticAnalogs {
       (s, d) => {
         val embs = Tables.embeddings(s, d)
         Similarity.nnDescentRound(embs,
-          Similarity.knnGraph(embs, k = 5), k = 5)
+          Similarity.knnGraph(embs, k = 5, sorted = false), k = 5)
       },
       Some(s"""WITH $dLshPrefix,
         |${dNnDescent(5)}
@@ -280,7 +281,7 @@ object SemanticAnalogs {
         graft.sources.ModelStore.ensureFrame(s,
           s"target/models/knnd_${ExtraAnalogs.dirKey(d)}/edges",
           Similarity.nnDescentRound(e,
-            Similarity.knnGraph(e, k = 5), k = 5),
+            Similarity.knnGraph(e, k = 5, sorted = false), k = 5),
           fingerprintData = Some(e))
           .orderBy("vec_id", "rank")
       },
@@ -320,7 +321,7 @@ object SemanticAnalogs {
         val g = graft.sources.ModelStore.ensureFrame(s,
           s"target/models/knnd_${ExtraAnalogs.dirKey(d)}/edges",
           Similarity.nnDescentRound(e,
-            Similarity.knnGraph(e, k = 5), k = 5),
+            Similarity.knnGraph(e, k = 5, sorted = false), k = 5),
           fingerprintData = Some(e))
         Similarity.knnOutliersFromGraph(g, e, k = 5, pm = 500)
       },
@@ -363,7 +364,8 @@ object SemanticAnalogs {
       (s, d) => {
         val embs = Tables.embeddings(s, d)
         val refined = Similarity.nnDescentRound(embs,
-            Similarity.knnGraph(embs, k = 10), k = 10)
+            Similarity.knnGraph(embs, k = 10, sorted = false),
+            k = 10, sorted = false)
           .filter(col("vec_id") < 50)
           .select(col("vec_id").as("query_id"), col("neighbor_id"),
             col("rank"))

@@ -523,9 +523,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q\n${plans(q).take(800)}")
     }
-    // the kNN graph's rank window partitions per-vector candidate
-    // lists (bucket-bounded), fed by the bucket hash join — assert the
-    // join didn't degrade to a corpus sort-merge
+    // the kNN graph ranks through the bounded heap (round 17 — the
+    // window shape shuffled the full candidate stream; TopKAgg's
+    // partial aggregation carries <= k rows per vector instead):
+    // assert no Window AND that the bucket join didn't degrade to a
+    // corpus sort-merge
+    assert(!plans("sim_knn_graph").contains("Window"),
+      plans("sim_knn_graph").take(800))
     assert(!plans("sim_knn_graph").contains("SortMergeJoin"),
       plans("sim_knn_graph").take(800))
     // the recall gate's truth leg is the documented broadcast NLJ
