@@ -316,7 +316,10 @@ object ScalingBench {
       // adds one probe explode + one equi-join against a FIXED eval
       // index to the v2 screen
       "eval_simhash_recall", "eval_dhash_recall",
-      "pipeline_ingest_screen_v3")
+      "pipeline_ingest_screen_v3",
+      // round 17 session 2: both carry the slice × corpus brute truth
+      // leg; the descent-3 arm additionally runs three loop rounds
+      "eval_nndescent3_metrics", "eval_knngraph2_metrics")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -72,6 +72,40 @@ object SemanticAnalogs {
       |  FROM rr
       |)""".stripMargin
 
+  /** One generic descent step: the candidate rule (forward ∪ reverse
+    * ∪ 2-hop, self-free) applied to a prior ranking CTE `prev`
+    * (vec_id, neighbor_id, rnk), re-ranked as `nd${sfx}rk` — lets the
+    * convergence oracles chain to any depth without copying SQL.
+    */
+  private def dNnStep(prev: String, sfx: String, k: Int): String =
+    s"""nd$sfx AS (SELECT vec_id, neighbor_id FROM $prev WHERE rnk <= $k),
+      |cand$sfx AS (
+      |  SELECT vec_id, neighbor_id FROM nd$sfx
+      |  UNION
+      |  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM nd$sfx
+      |  UNION
+      |  SELECT a.vec_id, b.neighbor_id FROM nd$sfx a
+      |  JOIN nd$sfx b ON a.neighbor_id = b.vec_id
+      |), cd$sfx AS (
+      |  SELECT vec_id, neighbor_id FROM cand$sfx WHERE vec_id <> neighbor_id
+      |), rr$sfx AS (
+      |  SELECT cd$sfx.vec_id, cd$sfx.neighbor_id,
+      |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+      |  FROM cd$sfx JOIN e q ON q.vec_id = cd$sfx.vec_id
+      |           JOIN e c ON c.vec_id = cd$sfx.neighbor_id
+      |), nd${sfx}rk AS (
+      |  SELECT vec_id, neighbor_id, sim, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM rr$sfx
+      |)""".stripMargin
+
+  /** A THIRD descent step chained onto [[dNnDescent2]] — the
+    * round-3 convergence point's oracle leg (nd3rk).
+    */
+  private def dNnDescent3(k: Int): String =
+    s"""${dNnDescent2(k)},
+      |${dNnStep("nd2rk", "3", k)}""".stripMargin
+
   /** A SECOND descent step appended to [[dNnDescent]]'s chain: the
     * same candidate rule (forward ∪ reverse ∪ 2-hop) applied to the
     * round-1 output `ndrk`, re-ranked as nd2rk — the convergence
@@ -129,6 +163,70 @@ object SemanticAnalogs {
         |  FROM nd2rk WHERE vec_id < 50
         |),
         |${dMetricsTail("nds2")}""".stripMargin)),
+
+    // The round-3 convergence point, THROUGH THE LOOP OPERATOR: the
+    // fourth hash-gated point on the neighbor-propagation curve
+    // (recall@10 67.0 raw → 77.6 → 83.4 → this), produced by
+    // Similarity.nnDescent itself (maxRounds = 3, lineage-barriered)
+    // rather than hand-chaining — so the gate exercises the loop's
+    // materialize/re-root path at depth, and the oracle is the
+    // deterministic three-step chain.
+    Q("eval_nndescent3_metrics",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val r3 = Similarity.nnDescent(embs, k = 10, maxRounds = 3,
+            minImprovedPm = 0L).graph
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"),
+            col("rank"))
+        Evaluation.retrievalMetrics(r3,
+          Similarity.bruteForceTopK(embs, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dNnDescent3(10)},
+        |nds3 AS (
+        |  SELECT vec_id AS query_id, neighbor_id, rnk
+        |  FROM nd3rk WHERE vec_id < 50
+        |),
+        |${dMetricsTail("nds3")}""".stripMargin)),
+
+    // The MINING-SIDE recall arm of the same ladder: the kNN graph
+    // built with Hamming-2 probes (probeBuckets2 — ~8× candidates at
+    // the bit cap, zero re-ranking rounds), graded through the
+    // identical slice/truth/metric tail. Read against
+    // eval_retrieval_metrics (H1 raw) and the NN-descent points: a
+    // deployment picks between paying candidates at build time (this
+    // arm) or rounds over the edge list (descent).
+    Q("eval_knngraph2_metrics",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val g2 = Similarity.knnGraph(embs, k = 10, sorted = false,
+            probeHamming = 2)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"),
+            col("rank"))
+        Evaluation.retrievalMetrics(g2,
+          Similarity.bruteForceTopK(embs, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH $dLshPrefix,
+        |${dProbes2("qp")},
+        |g2p AS (
+        |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+        |  FROM qp q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |), g2r AS (
+        |  SELECT vec_id, neighbor_id, sim, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM g2p
+        |), ndsg AS (
+        |  SELECT vec_id AS query_id, neighbor_id, rnk
+        |  FROM g2r WHERE vec_id < 50
+        |),
+        |${dMetricsTail("ndsg")}""".stripMargin)),
 
     // Embedding-space contamination flags: eval slice (vec_id%40=0)
     // probes the corpus-sized sign buckets of the train slice, cosine
