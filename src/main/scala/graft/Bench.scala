@@ -134,7 +134,13 @@ object Bench {
       // descent rounds through the loop operator + brute truth per
       // run) and the H2-probed graph grade (8x probe fan-out + brute
       // truth per run)
-      "eval_nndescent3_metrics", "eval_knngraph2_metrics")
+      "eval_nndescent3_metrics", "eval_knngraph2_metrics",
+      // the same ladder arms on the derived clustered-geometry
+      // fixture — each pays the fixture derivation + brute truth per
+      // run
+      "eval_knngraph_clustered_metrics",
+      "eval_nndescent_clustered_metrics",
+      "eval_knngraph2_clustered_metrics")
     // every query that probes a stored ModelStore artifact (ensure* —
     // built once per data dir): the warmup below runs each ONCE at the
     // timed dir so the build lands outside the measurement and the

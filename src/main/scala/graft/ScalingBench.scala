@@ -319,7 +319,15 @@ object ScalingBench {
       "pipeline_ingest_screen_v3",
       // round 17 session 2: both carry the slice × corpus brute truth
       // leg; the descent-3 arm additionally runs three loop rounds
-      "eval_nndescent3_metrics", "eval_knngraph2_metrics")
+      "eval_nndescent3_metrics", "eval_knngraph2_metrics",
+      // the clustered-geometry ladder arms add one map-only fixture
+      // derivation (a per-element literal add) to the same shapes;
+      // under replica scaling the 10 label centers persist, so
+      // cluster OCCUPANCY grows k× — the dense-cluster regime, where
+      // the bucket join's same-cluster cohorts are the growth term
+      "eval_knngraph_clustered_metrics",
+      "eval_nndescent_clustered_metrics",
+      "eval_knngraph2_clustered_metrics")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -585,7 +585,7 @@ object ExtraAnalogs {
     * components are generated FROM the Scala arrays, so both engines
     * parse the identical decimal literals to the identical doubles.
     */
-  private val dHp: String = {
+  private[analog] val dHp: String = {
     val rows = Similarity.Hyperplanes.zipWithIndex.map { case (w, i) =>
       val comps = w.map(x =>
         String.format(java.util.Locale.ROOT, "%.6f", Double.box(x)))
@@ -609,13 +609,23 @@ object ExtraAnalogs {
     * bucket). Probes are appended by each query (range(0,17) ⋈ j≤bits,
     * because DuckDB table functions can't take subquery bounds).
     */
-  private[analog] def dLshPrefixWith(prm: String): String = {
+  private[analog] def dLshPrefixWith(prm: String): String =
+    s"""$dHp,
+       |${dLshPrefixFrom("embeddings", prm)}""".stripMargin
+
+  /** The [[dLshPrefixWith]] chain WITHOUT the leading hyperplane CTE
+    * and with the source relation parameterized — for oracles whose
+    * vector table is itself a derived CTE (the clustered-geometry
+    * eval fixture needs `hp` to BUILD its vectors, so the hp CTE must
+    * precede the source). Callers emit `$dHp` (exactly once)
+    * themselves.
+    */
+  private[analog] def dLshPrefixFrom(src: String, prm: String): String = {
     val dotW = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
       s"range(1, least(len(e.emb), ${Similarity.MaxDim})+1), " +
       s"ii -> e.emb[ii]*hp.w[ii])), (x,y) -> x+y)"
-    s"""$dHp,
-       |prm AS ($prm),
-       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""prm AS ($prm),
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM $src),
        |e AS (SELECT vec_id, emb, sqrt(${dDot("emb", "emb")}) AS norm FROM e0),
        |sk AS (
        |  SELECT e.vec_id, CAST(sum(CASE WHEN $dotW >= 0

@@ -21,8 +21,53 @@ import graft.sources.Tables
   */
 object SemanticAnalogs {
 
-  import ExtraAnalogs.{dBitsCase, dDot, dLshPrefix, dLshPrefixWith,
-    dMetricsTail, dProbes, dProbes2}
+  import ExtraAnalogs.{dBitsCase, dDot, dHp, dLshPrefix, dLshPrefixFrom,
+    dLshPrefixWith, dMetricsTail, dProbes, dProbes2}
+
+  /** CLUSTERED-GEOMETRY eval fixture: the shipped embeddings are
+    * uniform-random (LSH's ADVERSARIAL case — bucket-boundary loss
+    * dominates, which is exactly why the recall ladder's numbers sit
+    * where they do). Real corpora cluster. This fixture derives a
+    * clustered twin DETERMINISTICALLY from columns both engines hold:
+    * vector′[i] = round(vector[i] + H_{label mod 16}[i], 6) — each of
+    * the 10 label classes translates to its own hyperplane center
+    * (norm ≈ √(64/3) ≈ 4.6 vs the unit-ish base vector, so
+    * within-class cosine is high and cross-class ~the center pair's),
+    * using the SAME 6-decimal hyperplane literals both engines
+    * already share (dHp / Similarity.Hyperplanes), so the arithmetic
+    * is bit-identical. The ladder's gates re-run on this geometry to
+    * measure how the knob tradeoff shifts off the adversarial corpus.
+    */
+  private def clusteredEmbs(embs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val centers = array(Similarity.Hyperplanes.map(r =>
+      array(r.map(lit): _*)): _*)
+    embs.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        round(x.cast("double") + element_at(
+          element_at(centers, (col("label") % 16).cast("int") + 1),
+          i + 1), 6)).as("embedding"),
+      col("label"))
+  }
+
+  /** The clustered fixture's oracle CTE chain: hp → cemb → the shared
+    * LSH prefix rooted at cemb (corpus-sized bits — same count as the
+    * base table).
+    */
+  private val dClusteredPrefix: String =
+    s"""$dHp,
+      |ce0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |               embedding::DOUBLE[] AS emb FROM embeddings),
+      |cemb AS (
+      |  SELECT c.vec_id,
+      |    list_transform(range(1, len(c.emb)+1),
+      |      ii -> round(c.emb[ii] + hp.w[ii], 6)) AS embedding,
+      |    c.label
+      |  FROM ce0 c JOIN hp ON hp.i = c.label % 16
+      |),
+      |${dLshPrefixFrom("cemb",
+        s"SELECT $dBitsCase AS bits FROM (SELECT count(*) AS cnt FROM embeddings)")}"""
+      .stripMargin
 
   /** The kNN-graph CTE prefix: gknn(vec_id, neighbor_id, sim)
     * = every vector's top-`k` bucket-mates, sims carried — shared by
@@ -227,6 +272,91 @@ object SemanticAnalogs {
         |  FROM g2r WHERE vec_id < 50
         |),
         |${dMetricsTail("ndsg")}""".stripMargin)),
+
+    // ── The recall ladder ON CLUSTERED GEOMETRY (see clusteredEmbs):
+    // the same three arms (H1 raw graph, one descent round, H2-probed
+    // graph) graded on the derived clustered twin through the same
+    // slice/truth/tail — read these against the random-geometry
+    // ladder (67.0 / 77.6 / 95.2 % at sf0.01) to see how the
+    // mining-vs-refinement tradeoff moves when vectors cluster. ──
+    Q("eval_knngraph_clustered_metrics",
+      (s, d) => {
+        val cemb = clusteredEmbs(Tables.embeddings(s, d))
+        val g = Similarity.knnGraph(cemb, k = 10, sorted = false)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"),
+            col("rank"))
+        Evaluation.retrievalMetrics(g,
+          Similarity.bruteForceTopK(cemb, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH $dClusteredPrefix,
+        |${dProbes("qp")},
+        |gp AS (
+        |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+        |  FROM qp q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |), gr AS (
+        |  SELECT vec_id, neighbor_id, sim, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM gp
+        |), ndsc AS (
+        |  SELECT vec_id AS query_id, neighbor_id, rnk
+        |  FROM gr WHERE vec_id < 50
+        |),
+        |${dMetricsTail("ndsc")}""".stripMargin)),
+
+    Q("eval_nndescent_clustered_metrics",
+      (s, d) => {
+        val cemb = clusteredEmbs(Tables.embeddings(s, d))
+        val refined = Similarity.nnDescentRound(cemb,
+            Similarity.knnGraph(cemb, k = 10, sorted = false),
+            k = 10, sorted = false)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"),
+            col("rank"))
+        Evaluation.retrievalMetrics(refined,
+          Similarity.bruteForceTopK(cemb, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH $dClusteredPrefix,
+        |${dNnDescent(10)},
+        |ndsc AS (
+        |  SELECT vec_id AS query_id, neighbor_id, rnk
+        |  FROM ndrk WHERE vec_id < 50
+        |),
+        |${dMetricsTail("ndsc")}""".stripMargin)),
+
+    Q("eval_knngraph2_clustered_metrics",
+      (s, d) => {
+        val cemb = clusteredEmbs(Tables.embeddings(s, d))
+        val g2 = Similarity.knnGraph(cemb, k = 10, sorted = false,
+            probeHamming = 2)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("neighbor_id"),
+            col("rank"))
+        Evaluation.retrievalMetrics(g2,
+          Similarity.bruteForceTopK(cemb, 50, 10)
+            .select("query_id", "neighbor_id"),
+          k = 10)
+      },
+      Some(s"""WITH $dClusteredPrefix,
+        |${dProbes2("qp")},
+        |g2p AS (
+        |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+        |         round(${dDot("q.emb", "c.emb")} / (q.norm * c.norm), 6) AS sim
+        |  FROM qp q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |), g2r AS (
+        |  SELECT vec_id, neighbor_id, sim, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM g2p
+        |), ndsc AS (
+        |  SELECT vec_id AS query_id, neighbor_id, rnk
+        |  FROM g2r WHERE vec_id < 50
+        |),
+        |${dMetricsTail("ndsc")}""".stripMargin)),
 
     // Embedding-space contamination flags: eval slice (vec_id%40=0)
     // probes the corpus-sized sign buckets of the train slice, cosine
