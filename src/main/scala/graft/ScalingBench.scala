@@ -327,7 +327,11 @@ object ScalingBench {
       // the bucket join's same-cluster cohorts are the growth term
       "eval_knngraph_clustered_metrics",
       "eval_nndescent_clustered_metrics",
-      "eval_knngraph2_clustered_metrics")
+      "eval_knngraph2_clustered_metrics",
+      // the classify screen shares stream_decontam_semantic's shape
+      // (growing %20 arrival slice, one stream-static bucket join
+      // against a growing labeled index, scalar vote) — ~linear
+      "stream_knn_classify")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

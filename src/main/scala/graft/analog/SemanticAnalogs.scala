@@ -460,6 +460,63 @@ object SemanticAnalogs {
         |       vec_id, eval_id, sim AS max_sim, CAST(n_hits AS BIGINT) AS n_hits
         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
 
+    // Streaming kNN-CLASSIFY: label assignment at ingest — every 20th
+    // vector arrives (the stream_ann_screen clock), probes the LABELED
+    // static index of the rest (bits pinned at 4 — an index property),
+    // and is labeled by its top-5 bucket-mates' vote under the batch
+    // propagation tie rule (votes DESC, micro-support DESC, label
+    // ASC). ONE windowed aggregation + a scalar vote over the ≤k
+    // array, so the plan is append-mode streaming-legal.
+    Q("stream_knn_classify",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val arrivals = embs.filter(col("vec_id") % 20 === 0)
+          .withColumn("ts", expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))
+          .select("vec_id", "embedding", "ts")
+        val idx = Similarity.buildIndexKeeping(
+          embs.filter(col("vec_id") % 20 =!= 0), 4, "label")
+        graft.streaming.VecStreams.knnClassifyScreen(arrivals, idx,
+            k = 5, bits = 4)
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("vec_id"), col("pred_label"), col("votes"),
+            col("support_micro"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${dLshPrefixWith("SELECT 4 AS bits")},
+        |${dProbes("aq", " AND q.vec_id % 20 = 0")},
+        |cidx AS (
+        |  SELECT b.vec_id, b.emb, b.norm, b.bucket,
+        |         CAST(e2.label AS BIGINT) AS label
+        |  FROM bkt b JOIN embeddings e2 USING (vec_id)
+        |  WHERE b.vec_id % 20 <> 0),
+        |scored AS (
+        |  SELECT a.vec_id, c.vec_id AS cand_id, c.label,
+        |         round(${dDot("a.emb", "c.emb")} / (a.norm * c.norm), 6) AS sim
+        |  FROM aq a JOIN cidx c USING (bucket)),
+        |rk AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM scored),
+        |topk AS (SELECT * FROM rk WHERE rnk <= 5),
+        |votes AS (
+        |  SELECT vec_id, label, CAST(count(*) AS BIGINT) AS votes,
+        |         CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) AS BIGINT)
+        |           AS support
+        |  FROM topk GROUP BY 1, 2),
+        |w AS (
+        |  SELECT vec_id, label, votes, support, row_number() OVER
+        |    (PARTITION BY vec_id
+        |     ORDER BY votes DESC, support DESC, label) AS vrk
+        |  FROM votes)
+        |SELECT strftime(date_trunc('hour',
+        |         timestamp '2024-01-01 00:00:00' + to_minutes(vec_id)),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |       vec_id, label AS pred_label, votes,
+        |       support AS support_micro
+        |FROM w WHERE vrk = 1 ORDER BY vec_id""".stripMargin)),
+
     // The kNN GRAPH: every vector's top-5 bucket-mates by cosine —
     // nearDupPairs' geometry with a per-vector rank window instead of
     // the threshold (the frame SemDeDup-style pruning / NN-descent /

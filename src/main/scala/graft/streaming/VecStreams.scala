@@ -45,6 +45,68 @@ object VecStreams {
       .select(col("window.start").as("hour"), col("vec_id"), col("matches"))
   }
 
+  /** Streaming kNN-CLASSIFY screen — label assignment at ingest, the
+    * streaming counterpart of
+    * [[graft.operators.Similarity.labelPropagateFromGraph]]: every
+    * arriving vector probes the LABELED static index
+    * ([[graft.operators.Similarity.buildIndexKeeping]] with `label`)
+    * via self + Hamming-1 buckets, its top-`k` bucket-mates by exact
+    * cosine vote, and the arrival is labeled by the
+    * (votes DESC, micro-support DESC, label ASC) winner — the exact
+    * integer tie rule of the batch propagation operator, so the two
+    * label paths cannot drift.
+    *
+    * Streaming-legal by construction: ONE windowed aggregation (the
+    * bounded-heap top-k), then the vote is a SCALAR higher-order-
+    * function pass over the ≤ k-entry array (per distinct candidate
+    * label: count + summed micro-cosine, argmax via array_max over
+    * (votes, support, −label) structs) — no second aggregation, so
+    * append mode and the watermark behave exactly as [[annScreen]].
+    * Heap tie determinism: the payload packs the candidate id
+    * zero-padded to 20 digits BEFORE the label, so the heap's
+    * lexicographic tie-break is numeric-id order and the top-k set
+    * is input-order independent. Arrivals with NO bucket-mate emit
+    * nothing (no evidence, no label — callers route them to the
+    * unlabeled pool).
+    *
+    * Output: (hour, vec_id, pred_label, votes, support_micro).
+    */
+  def knnClassifyScreen(streamEmbs: DataFrame, labeledIndex: DataFrame,
+      k: Int = 5, bits: Int = 4): DataFrame = {
+    val q = streamEmbs
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), bits))
+      .withColumn("bucket",
+        explode(Similarity.probeBuckets(col("bucket"), bits)))
+      .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .withWatermark("ts", "1 hour")
+    val c = labeledIndex.select(col("bucket"),
+      concat(lpad(col("vec_id").cast("string"), 20, "0"), lit(":"),
+        col("label").cast("long").cast("string")).as("cand"),
+      col("embedding").as("cand_emb"), col("norm").as("cand_norm"))
+    val topk = q.join(c, Seq("bucket"))
+      .select(col("ts"), col("vec_id"),
+        round(vecDot(col("embedding"), col("cand_emb")) /
+          (col("norm") * col("cand_norm")), 6).as("sim"),
+        col("cand"))
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .agg(TopKAgg.topK(col("sim"), col("cand"), k).as("m"))
+    def lbl(e: org.apache.spark.sql.Column) =
+      split(e.getField("label"), ":").getItem(1).cast("long")
+    val labels = array_distinct(transform(col("m"), e => lbl(e)))
+    val scoredLabels = transform(labels, l => struct(
+      size(filter(col("m"), e => lbl(e) === l)).cast("long").as("votes"),
+      aggregate(filter(col("m"), e => lbl(e) === l), lit(0L),
+        (acc, e) => acc + round(e.getField("score") * 1e6).cast("long"))
+        .as("support"),
+      (-l).as("neg_label")))
+    topk
+      .withColumn("best", array_max(scoredLabels))
+      .select(col("window.start").as("hour"), col("vec_id"),
+        (-col("best.neg_label")).as("pred_label"),
+        col("best.votes").as("votes"),
+        col("best.support").as("support_micro"))
+  }
+
   /** Streaming SEMANTIC-CONTAMINATION screen — the deployment
     * direction of [[graft.operators.Decontam.semanticHits]]: the
     * benchmark/eval set is SMALL and FIXED (its bucketed index is

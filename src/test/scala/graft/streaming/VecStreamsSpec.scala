@@ -51,6 +51,73 @@ class VecStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("kNN-classify screen: streamed arrivals take their cluster's " +
+    "label under the batch propagation tie rule") {
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    // labeled corpus: cluster 7 around e0 (3 members), cluster 3
+    // around e1 (2 members) — at k=3 an arrival near e0 votes (7,3)
+    // and one near e1 votes (3,2): its third neighbor is a stray
+    // cluster-7 vector at cos ~0, outvoted 2:1 (k must not exceed
+    // the smallest relevant cluster by much, the standard kNN-vote
+    // caveat — at k=5 the 3-member cluster would outvote everywhere)
+    val labeled = Similarity.buildIndexKeeping(
+      spark.createDataFrame(Seq(
+        (100L, Seq(1f, 0f, 0f, 0f), 7),
+        (101L, Seq(0.99f, 0.01f, 0f, 0f), 7),
+        (102L, Seq(0.98f, 0.02f, 0f, 0f), 7),
+        (200L, Seq(0f, 1f, 0f, 0f), 3),
+        (201L, Seq(0f, 0.99f, 0.01f, 0f), 3)))
+        .toDF("vec_id", "embedding", "label"), 2, "label")
+    val mem = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val query = VecStreams.knnClassifyScreen(
+      mem.toDF().toDF("vec_id", "embedding", "ts"), labeled,
+      k = 3, bits = 2)
+      .writeStream.format("memory").queryName("knn_classify")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, Seq(1f, 0.01f, 0f, 0f),
+        Timestamp.valueOf("2023-01-01 10:30:00")))
+      mem.addData((2L, Seq(0f, 1f, 0.01f, 0f),
+        Timestamp.valueOf("2023-01-01 10:40:00")))
+      query.processAllAvailable()
+      mem.addData((9L, Seq(0f, 0f, 0f, 1f),
+        Timestamp.valueOf("2023-01-01 16:30:00"))) // advance watermark
+      query.processAllAvailable()
+      val rows = spark.table("knn_classify")
+        .collect().map(r => r.getLong(1) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      // at bits=2 with Hamming-1 probes all corpus vectors are
+      // reachable from any bucket; top-3 vote per the comment above
+      assert(rows(1L) === ((7L, 3L)), s"got ${rows.get(1L)}")
+      assert(rows(2L) === ((3L, 2L)), s"got ${rows.get(2L)}")
+    } finally query.stop()
+  }
+
+  test("kNN-classify batch twin: vote equals a hand-computed " +
+    "row_number + majority chain, ties to the smaller label") {
+    import ss.implicits._
+    // two labels with EQUAL votes and equal support at k=2: the
+    // arrival is equidistant from one member of each cluster — the
+    // tie must break to the smaller label
+    val labeled = Similarity.buildIndexKeeping(
+      spark.createDataFrame(Seq(
+        (100L, Seq(1f, 0f, 0f, 0f), 9),
+        (200L, Seq(0f, 1f, 0f, 0f), 4)))
+        .toDF("vec_id", "embedding", "label"), 1, "label")
+    val arrivals = spark.createDataFrame(Seq(
+      (1L, Seq(1f, 1f, 0f, 0f),
+        Timestamp.valueOf("2023-01-01 10:30:00"))))
+      .toDF("vec_id", "embedding", "ts")
+    val got = VecStreams.knnClassifyScreen(arrivals, labeled,
+      k = 2, bits = 1).collect()
+    assert(got.length === 1)
+    val r = got.head
+    // cos = 1/√2 to both; (votes 1, support equal) → label 4 wins
+    assert(r.getLong(2) === 4L && r.getLong(3) === 1L,
+      s"got ${r.mkString(",")}")
+  }
+
   test("filtered screen: the label is a join key — same-bucket cross-label never matches") {
     import ss.implicits._
     implicit val sq = ss.sqlContext
