@@ -331,7 +331,11 @@ object ScalingBench {
       // the classify screen shares stream_decontam_semantic's shape
       // (growing %20 arrival slice, one stream-static bucket join
       // against a growing labeled index, scalar vote) — ~linear
-      "stream_knn_classify")
+      "stream_knn_classify",
+      // graph pruning = the kNN graph + the dedup_clusters completion
+      // over its τ-filtered (≤ n·k) edge list — expected to track
+      // sim_knn_graph plus the component loop's near-flat cost
+      "emb_graph_survivors")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

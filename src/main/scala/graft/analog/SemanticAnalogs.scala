@@ -735,6 +735,38 @@ object SemanticAnalogs {
         |       support AS support_micro
         |FROM w WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
 
+    // SemDeDup-style GRAPH pruning: the kNN graph's cosine ≥ 0.3
+    // edges collapse into connected components (Dedup.clusters'
+    // min-label machinery) and the min-id member of each component
+    // survives — transitively consistent where the pairwise screen
+    // (emb_dedup_survivors) drops per mined pair. The oracle is a
+    // genuinely different algorithm: a recursive transitive-closure
+    // CTE over the same edge set (the dedup_clusters precedent).
+    Q("emb_graph_survivors",
+      (s, d) => Similarity.graphDedupSurvivors(
+        Tables.embeddings(s, d), tau = 0.3, k = 5),
+      Some(s"""WITH RECURSIVE $dLshPrefix,
+        |${dKnn(5)},
+        |ge AS (
+        |  SELECT least(vec_id, neighbor_id) AS a,
+        |         greatest(vec_id, neighbor_id) AS b
+        |  FROM gknn WHERE sim >= 0.3 GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM ge
+        |  UNION ALL SELECT b, a FROM ge),
+        |reach AS (
+        |  SELECT vec_id AS doc_id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e
+        |    ON e.src = reach.doc_id),
+        |clus AS (
+        |  SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY 1)
+        |SELECT em.vec_id, CAST(em.label AS BIGINT) AS label
+        |FROM embeddings em JOIN clus
+        |  ON clus.doc_id = em.vec_id AND clus.cluster_id = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin)),
+
     // Embedding-space outlier screen: k-NN density score (summed
     // micro-cosine of the top-5 neighbors — a pure integer SUM,
     // missing neighbors 0, isolated vectors pinned to the scale

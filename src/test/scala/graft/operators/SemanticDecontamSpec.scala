@@ -323,6 +323,27 @@ class SemanticDecontamSpec extends AnyFunSuite with SparkSpec {
       rows(Similarity.knnOutliers(embs, k = 2, pm = 500, bits = 1)))
   }
 
+  test("graphDedupSurvivors: one canonical survivor per semantic " +
+    "component; a near-dup chain collapses transitively to its min id") {
+    val s = spark; import s.implicits._
+    // chain 0~1~2: cos(0,1) = cos(1,2) = 0.9 > τ, cos(0,2) = 0.62 < τ
+    // — the pair 0-2 is NOT an edge, yet 2 must still fall into 0's
+    // component through 1 (the transitivity the pairwise screen
+    // lacks); plus a 2-member cluster {5,6} and an isolated 9
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.43589f, 0f, 0f), 0),
+      (2L, Seq(0.62f, 0.78465f, 0f, 0f), 0),
+      (5L, Seq(0f, 0f, 1f, 0f), 1),
+      (6L, Seq(0f, 0f, 0.995f, 0.0999f), 1),
+      (9L, Seq(0f, 0f, 0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val surv = Similarity.graphDedupSurvivors(embs, tau = 0.85,
+      k = 2, bits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(surv === Seq((0L, 0L), (5L, 1L), (9L, 2L)), s"got $surv")
+  }
+
   test("pairRecall: identical sets score 10000/10000; half-found " +
     "scores 5000 recall; empty truth scores 0 without error") {
     val s = spark; import s.implicits._
