@@ -140,7 +140,15 @@ object Bench {
       // run
       "eval_knngraph_clustered_metrics",
       "eval_nndescent_clustered_metrics",
-      "eval_knngraph2_clustered_metrics")
+      "eval_knngraph2_clustered_metrics",
+      // round 18: the composed ladder cell (H2 probes + one descent
+      // round + brute truth per run, both geometries) and the
+      // word-feature quality gate (trains the doubled-feature NB and
+      // pays the rule-label leg per run, the eval_quality_nb_prf
+      // pattern)
+      "eval_knngraph2_descent_metrics",
+      "eval_knngraph2_descent_clustered_metrics",
+      "eval_quality_nb2_prf")
     // every query that probes a stored ModelStore artifact (ensure* —
     // built once per data dir): the warmup below runs each ONCE at the
     // timed dir so the build lands outside the measurement and the
@@ -159,7 +167,9 @@ object Bench {
       "sim_labelprop_loaded",
       // round 17: the two consumers of the stored REFINED graph
       // (one artifact dir, built on first touch of a data dir)
-      "sim_nndescent_loaded", "emb_outliers_loaded")
+      "sim_nndescent_loaded", "emb_outliers_loaded",
+      // round 18: the classify screen's stored labeled index
+      "stream_knn_classify_loaded")
     val warmupDir = "/root/testdata/sf0.001"
     val warmT0 = System.nanoTime()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
@@ -189,8 +199,45 @@ object Bench {
             s"warmup failed: $n @ $dir: ${t.getClass.getSimpleName}: " +
               Option(t.getMessage).getOrElse("").take(160))
         }
+      // CONCURRENT warmup (round-18 ask #5): warmup exists to absorb
+      // JIT/codegen/classloader ramp, not to measure — so its queries
+      // need not run one at a time. At sf0.001 each query is
+      // work-tiny but latency-bound (~1 s of driver/plan/stage
+      // round-trips), so a small pool overlaps those latencies on the
+      // idle local[32] executor threads and cuts the warmup wall ~Nx
+      // without changing WHAT gets warmed (every query still
+      // executes, twice). Spark sessions are thread-safe for
+      // concurrent actions; the STORED-ARTIFACT queries are excluded
+      // from the pool — two ensureFrame calls racing on one artifact
+      // dir (sim_nndescent_loaded + emb_outliers_loaded share theirs)
+      // could interleave a parquet overwrite — and warm serially
+      // below, exactly as before. SPARK_GRAFT_WARMUP_THREADS=1
+      // restores the fully serial order.
+      val warmThreads = math.max(1,
+        sys.env.get("SPARK_GRAFT_WARMUP_THREADS")
+          .flatMap(_.toIntOption).getOrElse(8))
+      def warmMany(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+          dir: String): Unit =
+        if (warmThreads <= 1 || qs.sizeIs <= 1)
+          qs.foreach { case (n, fn) => warmExec(n, fn, dir) }
+        else {
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(warmThreads)
+          try {
+            val tasks = qs.map { case (n, fn) =>
+              pool.submit(new Runnable {
+                def run(): Unit = warmExec(n, fn, dir)
+              })
+            }
+            tasks.foreach(_.get())
+          } finally pool.shutdown()
+        }
       (1 to 2).foreach { _ =>
-        queries.filter { case (n, _) => !singleRun(n) }
+        warmMany(queries.filter { case (n, _) =>
+          !singleRun(n) && !artifactWarm(n) }.toSeq, warmupDir)
+        // the artifact probers build their sf0.001 artifacts here —
+        // serial, for the shared-dir reason above
+        queries.filter { case (n, _) => !singleRun(n) && artifactWarm(n) }
           .foreach { case (n, fn) => warmExec(n, fn, warmupDir) }
         spark.catalog.clearCache()
       }

@@ -335,7 +335,21 @@ object ScalingBench {
       // graph pruning = the kNN graph + the dedup_clusters completion
       // over its τ-filtered (≤ n·k) edge list — expected to track
       // sim_knn_graph plus the component loop's near-flat cost
-      "emb_graph_survivors")
+      "emb_graph_survivors",
+      // round 18: the CALIBRATED arm adds the partner-sample
+      // histogram (one n-row join) to the same shape — its ROWS
+      // column is the round's percolation evidence (proportional
+      // survivors, vs the fixed-τ arm's measured collapse); the
+      // clustered semanticDedup arm measures the cell-bounded dedup
+      // in the dense-cluster regime (replica scaling grows cluster
+      // OCCUPANCY k×, so within-cell pair cohorts are the growth
+      // term); mm_dhash_survivors joins the survivor fleet so every
+      // survivor operator curves rows, not just wall (round-18 ask
+      // #8); the composed ladder cell carries the H2 fan-out + one
+      // descent round + the slice × corpus brute truth leg
+      "emb_graph_survivors_calibrated", "dedup_semantic_clustered",
+      "mm_dhash_survivors", "stream_knn_classify_loaded",
+      "eval_knngraph2_descent_metrics", "eval_quality_nb2_prf")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

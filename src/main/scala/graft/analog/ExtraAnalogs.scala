@@ -43,25 +43,44 @@ object ExtraAnalogs {
     * engines (round-16 fuzz finding, oracle side fixed round 17).
     */
   private[analog] def dNbChainOn(src: String,
-      seedWhere: String = "doc_id % 5 = 0"): String = s"""seed AS (
+      seedWhere: String = "doc_id % 5 = 0",
+      wordFeats: Boolean = false): String = {
+    // feature-space width drives add-1 smoothing: 1024 char-gram
+    // buckets, doubled when the disjoint word-unigram range
+    // [1024, 2048) is active (LangId.NbModel.totalBuckets's replica)
+    val totB = if (wordFeats) 2048 else 1024
+    // hashed word-unigram feature rows (wordHash60 % 1024 + 1024 —
+    // split on single spaces INCLUDING trailing empties, matching
+    // Spark's split(text, " ", -1))
+    def wordB(key: String, rel: String) =
+      s"""
+        |  UNION ALL
+        |  SELECT $key, 1024 + ('0x' || substr(md5(w),1,15))::BIGINT % 1024
+        |    AS b
+        |  FROM (SELECT $key, unnest(string_split(text, ' ')) AS w
+        |    FROM $rel)""".stripMargin
+    val ngExpr = if (wordFeats)
+      "greatest(length(text) - 2, 0) + len(string_split(text, ' '))"
+    else "greatest(length(text) - 2, 0)"
+    s"""seed AS (
         |  SELECT doc_id, lang, text FROM $src WHERE $seedWhere),
         |g AS (
         |  SELECT lang, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
         |  FROM (SELECT lang, unnest(list_transform(
         |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
-        |    FROM seed)),
+        |    FROM seed)${if (wordFeats) wordB("lang", "seed") else ""}),
         |clb AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS clb
         |        FROM g GROUP BY lang, b),
         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
         |       FROM seed GROUP BY lang),
         |lf AS (SELECT nd.lang, coalesce(gc.cl, 0) AS cl,
-        |         CAST(round(-ln(coalesce(gc.cl, 0) + 1024) * 1e6) AS BIGINT)
+        |         CAST(round(-ln(coalesce(gc.cl, 0) + $totB) * 1e6) AS BIGINT)
         |           AS fl
         |       FROM nd LEFT JOIN (
         |         SELECT lang, CAST(count(*) AS BIGINT) AS cl
         |         FROM g GROUP BY lang) gc USING (lang)),
         |dl AS (SELECT clb.lang, b,
-        |         CAST(round((ln(clb + 1) - ln(cl + 1024)) * 1e6) AS BIGINT)
+        |         CAST(round((ln(clb + 1) - ln(cl + $totB)) * 1e6) AS BIGINT)
         |           - fl AS delta
         |       FROM clb JOIN lf USING (lang)),
         |st AS (SELECT lang,
@@ -69,13 +88,13 @@ object ExtraAnalogs {
         |           FROM nd))) * 1e6) AS BIGINT) AS prior, fl
         |       FROM nd JOIN lf USING (lang)),
         |dg AS (SELECT doc_id, lang AS true_lang,
-        |         CAST(greatest(length(text) - 2, 0) AS BIGINT) AS ng
+        |         CAST($ngExpr AS BIGINT) AS ng
         |       FROM $src),
         |docb AS (
         |  SELECT doc_id, ('0x' || substr(md5(gr),1,8))::BIGINT % 1024 AS b
         |  FROM (SELECT doc_id, unnest(list_transform(
         |      range(1, length(text) - 1), i -> substr(text, i, 3))) AS gr
-        |    FROM $src)),
+        |    FROM $src)${if (wordFeats) wordB("doc_id", src) else ""}),
         |hits AS (SELECT doc_id, dl.lang, CAST(sum(delta) AS BIGINT) AS sd
         |         FROM docb JOIN dl USING (b) GROUP BY doc_id, dl.lang),
         |sc AS (SELECT dg.doc_id, dg.true_lang, st.lang,
@@ -85,6 +104,7 @@ object ExtraAnalogs {
         |         AND hits.lang = st.lang),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |         ORDER BY score DESC, lang) AS rk FROM sc)""".stripMargin
+  }
 
   private val dLangidNbCte: String = dNbChainOn("documents")
 
@@ -727,7 +747,7 @@ object ExtraAnalogs {
     * index-time k = 8) and dedup_semantic (corpus-sized k — a SQL
     * subselect) so the two oracles cannot drift apart.
     */
-  private def dKmCellsCte(seed: String,
+  private[analog] def dKmCellsCte(seed: String,
       src: String = "embeddings"): String =
     s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM $src),
        |e AS (SELECT vec_id, emb, label, sqrt(${dDot("emb", "emb")}) AS norm

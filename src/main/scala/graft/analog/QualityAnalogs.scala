@@ -116,10 +116,10 @@ object QualityAnalogs {
         col("text"))
 
   private def qualityNbPredictions(s: SparkSession,
-      d: String): DataFrame = {
+      d: String, wordFeats: Boolean = false): DataFrame = {
     val base = qualityNbBase(s, d)
     val m = graft.operators.LangId.train(
-      base.filter(col("doc_id") % 5 === 0))
+      base.filter(col("doc_id") % 5 === 0), wordFeats = wordFeats)
     graft.operators.LangId.predict(base, m)
       .join(base.select("doc_id", "lang"), "doc_id")
   }
@@ -214,6 +214,48 @@ object QualityAnalogs {
           .select(col("lang").as("label"), col("pred_lang").as("pred"))),
       Some(s"""WITH $dQnbCte,
         |${ExtraAnalogs.dNbChainOn("qnb")},
+        |prd AS (SELECT true_lang AS label, lang AS pred
+        |        FROM rk WHERE rk = 1),
+        |bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_label,
+        |         CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS tp
+        |       FROM prd GROUP BY 1),
+        |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM prd GROUP BY 1),
+        |j AS (SELECT COALESCE(bl.cls, bp.cls) AS cls,
+        |        COALESCE(tp, 0) AS tp,
+        |        COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+        |        COALESCE(n_label, 0) - COALESCE(tp, 0) AS fn
+        |      FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls)
+        |SELECT cls, tp, fp, fn,
+        |  CAST(CASE WHEN tp + fp > 0
+        |    THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT)
+        |    AS precision_pm,
+        |  CAST(CASE WHEN tp + fn > 0
+        |    THEN tp * 10000 // (tp + fn) ELSE 0 END AS BIGINT)
+        |    AS recall_pm,
+        |  CAST(CASE WHEN 2*tp + fp + fn > 0
+        |    THEN 2 * tp * 10000 // (2*tp + fp + fn) ELSE 0 END
+        |    AS BIGINT) AS f1_pm
+        |FROM j ORDER BY cls""".stripMargin)),
+
+    // The WORD-FEATURE arm of the same gate (round-18 ask #7 — the
+    // fastText recipe's second feature family): hashed word unigrams
+    // in the disjoint [1024, 2048) bucket range beside the char
+    // trigrams, trained/scored on the IDENTICAL weak-label fixture
+    // through the identical PRF tail. Why it lifts keep-F1: the
+    // Gopher keep/drop labels are functions of word-level evidence
+    // (stopword presence, token length, symbol words) that char
+    // trigrams smear across classes — word identity is the signal.
+    // Read against eval_quality_nb_prf: the keep-class delta is what
+    // the second feature family buys on the operator's weakest gated
+    // number (keep-F1 0.31 at r15).
+    Q("eval_quality_nb2_prf",
+      (s, d) => graft.operators.Evaluation.classPrf(
+        qualityNbPredictions(s, d, wordFeats = true)
+          .select(col("lang").as("label"), col("pred_lang").as("pred"))),
+      Some(s"""WITH $dQnbCte,
+        |${ExtraAnalogs.dNbChainOn("qnb", wordFeats = true)},
         |prd AS (SELECT true_lang AS label, lang AS pred
         |        FROM rk WHERE rk = 1),
         |bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_label,

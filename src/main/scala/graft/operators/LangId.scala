@@ -53,21 +53,40 @@ object LangId {
         i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
-  /** The exploded hashed-gram stream (doc_id, b) used by BOTH train
-    * and score: ONE native walk per row (`CharGramBuckets` — slicing,
-    * md5 with a reused digest, bucket modulo fused; the GramHashes
-    * precedent), then a bare long explode. No per-row gram STRING
-    * array ever materializes — the composed `transform`+`substr`+
-    * `md5`-hex form benched 8.5 s at sf0.1, the fused form ~1 s.
-    * Value semantics are the composed form's exactly (grams at
+  /** The exploded hashed-FEATURE stream (doc_id, b) used by BOTH
+    * train and score: ONE native walk per row (`CharGramBuckets` —
+    * slicing, md5 with a reused digest, bucket modulo fused; the
+    * GramHashes precedent), then a bare long explode. No per-row gram
+    * STRING array ever materializes — the composed `transform`+
+    * `substr`+`md5`-hex form benched 8.5 s at sf0.1, the fused form
+    * ~1 s. Value semantics are the composed form's exactly (grams at
     * character positions 1..len−n+1; first-8-hex-digit md5 value;
     * positive mod), so the DuckDB oracle is untouched.
+    *
+    * `wordFeats = true` (the fastText recipe's second feature family,
+    * round 18) APPENDS hashed word-unigram buckets: the text splits
+    * on single spaces (limit −1, matching DuckDB's `string_split`
+    * including trailing empties) and each token hashes to
+    * `buckets + wordHash60(token) mod buckets` — a DISJOINT bucket
+    * range, so char-gram and word evidence never collide and the
+    * model's feature space is exactly 2·buckets. Word identity is
+    * what char trigrams smear away (trigrams of "the them theme"
+    * overlap heavily; their word hashes don't), which is the lift on
+    * keep/drop-style QUALITY classes whose signal is stopword/length
+    * vocabulary, not character shape.
     */
   private def gramBuckets(docs: DataFrame, extra: Seq[Column],
-      n: Int, buckets: Int): DataFrame =
-    docs.select(extra :+ explode(
-      graft.expressions.TextExpressions.charGramBuckets(
-        col("text"), n, buckets)).as("b"): _*)
+      n: Int, buckets: Int, wordFeats: Boolean = false): DataFrame = {
+    val charB = graft.expressions.TextExpressions.charGramBuckets(
+      col("text"), n, buckets)
+    val feats = if (!wordFeats) charB
+      else concat(charB,
+        transform(split(col("text"), " ", -1), w =>
+          lit(buckets.toLong) +
+            graft.functions.TextFunctions.wordHash60(w)
+              % lit(buckets.toLong)))
+    docs.select(extra :+ explode(feats).as("b"): _*)
+  }
 
   /** The trained model. `delta`: (lang, b, delta) — the micro-nat
     * advantage of an OBSERVED (class, bucket) pair over that class'
@@ -77,7 +96,12 @@ object LangId {
     * unrepresentable (the [[Perplexity.LmModel]] contract).
     */
   final case class NbModel(delta: DataFrame, langStats: DataFrame,
-      buckets: Int, n: Int) {
+      buckets: Int, n: Int, wordFeats: Boolean = false) {
+    /** Total feature-space width — the smoothing denominator and the
+      * per-class LUT size: char-gram buckets plus, under [[wordFeats]],
+      * the disjoint word-unigram range above them.
+      */
+    def totalBuckets: Int = if (wordFeats) 2 * buckets else buckets
     /** Persisted copy (the [[Perplexity.LmModel.persisted]] contract):
       * eager — both frames materialize before return, so a caller
       * composing several queries over one model (predict + evaluate,
@@ -95,11 +119,15 @@ object LangId {
   /** Train on a labeled seed slice (`lang` column = the label).
     * Both aggregations are distributed; nothing is collected.
     */
-  def train(seed: DataFrame, buckets: Int = 1024, n: Int = 3): NbModel = {
+  def train(seed: DataFrame, buckets: Int = 1024, n: Int = 3,
+      wordFeats: Boolean = false): NbModel = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     require(n >= 1, s"n must be >= 1, got $n")
-    val b = lit(buckets.toLong)
-    val grams = gramBuckets(seed, Seq(col("lang")), n, buckets)
+    // smoothing denominator = the FULL feature space (char + word
+    // ranges under wordFeats): add-1 smoothing is over every bucket a
+    // feature could land in
+    val b = lit(if (wordFeats) 2L * buckets else buckets.toLong)
+    val grams = gramBuckets(seed, Seq(col("lang")), n, buckets, wordFeats)
     val clb = grams.groupBy("lang", "b").agg(count(lit(1)).as("clb"))
     val nDocs = seed.groupBy("lang").agg(count(lit(1)).as("nl"))
     // gram totals per class, LEFT-joined onto the labeled classes: a
@@ -126,7 +154,7 @@ object LangId {
         round((log(col("nl")) - log(col("nn"))) * 1e6).cast("long")
           .as("prior"),
         col("floor"))
-    NbModel(delta, langStats, buckets, n)
+    NbModel(delta, langStats, buckets, n, wordFeats)
   }
 
   /** Per-document class scores: (doc_id, lang, score) — one row per
@@ -167,7 +195,8 @@ object LangId {
     val wide = m.delta.groupBy("b")
       .pivot("lang", langs).agg(first(col("delta")))
       .toDF("_bkt" +: langs.indices.map(i => s"_d_$i"): _*)
-    val grams = gramBuckets(docs, Seq(col("doc_id")), m.n, m.buckets)
+    val grams = gramBuckets(docs, Seq(col("doc_id")), m.n, m.buckets,
+      m.wordFeats)
     val sums = grams.join(broadcast(wide),
         col("b") === col("_bkt"), "left")
       .groupBy("doc_id")
@@ -188,11 +217,18 @@ object LangId {
       .select(col("doc_id"), col("lang"),
         (col("prior") + col("n_grams") * col("floor") + col("sd"))
           .as("score"))
-    val priorOnly = docs.filter(length(col("text")) < m.n)
-      .select(col("doc_id"))
-      .crossJoin(broadcast(m.langStats))
-      .select(col("doc_id"), col("lang"), col("prior").as("score"))
-    scored.unionByName(priorOnly)
+    // under wordFeats every doc emits ≥ 1 feature row (split of even
+    // an empty text yields one token), so the feature-free rejoin
+    // branch is structurally empty — skip it rather than union a
+    // never-matching subtree into the plan
+    if (m.wordFeats) scored
+    else {
+      val priorOnly = docs.filter(length(col("text")) < m.n)
+        .select(col("doc_id"))
+        .crossJoin(broadcast(m.langStats))
+        .select(col("doc_id"), col("lang"), col("prior").as("score"))
+      scored.unionByName(priorOnly)
+    }
   }
 
   /** Per-document prediction: (doc_id, pred_lang, score) — argmax
@@ -232,14 +268,20 @@ object LangId {
     val deltaRows = m.delta.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val lutByLang = langs.map { l =>
-      val a = Array.fill(m.buckets)(0L)
+      val a = Array.fill(m.totalBuckets)(0L)
       deltaRows.iterator.filter(_._1 == l)
         .foreach { case (_, b, d) => a(b.toInt) = d }
       l -> a.toSeq
     }.toMap
-    val withB = docs.select(col("doc_id"),
-        graft.expressions.TextExpressions
-          .charGramBuckets(col("text"), m.n, m.buckets).as("_b"))
+    val charB = graft.expressions.TextExpressions
+      .charGramBuckets(col("text"), m.n, m.buckets)
+    val feats = if (!m.wordFeats) charB
+      else concat(charB,
+        transform(split(col("text"), " ", -1), w =>
+          lit(m.buckets.toLong) +
+            graft.functions.TextFunctions.wordHash60(w)
+              % lit(m.buckets.toLong)))
+    val withB = docs.select(col("doc_id"), feats.as("_b"))
       .select(col("doc_id"), size(col("_b")).cast("long").as("_g"),
         col("_b"))
     val cands = stats.zipWithIndex.map { case ((l, prior, floor), i) =>

@@ -77,7 +77,10 @@ object ModelStore {
     checkSchema(m.langStats, NbStatsSchema, "NbModel.langStats")
       .write.mode("overwrite").parquet(s"$dir/lang_stats")
     saveParams(spark, dir,
-      Seq("buckets" -> m.buckets.toLong, "n" -> m.n.toLong))
+      Seq("buckets" -> m.buckets.toLong, "n" -> m.n.toLong,
+        // feature-space version (round 18): 0 = char n-grams only,
+        // 1 = + hashed word unigrams in [buckets, 2·buckets)
+        "wf" -> (if (m.wordFeats) 1L else 0L)))
   }
 
   def loadNb(spark: SparkSession, dir: String)
@@ -88,7 +91,9 @@ object ModelStore {
         s"$dir/delta"),
       checkSchema(spark.read.parquet(s"$dir/lang_stats"), NbStatsSchema,
         s"$dir/lang_stats"),
-      p("buckets").toInt, p("n").toInt)
+      p("buckets").toInt, p("n").toInt,
+      // absent in pre-round-18 artifacts == the char-gram-only space
+      p.getOrElse("wf", 0L) == 1L)
   }
 
   // ---- perplexity bigram LM -----------------------------------------
@@ -364,13 +369,30 @@ object ModelStore {
     * plain parquet dataset) so [[isStale]]`(spark, dir + ".fp", src)`
     * can later detect source drift without re-running the corpus-
     * sized `build`.
+    *
+    * `validate = true` (round-18 ADVICE) runs that staleness check ON
+    * THE READ PATH: an existing artifact whose recorded fingerprint
+    * mismatches `fingerprintData`'s current content (or that has no
+    * recorded fingerprint at all) is invalidated and rebuilt before
+    * serving. The cost is one scan of the SOURCE corpus per call —
+    * right for correctness-critical serves over data that may change
+    * in place; the `false` default keeps serving scan-free
+    * (serve-stale, the ensure* family's documented contract), with
+    * drift still detectable on demand via [[isStale]] /
+    * [[refreshIfStale]] and caught end-to-end by the Verify oracle
+    * gate, which recomputes results from source.
     */
   def ensureFrame(spark: SparkSession, dir: String,
       build: => DataFrame,
-      fingerprintData: Option[DataFrame] = None): DataFrame = {
+      fingerprintData: Option[DataFrame] = None,
+      validate: Boolean = false): DataFrame = {
     val fresh = build
     val expected = fresh.schema.map(f => (f.name, f.dataType))
-    if (!pathExists(spark, s"$dir/_SUCCESS")) {
+    val exists = pathExists(spark, s"$dir/_SUCCESS")
+    val stale = validate && exists &&
+      fingerprintData.exists(d => isStale(spark, s"$dir.fp", d))
+    if (stale) invalidate(spark, dir)
+    if (!exists || stale) {
       fresh.write.mode("overwrite").parquet(dir)
       fingerprintData.foreach(recordFingerprint(_, s"$dir.fp"))
     }

@@ -557,6 +557,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(ol.contains("Window"), ol.take(800))
     assert(ol.lastIndexOf("HashAggregate") > ol.indexOf("Window"),
       ol.take(1200))
+    // the loaded classify screen (round 18): the labeled index is a
+    // parquet scan — no corpus-side bucket mining (sketch16's
+    // hyperplane dots appear once, on the ARRIVAL side only; the
+    // in-plan twin computes them on both sides), no Window (the vote
+    // is a scalar array pass over the bounded heap), index join
+    // broadcast, and the scan itself present
+    val kc = plans("stream_knn_classify_loaded")
+    assert(!kc.contains("Window"), kc.take(800))
+    assert(!kc.contains("SortMergeJoin"), kc.take(800))
+    assert(kc.contains("Scan parquet"), kc.take(800))
   }
 
   test("column pruning reaches the scan on a projection-only query") {

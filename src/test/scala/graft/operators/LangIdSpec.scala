@@ -74,6 +74,54 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     assert(rowwise.find(_._1 == 12L).get._2 === "alpha") // tie → lang ASC
   }
 
+  test("wordFeats: word buckets land in the disjoint [buckets, " +
+    "2*buckets) range; char buckets stay below") {
+    val seed = docs((0L, "abc def ghi", "A"), (1L, "zzz yyy", "B"))
+    val m = LangId.train(seed, wordFeats = true)
+    assert(m.wordFeats && m.totalBuckets === 2 * m.buckets)
+    val bs = m.delta.select("b").collect().map(_.getLong(0))
+    assert(bs.forall(b => b >= 0 && b < 2L * m.buckets))
+    assert(bs.exists(_ >= m.buckets), "no word-range features trained")
+    assert(bs.exists(_ < m.buckets), "no char-range features trained")
+    val m0 = LangId.train(seed)
+    assert(!m0.wordFeats &&
+      m0.delta.select("b").collect().map(_.getLong(0))
+        .forall(_ < m0.buckets))
+  }
+
+  test("wordFeats: predictRowwise equals predict exactly — incl. " +
+    "sub-n and empty docs (which still carry word evidence)") {
+    val seed = docs(
+      (0L, "the cat sat", "alpha"), (1L, "the dog ran", "alpha"),
+      (2L, "zq xv wk", "beta"), (3L, "zq pf mm", "beta"))
+    val m = LangId.train(seed, wordFeats = true)
+    val probe = docs(
+      (10L, "the cat ran", "x"), (11L, "zq wk", "x"),
+      (12L, "qq", "x"), // shorter than n=3: word unigram only
+      (13L, "", "x"),   // empty: one empty-token word feature
+      (14L, "the zq", "x"))
+    def out(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val viaWindow = out(LangId.predict(probe, m))
+    assert(out(LangId.predictRowwise(probe, m)) === viaWindow)
+    // every probe doc is scored (no doc drops out of the feature walk)
+    assert(viaWindow.map(_._1).toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+  }
+
+  test("wordFeats separates word-identity classes: shared-character " +
+    "vocab, class-specific words") {
+    // both classes draw from the same character soup, so char
+    // trigrams overlap heavily; the WORDS are class-specific
+    val seed = docs(
+      (0L, "abab baba abab", "A"), (1L, "abab abab baba", "A"),
+      (2L, "aabb bbaa aabb", "B"), (3L, "aabb aabb bbaa", "B"))
+    val m = LangId.train(seed, wordFeats = true)
+    val pred = LangId.predict(
+      docs((100L, "abab baba", "?"), (101L, "bbaa aabb", "?")), m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === Map(100L -> "A", 101L -> "B"))
+  }
+
   test("persisted() model predicts identically (the composition contract)") {
     val seed = docs(
       (0L, "aaabbbaaabbb", "A"), (5L, "aaabbbaaaabb", "A"),

@@ -344,6 +344,103 @@ class SemanticDecontamSpec extends AnyFunSuite with SparkSpec {
     assert(surv === Seq((0L, 0L), (5L, 1L), (9L, 2L)), s"got $surv")
   }
 
+  test("calibratedTauMicro: rule self-consistency — τ is the first " +
+    "bucket edge above the histogram mode with share <= eps, exactly " +
+    "as documented (recomputed from embHealth)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val embs = (0L until 50L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val eps = 500L
+    val h = Similarity.embHealth(embs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val nTotal = h.values.map(_._1).sum
+    val mode = h.toSeq.map { case (b, (np, _)) => (np, -b) }.max._2 * -1
+    val expected = (0L to 10L)
+      .filter(c => c > mode &&
+        h.get(c).map(_._1).getOrElse(0L) * 10000L <= eps * nTotal)
+      .min * 200000L - 1000000L
+    val got = Similarity.calibratedTauMicro(embs, eps).collect().head
+    assert(got.getLong(0) === expected, s"mode=$mode hist=$h")
+    assert(got.getLong(1) === mode)
+  }
+
+  test("graphDedupSurvivorsCalibrated: survivors equal the fixed-τ " +
+    "operator at the calibrated τ, with τ riding the output " +
+    "(the replay law)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // two planted duplicate chains on an otherwise random corpus
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f), (i % 3).toInt))
+    val dups = Seq(
+      (100L, base(0)._2, 0), (101L, base(0)._2, 0),
+      (102L, base(5)._2, 1))
+    val embs = (base ++ dups).toDF("vec_id", "embedding", "label")
+    val got = Similarity.graphDedupSurvivorsCalibrated(embs, epsPm = 50L,
+      k = 3)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tau = rows.head._3
+    assert(rows.map(_._3).distinct === Array(tau))
+    val fixed = Similarity.graphDedupSurvivors(embs, tau = tau / 1e6,
+        k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet === fixed)
+    // the planted exact duplicates can never BOTH survive: cosine 1.0
+    // sits at/above any calibrated τ
+    assert(!(rows.exists(_._1 == 0L) && rows.exists(_._1 == 100L)))
+  }
+
+  test("graphDedupSurvivorsCalibrated: an all-duplicates corpus " +
+    "calibrates τ to the exact-duplicate edge and keeps one survivor") {
+    val s = spark; import s.implicits._
+    val embs = (0L until 8L).map(i => (i, Seq(1f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.graphDedupSurvivorsCalibrated(embs, epsPm = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // every random pair lands in the top bucket (mode = 9), so the
+    // only qualifying edge is the fallback bucket 10 → τ = 10⁶,
+    // exact-duplicate cosines still edge, one component survives
+    assert(rows.toSeq === Seq((0L, 1000000L)), s"got ${rows.toSeq}")
+  }
+
+  test("knnGraph: outputPartitions > 1 keeps the bucketed layout " +
+    "(partition count) with identical edge content") {
+    val s = spark; import s.implicits._
+    val embs = (0L until 12L).map(i =>
+        (i, Seq(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat,
+          0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val one = Similarity.knnGraph(embs, k = 2, bits = 1)
+    val many = Similarity.knnGraph(embs, k = 2, bits = 1,
+      outputPartitions = 3)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(many.rdd.getNumPartitions === 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(rows(many) === rows(one))
+  }
+
+  test("heapTopK boundary: a negative neighbor id raises instead of " +
+    "silently inverting tie order") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (-5L, Seq(1f, 0f, 0f, 0f), 0),
+      (-3L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Similarity.knnGraph(embs, k = 2, bits = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("negative neighbor_id")),
+      s"unexpected: $ex")
+  }
+
   test("pairRecall: identical sets score 10000/10000; half-found " +
     "scores 5000 recall; empty truth scores 0 without error") {
     val s = spark; import s.implicits._

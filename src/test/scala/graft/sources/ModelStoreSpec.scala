@@ -39,6 +39,49 @@ class ModelStoreSpec extends AnyFunSuite with SparkSpec {
     assert(rows(graft.operators.LangId.predict(docs, back)) === fresh)
   }
 
+  test("NbModel round-trip preserves the word-feature flag; a " +
+    "pre-flag artifact loads as char-gram-only") {
+    val dir = tmp()
+    val m = graft.operators.LangId.train(docs, buckets = 64,
+      wordFeats = true)
+    ModelStore.saveNb(m, dir)
+    val back = ModelStore.loadNb(spark, dir)
+    assert(back.wordFeats && back.totalBuckets === 128)
+    val fresh = rows(graft.operators.LangId.predict(docs, m))
+    assert(rows(graft.operators.LangId.predict(docs, back)) === fresh)
+    // legacy artifact: params without "wf" (pre-round-18 layout)
+    val legacy = tmp()
+    val m0 = graft.operators.LangId.train(docs, buckets = 64)
+    ModelStore.saveNb(m0, legacy)
+    val s = spark; import s.implicits._
+    Seq(("buckets", 64L), ("n", 3L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$legacy/params")
+    assert(!ModelStore.loadNb(spark, legacy).wordFeats)
+  }
+
+  test("ensureFrame(validate = true) rebuilds on source drift; the " +
+    "default stays serve-stale") {
+    val s = spark; import s.implicits._
+    val dir = tmp() + "/frame"
+    val src1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val src2 = Seq((1L, "a"), (2L, "CHANGED")).toDF("id", "v")
+    def build(src: org.apache.spark.sql.DataFrame) =
+      src.select(col("id"), upper(col("v")).as("v"))
+    ModelStore.ensureFrame(spark, dir, build(src1), Some(src1))
+    // default: drifted source, stale artifact still served
+    val servedStale = ModelStore.ensureFrame(spark, dir, build(src2),
+      Some(src2))
+    assert(rows(servedStale) === rows(build(src1)))
+    // validate: drift detected via the stored .fp, artifact rebuilt
+    val rebuilt = ModelStore.ensureFrame(spark, dir, build(src2),
+      Some(src2), validate = true)
+    assert(rows(rebuilt) === rows(build(src2)))
+    // fresh artifact + validate: no rebuild churn (content stable)
+    val again = ModelStore.ensureFrame(spark, dir, build(src2),
+      Some(src2), validate = true)
+    assert(rows(again) === rows(build(src2)))
+  }
+
   test("LmModel round-trip") {
     val dir = tmp()
     val m = graft.operators.Perplexity.model(docs, buckets = 128)
