@@ -407,12 +407,24 @@ object ScalingBench {
           docs.filter(col("doc_id") % 2 === 0 &&
             col("doc_id") < IdOffset)))
     }
+    // round 18 (ask #1's "Done"): the calibrated pruning arm on the
+    // CLUSTERED fixture — label clusters SPAN replicas (the center
+    // literals don't flip), so the 10-cluster structure persists at
+    // every scale and the survivor-rows column should be
+    // cluster-count-shaped (≈ constant) while the random-geometry
+    // registry arm stays ~proportional — the two x-rows that
+    // demonstrate structure-tracking instead of percolation.
+    val calClustered: (SparkSession, String) => DataFrame = (s, d) =>
+      graft.operators.Similarity.graphDedupSurvivorsCalibrated(
+        graft.analog.SemanticAnalogs.clusteredEmbs(
+          Tables.embeddings(s, d)), epsPm = 0L, k = 5)
     fromRegistry ++ Seq(
       "dedup_ngram_fixedsrc" -> fixedSrc,
       "dedup_embcos_t06" -> embCos06,
       "sim_ivf_autocells" -> ivfAuto,
       "sim_ivf2_autocells" -> ivf2Auto,
-      "containment_screen_fixedidx" -> containFixedIdx)
+      "containment_screen_fixedidx" -> containFixedIdx,
+      "emb_graph_surv_cal_clustered" -> calClustered)
   }
 
   /** Subjects measured on the ZIPFIAN corpora (see

@@ -45,22 +45,27 @@ object ExtraAnalogs {
   private[analog] def dNbChainOn(src: String,
       seedWhere: String = "doc_id % 5 = 0",
       wordFeats: Boolean = false): String = {
-    // feature-space width drives add-1 smoothing: 1024 char-gram
-    // buckets, doubled when the disjoint word-unigram range
-    // [1024, 2048) is active (LangId.NbModel.totalBuckets's replica)
-    val totB = if (wordFeats) 2048 else 1024
-    // hashed word-unigram feature rows (wordHash60 % 1024 + 1024 —
+    // add-1 smoothing base (LangId.train's replica): the fixed hashed
+    // space for the char-only v1 model; the OBSERVED seed vocabulary
+    // (count of distinct feature buckets — vocabulary-based add-1)
+    // for the wordFeats v2 model
+    val totB = if (wordFeats) "(SELECT count(DISTINCT b) FROM g)"
+      else "1024"
+    // hashed DISTINCT-word feature rows (wordHash60 % 1024 + 1024 —
     // split on single spaces INCLUDING trailing empties, matching
-    // Spark's split(text, " ", -1))
+    // Spark's split(text, " ", -1); presence not multiplicity, the
+    // array_distinct in LangId.gramBuckets)
     def wordB(key: String, rel: String) =
       s"""
         |  UNION ALL
         |  SELECT $key, 1024 + ('0x' || substr(md5(w),1,15))::BIGINT % 1024
         |    AS b
-        |  FROM (SELECT $key, unnest(string_split(text, ' ')) AS w
+        |  FROM (SELECT $key,
+        |      unnest(list_distinct(string_split(text, ' '))) AS w
         |    FROM $rel)""".stripMargin
     val ngExpr = if (wordFeats)
-      "greatest(length(text) - 2, 0) + len(string_split(text, ' '))"
+      "greatest(length(text) - 2, 0) + " +
+        "len(list_distinct(string_split(text, ' ')))"
     else "greatest(length(text) - 2, 0)"
     s"""seed AS (
         |  SELECT doc_id, lang, text FROM $src WHERE $seedWhere),

@@ -240,16 +240,20 @@ object QualityAnalogs {
         |FROM j ORDER BY cls""".stripMargin)),
 
     // The WORD-FEATURE arm of the same gate (round-18 ask #7 — the
-    // fastText recipe's second feature family): hashed word unigrams
-    // in the disjoint [1024, 2048) bucket range beside the char
-    // trigrams, trained/scored on the IDENTICAL weak-label fixture
-    // through the identical PRF tail. Why it lifts keep-F1: the
-    // Gopher keep/drop labels are functions of word-level evidence
-    // (stopword presence, token length, symbol words) that char
-    // trigrams smear across classes — word identity is the signal.
-    // Read against eval_quality_nb_prf: the keep-class delta is what
-    // the second feature family buys on the operator's weakest gated
-    // number (keep-F1 0.31 at r15).
+    // fastText recipe's second feature family): hashed DISTINCT-word
+    // features in the disjoint [1024, 2048) bucket range beside the
+    // char trigrams, smoothed over the OBSERVED seed vocabulary
+    // (vocabulary-based add-1), trained/scored on the IDENTICAL
+    // weak-label fixture through the identical PRF tail. Both design
+    // choices were MEASURED against the obvious alternative on this
+    // fixture (DuckDB experiment matrix, SCALING.md round 18):
+    // count-valued word features with hash-space smoothing sink
+    // keep-F1 3111 → 1011 pm (the multinomial length × imbalance ×
+    // oversmoothing bias — every shared soup word votes majority);
+    // presence features + vocabulary smoothing lift it 3111 → 5426 pm
+    // (keep recall 2651 → 6742) at drop-F1 8000 → 7767. Word
+    // identity is the labels' own evidence (stopword presence,
+    // symbol words) that char trigrams smear across classes.
     Q("eval_quality_nb2_prf",
       (s, d) => graft.operators.Evaluation.classPrf(
         qualityNbPredictions(s, d, wordFeats = true)

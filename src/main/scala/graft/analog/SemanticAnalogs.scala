@@ -38,7 +38,7 @@ object SemanticAnalogs {
     * is bit-identical. The ladder's gates re-run on this geometry to
     * measure how the knob tradeoff shifts off the adversarial corpus.
     */
-  private def clusteredEmbs(embs: org.apache.spark.sql.DataFrame)
+  private[graft] def clusteredEmbs(embs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val centers = array(Similarity.Hyperplanes.map(r =>
       array(r.map(lit): _*)): _*)
@@ -929,18 +929,21 @@ object SemanticAnalogs {
     // The PERCOLATION-SAFE arm (round-18 ask #1): τ is not a fixed
     // constant but CALIBRATED from the corpus's own random-pair
     // cosine histogram (the emb_health partner sample) — the first
-    // bucket above the noise MODE whose share drops to ≤ 50
-    // per-myriad; its lower edge becomes τ_micro. At τ=0.3 the fixed
-    // arm's noise degree is constant-per-vector and transitive
-    // pruning percolates (survivors 20→9→3→1 across x1→x8 —
-    // SCALING.md "Percolation, measured"); the calibrated τ bounds
-    // expected noise degree by eps·occupancy/10⁴ at ANY corpus size.
+    // bucket above the noise MODE containing NO sampled random pair
+    // (epsPm = 0, the strict default); its lower edge becomes
+    // τ_micro. At τ=0.3 the fixed arm's noise degree is
+    // constant-per-vector and transitive pruning percolates
+    // (survivors 20→9→3→1 across x1→x8 — SCALING.md "Percolation,
+    // measured"); the calibrated τ clears every sampled noise cosine
+    // and SELF-TIGHTENS as the sample grows (see calibratedTauMicro),
+    // so survivors stay ∝ n on random geometry and exactly
+    // one-per-cluster on the clustered fixture at every scale.
     // The oracle REPLAYS the whole selection: histogram, mode, gap
     // rule, then the same recursive-CC completion — and τ_micro rides
     // the output so the gate verifies the calibration itself.
     Q("emb_graph_survivors_calibrated",
       (s, d) => Similarity.graphDedupSurvivorsCalibrated(
-        Tables.embeddings(s, d), epsPm = 50L, k = 5),
+        Tables.embeddings(s, d), epsPm = 0L, k = 5),
       Some(s"""WITH RECURSIVE $dLshPrefix,
         |${dKnn(5)},
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
@@ -968,7 +971,7 @@ object SemanticAnalogs {
         |  FROM range(0, 11) t(c), ht, hm
         |  WHERE t.c > hm.mode_bucket
         |    AND coalesce((SELECT np FROM hb WHERE hb.bucket = t.c), 0) * 10000
-        |        <= 50 * ht.n_total),
+        |        <= 0 * ht.n_total),
         |tau AS (SELECT coalesce(cand * 200000 - 1000000, 1000001)
         |          AS tau_micro FROM tb),
         |ge AS (

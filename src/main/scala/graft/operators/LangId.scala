@@ -64,16 +64,20 @@ object LangId {
     * positive mod), so the DuckDB oracle is untouched.
     *
     * `wordFeats = true` (the fastText recipe's second feature family,
-    * round 18) APPENDS hashed word-unigram buckets: the text splits
+    * round 18) APPENDS hashed DISTINCT-word buckets: the text splits
     * on single spaces (limit −1, matching DuckDB's `string_split`
-    * including trailing empties) and each token hashes to
+    * including trailing empties), each distinct token hashes to
     * `buckets + wordHash60(token) mod buckets` — a DISJOINT bucket
-    * range, so char-gram and word evidence never collide and the
-    * model's feature space is exactly 2·buckets. Word identity is
-    * what char trigrams smear away (trigrams of "the them theme"
-    * overlap heavily; their word hashes don't), which is the lift on
-    * keep/drop-style QUALITY classes whose signal is stopword/length
-    * vocabulary, not character shape.
+    * range, so char-gram and word evidence never collide. Word
+    * identity is what char trigrams smear away, which is the lift on
+    * keep/drop-style QUALITY classes whose signal is stopword/symbol
+    * vocabulary, not character shape. PRESENCE (distinct per doc),
+    * not multiplicity: multinomial word counts amplify the
+    * class-imbalance smoothing bias linearly in document length —
+    * measured on the quality fixture, count-valued word features
+    * dragged every long doc to the majority class (keep-F1 3111 →
+    * 1011 pm) while presence features plus vocabulary smoothing
+    * (see [[train]]) lift it to 5426 pm.
     */
   private def gramBuckets(docs: DataFrame, extra: Seq[Column],
       n: Int, buckets: Int, wordFeats: Boolean = false): DataFrame = {
@@ -81,7 +85,7 @@ object LangId {
       col("text"), n, buckets)
     val feats = if (!wordFeats) charB
       else concat(charB,
-        transform(split(col("text"), " ", -1), w =>
+        transform(array_distinct(split(col("text"), " ", -1)), w =>
           lit(buckets.toLong) +
             graft.functions.TextFunctions.wordHash60(w)
               % lit(buckets.toLong)))
@@ -123,11 +127,25 @@ object LangId {
       wordFeats: Boolean = false): NbModel = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     require(n >= 1, s"n must be >= 1, got $n")
-    // smoothing denominator = the FULL feature space (char + word
-    // ranges under wordFeats): add-1 smoothing is over every bucket a
-    // feature could land in
-    val b = lit(if (wordFeats) 2L * buckets else buckets.toLong)
     val grams = gramBuckets(seed, Seq(col("lang")), n, buckets, wordFeats)
+    // add-1 smoothing base. Char-only (the v1 model, byte-stable):
+    // the full hashed space `buckets`. wordFeats (v2): the OBSERVED
+    // vocabulary — count of distinct seed feature buckets — the
+    // textbook vocabulary-based add-1, and the load-bearing half of
+    // the v2 keep-F1 lift: smoothing over the full 2·buckets space
+    // on a small-vocabulary corpus steals probability mass from the
+    // minority class in proportion to the UNSEEN bucket count, so
+    // every shared feature votes majority (measured: hash-space
+    // smoothing sank keep-F1 to 1011 pm where vocabulary smoothing
+    // reaches 5426 vs the 3111 baseline). V is seed-derived, bakes
+    // into floor/delta at train time (scoring never needs it), and
+    // converges to the hash-space constant as real vocabulary fills
+    // the buckets.
+    val b: Column = if (!wordFeats) lit(buckets.toLong)
+      else col("_v")
+    val vFrame = grams.agg(countDistinct(col("b")).as("_v"))
+    def withV(df: DataFrame): DataFrame =
+      if (wordFeats) df.crossJoin(broadcast(vFrame)) else df
     val clb = grams.groupBy("lang", "b").agg(count(lit(1)).as("clb"))
     val nDocs = seed.groupBy("lang").agg(count(lit(1)).as("nl"))
     // gram totals per class, LEFT-joined onto the labeled classes: a
@@ -142,8 +160,9 @@ object LangId {
         Seq("lang"), "left")
       .select(col("lang"), coalesce(col("cl"), lit(0L)).as("cl"))
     val floor = round(-log(col("cl") + b) * 1e6).cast("long")
-    val langFloor = cl.select(col("lang"), col("cl"), floor.as("floor"))
-    val delta = clb.join(langFloor, "lang")
+    val langFloor = withV(cl)
+      .select(col("lang"), col("cl"), floor.as("floor"))
+    val delta = withV(clb.join(langFloor, "lang"))
       .select(col("lang"), col("b"),
         (round((log(col("clb") + lit(1L)) - log(col("cl") + b)) * 1e6)
           .cast("long") - col("floor")).as("delta"))
@@ -277,7 +296,7 @@ object LangId {
       .charGramBuckets(col("text"), m.n, m.buckets)
     val feats = if (!m.wordFeats) charB
       else concat(charB,
-        transform(split(col("text"), " ", -1), w =>
+        transform(array_distinct(split(col("text"), " ", -1)), w =>
           lit(m.buckets.toLong) +
             graft.functions.TextFunctions.wordHash60(w)
               % lit(m.buckets.toLong)))
