@@ -349,7 +349,13 @@ object ScalingBench {
       // descent round + the slice × corpus brute truth leg
       "emb_graph_survivors_calibrated", "dedup_semantic_clustered",
       "mm_dhash_survivors", "stream_knn_classify_loaded",
-      "eval_knngraph2_descent_metrics", "eval_quality_nb2_prf")
+      "eval_knngraph2_descent_metrics", "eval_quality_nb2_prf",
+      // the Jaccard calibration: one partner join over the word sets
+      // + the blocked miner at the calibrated cut — expected to track
+      // dedup_ngram_jaccard's curve plus a ~linear partner-join term;
+      // its rows are the identical-set pair count (replica-preserved,
+      // so ∝ n under salted scaling)
+      "dedup_ngram_calibrated")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

@@ -1284,6 +1284,68 @@ object ExtraAnalogs {
         |   AND a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // The CALIBRATED-threshold arm of the word-set miner (round 18 —
+    // the cosine calibration transplanted to Jaccard, auto-tuning the
+    // most hand-tuned knob in a curation pipeline): threshold = the
+    // first bucket of the random-partner Jaccard histogram above its
+    // mode with NO sampled pair (epsPm = 0). On this word-soup corpus
+    // random pairs span the whole [0,1] range, so the calibration
+    // honestly saturates to J >= 1.0 — "word-set Jaccard cannot
+    // separate duplicates from this corpus's noise; only identical
+    // sets are safe" — and the output is the identical-word-set pair
+    // list with the chosen threshold riding along. The oracle replays
+    // the whole selection (histogram, mode, gap rule) plus the
+    // unblocked same-(lang,source) join the blocked miner equals.
+    Q("dedup_ngram_calibrated",
+      (s, d) => Dedup.ngramJaccardPairsCalibrated(Tables.documents(s, d)),
+      Some("""WITH wsj AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wsj),
+        |rp AS (
+        |  SELECT a.doc_id AS aid,
+        |    ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % nn.n AS p
+        |  FROM wsj a, nn),
+        |js AS (
+        |  SELECT CAST(round(round(CAST(len(list_intersect(a.ws, b.ws))
+        |      AS DOUBLE) / (len(a.ws) + len(b.ws)
+        |      - len(list_intersect(a.ws, b.ws))), 6) * 1000000) AS BIGINT)
+        |    AS jmicro
+        |  FROM rp JOIN wsj a ON a.doc_id = rp.aid
+        |  JOIN wsj b ON b.doc_id = rp.p
+        |  WHERE rp.p <> rp.aid AND len(a.ws) + len(b.ws) > 0),
+        |hb AS (
+        |  SELECT CAST(least(9, jmicro // 100000) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS np
+        |  FROM js GROUP BY 1),
+        |ht AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_total FROM hb),
+        |hm AS (SELECT bucket AS mode_bucket FROM hb
+        |       ORDER BY np DESC, bucket LIMIT 1),
+        |tb AS (
+        |  SELECT CAST(min(t.c) AS BIGINT) AS cand
+        |  FROM range(0, 11) t(c), ht, hm
+        |  WHERE t.c > hm.mode_bucket
+        |    AND coalesce((SELECT np FROM hb WHERE hb.bucket = t.c), 0) * 10000
+        |        <= 0 * ht.n_total),
+        |thr AS (SELECT coalesce(cand * 100000, 1000001)
+        |          AS threshold_micro FROM tb),
+        |ws AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |           (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)
+        |           AS jaccard,
+        |         thr.threshold_micro
+        |  FROM ws a JOIN ws b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id, thr
+        |) WHERE CAST(round(jaccard * 1000000) AS BIGINT) >= threshold_micro
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Winnowing fingerprints (Schleimer SIGMOD'03 / MOSS): positional
     // 3-gram hashes, window-of-4 minima, deduped + sorted.
     Q("text_winnow",

@@ -362,6 +362,94 @@ object Dedup {
     new Managed(out, Seq(withSet))
   }
 
+  /** PERCOLATION-SAFE Jaccard threshold for the word-set near-dup
+    * miner, derived from the corpus's OWN random-pair Jaccard
+    * distribution — [[graft.operators.Similarity.calibratedTauMicro]]'s
+    * rule transplanted from cosine to Jaccard (the dedup threshold is
+    * the most hand-tuned knob in a curation pipeline; this derives it
+    * from the measured noise floor instead): one deterministic hash
+    * partner per document (wordHash60(doc_id) mod n, self-pairs and
+    * empty-union pairs dropped), word-set Jaccard in integer
+    * micro-units folded into 10 fixed buckets over [0, 1]; the
+    * threshold is the lower edge of the first bucket above the MODE
+    * whose share is ≤ `epsPm` per-myriad of sampled pairs
+    * (`n_pairs·10⁴ ≤ epsPm·n_total`, exact integers). The default
+    * epsPm = 0 — "the first bucket with NO sampled random pair" —
+    * self-tightens with the sample exactly as the cosine rule does.
+    *
+    * On a corpus whose random pairs already overlap heavily (the
+    * testdata word soup: random word-set Jaccard spans the whole
+    * [0,1] range), the calibration honestly saturates to 10⁶ — "this
+    * measure cannot separate duplicates from this corpus's noise;
+    * only IDENTICAL word sets are safe to prune" — the same
+    * measure-doesn't-discriminate diagnosis [[Similarity.embHealth]]
+    * gives a collapsed embedding space.
+    *
+    * Scale shape: one n-row partner equi-join over the word sets +
+    * a ≤ 10-row aggregate. Output: one row (threshold_micro,
+    * mode_bucket).
+    */
+  def calibratedJaccardMicro(docs: DataFrame,
+      epsPm: Long = 0L): DataFrame = {
+    require(epsPm >= 0L && epsPm <= 10000L,
+      s"epsPm must be in [0,10000], got $epsPm")
+    val n = docs.count()
+    val ws = docs.select(col("doc_id"),
+      array_sort(wordSet(col("text"))).as("ws"))
+    val a = ws.select(col("doc_id").as("aid"), col("ws").as("ws_a"))
+      .withColumn("p", wordHash60(col("aid").cast("string")) % lit(n))
+      .filter(col("p") =!= col("aid"))
+    val b = ws.select(col("doc_id").as("bid"), col("ws").as("ws_b"))
+    val inter = graft.expressions.TextExpressions
+      .sortedIntersectCount(col("ws_a"), col("ws_b"))
+    val union = size(col("ws_a")).cast("long") +
+      size(col("ws_b")).cast("long") - inter
+    val hist = a.join(b, col("p") === col("bid"))
+      .filter(size(col("ws_a")) + size(col("ws_b")) > 0)
+      .select(round(round(inter.cast("double") / union, 6) * lit(1e6))
+        .cast("long").as("jmicro"))
+      .select(least(lit(9L),
+        call_function("div", col("jmicro"), lit(100000L))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val tot = hist.agg(coalesce(sum("n_pairs"), lit(0L)).as("n_total"))
+    val mode = hist
+      .agg(max(struct(col("n_pairs"), (-col("bucket")).as("nb"))).as("m"))
+      .select((-col("m.nb")).as("mode_bucket"))
+    val grid = docs.sparkSession.range(0, 11).select(col("id").as("cand"))
+    grid.join(hist, col("cand") === col("bucket"), "left")
+      .select(col("cand"), coalesce(col("n_pairs"), lit(0L)).as("np"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(mode))
+      .filter(col("cand") > col("mode_bucket") &&
+        col("np") * lit(10000L) <= lit(epsPm) * col("n_total"))
+      .agg(min(col("cand")).as("tb"), max(col("mode_bucket")).as("mb"))
+      .select(
+        coalesce(col("tb") * lit(100000L), lit(1000001L))
+          .as("threshold_micro"),
+        coalesce(col("mb"), lit(-1L)).as("mode_bucket"))
+  }
+
+  /** [[ngramJaccardPairs]] at the CALIBRATED threshold: mine with the
+    * blocked miner at a block threshold ≤ the calibrated one (lower
+    * block thresholds are lossless supersets — the length filter only
+    * widens), then cut exactly at the calibrated integer micro value,
+    * with `threshold_micro` riding the output so a gate verifies the
+    * calibration itself. The one-row calibration is collected
+    * driver-side (model-sized — the IVF-centroid precedent) because
+    * the blocked miner's length-bucket WIDTH is a plan-construction
+    * constant derived from the threshold.
+    */
+  def ngramJaccardPairsCalibrated(docs: DataFrame,
+      epsPm: Long = 0L): DataFrame = {
+    val r = calibratedJaccardMicro(docs, epsPm).collect().head
+    val t = r.getLong(0)
+    // an empty corpus calibrates to the 1000001 sentinel — nothing
+    // can pair; keep the plan valid with an always-false cut
+    val blockT = math.min(0.95, math.max(0.1, t / 1e6))
+    ngramJaccardPairs(docs, blockT)
+      .filter(round(col("jaccard") * lit(1e6)).cast("long") >= t)
+      .withColumn("threshold_micro", lit(t))
+  }
+
   /** SimHash signature width and the derived Manku block geometry.
     * 60 bits (not Manku's 64) keeps every value strictly positive in
     * signed int64 on any engine; 60 = 2²·3·5 divides evenly into the

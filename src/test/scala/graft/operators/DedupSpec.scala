@@ -315,4 +315,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Dedup.tuneBands(8, 0.0))
     intercept[IllegalArgumentException](Dedup.tuneBands(0, 0.5))
   }
+
+  test("calibratedJaccardMicro: an all-identical corpus saturates the " +
+    "threshold to the exact-duplicate edge; the calibrated miner then " +
+    "pairs every clone with the threshold riding the output") {
+    val s = spark; import s.implicits._
+    val clones = (0L until 8L).map(i =>
+        (i, "alpha beta gamma delta", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cal = Dedup.calibratedJaccardMicro(clones).collect().head
+    // every random partner pair has J = 1.0 → mode bucket 9 → the
+    // only qualifying edge is the fallback bucket 10 → J ≥ 1.0
+    assert(cal.getLong(0) === 1000000L && cal.getLong(1) === 9L)
+    val pairs = Dedup.ngramJaccardPairsCalibrated(clones).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(pairs.length === 8 * 7 / 2)
+    assert(pairs.forall(p => p._3 === 1.0 && p._4 === 1000000L))
+  }
+
+  test("ngramJaccardPairsCalibrated is the plain miner cut at the " +
+    "calibrated integer threshold (the replay law)") {
+    val got = Dedup.ngramJaccardPairsCalibrated(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val t = got.head._4
+    assert(got.map(_._4).distinct === Array(t))
+    val plain = Dedup.ngramJaccardPairs(docs,
+        math.min(0.95, math.max(0.1, t / 1e6)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => math.round(p._3 * 1e6) >= t)
+      .toSet
+    assert(got.map(p => (p._1, p._2, p._3)).toSet === plain)
+    // the calibrated cut never admits below-threshold pairs
+    assert(got.forall(p => math.round(p._3 * 1e6) >= t))
+  }
 }
