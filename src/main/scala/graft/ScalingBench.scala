@@ -355,7 +355,12 @@ object ScalingBench {
       // dedup_ngram_jaccard's curve plus a ~linear partner-join term;
       // its rows are the identical-set pair count (replica-preserved,
       // so ∝ n under salted scaling)
-      "dedup_ngram_calibrated")
+      "dedup_ngram_calibrated",
+      // the discriminating arm: source salting gives each replica its
+      // own template vocabulary (the fixture keys templates by the
+      // source column), so cross-replica pairs stay noise-bounded
+      // (≤ 0.273) and rows = same-cell pairs ∝ n at a constant τ=0.3
+      "dedup_ngram_cal_clustered")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

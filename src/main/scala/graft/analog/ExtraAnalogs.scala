@@ -1068,6 +1068,114 @@ object ExtraAnalogs {
        |ORDER BY nprobe, k_cand""".stripMargin
   }
 
+  /** The calibrated-Jaccard oracle chain rooted at `root` (a table or
+    * CTE the caller prepends): replays the whole selection —
+    * deterministic md5 partner per doc, integer micro-Jaccard folded
+    * into 10 buckets, mode (ties low), first bucket above the mode
+    * with zero sampled pairs (epsPm = 0), then the UNBLOCKED
+    * same-(lang,source) pair cut at the chosen integer threshold with
+    * `threshold_micro` riding the output. Shared by
+    * `dedup_ngram_calibrated` (root = documents, where the word-soup
+    * corpus saturates the rule to J ≥ 1.0) and
+    * `dedup_ngram_cal_clustered` (root = the template fixture, where
+    * the structural gap forces τ = 0.3) so the selection logic is
+    * byte-identical between the saturating and discriminating gates.
+    */
+  private def dJacCal(root: String): String =
+    s"""wsj AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |  FROM $root),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wsj),
+      |rp AS (
+      |  SELECT a.doc_id AS aid,
+      |    ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % nn.n AS p
+      |  FROM wsj a, nn),
+      |js AS (
+      |  SELECT CAST(round(round(CAST(len(list_intersect(a.ws, b.ws))
+      |      AS DOUBLE) / (len(a.ws) + len(b.ws)
+      |      - len(list_intersect(a.ws, b.ws))), 6) * 1000000) AS BIGINT)
+      |    AS jmicro
+      |  FROM rp JOIN wsj a ON a.doc_id = rp.aid
+      |  JOIN wsj b ON b.doc_id = rp.p
+      |  WHERE rp.p <> rp.aid AND len(a.ws) + len(b.ws) > 0),
+      |hb AS (
+      |  SELECT CAST(least(9, jmicro // 100000) AS BIGINT) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS np
+      |  FROM js GROUP BY 1),
+      |ht AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_total FROM hb),
+      |hm AS (SELECT bucket AS mode_bucket FROM hb
+      |       ORDER BY np DESC, bucket LIMIT 1),
+      |tb AS (
+      |  SELECT CAST(min(t.c) AS BIGINT) AS cand
+      |  FROM range(0, 11) t(c), ht, hm
+      |  WHERE t.c > hm.mode_bucket
+      |    AND coalesce((SELECT np FROM hb WHERE hb.bucket = t.c), 0) * 10000
+      |        <= 0 * ht.n_total),
+      |thr AS (SELECT coalesce(cand * 100000, 1000001)
+      |          AS threshold_micro FROM tb),
+      |ws AS (
+      |  SELECT doc_id, lang, source,
+      |         list_distinct(string_split(text, ' ')) AS ws
+      |  FROM $root)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+      |           (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)
+      |           AS jaccard,
+      |         thr.threshold_micro
+      |  FROM ws a JOIN ws b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |   AND a.doc_id < b.doc_id, thr
+      |) WHERE CAST(round(jaccard * 1000000) AS BIGINT) >= threshold_micro
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** CLUSTERED-TEXT fixture — the clusteredEmbs discipline applied to
+    * the text measure. The shipped documents are word soup whose
+    * random-pair Jaccard spans [0, 1] (the regime where the
+    * calibration honestly saturates); real near-dup corpora are
+    * template-shaped: per-source boilerplate plus per-doc noise. The
+    * fixture derives that twin DETERMINISTICALLY from columns both
+    * engines hold: 16 template words keyed by (source, cluster) with
+    * cluster = (doc_id div 20) mod 5 (5 docs per source×cluster cell
+    * on the id-striped source layout), plus the NESTED noise prefix
+    * n0..n(doc_id mod 12) shared corpus-wide. Resulting geometry:
+    * same-cell Jaccard = (17+min_m)/(17+max_m) ≥ 17/28 ≈ 0.607,
+    * cross-cell ≤ 12/44 ≈ 0.273 — buckets 3–5 are STRUCTURALLY empty,
+    * so the epsPm = 0 rule must land τ = 0.3 in the gap at any corpus
+    * size, and the calibrated miner admits exactly the same-template
+    * pairs. lang is held constant so blocking reduces to the source
+    * stripe.
+    */
+  private[graft] def templateDocs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cluster =
+      (call_function("div", col("doc_id"), lit(20L)) % 5L).cast("string")
+    val template = transform(sequence(lit(0), lit(15)), j =>
+      concat(lit("t"), col("source"), lit("_"), cluster, lit("_"),
+        j.cast("string")))
+    val noise = transform(sequence(lit(0L), col("doc_id") % 12L), k =>
+      concat(lit("n"), k.cast("string")))
+    docs.select(col("doc_id"),
+      array_join(concat(template, noise), " ").as("text"),
+      lit("xx").as("lang"), col("source"))
+  }
+
+  /** [[templateDocs]] as the oracle CTE `tdocs`, arithmetic-identical
+    * to the Spark derivation (integer div/mod, string concatenation).
+    */
+  private val dTemplateDocs: String =
+    """tdocs AS (
+      |  SELECT doc_id, 'xx' AS lang, source,
+      |    array_to_string(list_concat(
+      |      list_transform(range(0, 16), j -> 't' || source || '_' ||
+      |        CAST((doc_id // 20) % 5 AS VARCHAR) || '_' ||
+      |        CAST(j AS VARCHAR)),
+      |      list_transform(range(0, doc_id % 12 + 1),
+      |           k -> 'n' || CAST(k AS VARCHAR))),
+      |      ' ') AS text
+      |  FROM documents)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup: group on content hash, keep min doc_id.
@@ -1298,53 +1406,22 @@ object ExtraAnalogs {
     // unblocked same-(lang,source) join the blocked miner equals.
     Q("dedup_ngram_calibrated",
       (s, d) => Dedup.ngramJaccardPairsCalibrated(Tables.documents(s, d)),
-      Some("""WITH wsj AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-        |  FROM documents),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wsj),
-        |rp AS (
-        |  SELECT a.doc_id AS aid,
-        |    ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15))
-        |      ::BIGINT % nn.n AS p
-        |  FROM wsj a, nn),
-        |js AS (
-        |  SELECT CAST(round(round(CAST(len(list_intersect(a.ws, b.ws))
-        |      AS DOUBLE) / (len(a.ws) + len(b.ws)
-        |      - len(list_intersect(a.ws, b.ws))), 6) * 1000000) AS BIGINT)
-        |    AS jmicro
-        |  FROM rp JOIN wsj a ON a.doc_id = rp.aid
-        |  JOIN wsj b ON b.doc_id = rp.p
-        |  WHERE rp.p <> rp.aid AND len(a.ws) + len(b.ws) > 0),
-        |hb AS (
-        |  SELECT CAST(least(9, jmicro // 100000) AS BIGINT) AS bucket,
-        |         CAST(count(*) AS BIGINT) AS np
-        |  FROM js GROUP BY 1),
-        |ht AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_total FROM hb),
-        |hm AS (SELECT bucket AS mode_bucket FROM hb
-        |       ORDER BY np DESC, bucket LIMIT 1),
-        |tb AS (
-        |  SELECT CAST(min(t.c) AS BIGINT) AS cand
-        |  FROM range(0, 11) t(c), ht, hm
-        |  WHERE t.c > hm.mode_bucket
-        |    AND coalesce((SELECT np FROM hb WHERE hb.bucket = t.c), 0) * 10000
-        |        <= 0 * ht.n_total),
-        |thr AS (SELECT coalesce(cand * 100000, 1000001)
-        |          AS threshold_micro FROM tb),
-        |ws AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(string_split(text, ' ')) AS ws
-        |  FROM documents)
-        |SELECT * FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-        |           (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)
-        |           AS jaccard,
-        |         thr.threshold_micro
-        |  FROM ws a JOIN ws b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |   AND a.doc_id < b.doc_id, thr
-        |) WHERE CAST(round(jaccard * 1000000) AS BIGINT) >= threshold_micro
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(s"""WITH ${dJacCal("documents")}""".stripMargin)),
+
+    // The calibration in its DISCRIMINATING regime: the same operator
+    // over the template fixture (templateDocs), whose structural gap
+    // — same-cell J ≥ 0.607, cross J ≤ 0.273, buckets 3–5 empty —
+    // forces the epsPm = 0 rule to τ = 0.3 at every corpus size. The
+    // base-table gate above proves the honest saturation arm; this
+    // one proves the rule actually SELECTS when the measure can
+    // discriminate: the output is exactly the same-template pair set
+    // (J ≥ 0.68 on this id layout) with threshold_micro = 300000
+    // riding, and the oracle replays fixture + selection end-to-end.
+    Q("dedup_ngram_cal_clustered",
+      (s, d) => Dedup.ngramJaccardPairsCalibrated(
+        templateDocs(Tables.documents(s, d))),
+      Some(s"""WITH $dTemplateDocs,
+        |${dJacCal("tdocs")}""".stripMargin)),
 
     // Winnowing fingerprints (Schleimer SIGMOD'03 / MOSS): positional
     // 3-gram hashes, window-of-4 minima, deduped + sorted.

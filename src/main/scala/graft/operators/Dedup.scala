@@ -340,17 +340,48 @@ object Dedup {
       .withColumn("szb",
         floor(log(size(col("ws")).cast("double")) / bucketWidth).cast("long"))
       .cache()
-    val a = withSet.select(col("lang"), col("source"),
-      explode(array(col("szb") - 1, col("szb"), col("szb") + 1)).as("szb"),
-      col("doc_id").as("doc_a"), col("ws").as("ws_a"))
-    val b = withSet.select(col("lang"), col("source"), col("szb"),
-      col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+    // CANDIDATES ON IDS, PAYLOADS ATTACHED AFTER (the ANN families'
+    // bucket-join discipline): the block self-join carries only
+    // (block key, doc_id), so whichever physical join Catalyst picks,
+    // nothing corpus-sized is buffered per block group — the earlier
+    // shape joined the word-set arrays directly and fell off a cliff
+    // the moment the build side outgrew the broadcast threshold
+    // (SortMergeJoin buffering ~300 B array rows per 250-doc group:
+    // measured 3.3 s → 20.8 s across the x4 → x8 flip, where the
+    // id-only join + attach holds the linear trend). The word sets
+    // re-attach by doc_id to the PAIR list and the merge-walk verify
+    // runs in whole-stage codegen downstream; the attach joins are
+    // pair-sized streams against the cached corpus frame — broadcast
+    // at local sizes, shuffle hash joins at scale, never a per-group
+    // buffer. The a-side explodes the ±1 length buckets; each (a, b)
+    // matches on at most one bucket key, so no pair dedup is needed.
+    // The a-side also WIDENS to the session's parallelism when the
+    // input has fewer splits than cores: verify work is O(block²)
+    // while file-split sizing is O(bytes), so a small single-split
+    // corpus would otherwise push every candidate pair through one
+    // task (the pair list inherits the stream side's partitioning);
+    // the shuffled rows are ids only, and at real scale the scan
+    // already has more splits than cores and no exchange is added.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val aBase =
+      if (withSet.rdd.getNumPartitions < cores) withSet.repartition(cores)
+      else withSet
+    val ids = aBase.select(col("lang"), col("source"),
+        explode(array(col("szb") - 1, col("szb"), col("szb") + 1)).as("szb"),
+        col("doc_id").as("doc_a"))
+      .join(withSet.select(col("lang"), col("source"), col("szb"),
+        col("doc_id").as("doc_b")), Seq("lang", "source", "szb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
     val inter = graft.expressions.TextExpressions
       .sortedIntersectCount(col("ws_a"), col("ws_b"))
     val union = size(col("ws_a")).cast("long") +
       size(col("ws_b")).cast("long") - inter
-    val out = a.join(b, Seq("lang", "source", "szb"))
-      .filter(col("doc_a") < col("doc_b"))
+    val out = ids
+      .join(withSet.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")),
+        Seq("doc_a"))
+      .join(withSet.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")),
+        Seq("doc_b"))
       .withColumn("jaccard", round(inter.cast("double") / union, 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -390,12 +421,23 @@ object Dedup {
     * mode_bucket).
     */
   def calibratedJaccardMicro(docs: DataFrame,
-      epsPm: Long = 0L): DataFrame = {
+      epsPm: Long = 0L): DataFrame =
+    calibratedJaccardMicroManaged(docs, epsPm).df
+
+  /** [[calibratedJaccardMicro]] with its internal persists exposed for
+    * release — see [[Managed]]. Two caches: the sorted word sets (ONE
+    * corpus pass serves the count, the partner side, and the target
+    * side — uncached this plan scans the corpus three times) and the
+    * ≤ 10-row histogram (consumed by the total, the mode, and the gap
+    * scan — each would re-run the partner join).
+    */
+  def calibratedJaccardMicroManaged(docs: DataFrame,
+      epsPm: Long = 0L): Managed = {
     require(epsPm >= 0L && epsPm <= 10000L,
       s"epsPm must be in [0,10000], got $epsPm")
-    val n = docs.count()
     val ws = docs.select(col("doc_id"),
-      array_sort(wordSet(col("text"))).as("ws"))
+      array_sort(wordSet(col("text"))).as("ws")).cache()
+    val n = ws.count()
     val a = ws.select(col("doc_id").as("aid"), col("ws").as("ws_a"))
       .withColumn("p", wordHash60(col("aid").cast("string")) % lit(n))
       .filter(col("p") =!= col("aid"))
@@ -411,12 +453,13 @@ object Dedup {
       .select(least(lit(9L),
         call_function("div", col("jmicro"), lit(100000L))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .cache()
     val tot = hist.agg(coalesce(sum("n_pairs"), lit(0L)).as("n_total"))
     val mode = hist
       .agg(max(struct(col("n_pairs"), (-col("bucket")).as("nb"))).as("m"))
       .select((-col("m.nb")).as("mode_bucket"))
     val grid = docs.sparkSession.range(0, 11).select(col("id").as("cand"))
-    grid.join(hist, col("cand") === col("bucket"), "left")
+    val out = grid.join(hist, col("cand") === col("bucket"), "left")
       .select(col("cand"), coalesce(col("n_pairs"), lit(0L)).as("np"))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(mode))
       .filter(col("cand") > col("mode_bucket") &&
@@ -426,6 +469,7 @@ object Dedup {
         coalesce(col("tb") * lit(100000L), lit(1000001L))
           .as("threshold_micro"),
         coalesce(col("mb"), lit(-1L)).as("mode_bucket"))
+    new Managed(out, Seq(ws, hist))
   }
 
   /** [[ngramJaccardPairs]] at the CALIBRATED threshold: mine with the
@@ -440,8 +484,11 @@ object Dedup {
     */
   def ngramJaccardPairsCalibrated(docs: DataFrame,
       epsPm: Long = 0L): DataFrame = {
-    val r = calibratedJaccardMicro(docs, epsPm).collect().head
-    val t = r.getLong(0)
+    // the calibration's collect is terminal here, so its caches are
+    // released immediately (the returned miner plan shares nothing
+    // with them)
+    val cal = calibratedJaccardMicroManaged(docs, epsPm)
+    val t = try cal.df.collect().head.getLong(0) finally cal.close()
     // an empty corpus calibrates to the 1000001 sentinel — nothing
     // can pair; keep the plan valid with an always-false cut
     val blockT = math.min(0.95, math.max(0.1, t / 1e6))

@@ -333,6 +333,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(p => p._3 === 1.0 && p._4 === 1000000L))
   }
 
+  test("the template fixture's structural gap forces the calibration " +
+    "to tau=0.3 and the miner admits exactly the same-cell pairs") {
+    val s = spark; import s.implicits._
+    // 240 docs on the testdata id/source layout: per source 12 docs,
+    // cluster (id div 20) mod 5 -> cell sizes {3,3,2,2,2}; same-cell
+    // J >= 17/25 = 0.68, cross <= 12/44 = 0.273 -> buckets 3-5 empty
+    val base = (0L until 240L).map(i =>
+        (i, "ignored", "en", s"src${i % 20}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val fix = graft.analog.ExtraAnalogs.templateDocs(base)
+    val cal = Dedup.calibratedJaccardMicro(fix).collect().head
+    assert(cal.getLong(0) === 300000L)
+    val pairs = Dedup.ngramJaccardPairsCalibrated(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // pairs per source: C(3,2)*2 + C(2,2)*3 = 9 -> 180 corpus-wide
+    assert(pairs.length === 180)
+    assert(pairs.forall(p => p._3 >= 0.68 && p._4 === 300000L))
+    // every admitted pair shares (source, cluster) -- no cross-cell
+    // pair can reach 0.3 by construction
+    assert(pairs.forall { case (a, b, _, _) =>
+      a % 20 == b % 20 && (a / 20) % 5 == (b / 20) % 5 })
+  }
+
   test("ngramJaccardPairsCalibrated is the plain miner cut at the " +
     "calibrated integer threshold (the replay law)") {
     val got = Dedup.ngramJaccardPairsCalibrated(docs).collect()
