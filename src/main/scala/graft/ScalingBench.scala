@@ -360,7 +360,16 @@ object ScalingBench {
       // own template vocabulary (the fixture keys templates by the
       // source column), so cross-replica pairs stay noise-bounded
       // (≤ 0.273) and rows = same-cell pairs ∝ n at a constant τ=0.3
-      "dedup_ngram_cal_clustered")
+      "dedup_ngram_cal_clustered",
+      // the Hamming calibration pair: base arm rows = exact-sketch
+      // (identity-fallback) pairs, ~∝ n (set-identical pairs are
+      // salting-exact; sketch-luck d=0 pairs rehash per replica); the
+      // clustered arm documents the radius resampling per corpus
+      // (0 ↔ 5 across scales as the thin same-cell dup mass below
+      // d ≤ 5 is caught or missed by the partner permutation) — the
+      // admitted pairs stay d ≤ 3 true dups either way: safety comes
+      // from the geometry cap + the distance cut, not monotonicity
+      "dedup_simhash_calibrated", "dedup_simhash_cal_clustered")
     val fromRegistry = names.map { n =>
       val q = Registry.all.find(_.name == n)
         .getOrElse(sys.error(s"not registered: $n"))

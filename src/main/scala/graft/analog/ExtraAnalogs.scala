@@ -1130,6 +1130,58 @@ object ExtraAnalogs {
       |) WHERE CAST(round(jaccard * 1000000) AS BIGINT) >= threshold_micro
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The calibrated-Hamming oracle chain rooted at `root` — the
+    * [[dJacCal]] rule under the similarity → distance inversion:
+    * deterministic md5 partner per doc, exact 60-bit sketch distances
+    * folded into 10 six-bit buckets, mode ties toward the LARGER
+    * distance, radius = upper edge (6b + 5) of the first empty bucket
+    * scanning DOWN from the mode; fallback 0 (identity only) when
+    * every bucket below the mode is occupied, sentinel −1 when the
+    * mode itself is bucket 0. The pair leg is the INDEPENDENT brute
+    * O(n²) Hamming join (the dedup_simhash_pairs precedent) cut at
+    * `least(radius, 3)` — the Manku geometry's lossless reach caps
+    * the effective radius exactly as the Spark operator does.
+    */
+  private def dHamCal(root: String): String =
+    s"""hs AS (
+      |  SELECT doc_id, list_transform(
+      |    list_distinct(string_split(text, ' ')), x -> ${dWordHash60("x")}) AS hs
+      |  FROM $root),
+      |sv AS (SELECT doc_id, CAST($dSimhash60 AS BIGINT) AS simhash FROM hs),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sv),
+      |rp AS (
+      |  SELECT a.doc_id AS aid,
+      |    ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % nn.n AS p
+      |  FROM sv a, nn),
+      |ds AS (
+      |  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS d
+      |  FROM rp JOIN sv a ON a.doc_id = rp.aid
+      |  JOIN sv b ON b.doc_id = rp.p
+      |  WHERE rp.p <> rp.aid),
+      |hb AS (
+      |  SELECT CAST(least(9, d // 6) AS BIGINT) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS np
+      |  FROM ds GROUP BY 1),
+      |hm AS (SELECT bucket AS mode_bucket FROM hb
+      |       ORDER BY np DESC, bucket DESC LIMIT 1),
+      |gb AS (
+      |  SELECT CAST(max(t.c) AS BIGINT) AS gb
+      |  FROM range(0, 10) t(c), hm
+      |  WHERE t.c < hm.mode_bucket
+      |    AND coalesce((SELECT np FROM hb WHERE hb.bucket = t.c), 0) = 0),
+      |rr AS (
+      |  SELECT CAST(CASE
+      |    WHEN coalesce((SELECT mode_bucket FROM hm), 0) = 0 THEN -1
+      |    ELSE coalesce(gb * 6 + 5, 0) END AS BIGINT) AS radius
+      |  FROM gb)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+      |         rr.radius
+      |  FROM sv a JOIN sv b ON a.doc_id < b.doc_id, rr
+      |) WHERE hamming <= least(radius, 3) ORDER BY doc_a, doc_b""".stripMargin
+
   /** CLUSTERED-TEXT fixture — the clusteredEmbs discipline applied to
     * the text measure. The shipped documents are word soup whose
     * random-pair Jaccard spans [0, 1] (the regime where the
@@ -1861,6 +1913,31 @@ object ExtraAnalogs {
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM sv a JOIN sv b ON a.doc_id < b.doc_id
         |) WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The CALIBRATED-radius arm of the SimHash miner (round 18 — the
+    // third calibration leg; cosine tau and Jaccard are the other
+    // two). On this corpus the sampled noise floor reaches the
+    // identity neighborhood (true duplicates land among the random
+    // partners: buckets 0-2 all occupied below the mode), so the rule
+    // falls back to radius 0 — "only exact sketch matches are safe" —
+    // and the output is the d = 0 pair list with the radius riding.
+    // The oracle replays the selection and cuts the independent brute
+    // Hamming join at least(radius, 3).
+    Q("dedup_simhash_calibrated",
+      (s, d) => Dedup.simhashPairsCalibrated(Tables.documents(s, d)),
+      Some(s"""WITH ${dHamCal("documents")}""".stripMargin)),
+
+    // The same operator in its DISCRIMINATING regime, over the shared
+    // template fixture: the fixture's sketch-distance gap (bucket 1
+    // empty below the mode at bucket 4) calibrates radius 11, which
+    // the Manku geometry caps to the lossless 3 — the gate pins
+    // gap-found + geometry-cap in one output (radius 11 riding, pairs
+    // cut at hamming <= 3).
+    Q("dedup_simhash_cal_clustered",
+      (s, d) => Dedup.simhashPairsCalibrated(
+        templateDocs(Tables.documents(s, d))),
+      Some(s"""WITH $dTemplateDocs,
+        |${dHamCal("tdocs")}""".stripMargin)),
 
     // Embedding near-dup pairs: corpus-sized random-hyperplane bucket
     // + Hamming-1 multi-probe blocking, cosine >= 0.3 verify.

@@ -523,6 +523,110 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         shiftright(col("simhash"), 45).as("bucket"))
 
+  /** PERCOLATION-SAFE SimHash Hamming radius, derived from the
+    * corpus's OWN random-pair sketch-distance distribution — the
+    * third leg of the calibration family
+    * ([[graft.operators.Similarity.calibratedTauMicro]] for cosine,
+    * [[calibratedJaccardMicro]] for Jaccard), the same rule under the
+    * similarity → distance inversion: one deterministic hash partner
+    * per document, exact 60-bit Hamming distances folded into 10
+    * six-bit buckets, mode = the noise concentration (ties toward the
+    * LARGER distance — the mirror of the Jaccard rule's ties-low),
+    * and the radius is the UPPER edge (6·b + 5) of the first bucket
+    * with NO sampled pair scanning DOWN from the mode — occupied
+    * cells further down (sampled true duplicates) do not block, just
+    * as the Jaccard scan ignores the far-side duplicate mass.
+    *
+    * Fallbacks mirror the Jaccard rule's virtual identity bucket:
+    * when every bucket below the mode is occupied, the radius falls
+    * to 0 — "the noise floor reaches the identity cell's
+    * neighborhood; only exact sketch matches are safe" (the d = 0
+    * analog of saturating to J ≥ 1.0). When the MODE itself is
+    * bucket 0 the sentinel is −1 — mine nothing: a typical random
+    * pair within 5 bits means the sketch carries no separating
+    * information (a one-clone-class corpus, or a collapsed
+    * vocabulary), and unlike Jaccard's J = 1.0 — which proves set
+    * identity from the text itself — sketch identity proves nothing
+    * when the whole distance mass has collapsed; route to [[exact]],
+    * which is lossless and cheap, instead of over-deleting.
+    *
+    * Sensitivity: a larger corpus samples more partners, so a bucket
+    * carrying pair density p is detected non-empty with probability
+    * 1 − e^(−np) — NOISE buckets can only get harder to miss at
+    * scale. The near-identity buckets, though, hold thin true-DUP
+    * mass (random partners land on genuine duplicates at the
+    * corpus's dup rate), so the measured radius resamples per corpus
+    * rather than moving monotonically (0 ↔ 5 across the x-protocol's
+    * replica scales — SCALING.md); the safety argument rests on the
+    * geometry cap and the distance cut, both of which bound what any
+    * radius can admit, not on monotonicity.
+    *
+    * Scale shape: one n-row partner equi-join over the 16-byte
+    * signature rows + a ≤ 10-row aggregate. Output: one row
+    * (radius, mode_bucket).
+    */
+  def calibratedHammingRadius(docs: DataFrame): DataFrame =
+    calibratedHammingRadiusManaged(docs).df
+
+  /** [[calibratedHammingRadius]] with its internal persists exposed
+    * for release — see [[Managed]] (the signature cache serves the
+    * count and both partner sides; the ≤ 10-row histogram is cached
+    * against its two aggregate consumers).
+    */
+  def calibratedHammingRadiusManaged(docs: DataFrame): Managed = {
+    val sv = docs
+      .select(col("doc_id"), simhash60(col("text")).as("simhash")).cache()
+    val n = sv.count()
+    val a = sv.select(col("doc_id").as("aid"), col("simhash").as("sig_a"))
+      .withColumn("p", wordHash60(col("aid").cast("string")) % lit(n))
+      .filter(col("p") =!= col("aid"))
+    val b = sv.select(col("doc_id").as("bid"), col("simhash").as("sig_b"))
+    val hist = a.join(b, col("p") === col("bid"))
+      .select(least(lit(9L), call_function("div",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"),
+        lit(6L))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .cache()
+    // ties toward the larger distance: max(struct(count, bucket))
+    val mode = hist
+      .agg(max(struct(col("n_pairs"), col("bucket"))).as("m"))
+      .select(col("m.bucket").as("mode_bucket"))
+    val grid = docs.sparkSession.range(0, 10).select(col("id").as("cand"))
+    val gap = grid.join(hist, col("cand") === col("bucket"), "left")
+      .select(col("cand"), coalesce(col("n_pairs"), lit(0L)).as("np"))
+      .crossJoin(broadcast(mode))
+      .filter(col("cand") < col("mode_bucket") && col("np") === lit(0L))
+      .agg(max(col("cand")).as("gb"))
+    val out = gap.crossJoin(broadcast(mode)).select(
+      when(coalesce(col("mode_bucket"), lit(0L)) === lit(0L), lit(-1L))
+        .otherwise(coalesce(col("gb") * lit(6L) + lit(5L), lit(0L)))
+        .as("radius"),
+      coalesce(col("mode_bucket"), lit(-1L)).as("mode_bucket"))
+    new Managed(out, Seq(sv, hist))
+  }
+
+  /** [[simhashPairs]] at the CALIBRATED radius: mine with the
+    * standard lossless 4-block geometry (pigeonhole-complete for
+    * Hamming ≤ 3), cut at `min(maxHamming, radius)` — the geometry
+    * CAPS the effective radius, so a calibration above the blocks'
+    * reach confirms the shipped default rather than widening past
+    * what the blocking can losslessly find — with the raw calibrated
+    * `radius` riding the output so a gate verifies the calibration
+    * itself. Sentinel −1 mines nothing (every hamming ≥ 0 fails the
+    * cut). The one-row calibration is collected driver-side
+    * (model-sized — the IVF-centroid precedent) and its caches
+    * released at the terminal collect.
+    */
+  def simhashPairsCalibrated(docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val cal = calibratedHammingRadiusManaged(docs)
+    val r = try cal.df.collect().head.getLong(0) finally cal.close()
+    val eff = math.min(maxHamming.toLong, r)
+    simhashPairs(docs, maxHamming)
+      .filter(col("hamming") <= lit(eff))
+      .withColumn("radius", lit(r))
+  }
+
   /** SimHash near-dup pairs at Hamming ≤ `maxHamming`, via Manku et
     * al.'s (WWW'07 §3) block-permutation table: split the 60-bit
     * signature into `maxHamming + 1` equal blocks; by pigeonhole, any

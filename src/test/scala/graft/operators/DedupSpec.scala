@@ -356,6 +356,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       a % 20 == b % 20 && (a / 20) % 5 == (b / 20) % 5 })
   }
 
+  test("calibratedHammingRadius: a one-clone-class corpus puts the " +
+    "mode at bucket 0 and the sentinel mines nothing (route to exact)") {
+    val s = spark; import s.implicits._
+    val clones = (0L until 8L).map(i =>
+        (i, "alpha beta gamma delta", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cal = Dedup.calibratedHammingRadius(clones).collect().head
+    assert(cal.getLong(0) === -1L && cal.getLong(1) === 0L)
+    assert(Dedup.simhashPairsCalibrated(clones).collect().isEmpty)
+  }
+
+  test("simhashPairsCalibrated replay law: the plain miner cut at " +
+    "min(3, radius) with the raw radius riding") {
+    val s = spark; import s.implicits._
+    val base = (0L until 240L).map(i =>
+        (i, "ignored", "en", s"src${i % 20}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val fix = graft.analog.ExtraAnalogs.templateDocs(base)
+    val cal = Dedup.calibratedHammingRadius(fix).collect().head
+    val r = cal.getLong(0)
+    val got = Dedup.simhashPairsCalibrated(fix).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(got.forall(p => p._3 <= math.min(3L, r) && p._4 === r))
+    val plain = Dedup.simhashPairs(fix).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .filter(_._3 <= math.min(3L, r)).toSet
+    assert(got.map(p => (p._1, p._2, p._3)).toSet === plain)
+    assert(got.nonEmpty)
+  }
+
   test("ngramJaccardPairsCalibrated is the plain miner cut at the " +
     "calibrated integer threshold (the replay law)") {
     val got = Dedup.ngramJaccardPairsCalibrated(docs).collect()
