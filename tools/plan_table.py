@@ -17,9 +17,14 @@ def main(path):
     plans = {}
     for line in open(path):
         m = re.match(r"===== (\S+) =====", line.strip())
-        if m:
+        if m and m.group(1) != "Subqueries":
             current = m.group(1)
             plans[current] = []
+        elif m:
+            # Spark's formatted explain emits an "===== Subqueries ====="
+            # divider INSIDE a query's dump — its operators belong to the
+            # current query, not a new one
+            pass
         elif current:
             plans[current].append(line)
 
