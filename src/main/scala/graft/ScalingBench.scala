@@ -522,6 +522,20 @@ object ScalingBench {
           System.err.println(s"synthesizing $dir ...")
           if (p == "zipf/x") synthesizeZipf(spark, baseDir, dir, k)
           else synthesize(spark, baseDir, dir, k)
+          // stored-artifact invalidation (round-18 review): ModelStore
+          // artifacts are keyed by md5 of the data-dir PATH
+          // (<family>_<dirKey>), and the serve-stale read default
+          // would silently serve an index built against the dir's
+          // PREVIOUS content after an in-place re-synthesis — drop
+          // every artifact keyed by this dir so loaded-twin subjects
+          // rebuild against the fresh corpus
+          val key = graft.analog.ExtraAnalogs.dirKey(dir)
+          def rmRec(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rmRec))
+            f.delete(); ()
+          }
+          Option(new java.io.File("target/models").listFiles())
+            .foreach(_.filter(_.getName.endsWith(key)).foreach(rmRec))
           java.nio.file.Files.write(marker.toPath,
             baseDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }

@@ -145,7 +145,7 @@ object ExtraAnalogs {
     * and keeps the dir name filesystem-safe regardless of the path's
     * characters.
     */
-  private[analog] def dirKey(d: String): String =
+  private[graft] def dirKey(d: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString

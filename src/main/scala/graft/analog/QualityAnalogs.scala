@@ -157,6 +157,39 @@ object QualityAnalogs {
       |  i.t AS text
       |  FROM gm m JOIN inj i USING (doc_id))""".stripMargin
 
+  /** The per-class P/R/F1 tail shared by the v1 and v2 classifier
+    * gates (`eval_quality_nb_prf` / `eval_quality_nb2_prf`): the A/B
+    * comparison between the feature families is meaningful only while
+    * this tail is byte-identical, so it is factored once (the
+    * dMetricsTail discipline) — expects a CTE `rk` (ranked
+    * predictions) upstream.
+    */
+  private val dPrfTail: String =
+    """prd AS (SELECT true_lang AS label, lang AS pred
+      |        FROM rk WHERE rk = 1),
+      |bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_label,
+      |         CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS tp
+      |       FROM prd GROUP BY 1),
+      |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+      |       FROM prd GROUP BY 1),
+      |j AS (SELECT COALESCE(bl.cls, bp.cls) AS cls,
+      |        COALESCE(tp, 0) AS tp,
+      |        COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+      |        COALESCE(n_label, 0) - COALESCE(tp, 0) AS fn
+      |      FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls)
+      |SELECT cls, tp, fp, fn,
+      |  CAST(CASE WHEN tp + fp > 0
+      |    THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT)
+      |    AS precision_pm,
+      |  CAST(CASE WHEN tp + fn > 0
+      |    THEN tp * 10000 // (tp + fn) ELSE 0 END AS BIGINT)
+      |    AS recall_pm,
+      |  CAST(CASE WHEN 2*tp + fp + fn > 0
+      |    THEN 2 * tp * 10000 // (2*tp + fp + fn) ELSE 0 END
+      |    AS BIGINT) AS f1_pm
+      |FROM j ORDER BY cls""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Model-based quality scoring: weak labels from the Gopher rules
@@ -214,30 +247,7 @@ object QualityAnalogs {
           .select(col("lang").as("label"), col("pred_lang").as("pred"))),
       Some(s"""WITH $dQnbCte,
         |${ExtraAnalogs.dNbChainOn("qnb")},
-        |prd AS (SELECT true_lang AS label, lang AS pred
-        |        FROM rk WHERE rk = 1),
-        |bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_label,
-        |         CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
-        |           AS BIGINT) AS tp
-        |       FROM prd GROUP BY 1),
-        |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
-        |       FROM prd GROUP BY 1),
-        |j AS (SELECT COALESCE(bl.cls, bp.cls) AS cls,
-        |        COALESCE(tp, 0) AS tp,
-        |        COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
-        |        COALESCE(n_label, 0) - COALESCE(tp, 0) AS fn
-        |      FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls)
-        |SELECT cls, tp, fp, fn,
-        |  CAST(CASE WHEN tp + fp > 0
-        |    THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT)
-        |    AS precision_pm,
-        |  CAST(CASE WHEN tp + fn > 0
-        |    THEN tp * 10000 // (tp + fn) ELSE 0 END AS BIGINT)
-        |    AS recall_pm,
-        |  CAST(CASE WHEN 2*tp + fp + fn > 0
-        |    THEN 2 * tp * 10000 // (2*tp + fp + fn) ELSE 0 END
-        |    AS BIGINT) AS f1_pm
-        |FROM j ORDER BY cls""".stripMargin)),
+        |$dPrfTail""".stripMargin)),
 
     // The WORD-FEATURE arm of the same gate (round-18 ask #7 — the
     // fastText recipe's second feature family): hashed DISTINCT-word
@@ -260,30 +270,7 @@ object QualityAnalogs {
           .select(col("lang").as("label"), col("pred_lang").as("pred"))),
       Some(s"""WITH $dQnbCte,
         |${ExtraAnalogs.dNbChainOn("qnb", wordFeats = true)},
-        |prd AS (SELECT true_lang AS label, lang AS pred
-        |        FROM rk WHERE rk = 1),
-        |bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_label,
-        |         CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
-        |           AS BIGINT) AS tp
-        |       FROM prd GROUP BY 1),
-        |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
-        |       FROM prd GROUP BY 1),
-        |j AS (SELECT COALESCE(bl.cls, bp.cls) AS cls,
-        |        COALESCE(tp, 0) AS tp,
-        |        COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
-        |        COALESCE(n_label, 0) - COALESCE(tp, 0) AS fn
-        |      FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls)
-        |SELECT cls, tp, fp, fn,
-        |  CAST(CASE WHEN tp + fp > 0
-        |    THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT)
-        |    AS precision_pm,
-        |  CAST(CASE WHEN tp + fn > 0
-        |    THEN tp * 10000 // (tp + fn) ELSE 0 END AS BIGINT)
-        |    AS recall_pm,
-        |  CAST(CASE WHEN 2*tp + fp + fn > 0
-        |    THEN 2 * tp * 10000 // (2*tp + fp + fn) ELSE 0 END
-        |    AS BIGINT) AS f1_pm
-        |FROM j ORDER BY cls""".stripMargin)),
+        |$dPrfTail""".stripMargin)),
 
     // Gopher document-level rules (Rae et al. 2021, table A1 subset
     // that applies to a line-less corpus). Injections: required

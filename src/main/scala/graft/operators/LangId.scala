@@ -80,16 +80,25 @@ object LangId {
     * (see [[train]]) lift it to 5426 pm.
     */
   private def gramBuckets(docs: DataFrame, extra: Seq[Column],
-      n: Int, buckets: Int, wordFeats: Boolean = false): DataFrame = {
+      n: Int, buckets: Int, wordFeats: Boolean = false): DataFrame =
+    docs.select(
+      extra :+ explode(featureBuckets(n, buckets, wordFeats)).as("b"): _*)
+
+  /** The ONE feature-bucket expression both scoring paths share —
+    * [[predict]] (via [[gramBuckets]]) and [[predictRowwise]] are
+    * spec-pinned equal, which holds only while their feature streams
+    * are literally the same expression tree.
+    */
+  private def featureBuckets(n: Int, buckets: Int,
+      wordFeats: Boolean): Column = {
     val charB = graft.expressions.TextExpressions.charGramBuckets(
       col("text"), n, buckets)
-    val feats = if (!wordFeats) charB
-      else concat(charB,
-        transform(array_distinct(split(col("text"), " ", -1)), w =>
-          lit(buckets.toLong) +
-            graft.functions.TextFunctions.wordHash60(w)
-              % lit(buckets.toLong)))
-    docs.select(extra :+ explode(feats).as("b"): _*)
+    if (!wordFeats) charB
+    else concat(charB,
+      transform(array_distinct(split(col("text"), " ", -1)), w =>
+        lit(buckets.toLong) +
+          graft.functions.TextFunctions.wordHash60(w)
+            % lit(buckets.toLong)))
   }
 
   /** The trained model. `delta`: (lang, b, delta) — the micro-nat
@@ -116,7 +125,7 @@ object LangId {
     def persisted(): NbModel = {
       val d = delta.persist(); val s = langStats.persist()
       d.count(); s.count()
-      NbModel(d, s, buckets, n)
+      NbModel(d, s, buckets, n, wordFeats)
     }
   }
 
@@ -292,14 +301,7 @@ object LangId {
         .foreach { case (_, b, d) => a(b.toInt) = d }
       l -> a.toSeq
     }.toMap
-    val charB = graft.expressions.TextExpressions
-      .charGramBuckets(col("text"), m.n, m.buckets)
-    val feats = if (!m.wordFeats) charB
-      else concat(charB,
-        transform(array_distinct(split(col("text"), " ", -1)), w =>
-          lit(m.buckets.toLong) +
-            graft.functions.TextFunctions.wordHash60(w)
-              % lit(m.buckets.toLong)))
+    val feats = featureBuckets(m.n, m.buckets, m.wordFeats)
     val withB = docs.select(col("doc_id"), feats.as("_b"))
       .select(col("doc_id"), size(col("_b")).cast("long").as("_g"),
         col("_b"))

@@ -137,6 +137,26 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     } finally { p.delta.unpersist(); p.langStats.unpersist() }
   }
 
+  test("persisted() carries wordFeats: a v2 model round-trips the " +
+    "flag and both predict paths score identically through it") {
+    val seed = docs(
+      (0L, "red apple pie", "A"), (5L, "red apple tart", "A"),
+      (10L, "blue delta wave", "B"), (15L, "blue delta ray", "B"))
+    val test = docs((100L, "red apple wave", "?"), (101L, "blue delta pie", "?"))
+    val m = LangId.train(seed, wordFeats = true)
+    val p = m.persisted()
+    try {
+      assert(p.wordFeats && p.totalBuckets === m.totalBuckets)
+      val a = LangId.predict(test, m).collect().map(_.toString).sorted
+      val b = LangId.predict(test, p).collect().map(_.toString).sorted
+      assert(a.toSeq === b.toSeq)
+      // the rowwise LUT sizes off totalBuckets — with the flag dropped
+      // this threw ArrayIndexOutOfBounds on the word-range rows
+      val c = LangId.predictRowwise(test, p).collect().map(_.toString).sorted
+      assert(a.toSeq === c.toSeq)
+    } finally { p.delta.unpersist(); p.langStats.unpersist() }
+  }
+
   test("scores: prior + G*floor + sum(delta) with exact integers") {
     val seed = docs((0L, "abcabc", "A"), (1L, "abcabc", "B"))
     val m = LangId.train(seed)
