@@ -565,15 +565,22 @@ object Dedup {
     * signature rows + a ≤ 10-row aggregate. Output: one row
     * (radius, mode_bucket).
     */
-  def calibratedHammingRadius(docs: DataFrame): DataFrame =
-    calibratedHammingRadiusManaged(docs).df
+  def calibratedHammingRadius(docs: DataFrame,
+      epsPm: Long = 0L): DataFrame =
+    calibratedHammingRadiusManaged(docs, epsPm).df
 
   /** [[calibratedHammingRadius]] with its internal persists exposed
     * for release — see [[Managed]] (the signature cache serves the
     * count and both partner sides; the ≤ 10-row histogram is cached
-    * against its two aggregate consumers).
+    * against its two aggregate consumers). `epsPm` is the same
+    * per-myriad tolerance the sibling calibrations expose (a bucket
+    * counts as a gap when `n_pairs·10⁴ ≤ epsPm·n_total`); the strict
+    * default 0 is the shipped rule.
     */
-  def calibratedHammingRadiusManaged(docs: DataFrame): Managed = {
+  def calibratedHammingRadiusManaged(docs: DataFrame,
+      epsPm: Long = 0L): Managed = {
+    require(epsPm >= 0L && epsPm <= 10000L,
+      s"epsPm must be in [0,10000], got $epsPm")
     val sv = docs
       .select(col("doc_id"), simhash60(col("text")).as("simhash")).cache()
     val n = sv.count()
@@ -591,11 +598,13 @@ object Dedup {
     val mode = hist
       .agg(max(struct(col("n_pairs"), col("bucket"))).as("m"))
       .select(col("m.bucket").as("mode_bucket"))
+    val tot = hist.agg(coalesce(sum("n_pairs"), lit(0L)).as("n_total"))
     val grid = docs.sparkSession.range(0, 10).select(col("id").as("cand"))
     val gap = grid.join(hist, col("cand") === col("bucket"), "left")
       .select(col("cand"), coalesce(col("n_pairs"), lit(0L)).as("np"))
-      .crossJoin(broadcast(mode))
-      .filter(col("cand") < col("mode_bucket") && col("np") === lit(0L))
+      .crossJoin(broadcast(mode)).crossJoin(broadcast(tot))
+      .filter(col("cand") < col("mode_bucket") &&
+        col("np") * lit(10000L) <= lit(epsPm) * col("n_total"))
       .agg(max(col("cand")).as("gb"))
     val out = gap.crossJoin(broadcast(mode)).select(
       when(coalesce(col("mode_bucket"), lit(0L)) === lit(0L), lit(-1L))
@@ -618,8 +627,8 @@ object Dedup {
     * released at the terminal collect.
     */
   def simhashPairsCalibrated(docs: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val cal = calibratedHammingRadiusManaged(docs)
+      maxHamming: Int = 3, epsPm: Long = 0L): DataFrame = {
+    val cal = calibratedHammingRadiusManaged(docs, epsPm)
     val r = try cal.df.collect().head.getLong(0) finally cal.close()
     val eff = math.min(maxHamming.toLong, r)
     simhashPairs(docs, maxHamming)
