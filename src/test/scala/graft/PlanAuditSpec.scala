@@ -569,6 +569,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(kc.contains("Scan parquet"), kc.take(800))
   }
 
+  test("calibrated miners (round 18): window-free, cached corpus " +
+    "pass, no payload sort-merge in the verify chain") {
+    // the registered plan is the MINER at the already-collected
+    // threshold (the calibration leg ran at plan-build time and
+    // released its caches) — what must hold at scale:
+    val calibrated = Seq("dedup_ngram_calibrated",
+      "dedup_ngram_cal_clustered", "dedup_simhash_calibrated",
+      "dedup_simhash_cal_clustered")
+    for (q <- calibrated) {
+      val p = plans(q)
+      // no corpus window anywhere — candidate generation is
+      // equi-joins + the single-partition export sort
+      assert(!p.contains("Window"), s"$q:\n${p.take(800)}")
+      // the word-set / signature frame is cached (ONE corpus pass
+      // feeds both sides of the block self-join)
+      assert(p.contains("InMemoryTableScan"), s"$q:\n${p.take(800)}")
+      // the id-pair re-shape law: nothing sort-merge-joins here at
+      // gate scale — the round-18 cliff was an SMJ buffering array
+      // payloads per block group; the pair-formation and attach
+      // joins all broadcast (and at scale may SMJ on IDS, which the
+      // id-only join keys make safe — this pin catches the payload
+      // shape returning at the size where broadcast should hold)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n${p.take(800)}")
+    }
+    // the jaccard arms carry the threshold as a literal (collected
+    // calibration), never a per-row subquery re-computation
+    assert(!plans("dedup_ngram_calibrated").contains("Subquery"),
+      plans("dedup_ngram_calibrated").take(800))
+  }
+
   test("column pruning reaches the scan on a projection-only query") {
     // t1_enrich_count aggregates a count over an enrichment join —
     // the orders scan must not read the full table width
