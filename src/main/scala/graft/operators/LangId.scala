@@ -81,7 +81,13 @@ object LangId {
     */
   private def gramBuckets(docs: DataFrame, extra: Seq[Column],
       n: Int, buckets: Int, wordFeats: Boolean = false): DataFrame =
-    docs.select(
+    // fan out the hash walk (optimization round 18): the per-gram md5
+    // is the dominant map-side cost of every NB query, and a
+    // single-row-group input runs it on one core ([[Par.fanOut]]
+    // no-ops when the scan already parallelizes). Value-safe: every
+    // downstream aggregate is an integer count/sum on the micro-nat
+    // grid, so row placement cannot change any result bit.
+    graft.sources.Par.fanOut(docs).select(
       extra :+ explode(featureBuckets(n, buckets, wordFeats)).as("b"): _*)
 
   /** The ONE feature-bucket expression both scoring paths share —
@@ -109,7 +115,19 @@ object LangId {
     * unrepresentable (the [[Perplexity.LmModel]] contract).
     */
   final case class NbModel(delta: DataFrame, langStats: DataFrame,
-      buckets: Int, n: Int, wordFeats: Boolean = false) {
+      buckets: Int, n: Int, wordFeats: Boolean = false,
+      classes: Option[DataFrame] = None) {
+    /** The class-list frame — `classes` when the trainer provided the
+      * cheap (gram-walk-free) seed projection, else `langStats`
+      * pruned to its label column. Both enumerate exactly the trained
+      * classes; the distinction is COST only: collecting the class
+      * list through `langStats` executes the full training chain
+      * (seed gram walk included) just to learn the labels, which was
+      * one of the redundant walks in every predict call (optimization
+      * round 18).
+      */
+    def classList: DataFrame =
+      classes.getOrElse(langStats).select("lang")
     /** Total feature-space width — the smoothing denominator and the
       * per-class LUT size: char-gram buckets plus, under [[wordFeats]],
       * the disjoint word-unigram range above them.
@@ -125,7 +143,7 @@ object LangId {
     def persisted(): NbModel = {
       val d = delta.persist(); val s = langStats.persist()
       d.count(); s.count()
-      NbModel(d, s, buckets, n, wordFeats)
+      NbModel(d, s, buckets, n, wordFeats, classes)
     }
   }
 
@@ -152,10 +170,19 @@ object LangId {
     // the buckets.
     val b: Column = if (!wordFeats) lit(buckets.toLong)
       else col("_v")
-    val vFrame = grams.agg(countDistinct(col("b")).as("_v"))
+    val clb = grams.groupBy("lang", "b").agg(count(lit(1)).as("clb"))
+    // V = |distinct feature buckets in the seed| — derived from clb's
+    // key set rather than a second walk over the gram stream: clb's
+    // (lang, b) keys cover exactly the observed b values, so the
+    // countDistinct is value-identical while the expensive gram
+    // explode/md5 subtree appears ONCE in the plan (its aggregation
+    // exchange is then shared across delta/floor/prior via exchange
+    // reuse instead of re-executing per training aggregate —
+    // optimization round 18, guide §2.4 "two operations keyed the
+    // same way can share one exchange").
+    val vFrame = clb.agg(countDistinct(col("b")).as("_v"))
     def withV(df: DataFrame): DataFrame =
       if (wordFeats) df.crossJoin(broadcast(vFrame)) else df
-    val clb = grams.groupBy("lang", "b").agg(count(lit(1)).as("clb"))
     val nDocs = seed.groupBy("lang").agg(count(lit(1)).as("nl"))
     // gram totals per class, LEFT-joined onto the labeled classes: a
     // class whose seed docs are all shorter than n still trains (cl =
@@ -164,8 +191,10 @@ object LangId {
     // leaving scores to build an unparseable stack(0,) (the
     // LangIdProps-found degenerate seed). When every class has grams
     // the coalesce is a no-op and the model is bit-identical.
+    // per-class gram totals from clb (Σ_b clb = the stream's per-class
+    // count, exactly) — the same one-walk sharing as vFrame above
     val cl = nDocs.select("lang")
-      .join(grams.groupBy("lang").agg(count(lit(1)).as("cl")),
+      .join(clb.groupBy("lang").agg(sum(col("clb")).as("cl")),
         Seq("lang"), "left")
       .select(col("lang"), coalesce(col("cl"), lit(0L)).as("cl"))
     val floor = round(-log(col("cl") + b) * 1e6).cast("long")
@@ -182,7 +211,10 @@ object LangId {
         round((log(col("nl")) - log(col("nn"))) * 1e6).cast("long")
           .as("prior"),
         col("floor"))
-    NbModel(delta, langStats, buckets, n, wordFeats)
+    NbModel(delta, langStats, buckets, n, wordFeats,
+      // the cheap class list: one count-agg over the seed labels —
+      // no gram walk, unlike the langStats chain (see classList)
+      classes = Some(nDocs.select("lang")))
   }
 
   /** Per-document class scores: (doc_id, lang, score) — one row per
@@ -204,7 +236,7 @@ object LangId {
     // class list: a model-sized driver collect (the IVF-centroid /
     // DSIR precedent — classes are bounded, never corpus-sized),
     // needed to size the pivot
-    val langs = m.langStats.select("lang").collect()
+    val langs = m.classList.collect()
       .map(_.getString(0)).sorted.toSeq
     // an empty seed trains an empty model — out of contract for every
     // scorer (the predictRowwise require); fail loudly here too
@@ -302,7 +334,10 @@ object LangId {
       l -> a.toSeq
     }.toMap
     val feats = featureBuckets(m.n, m.buckets, m.wordFeats)
-    val withB = docs.select(col("doc_id"), feats.as("_b"))
+    // fan out the per-row LUT walk (no-op on streams and on inputs
+    // that already scan in parallel) — pure map, value-unaffected
+    val withB = graft.sources.Par.fanOut(docs)
+      .select(col("doc_id"), feats.as("_b"))
       .select(col("doc_id"), size(col("_b")).cast("long").as("_g"),
         col("_b"))
     val cands = stats.zipWithIndex.map { case ((l, prior, floor), i) =>
