@@ -157,6 +157,122 @@ case class VecDotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native PQ encoder — the whole per-row codebook argmin in ONE
+  * compiled call: for each of the m subspaces, the squared-L2 to all
+  * ksub sub-centroids and the argmin (ties to the lower cent_id),
+  * returning struct(codes array<int>, recon bigint).
+  *
+  * Replaces the composed tree it is value-identical to
+  * ([[graft.operators.Similarity]]'s previous `least(struct(dist,c)…)`
+  * over m·ksub literal-array dot expansions): per subspace slice vs,
+  * d(c) = Σ vs·vs − 2·Σ vs·c + Σ c² with the SAME left-to-right double
+  * fold as [[VecDot]] and the same truncating long cast; the cross/self
+  * terms run over the slice's actual length and the ‖c‖² term over the
+  * full sub-centroid (exactly what `slice`+`vec_dot`+literal-Σc² did on
+  * short inputs), so even degenerate non-MaxDim vectors encode
+  * bit-identically. The DuckDB oracle replays the same arithmetic
+  * unchanged.
+  *
+  * Why it exists (optimization round 18, measured): the composed form
+  * put ~32 literal-array dot subtrees into the encode Project; fused
+  * under a BroadcastNestedLoopJoin, whole-stage codegen re-evaluated
+  * that tree once per BUILD ROW (50×/row — deferred-evaluation
+  * semantics), and the giant generated method plus per-eval slice
+  * allocations made the fused stage a 6.7 s single task at sf0.1.
+  * One compiled call is ~µs even when the join defers it, and the
+  * plan/task binary shrinks by the 32 inlined centroid arrays.
+  *
+  * The codebook is held as constructor DATA (value-comparable nested
+  * Seqs so plan canonicalization and exchange reuse still work), not
+  * as child expressions.
+  */
+case class PqEncode(child: Expression, model: Seq[Seq[Seq[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("codes",
+        ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("recon", LongType,
+        nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${t.sql}")
+  }
+
+  @transient private lazy val m = model.size
+  @transient private lazy val ksub = model.head.size
+  @transient private lazy val subDim = model.head.head.size
+  // flattened double image [s*ksub + c] and its full-width ‖c‖² (the
+  // driver-side left-to-right sums the literal tree used)
+  @transient private lazy val cents: Array[Array[Double]] =
+    model.flatMap(_.map(_.map(_.toDouble).toArray)).toArray
+  @transient private lazy val ccs: Array[Double] =
+    cents.map(cd => cd.map(x => x * x).sum)
+
+  def encodeRow(input: Any): Any = {
+    val vd = input.asInstanceOf[ArrayData]
+    val len = vd.numElements()
+    val codes = new Array[Int](m)
+    var recon = 0L
+    var s0 = 0
+    while (s0 < m) {
+      val start = s0 * subDim
+      val nv = math.max(0, math.min(len - start, subDim))
+      // Σ x² over the slice — shared across this subspace's centroids,
+      // same fold order as vec_dot(vs, vs)
+      var dxx = 0.0d
+      var i = 0
+      while (i < nv) {
+        val x = vd.getDouble(start + i); dxx += x * x; i += 1
+      }
+      var bestD = Long.MaxValue
+      var bestC = 0
+      var c0 = 0
+      while (c0 < ksub) {
+        val cd = cents(s0 * ksub + c0)
+        var dxc = 0.0d
+        var j = 0
+        while (j < nv) {
+          dxc += vd.getDouble(start + j) * cd(j); j += 1
+        }
+        val d = (dxx - 2.0d * dxc + ccs(s0 * ksub + c0)).toLong
+        if (d < bestD) { bestD = d; bestC = c0 }
+        c0 += 1
+      }
+      codes(s0) = bestC
+      recon += bestD
+      s0 += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(codes),
+        recon))
+  }
+
+  override def nullSafeEval(input: Any): Any = encodeRow(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeExpr", this,
+      classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, x => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+       |  $ref.encodeRow($x);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by the codegen expression. */
   def vecDot(a: Column, b: Column): Column =
@@ -167,4 +283,12 @@ object VectorExpressions {
   def vecDotLong(a: Column, b: Column): Column =
     GraftBridge.column(
       VecDotLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-level PQ encode (struct(codes, recon)) under a driver-held
+    * codebook — see [[PqEncode]].
+    */
+  def pqEncode(vd: Column, model: Seq[Seq[Array[Long]]]): Column =
+    GraftBridge.column(
+      PqEncode(GraftBridge.expression(vd),
+        model.map(_.map(_.toSeq))))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Dev-only profiling probe (test scope — never ships): times phases
+  * of heavy queries in isolation. Usage:
+  *   sbt "Test/runMain graft.ProbeMain pq"
+  */
+object ProbeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $tag%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    args.headOption.getOrElse("pq") match {
+      case "pq" =>
+        val e = Tables.embeddings(spark, d)
+        for (i <- 1 to 2) {
+          spark.catalog.clearCache()
+          val m = t(s"pqTrain#$i")(Similarity.pqTrain(e))
+          t(s"pqTopK-exec#$i")(noop(Similarity.pqTopK(e, m)))
+        }
+        for (i <- 1 to 2) {
+          spark.catalog.clearCache()
+          t(s"ivfTrain#$i")(Similarity.trainIvfCentroids(e))
+          t(s"ivfTopK-exec#$i")(noop(Similarity.ivfTopK(e, 50, 10, nprobe = 2)))
+        }
+        for (i <- 1 to 2) {
+          spark.catalog.clearCache()
+          t(s"ivfPqRefinedSweep#$i")(noop(Similarity.ivfPqRefinedSweep(e)))
+        }
+      case "pq2" =>
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val dur = for {
+                s <- si.submissionTime; c <- si.completionTime
+              } yield (c - s) / 1e3
+              println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+                f"dur=${dur.getOrElse(-1.0)}%7.3f s  ${si.name.take(80)}")
+            }
+          })
+        val e = Tables.embeddings(spark, d)
+        val m = t("pqTrain")(Similarity.pqTrain(e))
+        def dumpSoon(tag: String, delayMs: Long): Unit = {
+          val th = new Thread(() => {
+            Thread.sleep(delayMs)
+            import scala.jdk.CollectionConverters._
+            Thread.getAllStackTraces.asScala.foreach { case (t0, st) =>
+              if (t0.getState == Thread.State.RUNNABLE && st.length > 8 &&
+                  t0.getName != "main" && !t0.getName.contains("dump")) {
+                println(s"DUMP[$tag] ${t0.getName}")
+                st.take(22).foreach(f => println(s"  at $f"))
+              }
+            }
+          })
+          th.setName("dump"); th.setDaemon(true); th.start()
+        }
+        for (i <- 1 to 2) {
+          spark.catalog.clearCache()
+          t(s"pqCodes-exec#$i")(noop(Similarity.pqCodes(e, m)))
+          val df = Similarity.pqTopK(e, m)
+          t(s"pqTopK-plan#$i")(df.queryExecution.executedPlan)
+          dumpSoon(s"exec$i-a", 1500); dumpSoon(s"exec$i-b", 3500)
+          t(s"pqTopK-exec#$i")(noop(df))
+        }
+      case "pq3" =>
+        val e = Tables.embeddings(spark, d)
+        val m = t("pqTrain")(Similarity.pqTrain(e))
+        for (i <- 1 to 2) {
+          spark.catalog.clearCache()
+          val codes = Similarity.pqCodes(e, m).persist()
+          t(s"codes-materialize#$i")(codes.count())
+          t(s"pqTopKFromCodes-exec#$i")(
+            noop(Similarity.pqTopKFromCodes(codes, e, m)))
+          codes.unpersist(true)
+        }
+      case "nd" =>
+        val e = Tables.embeddings(spark, d)
+        for (i <- 1 to 2) {
+          spark.catalog.clearCache()
+          t(s"bruteTopK#$i")(noop(Similarity.bruteForceTopK(e, 50, 10)))
+          t(s"knnGraph#$i")(noop(Similarity.knnGraph(e, k = 10, sorted = false)))
+          val r = t(s"nnDescent3-build#$i")(
+            Similarity.nnDescent(e, k = 10, maxRounds = 3, minImprovedPm = 0L))
+          t(s"nnDescent3-exec#$i")(noop(r.graph))
+        }
+      case other => sys.error(s"unknown probe: $other")
+    }
+    spark.stop()
+  }
+}
