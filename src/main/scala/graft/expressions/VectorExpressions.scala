@@ -273,6 +273,83 @@ case class PqEncode(child: Expression, model: Seq[Seq[Seq[Long]]])
     copy(child = newChild)
 }
 
+/** [[PqEncode]]'s query-side twin: the full m×ksub ADC lookup table
+  * (exact integer subspace distances to every sub-centroid, flattened
+  * subspace-major) in ONE compiled call — value-identical to the
+  * m·ksub literal-array dot expansion it replaces (same left-to-right
+  * double folds, same slice-length semantics, same truncating long
+  * cast). Shrinks the query-side broadcast build's generated code by
+  * the 32 inlined centroid subtrees and makes per-row LUT evaluation
+  * ~µs for the streaming screen, whose arrival batches pay it per row.
+  */
+case class PqLut(child: Expression, model: Seq[Seq[Seq[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "pq_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${t.sql}")
+  }
+
+  @transient private lazy val m = model.size
+  @transient private lazy val ksub = model.head.size
+  @transient private lazy val subDim = model.head.head.size
+  @transient private lazy val cents: Array[Array[Double]] =
+    model.flatMap(_.map(_.map(_.toDouble).toArray)).toArray
+  @transient private lazy val ccs: Array[Double] =
+    cents.map(cd => cd.map(x => x * x).sum)
+
+  def lutRow(input: Any): Any = {
+    val vd = input.asInstanceOf[ArrayData]
+    val len = vd.numElements()
+    val out = new Array[Long](m * ksub)
+    var s0 = 0
+    while (s0 < m) {
+      val start = s0 * subDim
+      val nv = math.max(0, math.min(len - start, subDim))
+      var dxx = 0.0d
+      var i = 0
+      while (i < nv) {
+        val x = vd.getDouble(start + i); dxx += x * x; i += 1
+      }
+      var c0 = 0
+      while (c0 < ksub) {
+        val cd = cents(s0 * ksub + c0)
+        var dxc = 0.0d
+        var j = 0
+        while (j < nv) {
+          dxc += vd.getDouble(start + j) * cd(j); j += 1
+        }
+        out(s0 * ksub + c0) =
+          (dxx - 2.0d * dxc + ccs(s0 * ksub + c0)).toLong
+        c0 += 1
+      }
+      s0 += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = lutRow(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLutExpr", this, classOf[PqLut].getName)
+    nullSafeCodeGen(ctx, ev, x => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+       |  $ref.lutRow($x);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by the codegen expression. */
   def vecDot(a: Column, b: Column): Column =
@@ -290,5 +367,13 @@ object VectorExpressions {
   def pqEncode(vd: Column, model: Seq[Seq[Array[Long]]]): Column =
     GraftBridge.column(
       PqEncode(GraftBridge.expression(vd),
+        model.map(_.map(_.toSeq))))
+
+  /** Column-level ADC lookup table (array<long>, subspace-major) under
+    * a driver-held codebook — see [[PqLut]].
+    */
+  def pqLut(vd: Column, model: Seq[Seq[Array[Long]]]): Column =
+    GraftBridge.column(
+      PqLut(GraftBridge.expression(vd),
         model.map(_.map(_.toSeq))))
 }

@@ -74,6 +74,26 @@ object ProbeMain {
           dumpSoon(s"exec$i-a", 1500); dumpSoon(s"exec$i-b", 3500)
           t(s"pqTopK-exec#$i")(noop(df))
         }
+      case "sweep" =>
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val dur = for {
+                s <- si.submissionTime; c <- si.completionTime
+              } yield (c - s) / 1e3
+              if (dur.exists(_ > 0.25))
+                println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+                  f"dur=${dur.getOrElse(-1.0)}%7.3f s  ${si.name.take(70)}")
+            }
+          })
+        val e = Tables.embeddings(spark, d)
+        for (i <- 1 to 2) {
+          spark.catalog.clearCache()
+          println(s"=== sweep run $i")
+          t(s"ivfPqRefinedSweep#$i")(noop(Similarity.ivfPqRefinedSweep(e)))
+        }
       case "pq3" =>
         val e = Tables.embeddings(spark, d)
         val m = t("pqTrain")(Similarity.pqTrain(e))
