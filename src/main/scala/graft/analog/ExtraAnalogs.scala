@@ -2705,9 +2705,10 @@ object ExtraAnalogs {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val dir = s"target/models/ivfpq_${dirKey(d)}"
-        graft.sources.ModelStore.savePq(Similarity.pqTrain(e), s"$dir/pq", s)
-        graft.sources.ModelStore.saveIvf(
-          Similarity.trainIvfCentroids(e), s"$dir/ivf", s)
+        // concurrent trainers (guide §2.6) — same artifacts, overlapped
+        val (pqM, ivfM) = Similarity.trainPqAndIvf(e)
+        graft.sources.ModelStore.savePq(pqM, s"$dir/pq", s)
+        graft.sources.ModelStore.saveIvf(ivfM, s"$dir/ivf", s)
         Similarity.ivfPqTopKWith(e,
           graft.sources.ModelStore.loadPq(s, s"$dir/pq"),
           graft.sources.ModelStore.loadIvf(s, s"$dir/ivf"))
@@ -2750,9 +2751,14 @@ object ExtraAnalogs {
     Q("sim_rrf_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+        // concurrent trainers (guide §2.6): the two backends' Lloyd
+        // loops are independent job chains — overlapping them fills
+        // the executor slots either alone leaves idle; models (and
+        // hence both ranked lists) are the sequential form's exactly
+        val (pqM, ivfM) = Similarity.trainPqAndIvf(e)
         graft.operators.Retrieval.rrfFuse(Seq(
-          Similarity.ivfTopK(e, 50, 10, nprobe = 2),
-          Similarity.pqTopK(e, Similarity.pqTrain(e), 50, 10)), k = 3)
+          Similarity.ivfTopKWith(e, ivfM, 50, 10, nprobe = 2),
+          Similarity.pqTopK(e, pqM, 50, 10)), k = 3)
       },
       Some(dRrfOracle)),
 
@@ -5347,8 +5353,8 @@ object ExtraAnalogs {
     Q("stream_pq_screen",
       (s, d) => {
         val embs = Tables.embeddings(s, d)
-        val model = Similarity.pqTrain(embs)
-        val cents = Similarity.trainIvfCentroids(embs)
+        // concurrent trainers (guide §2.6) — same models, overlapped jobs
+        val (model, cents) = Similarity.trainPqAndIvf(embs)
         val arrivals = embs.filter(col("vec_id") % 20 === 0)
           .withColumn("ts", expr(
             "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(vec_id as int),0)"))

@@ -302,9 +302,11 @@ object ModelStore {
     val spark = embs.sparkSession
     if (!pathExists(spark, s"$dir/pq/codebook/_SUCCESS") ||
         !pathExists(spark, s"$dir/ivf/centroids/_SUCCESS")) {
-      savePq(graft.operators.Similarity.pqTrain(embs), s"$dir/pq", spark)
-      saveIvf(graft.operators.Similarity.trainIvfCentroids(
-        embs, nCells, iters), s"$dir/ivf", spark)
+      // concurrent trainers (guide §2.6) — same artifacts, overlapped
+      val (pqM, ivfM) = graft.operators.Similarity.trainPqAndIvf(
+        embs, nCells, iters)
+      savePq(pqM, s"$dir/pq", spark)
+      saveIvf(ivfM, s"$dir/ivf", spark)
       recordFingerprint(embs, dir)
     }
     (loadPq(spark, s"$dir/pq"), loadIvf(spark, s"$dir/ivf"))
