@@ -1656,8 +1656,16 @@ object ExtraAnalogs {
         val found = Dedup.containmentPairs(docs)
           .filter(col("doc_a") < 100)
           .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
-        val sh = docs.select(col("doc_id"),
-          array_sort(TextFunctions.shinglesN(col("text"), 3)).as("sh"))
+        // corpus side fanned out BEFORE the brute non-equi join
+        // (round 18): the exchange both parallelizes the shingle
+        // build (single-row-group scan = one core) and MATERIALIZES
+        // the arrays — fused under the BroadcastNestedLoopJoin,
+        // whole-stage codegen re-evaluated the shingle+sort projection
+        // once per BUILD ROW (100× per corpus row; the PqEncode
+        // deferral mechanism, measured there)
+        val sh = graft.sources.Par.fanOut(
+          docs.select(col("doc_id"),
+            array_sort(TextFunctions.shinglesN(col("text"), 3)).as("sh")))
         val inter = graft.expressions.TextExpressions
           .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long")
         val minSz = least(size(col("sh_a")), size(col("sh_b"))).cast("long")

@@ -291,7 +291,9 @@ object Decontam {
       maxCount: Long = 2): Dedup.Managed = {
     // positional (distinct = false): a bigram occurring k times in a
     // doc is k rare OCCURRENCES — multiplicity is the statistic
-    val bg = docs.select(col("doc_id"),
+    // fanned out (round 18) — the Dedup.minhashPairsManaged rationale:
+    // the md5-per-bigram walk on a single-row-group scan is one-core
+    val bg = graft.sources.Par.fanOut(docs).select(col("doc_id"),
       explode(graft.expressions.TextExpressions.gramHashes60(
         tokens(col("text")), 2, distinct = false)).as("h"))
       .persist()

@@ -123,7 +123,11 @@ object Dedup {
     // reuse the other side's exchange), and the md5-per-shingle hash
     // walk is the operator's dominant scalar cost — the cache is
     // 4 × 24-byte rows per doc, no text.
-    val bands = docs
+    // fanned out (round 18): the md5-per-shingle walk is the miner's
+    // dominant scalar cost and a single-row-group scan runs it on one
+    // core; Par.fanOut no-ops when the scan already parallelizes, and
+    // every downstream aggregate here is integer-exact
+    val bands = graft.sources.Par.fanOut(docs)
       .select(col("doc_id"), shingleHashesN(col("text")).as("hs"))
       .select(col("doc_id"),
         graft.expressions.TextExpressions.minhashBands(col("hs")).as("bands"),
@@ -224,7 +228,9 @@ object Dedup {
     * corpus. Longs round-trip parquet exactly, so a stored table
     * screens identically to a fresh one.
     */
-  def minhashBandTable(docs: DataFrame): DataFrame = docs
+  def minhashBandTable(docs: DataFrame): DataFrame =
+    // fanned out (round 18) — the minhashPairsManaged rationale
+    graft.sources.Par.fanOut(docs)
     .select(col("doc_id"), shingleHashesN(col("text")).as("hs"))
     .select(col("doc_id"),
       graft.expressions.TextExpressions.minhashBands(col("hs")).as("bands"),
@@ -335,8 +341,10 @@ object Dedup {
     // arrays — the operator's whole working set, which both sides
     // fully consume either way; MEMORY_AND_DISK trades one disk
     // materialization for the second scalar pass.
-    val withSet = docs.select(col("doc_id"), col("lang"), col("source"),
-      array_sort(wordSet(col("text"))).as("ws"))
+    val withSet = graft.sources.Par.fanOut(docs)
+      // fanned out (round 18) — the minhashPairsManaged rationale
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(wordSet(col("text"))).as("ws"))
       .withColumn("szb",
         floor(log(size(col("ws")).cast("double")) / bucketWidth).cast("long"))
       .cache()
@@ -667,7 +675,8 @@ object Dedup {
     // cache: the 60-bit fold is the expensive scalar half and the
     // self-join evaluates its input once per side (Bench/Verify clear
     // caches between queries; long-lived pipelines release via Managed)
-    val sigs = docs
+    val sigs = graft.sources.Par.fanOut(docs)
+      // fanned out (round 18) — the minhashPairsManaged rationale
       .select(col("doc_id"), simhash60(col("text")).as("simhash")).cache()
     val blocks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map(i =>
@@ -725,7 +734,8 @@ object Dedup {
       minShared: Int = 3, maxDf: Long = 128L): Managed = {
     // cached: the self-join consumes the fingerprint table once per
     // side (plus the df aggregate); 16 bytes per (doc, fp) row, no text
-    val fps = docs.select(col("doc_id"),
+    val fps = graft.sources.Par.fanOut(docs).select(col("doc_id"),
+      // fanned out (round 18) — the minhashPairsManaged rationale
       explode(winnowFingerprints(col("text"), k, win)).as("fp"))
       .cache()
     val hits = dfCapped(fps, maxDf)
@@ -813,8 +823,9 @@ object Dedup {
       s"thresholdPm must be in [0, 10000], got $thresholdPm")
     // fingerprint table: 16 bytes per (doc, fp) row, no text (the
     // winnowPairs convention); cached — the df aggregate and both
-    // self-join sides read it
-    val fps = docs.select(col("doc_id"),
+    // self-join sides read it; fanned out (round 18) — the
+    // minhashPairsManaged rationale
+    val fps = graft.sources.Par.fanOut(docs).select(col("doc_id"),
       explode(winnowFingerprints(col("text"), k, win)).as("fp"))
       .cache()
     val hits = dfCapped(fps, maxDf)

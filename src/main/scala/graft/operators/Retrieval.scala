@@ -79,7 +79,12 @@ object Retrieval {
     * groupBy.
     */
   def postings(corpus: DataFrame): DataFrame =
-    corpus
+    // fanned out (round 18): the md5-per-token walk is the index
+    // build's dominant scalar cost and a single-row-group scan runs it
+    // on one core; Par.fanOut no-ops when the scan already
+    // parallelizes, and tf/df/idf are integer-exact under any row
+    // placement
+    graft.sources.Par.fanOut(corpus)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("len"),
         explode(graft.expressions.TextExpressions.gramHashes60(
@@ -103,7 +108,8 @@ object Retrieval {
       s"maxDfPermille must be in [1,1000], got $maxDfPermille")
     val post = postings(corpus)
     // corpus scalars: N docs, total length -> integer centi-token avgdl
-    val stats = corpus.agg(
+    // (fanned out — this is a second full tokenize walk of the corpus)
+    val stats = graft.sources.Par.fanOut(corpus).agg(
       count(lit(1)).as("n_docs"),
       sum(size(tokens(col("text"))).cast("long")).as("total_len"))
       .select(col("n_docs"),

@@ -115,6 +115,12 @@ object ProbeMain {
             Similarity.nnDescent(e, k = 10, maxRounds = 3, minImprovedPm = 0L))
           t(s"nnDescent3-exec#$i")(noop(r.graph))
         }
+      case q if Registry.all.exists(_.name == q) =>
+        val entry = Registry.all.find(_.name == q).get
+        for (i <- 1 to 5) {
+          spark.catalog.clearCache()
+          t(s"$q#$i")(noop(entry.fn(spark, d)))
+        }
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
