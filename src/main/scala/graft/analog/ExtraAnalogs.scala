@@ -1605,7 +1605,12 @@ object ExtraAnalogs {
         val found = Dedup.winnowPairs(docs)
           .filter(col("doc_a") < 100)
           .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
-        val fps = docs.select(col("doc_id"),
+        // SAME fanned shape as the miner's internal fingerprint frame:
+        // CacheManager substitutes cached frames by canonical plan, so
+        // the truth leg rides the miner's cache only while the two
+        // plans stay identical (round-18 fanOut broke the match and
+        // the truth walk silently re-ran — single-core)
+        val fps = graft.sources.Par.fanOut(docs).select(col("doc_id"),
           explode(TextFunctions.winnowFingerprints(col("text"))).as("fp"))
         val truth = fps.filter(col("doc_id") < 100)
           .select(col("doc_id").as("vec_a"), col("fp"))
