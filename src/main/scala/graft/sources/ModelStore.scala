@@ -86,14 +86,21 @@ object ModelStore {
   def loadNb(spark: SparkSession, dir: String)
       : graft.operators.LangId.NbModel = {
     val p = loadParams(spark, dir, Seq("buckets", "n"))
+    val stats = checkSchema(spark.read.parquet(s"$dir/lang_stats"),
+      NbStatsSchema, s"$dir/lang_stats")
     graft.operators.LangId.NbModel(
       checkSchema(spark.read.parquet(s"$dir/delta"), NbDeltaSchema,
         s"$dir/delta"),
-      checkSchema(spark.read.parquet(s"$dir/lang_stats"), NbStatsSchema,
-        s"$dir/lang_stats"),
+      stats,
       p("buckets").toInt, p("n").toInt,
       // absent in pre-round-18 artifacts == the char-gram-only space
-      p.getOrElse("wf", 0L) == 1L)
+      p.getOrElse("wf", 0L) == 1L,
+      // classes from the SAME loaded stats projection (round-19
+      // ADVICE): for a stored model the langStats fallback is already
+      // a cheap parquet scan, but populating it keeps the trained and
+      // loaded provenances explicitly equivalent — classList is a
+      // bounded parquet projection either way, never a gram walk
+      classes = Some(stats.select("lang")))
   }
 
   // ---- perplexity bigram LM -----------------------------------------

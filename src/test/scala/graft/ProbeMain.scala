@@ -105,6 +105,15 @@ object ProbeMain {
             noop(Similarity.pqTopKFromCodes(codes, e, m)))
           codes.unpersist(true)
         }
+      case "sweep2" =>
+        val e = Tables.embeddings(spark, d)
+        for (i <- 1 to 3) {
+          spark.catalog.clearCache()
+          t(s"trainPqAndIvf#$i")(Similarity.trainPqAndIvf(e))
+          t(s"brute#$i")(noop(Similarity.bruteForceTopK(e, 50, 10)))
+          spark.catalog.clearCache()
+          t(s"sweep-full#$i")(noop(Similarity.ivfPqRefinedSweep(e)))
+        }
       case "nd" =>
         val e = Tables.embeddings(spark, d)
         for (i <- 1 to 2) {
