@@ -1161,9 +1161,17 @@ object Dedup {
     // the corpus — when it fits the driver comfortably, union-find
     // locally and broadcast the mapping instead of iterating jobs.
     // Same labels either way (min doc_id per component).
-    val sample = pairs.select(col("doc_a"), col("doc_b"))
-      .limit(localThreshold + 1).collect()
-    if (sample.length <= localThreshold) {
+    // localThreshold <= 0 skips the probe entirely (round 19): the
+    // limit-collect is a PARTIAL MINER EXECUTION (the pair miner's
+    // shuffles run before limit can stop anything), and with a zero
+    // threshold its answer is already known — any pair at all routes
+    // distributed, and the no-pair corpus converges identically in
+    // the loop's first round (empty edge set → empty labels → every
+    // doc a singleton via the untouched anti-join).
+    val sample = if (localThreshold <= 0) Array.empty[org.apache.spark.sql.Row]
+      else pairs.select(col("doc_a"), col("doc_b"))
+        .limit(localThreshold + 1).collect()
+    if (localThreshold > 0 && sample.length <= localThreshold) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -1186,8 +1194,14 @@ object Dedup {
           coalesce(col("root"), col("doc_id")).as("cluster_id"))), Nil)
     }
 
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge orientations from ONE scan of the miner subtree
+    // (round 19): the previous two-projection union executed the
+    // whole upstream pair miner TWICE when this cache landed — the
+    // explode emits the identical (src, dst) multiset per pair row
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // only docs touched by an edge can ever change labels — iterate on
     // that (tiny) subgraph; the untouched corpus anti-joins in at the

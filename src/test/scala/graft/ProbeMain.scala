@@ -114,6 +114,25 @@ object ProbeMain {
           spark.catalog.clearCache()
           t(s"sweep-full#$i")(noop(Similarity.ivfPqRefinedSweep(e)))
         }
+      case "ccd" =>
+        val docs = graft.sources.Tables.documents(spark, d)
+        var jobs = 0
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs += 1
+          })
+        for (i <- 1 to 3) {
+          spark.catalog.clearCache()
+          t(s"minhashPairs#$i")(noop(graft.operators.Dedup.minhashPairs(docs)))
+          spark.catalog.clearCache()
+          val j0 = jobs
+          t(s"clusters-dist#$i")(noop(graft.operators.Dedup.clusters(
+            docs, graft.operators.Dedup.minhashPairs(docs),
+            localThreshold = 0)))
+          println(s"PROBE jobs-in-clusters#$i            ${jobs - j0}")
+        }
       case "nd" =>
         val e = Tables.embeddings(spark, d)
         for (i <- 1 to 2) {
