@@ -37,10 +37,30 @@ case class TopKAgg(
     label: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    distinct: Boolean = false)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, String)]] {
 
   require(k > 0, "top_k needs k > 0")
+
+  /** `distinct = true`: duplicate (score, label) entries collapse to
+    * one — exactly `top_k(score, label, k)` over the DISTINCT input
+    * set (round 19). Equivalence argument: the buffer always holds the
+    * top-min(k,·) of the distinct prefix seen; a duplicate whose twin
+    * is in the buffer is skipped, and one whose twin was evicted
+    * re-enters and is immediately evicted again by the same total
+    * order (k better entries still present). Lets a caller with a
+    * duplicate-bearing candidate stream (NN-descent's fwd ∪ rev ∪
+    * 2-hop rule) skip the pre-aggregation `.distinct()` EXCHANGE and
+    * dedupe inside the one heap pass — the per-insert containment
+    * scan is O(k), only paid under the flag.
+    */
+  private def put(buf: mutable.PriorityQueue[(Double, String)],
+      e: (Double, String)): Unit = {
+    if (distinct && buf.exists(_ == e)) return
+    buf.enqueue(e)
+    if (buf.size > k) { buf.dequeue(); () }
+  }
 
   /** Heap dequeues the WORST element: lower score is worse; on ties the
     * lexicographically larger label is worse.
@@ -61,20 +81,15 @@ case class TopKAgg(
       input: InternalRow): mutable.PriorityQueue[(Double, String)] = {
     val s = score.eval(input)
     val l = label.eval(input)
-    if (s != null && l != null) {
-      buf.enqueue((s.asInstanceOf[Double], l.toString))
-      if (buf.size > k) buf.dequeue()
-    }
+    if (s != null && l != null)
+      put(buf, (s.asInstanceOf[Double], l.toString))
     buf
   }
 
   override def merge(
       b1: mutable.PriorityQueue[(Double, String)],
       b2: mutable.PriorityQueue[(Double, String)]): mutable.PriorityQueue[(Double, String)] = {
-    b2.foreach { e =>
-      b1.enqueue(e)
-      if (b1.size > k) b1.dequeue()
-    }
+    b2.foreach(put(b1, _))
     b1
   }
 
@@ -137,5 +152,16 @@ object TopKAgg {
   def topK(score: Column, label: Column, k: Int): Column =
     GraftBridge.column(
       TopKAgg(GraftBridge.expression(score), GraftBridge.expression(label), k)
+        .toAggregateExpression())
+
+  /** [[topK]] over the DISTINCT (score, label) set of the input —
+    * see the `distinct` field. For a stream whose duplicates carry
+    * identical keys this equals `.distinct()` + [[topK]] without the
+    * extra exchange.
+    */
+  def topKDistinct(score: Column, label: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKAgg(GraftBridge.expression(score), GraftBridge.expression(label), k,
+        distinct = true)
         .toAggregateExpression())
 }
