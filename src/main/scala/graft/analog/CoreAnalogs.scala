@@ -525,12 +525,19 @@ object CoreAnalogs {
         val docs = Tables.documents(s, d)
         val toks = docs.select(
           explode(split(col("text"), " ")).as("token"))
-        val sketch = graft.operators.Profile.cmSketch(toks, 4, 512)
+        // ONE corpus token aggregation feeds BOTH legs (round 19):
+        // the sketch derives from the exact counts (cmSketchOf — sum
+        // of per-token counts per cell == the raw stream's cell
+        // count), so the two identical groupBy(token) subtrees share
+        // their exchange and the corpus-sized explode runs once
+        // instead of twice
+        val exact = toks.groupBy("token")
+          .agg(count(lit(1)).as("n_exact"))
+        val sketch = graft.operators.Profile.cmSketchOf(
+          exact.select(col("token"), col("n_exact").as("c")), 4, 512)
         val cands = docs.filter(col("doc_id") % 100 === 0)
           .select(explode(split(col("text"), " ")).as("token"))
           .distinct()
-        val exact = toks.groupBy("token")
-          .agg(count(lit(1)).as("n_exact"))
         graft.operators.Profile.cmEstimate(sketch, cands, 4, 512)
           .join(exact, Seq("token"))
           .select("token", "est", "n_exact")

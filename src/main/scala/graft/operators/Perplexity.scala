@@ -63,7 +63,12 @@ object Perplexity {
     val b = lit(buckets.toLong)
     val ub = graft.expressions.TextExpressions.gramHashes60(
       tokens(col("text")), 1, distinct = false)
-    docs
+    // fan out the per-token md5 walk (round 19, guide §2.5 — the
+    // LangId gramBuckets precedent): single-row-group corpora ran the
+    // whole hash walk on one core; streaming frames pass through
+    // fanOut untouched, and every downstream aggregate is an integer
+    // count/micro-nat sum, so placement cannot change a bit
+    graft.sources.Par.fanOut(docs)
       .select(col("doc_id"), transform(ub, h => pmod(h, b)).as("ub"))
       .select(col("doc_id"), posexplode(transform(col("ub"), (x, i) =>
         struct(

@@ -170,6 +170,26 @@ object Profile {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** [[cmSketch]] from an already-aggregated (token, c) count frame —
+    * cell (j, h_j(t)) receives Σ c over the tokens hashing there,
+    * which is exactly the raw stream's per-cell occurrence count, so
+    * `cmSketchOf(counts(toks)) == cmSketch(toks)` (law-tested). Lets a
+    * consumer that ALSO needs exact per-token counts (the CM
+    * error-grading query) derive both legs from ONE token aggregation
+    * — the two identical groupBy subtrees share their exchange
+    * (ReuseExchange), so the corpus token stream is exploded once
+    * instead of twice (round 19, guide §2.4).
+    */
+  def cmSketchOf(counts: DataFrame, depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1, width >= 2, got $depth/$width")
+    counts.select(col("c"),
+        explode(cmCells(col("token"), depth, width)).as("cell"))
+      .groupBy(col("cell.rw").as("rw"), col("cell.bucket").as("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Cell-wise fold of shard sketches from [[cmSketch]] (sparse union
     * in, sparse sum out) — the merge leg of the mergeable-sketch
     * contract: sketch(A ⊎ B) == cmMerge(sketch(A) ∪ sketch(B)),

@@ -173,7 +173,13 @@ object QualityFilters {
     */
   def gopherRepetition(docs: DataFrame, textCol: String = "text")
       : DataFrame = {
-    val base = docs.select(col("doc_id"), col(textCol).as("_t"))
+    // fan out the per-doc line/bigram expression walk (round 19,
+    // guide §2.5): both legs below are compute-heavy map work rooted
+    // at the scan, single-core on a single-row-group corpus; every
+    // downstream aggregate is an integer count/sum or lexicographic
+    // max, so row placement cannot change a bit
+    val base = graft.sources.Par.fanOut(
+      docs.select(col("doc_id"), col(textCol).as("_t")))
     // line groups: per (doc, line) occurrence counts
     val lines = base.select(col("doc_id"),
       explode(split(col("_t"), "\n")).as("l"))

@@ -144,10 +144,19 @@ object ProbeMain {
           t(s"nnDescent3-exec#$i")(noop(r.graph))
         }
       case q if Registry.all.exists(_.name == q) =>
+        var jobs = 0
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs += 1
+          })
         val entry = Registry.all.find(_.name == q).get
         for (i <- 1 to 5) {
           spark.catalog.clearCache()
+          val j0 = jobs
           t(s"$q#$i")(noop(entry.fn(spark, d)))
+          println(s"PROBE jobs#$i                        ${jobs - j0}")
         }
       case other => sys.error(s"unknown probe: $other")
     }

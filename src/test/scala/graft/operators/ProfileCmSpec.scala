@@ -22,6 +22,17 @@ class ProfileCmSpec extends AnyFunSuite with SparkSpec {
     Seq.fill(40)("a") ++ Seq.fill(12)("b") ++
       ('c' to 'j').flatMap(ch => Seq.fill((ch - 'b') % 3 + 1)(ch.toString)))
 
+  test("cmSketchOf(counts) == cmSketch(stream) — the one-aggregation derivation") {
+    val counts = stream.groupBy("token").agg(count(lit(1)).as("c"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rw", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(Profile.cmSketchOf(counts, 3, 4)) ===
+      rows(Profile.cmSketch(stream, 3, 4)))
+    assert(rows(Profile.cmSketchOf(counts, 4, 512)) ===
+      rows(Profile.cmSketch(stream, 4, 512)))
+  }
+
   test("cmEstimate never underestimates; exact at collision-free width") {
     val exact = stream.groupBy("token").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
